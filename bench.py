@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark: run every declared query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on a warm local[$SPARK_GRAFT_CPUS] session.
+
+Prints ONE JSON line:
+  {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, "rows_out": {...}}
+
+BASELINE context (BASELINE.md): the reference is a single-threaded Python
+pipeline at ~2-4K rows/s load and ~22K rows/s no-change CDC. Our gate is
+wall-clock within 2× at sf0.1 — dominated by Spark fixed overhead per
+query, hence a warm session, AQE, and low shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod
+from presencia_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="presencia-etl-bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "16")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers so fixed startup cost isn't billed to q01.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    rows_out: dict[str, int] = {}
+    queries = entrymod.queries()
+    t_all = time.perf_counter()
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            rows_out[name] = len(df.collect())
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep the bench alive; failures are visible
+            timings[name] = -1.0
+            rows_out[name] = -1
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "rows_out": rows_out,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Key normalization and composite-key construction.
+
+Parity target: ``normalize_key_value`` (``sync_INCREMENTAL.py:211-224``):
+None → ``''``; trim; if the string parses as a number, canonicalize
+(``"30.0"`` → ``"30"``, integer-valued floats lose the decimal part,
+non-integer floats keep Python's shortest float repr); otherwise the trimmed
+raw string. Composite keys join normalized parts with ``'|'``
+(``sync_INCREMENTAL.py:242-248,414-417``).
+
+Spark-first: a ``when``-chain over ``try_cast('double')`` — no UDF, stays in
+codegen. NaN/Infinity strings fall through to the raw-string branch (the
+reference's ``int(float(s))`` raises on those and falls back the same way).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_key(col: Column | str) -> Column:
+    """Canonical string form of a join/CDC key value."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.coalesce(F.trim(c.cast("string")), F.lit(""))
+    d = s.try_cast("double")
+    numeric = d.isNotNull() & ~F.isnan(d) & (F.abs(d) != float("inf"))
+    is_integral = numeric & (d == F.floor(d)) & (F.abs(d) < F.lit(2.0**62))
+    return (
+        F.when(s == "", s)
+        .when(is_integral, d.cast("long").cast("string"))
+        .when(numeric, d.cast("string"))
+        .otherwise(s)
+    )
+
+
+def composite_key(cols: Iterable[str]) -> Column:
+    """Multi-column logical key: normalized parts joined by '|'.
+
+    Parity: ``sync_INCREMENTAL.py:414-417`` (e.g. Socios keyed on
+    NUMSOCIO+NOMSOCIO because NUMSOCIO alone has duplicates).
+    """
+    return F.concat_ws("|", *[normalize_key(c) for c in cols])

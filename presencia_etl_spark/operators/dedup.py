@@ -1,0 +1,210 @@
+"""Deduplication operators for training-data pipelines.
+
+None exist in the reference (its closest relative is the CDC hash-compare,
+``sync_INCREMENTAL.py:169-176``, which is exact row-identity detection);
+these are the 100 TB extensions (SURVEY §7.2 M6), all expressed with
+JVM-side higher-order functions — no Python UDFs, no driver collection:
+
+- exact:     hash-groupBy (one shuffle of (hash, id), not of documents)
+- MinHash:   char-shingles → per-seed min-hash → banded LSH → bucket join
+- SimHash:   token-hash sign aggregation → 64-bit signature, hamming dist
+- n-gram Jaccard: exact set overlap for candidate verification
+
+Scale notes: the LSH band join shuffles only (band_id, band_hash, doc_id)
+triples — tiny vs the corpus. Bucket skew (a degenerate band value hitting
+millions of docs) is handled by AQE skew-join splitting plus an optional
+bucket-size cap. Signatures are recomputable, so nothing is driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (hash-based groupBy under
+    the hood — Spark plans dropDuplicates as a partial+final hash aggregate,
+    so only one shuffle and map-side combining)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(value-hash, count) for groups appearing more than once."""
+    h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+    return (
+        df.groupBy(h.alias("group_hash"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def char_shingles(text_col: str, k: int = 5) -> F.Column:
+    """Distinct character k-grams of a text column, as an array<string>.
+
+    Dynamic-start substring needs the SQL higher-order form (F.substring
+    takes literal positions only).
+    """
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)),"
+        f" i -> substring({text_col}, i, {k})))"
+    )
+
+
+def minhash_signature(shingles_col: str, n_hashes: int = 32) -> F.Column:
+    """MinHash signature as array<bigint>, one pass over the shingles.
+
+    Each shingle string is hashed ONCE (the fold input); the n_hashes
+    families re-hash that 64-bit value with the family index via
+    ``xxhash64(h, i)`` — JVM-native long hashing, properly independent
+    across families (an affine ``(a·h+b) mod M`` family is NOT usable
+    here: with a·h+b < 2M the mod barely wraps, the map stays monotonic
+    in h, and every family elects the same argmin shingle). Cost per doc:
+    |S| string hashes + n·|S| long hashes, all inside codegen.
+    """
+    max_l = (1 << 62) - 1
+    return F.expr(
+        f"aggregate("
+        f"  transform({shingles_col}, s -> xxhash64(s)),"
+        f"  transform(sequence(0, {n_hashes - 1}), i -> {max_l}L),"
+        f"  (acc, h) -> zip_with(acc, sequence(0, {n_hashes - 1}),"
+        f"    (m, i) -> least(m, xxhash64(h, i))))"
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard is the
+    fraction of matching signature positions. Pairs sharing ≥1 band bucket
+    are candidates. ``max_bucket`` drops degenerate buckets (e.g. empty
+    docs) that would explode quadratically.
+    """
+    rows_per_band = n_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            char_shingles(text_col, k).alias("shingles"),
+        )
+        .withColumn("sig", minhash_signature("shingles", n_hashes))
+        .drop("shingles")
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> named_struct('band_id', b,"
+                f" 'band_hash', xxhash64(array_join(slice(sig, b * {rows_per_band} + 1,"
+                f" {rows_per_band}), ','))))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+    # Prune degenerate buckets before the self-join.
+    sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bsz"))
+    pruned = banded.join(
+        sizes.filter(F.col("bsz") <= max_bucket).select("band_id", "band_hash"),
+        ["band_id", "band_hash"],
+    )
+
+    a = pruned.select("band_id", "band_hash", F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = pruned.select("band_id", "band_hash", F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(len(range(n_hashes)) or 1))
+    return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+
+
+def ngram_jaccard(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact token-n-gram Jaccard for candidate pairs (verification stage).
+
+    ``pairs``: (id_a, id_b); ``docs``: the corpus. Two narrow joins bring in
+    the n-gram sets; the set math is JVM-side array ops.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {n} + 1, 1)),"
+            f" i -> array_join(slice(split({text_col}, '\\\\s+'), i, {n}), ' ')))"
+        ).alias("grams"),
+    )
+    out = (
+        pairs.join(grams.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+        .join(grams.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return out.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(tokens_col: str, bits: int = 64) -> F.Column:
+    """64-bit SimHash of a token array — one aggregate fold, no shuffle.
+
+    Per token t and bit b: +1 if bit b of xxhash64(t) is set else -1; the
+    signature sets bit b iff the sum is positive.
+    """
+    return F.expr(
+        f"aggregate("
+        f"  aggregate("
+        f"    transform({tokens_col}, t -> xxhash64(t)),"  # hash once per token
+        f"    transform(sequence(0, {bits - 1}), x -> 0L),"
+        f"    (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),"
+        f"      (a, b) -> a + if((shiftright(h, b) & 1) = 1, 1, -1))),"
+        f"  named_struct('v', 0L, 'b', 0),"
+        f"  (st, s) -> named_struct('v', st.v | if(s > 0, shiftleft(1L, st.b), 0L), 'b', st.b + 1),"
+        f"  st -> st.v)"
+    )
+
+
+def with_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("_toks"),
+    ).select("doc_id", simhash("_toks").alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-pairs by hamming distance, blocked on the signature's top bits
+    so the self-join is bucket-local (at web scale, use 4 rotated prefix
+    blocks for full recall; one block shown here keeps the plan minimal)."""
+    blocked = sigs.withColumn("blk", F.expr(f"shiftrightunsigned(simhash, {64 - prefix_bits})"))
+    a = blocked.select(F.col("blk"), F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = blocked.select(F.col("blk"), F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata (100 TB extension).
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake, or NotImplementedError for the real path) — but the
+Spark-side plumbing is real and tested: schema, Arrow batch shape through
+``mapInPandas``, partition sizing.
+
+Scale notes: binary payloads dominate partition size — size
+``spark.sql.files.maxPartitionBytes`` so one task holds a few hundred
+media blobs, and NEVER collect payloads to the driver. Feature extraction
+is an Arrow-batched pandas iterator: each batch arrives as a pandas
+DataFrame with a ``bytes`` column, exactly how a real decoder (PIL/ffmpeg)
+would consume it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.StringType(), True),
+        T.StructField("feat_mean", T.DoubleType(), True),
+        T.StructField("feat_std", T.DoubleType(), True),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a media table from any string column: payload = utf-8 bytes,
+    meta derived deterministically. Stands in for spark.read of real blobs
+    (binaryFile source) in this codec-less container."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            (F.length(F.col(text_col)) % 1024).cast("int").alias("width"),
+            (F.length(F.col(text_col)) % 768).cast("int").alias("height"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(payload: bytes) -> bytes:
+    """Real decode path — requires an image/audio codec library."""
+    raise NotImplementedError(
+        "media decoding requires PIL/ffmpeg, not present in this container; "
+        "use fake=True for the deterministic stub"
+    )
+
+
+def _fake_features(payload: bytes) -> tuple[float, float]:
+    """Deterministic stand-in for pixel statistics: byte-value mean/std
+    (numpy-vectorized — a real decoder would be array-based the same way)."""
+    if not payload:
+        return 0.0, 0.0
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    return float(arr.mean()), float(arr.std())
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over mapInPandas.
+
+    The iterator signature and batch shape are exactly what a real decoder
+    needs; only the per-blob function is stubbed.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                pdf["payload"].map(decode_real)  # raises NotImplementedError
+            feats = pdf["payload"].map(lambda p: _fake_features(bytes(p or b"")))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p or b"")).astype("int64"),
+                    "checksum": pdf["payload"].map(
+                        lambda p: hashlib.md5(bytes(p or b"")).hexdigest()
+                    ),
+                    "feat_mean": feats.map(lambda t: round(t[0], 4)),
+                    "feat_std": feats.map(lambda t: round(t[1], 4)),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """'Frame sampling' over the opaque payload: slice every Nth byte window
+    — JVM-side (substring over binary cast), demonstrating how video frame
+    extraction parallelizes without Python."""
+    return media.select(
+        "media_id",
+        F.expr(
+            f"transform(sequence(0, least(int(meta.n_bytes / {every_n_bytes}), {max_frames - 1})),"
+            f" i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes}))"
+        ).alias("frames"),
+    ).withColumn("n_frames", F.size("frames"))

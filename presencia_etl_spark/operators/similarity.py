@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+100 TB extension (SURVEY §7.2 M6). Two tiers:
+
+- **Brute-force cosine top-k** — the exactness baseline. Dot product and
+  norms are JVM-side higher-order functions (zip_with + aggregate), the
+  query side is broadcast, and ranking is a per-query window. Cost is
+  O(N·Q·d) flops with zero Python; at 100 TB you bound Q (batch your
+  queries), not N.
+- **LSH-bucketed ANN** — random-hyperplane signatures (sign bits of dot
+  with fixed seeded planes) bucket the corpus; candidates come from the
+  query's bucket plus multiprobe neighbors (1-bit flips), then exact
+  re-rank. The bucket join shuffles only (bucket, id) pairs. This is the
+  scale path: recall tunable via n_planes/multiprobe; an IVF variant would
+  swap the hash for k-means centroids (pyspark.ml KMeans) with the same
+  probe/re-rank shape.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(col: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({col}, cast(0.0 as double),"
+            f" (acc, v) -> acc + cast(v as double) * cast(v as double))"
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    return df.withColumn(out, _norm(vec_col))
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", min_cosine: float = 0.9
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — embedding near-dup
+    detection. Exact (full self-join); use lsh buckets first at scale."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = base.withColumn("nrm", _norm("v"))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (self-matches excluded).
+
+    queries is expected to be small → broadcast, so the corpus never
+    shuffles; ranking is a window partitioned by query id (deterministic
+    tiebreak on neighbor id).
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = c.withColumn("cn", _norm("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = q.withColumn("qn", _norm("qv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
+    ranked = joined.withColumn("cosine", F.round(cos, 6)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rk") <= k).select("query_id", "neighbor_id", "cosine", "rk")
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side constants, broadcast as
+    literals into the plan)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """Sign-bit bucket id from the fixed hyperplanes."""
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"cast({x!r} as double)" for x in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x as double) * y),"
+            f" cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"if({dot} >= 0, shiftleft(1L, {i}), 0L)")
+    return df.withColumn(out, F.expr(" | ".join(bits)))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int = 64,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates from matching LSH bucket (+ 1-bit
+    multiprobe flips), exact cosine re-rank within candidates."""
+    planes = hyperplanes(dim, n_planes, seed)
+    c = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        planes,
+        "cv",
+    ).withColumn("cn", _norm("cv"))
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        planes,
+        "qv",
+    ).withColumn("qn", _norm("qv"))
+    if multiprobe > 0:
+        # Probe the exact bucket plus all 1-bit neighbors.
+        probes = F.array(
+            F.col("bucket"),
+            *[F.expr(f"bucket ^ shiftleft(1L, {i})") for i in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    joined = c.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
+    ranked = (
+        joined.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= k).select("query_id", "neighbor_id", "cosine", "rk")

@@ -1,0 +1,85 @@
+"""EP2 — incremental CDC sync (``sync_INCREMENTAL.py`` shape, SURVEY §3).
+
+Reference lifecycle: scan+filters → ensure table → load key→(id,hash) map →
+classify INSERT/UPDATE/SKIP → batched inserts + row-wise updates → verify.
+Spark shape: the classify is ONE left-outer hash join (operators/cdc.py) and
+both write halves collapse into the staged parquet merge
+(sinks/writers.merge_upsert_parquet). Tables with no reliable unique key go
+through full refresh instead (``FULL_REFRESH_TABLES``,
+sync_INCREMENTAL.py:46-48).
+
+Idempotency invariant (the reference's own test discipline, SURVEY §5):
+running the sync twice on identical input must report 0 inserts / 0 updates
+on the second pass — guaranteed here because row_hash is a pure function of
+the data columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from presencia_etl_spark.plans.full_sync import prepare_table
+from presencia_etl_spark.sinks.writers import (
+    merge_upsert_parquet,
+    overwrite_parquet,
+    with_audit_columns,
+)
+from presencia_etl_spark.sources.registry import TableConfig
+
+
+def incremental_sync_table(
+    spark: SparkSession,
+    df: DataFrame,
+    cfg: TableConfig,
+    target_root: str,
+    semi_source: DataFrame | None = None,
+) -> dict[str, int]:
+    """Sync one table; returns {'insert': n, 'update': n, 'skip': n}."""
+    target_path = f"{target_root}/{cfg.name}"
+    key_cols = cfg.key_cols or [df.columns[0]]
+
+    if cfg.full_refresh:
+        prepared = prepare_table(df, cfg, semi_source=semi_source)
+        out = with_audit_columns(prepared, key_cols)
+        overwrite_parquet(out, target_path)
+        return {"insert": out.count(), "update": 0, "skip": 0, "mode": "full_refresh"}
+
+    # Hash is computed inside merge_upsert_parquet over the raw (pre-audit)
+    # columns; prepare without typing so hash matches rerun-to-rerun even if
+    # inference rules evolve.
+    prepared = prepare_table(df, cfg, semi_source=semi_source, typed=True)
+    data_cols = [c for c in prepared.columns if c != "row_hash"]
+    result = merge_upsert_parquet(
+        spark,
+        prepared.select(*data_cols),
+        target_path,
+        key_cols,
+        hash_cols=data_cols,
+    )
+    result["mode"] = "incremental"
+    return result
+
+
+def incremental_sync(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    configs: dict[str, TableConfig],
+    target_root: str,
+) -> dict[str, dict[str, int]]:
+    """EP2 over the whole registry."""
+    from presencia_etl_spark.operators.filters import apply_filters
+
+    results: dict[str, dict[str, int]] = {}
+    for name, cfg in configs.items():
+        if name not in tables:
+            continue
+        semi_src = None
+        if cfg.semi_join is not None:
+            other, _ = cfg.semi_join
+            other_cfg = configs.get(other)
+            if other_cfg is not None and other in tables:
+                semi_src = apply_filters(tables[other], other_cfg.filters)
+        results[name] = incremental_sync_table(
+            spark, tables[name], cfg, target_root, semi_source=semi_src
+        )
+    return results

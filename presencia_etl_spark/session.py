@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Defaults chosen for correctness-at-scale first:
+
+- AQE on (runtime re-plan: coalesce small shuffle partitions, skew-join
+  splitting, dynamic broadcast) — replaces every hand-tuned physical
+  discipline the reference hard-codes (batching, key-map builds).
+- ``spark.sql.session.timeZone=UTC`` so timestamp arithmetic (year/month/
+  date_format) is deterministic and matches the DuckDB oracle, which treats
+  parquet timestamps as naive wall-clock.
+- Arrow enabled for any pandas interchange (extension operators).
+- ``spark.sql.shuffle.partitions`` is env-tunable: 32 for local[32] tests;
+  on a real cluster set it ≈ 2-3× total cores or rely on AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "presencia-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.mergeSchema", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

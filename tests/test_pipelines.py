@@ -1,0 +1,154 @@
+"""Pipeline tests: EP1/EP2 shapes + the reference's idempotency property
+(SURVEY §5: rerunning incremental sync on identical input must classify
+0 inserts / 0 updates)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.operators import cdc
+from presencia_etl_spark.plans.full_sync import full_sync, prepare_table
+from presencia_etl_spark.plans.incremental_sync import incremental_sync_table
+from presencia_etl_spark.sinks.writers import merge_upsert_parquet
+from presencia_etl_spark.sources.registry import Predicate, TableConfig
+
+
+@pytest.fixture()
+def socios_like(spark):
+    rows = [
+        ("1", "ANA", "30", "100.5", "01/15/22 00:00:00"),
+        ("2", "BOB", "30", "", "02/20/22 00:00:00"),
+        ("3", "CARLA", "31", "7.25", ""),          # filtered out (COBSOCIO != 30)
+        ("0", "DUP", "30", "0", "03/01/22 00:00:00"),
+        ("0", "DUP2", "30", "1", "03/02/22 00:00:00"),  # same NUMSOCIO, diff NOMSOCIO
+    ]
+    return spark.createDataFrame(
+        rows, schema=["NUMSOCIO", "NOMSOCIO", "COBSOCIO", "IMPSOCIO", "ALTSOCIO"]
+    )
+
+
+CFG = TableConfig(
+    "Socios",
+    filters=[Predicate("COBSOCIO", "eq", "30")],
+    key_cols=["NUMSOCIO", "NOMSOCIO"],
+    full_refresh=True,
+)
+
+
+class TestPrepareTable:
+    def test_filter_cast_hash(self, socios_like):
+        out = prepare_table(socios_like, CFG)
+        rows = out.collect()
+        assert len(rows) == 4  # CARLA filtered
+        dtypes = dict(out.dtypes)
+        assert dtypes["IMPSOCIO"] == "decimal(15,4)"   # money inference (F4)
+        assert dtypes["ALTSOCIO"] == "timestamp"       # date allowlist (F2)
+        assert dtypes["NUMSOCIO"] == "string"          # Text exception (F4)
+        assert dtypes["row_hash"] == "string"
+        by_name = {r["NOMSOCIO"]: r for r in rows}
+        assert by_name["BOB"]["IMPSOCIO"] is None      # '' → NULL (F5)
+        assert by_name["ANA"]["ALTSOCIO"] is not None  # multi-format parse (F1)
+
+    def test_null_keeping_filter(self, spark):
+        df = spark.createDataFrame(
+            [("a", "1"), ("b", "0"), ("c", None)], schema=["K", "BAJA"]
+        )
+        cfg = TableConfig("T", filters=[Predicate("BAJA", "neq", "1")], key_cols=["K"])
+        out = prepare_table(df, cfg, typed=False)
+        assert {r["K"] for r in out.collect()} == {"b", "c"}  # NULL kept (N1)
+
+
+class TestMergeUpsert:
+    def test_create_then_idempotent(self, spark, tmp_path, socios_like):
+        target = str(tmp_path / "socios")
+        src = socios_like.filter(F.col("COBSOCIO") == "30")
+
+        r1 = merge_upsert_parquet(spark, src, target, ["NUMSOCIO", "NOMSOCIO"])
+        assert r1["insert"] == 4 and r1["update"] == 0
+
+        # Idempotency: identical input → all SKIP.
+        r2 = merge_upsert_parquet(spark, src, target, ["NUMSOCIO", "NOMSOCIO"])
+        assert r2 == {"insert": 0, "update": 0, "skip": 4}
+
+    def test_update_and_insert(self, spark, tmp_path, socios_like):
+        target = str(tmp_path / "socios")
+        src = socios_like.filter(F.col("COBSOCIO") == "30")
+        merge_upsert_parquet(spark, src, target, ["NUMSOCIO", "NOMSOCIO"])
+
+        changed = src.withColumn(
+            "IMPSOCIO",
+            F.when(F.col("NOMSOCIO") == "ANA", F.lit("999")).otherwise(F.col("IMPSOCIO")),
+        )
+        new_row = spark.createDataFrame(
+            [("9", "ZOE", "30", "5", "04/01/22 00:00:00")], schema=src.columns
+        )
+        r = merge_upsert_parquet(
+            spark, changed.unionByName(new_row), target, ["NUMSOCIO", "NOMSOCIO"]
+        )
+        assert r == {"insert": 1, "update": 1, "skip": 3}
+
+        state = spark.read.parquet(target)
+        assert state.count() == 5
+        ana = state.filter(F.col("NOMSOCIO") == "ANA").collect()[0]
+        assert ana["IMPSOCIO"] == "999"
+        # Audit: ids unique, created_at preserved semantics implied by id set.
+        ids = [r["id"] for r in state.select("id").collect()]
+        assert len(ids) == len(set(ids))
+
+    def test_composite_key_normalization(self, spark, tmp_path):
+        # '30' and '30.0' are the same normalized key (F7) → update not insert.
+        target = str(tmp_path / "t")
+        a = spark.createDataFrame([("30", "x")], schema=["K", "V"])
+        merge_upsert_parquet(spark, a, target, ["K"])
+        b = spark.createDataFrame([("30.0", "y")], schema=["K", "V"])
+        r = merge_upsert_parquet(spark, b, target, ["K"])
+        assert r["insert"] == 0 and r["update"] == 1
+
+
+class TestFullSync:
+    def test_registry_semi_join(self, spark, tmp_path):
+        socios = spark.createDataFrame(
+            [("1", "A", "30"), ("2", "B", "31")],
+            schema=["NUMSOCIO", "NOMSOCIO", "COBSOCIO"],
+        )
+        comments = spark.createDataFrame(
+            [("c1", "1"), ("c2", "2"), ("c3", "1")],
+            schema=["IdComment", "NUMSOCIO"],
+        )
+        configs = {
+            "Socios": TableConfig(
+                "Socios",
+                filters=[Predicate("COBSOCIO", "eq", "30")],
+                key_cols=["NUMSOCIO", "NOMSOCIO"],
+            ),
+            "TbComentariosSocios": TableConfig(
+                "TbComentariosSocios",
+                key_cols=["IdComment"],
+                semi_join=("Socios", "NUMSOCIO"),
+            ),
+        }
+        counts = full_sync(
+            spark,
+            {"Socios": socios, "TbComentariosSocios": comments},
+            configs,
+            str(tmp_path / "warehouse"),
+        )
+        # Socio 2 filtered out; its comment vanishes via the semi join (P5).
+        assert counts == {"Socios": 1, "TbComentariosSocios": 2}
+
+
+class TestIncrementalTable:
+    def test_full_refresh_mode(self, spark, tmp_path, socios_like):
+        r = incremental_sync_table(
+            spark, socios_like, CFG, str(tmp_path / "wh")
+        )
+        assert r["mode"] == "full_refresh" and r["insert"] == 4
+
+    def test_cdc_counts_shape(self, spark):
+        old = spark.createDataFrame([("1", "a"), ("2", "b")], ["K", "V"])
+        old = cdc.with_row_hash(old, ["K", "V"])
+        new = spark.createDataFrame([("1", "a"), ("2", "B"), ("3", "c")], ["K", "V"])
+        classified = cdc.cdc_classify(new, old, ["K"], hash_cols=["K", "V"])
+        counts = {r["op"]: r["cnt"] for r in cdc.cdc_counts(classified).collect()}
+        assert counts == {"insert": 1, "update": 1, "skip": 1}
