@@ -294,7 +294,7 @@ def q26_sim_topk(spark, sf):
 
 def q27_neardup_cosine(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    pairs = similarity.cosine_pairs(emb, min_cosine=0.45)
+    pairs = similarity.cosine_pairs_blocked(emb, min_cosine=0.45)
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
