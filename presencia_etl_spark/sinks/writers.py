@@ -39,18 +39,24 @@ def with_audit_columns(
     key_cols: list[str],
     hash_col: str = "row_hash",
     id_offset: int = 0,
+    dense: bool = False,
 ) -> DataFrame:
     """Attach id / created_at / updated_at (hash must already be present).
 
-    Note: row_number over a global window is a single-reducer sort — fine
-    for dimension-sized tables (the reference's world). For 100 TB facts use
-    ``monotonically_increasing_id()`` (non-contiguous but parallel); ids are
-    excluded from correctness comparisons either way.
+    Default ids are ``monotonically_increasing_id()`` — unique, parallel,
+    non-contiguous (AUTO_INCREMENT's only load-bearing property is
+    uniqueness; ids are excluded from correctness comparisons). ``dense=
+    True`` switches to row_number over the key — contiguous, but a
+    single-reducer global sort: only for dimension-sized tables.
     """
-    w = Window.orderBy(*[F.col(c) for c in key_cols])
     now = F.current_timestamp()
+    if dense:
+        w = Window.orderBy(*[F.col(c) for c in key_cols])
+        id_col = F.row_number().over(w).cast("long") + F.lit(id_offset)
+    else:
+        id_col = F.monotonically_increasing_id() + F.lit(id_offset + 1)
     return (
-        df.withColumn("id", F.row_number().over(w) + F.lit(id_offset))
+        df.withColumn("id", id_col)
         .withColumn("created_at", now)
         .withColumn("updated_at", now)
     )
@@ -113,19 +119,40 @@ def merge_upsert_parquet(
     }
     n_insert = counts.get(cdc.INSERT, 0)
     n_update = counts.get(cdc.UPDATE, 0)
-    if n_insert == 0 and n_update == 0:
-        classified.unpersist()
-        return {"insert": 0, "update": 0, "skip": counts.get(cdc.SKIP, 0)}
-
+    n_skip = counts.get(cdc.SKIP, 0)
     data_cols = [c for c in tgt.columns if c not in AUDIT_COLS]
-    tgt_k = cdc.with_cdc_key(tgt, key_cols)
-    src_k = classified  # already carries _cdc_key
 
-    changed_keys = src_k.filter(F.col(cdc.OP_COL) == cdc.UPDATE).select(cdc.KEY_COL)
+    if n_insert == 0 and n_update == 0:
+        # No-change pass (the idempotency invariant): nothing to write.
+        classified.unpersist()
+        return {"insert": 0, "update": 0, "skip": n_skip}
+
+    if n_update == 0:
+        # Insert-only pass — the common incremental shape. Pure append:
+        # no rewrite of existing state at all (the reference's batched
+        # INSERT path, minus its row-at-a-time fallback).
+        max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
+        inserted = with_audit_columns(
+            classified.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(
+                *data_cols, "row_hash"
+            ),
+            key_cols,
+            id_offset=int(max_id),
+        )
+        inserted.select(*data_cols, "row_hash", "id", "created_at", "updated_at").write.mode(
+            "append"
+        ).parquet(target_path)
+        classified.unpersist()
+        return {"insert": n_insert, "update": 0, "skip": n_skip}
+
+    # Updates present → staged rewrite: unchanged ∪ updated ∪ inserted.
+    tgt_k = cdc.with_cdc_key(tgt, key_cols)
+
+    changed_keys = classified.filter(F.col(cdc.OP_COL) == cdc.UPDATE).select(cdc.KEY_COL)
     untouched = tgt_k.join(F.broadcast(changed_keys), cdc.KEY_COL, "left_anti").drop(cdc.KEY_COL)
 
     updated = (
-        src_k.filter(F.col(cdc.OP_COL) == cdc.UPDATE)
+        classified.filter(F.col(cdc.OP_COL) == cdc.UPDATE)
         .join(
             tgt_k.select(cdc.KEY_COL, "id", "created_at"),
             cdc.KEY_COL,
@@ -135,18 +162,22 @@ def merge_upsert_parquet(
         .select(*data_cols, "row_hash", "id", "created_at", "updated_at")
     )
 
-    max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
-    inserted = with_audit_columns(
-        src_k.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(*data_cols, "row_hash"),
-        key_cols,
-        id_offset=int(max_id),
-    )
+    new_state = untouched.select(
+        *data_cols, "row_hash", "id", "created_at", "updated_at"
+    ).unionByName(updated)
 
-    new_state = (
-        untouched.select(*data_cols, "row_hash", "id", "created_at", "updated_at")
-        .unionByName(updated)
-        .unionByName(inserted.select(*data_cols, "row_hash", "id", "created_at", "updated_at"))
-    )
+    if n_insert > 0:
+        max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
+        inserted = with_audit_columns(
+            classified.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(
+                *data_cols, "row_hash"
+            ),
+            key_cols,
+            id_offset=int(max_id),
+        )
+        new_state = new_state.unionByName(
+            inserted.select(*data_cols, "row_hash", "id", "created_at", "updated_at")
+        )
 
     # Stage to a temp dir, then atomically swap — parquet overwrite of a
     # path we are also reading would corrupt the source mid-plan.
@@ -158,5 +189,5 @@ def merge_upsert_parquet(
     return {
         "insert": n_insert,
         "update": n_update,
-        "skip": counts.get(cdc.SKIP, 0),
+        "skip": n_skip,
     }
