@@ -392,7 +392,7 @@ def q35_multimodal_features(spark, sf):
 def q36_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(emb, queries_df, k=3, n_planes=10, dim=64)
+    return similarity.lsh_topk(emb, queries_df, k=3, dim=64)
 
 
 def entry(spark: SparkSession) -> DataFrame:

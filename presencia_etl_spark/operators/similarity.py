@@ -181,35 +181,56 @@ def lsh_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
     dim: int = 64,
-    multiprobe: int = 1,
+    multiprobe: bool = True,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates from matching LSH bucket (+ 1-bit
-    multiprobe flips), exact cosine re-rank within candidates."""
-    planes = hyperplanes(dim, n_planes, seed)
-    c = with_lsh_bucket(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        planes,
-        "cv",
-    ).withColumn("cn", _norm("cv"))
-    q = with_lsh_bucket(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        planes,
-        "qv",
-    ).withColumn("qn", _norm("qv"))
-    if multiprobe > 0:
-        # Probe the exact bucket plus all 1-bit neighbors.
-        probes = F.array(
-            F.col("bucket"),
-            *[F.expr(f"bucket ^ shiftleft(1L, {i})") for i in range(n_planes)],
-        )
-        q = q.withColumn("bucket", F.explode(probes))
-    joined = c.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    """Approximate top-k via MULTI-TABLE hyperplane LSH + exact re-rank.
+
+    One b-bit table has collision probability (1-θ/π)^b — hopeless for
+    neighbors at wide angles (structureless embeddings: top-1 sits near
+    60°, p≈0.04 at b=10). The standard fix is L independent tables
+    (recall 1-(1-p_t)^L) plus 1-bit multiprobe within each table; the
+    defaults (8×8, multiprobe) give ~0.8 recall even on isotropic random
+    vectors while touching ~25% of the corpus — on real clustered
+    embeddings the same knobs are far more selective. Tune b up/L down as
+    the corpus grows denser.
+
+    The corpus is bucketed once per table ((table, bucket) exploded pairs
+    — narrow), queries are broadcast; the exact cosine re-rank runs only
+    inside candidate buckets.
+    """
+    c_base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+
+    def bucketed(df: DataFrame, vec: str, probe: bool) -> DataFrame:
+        per_table = []
+        for t in range(n_tables):
+            planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+            b = with_lsh_bucket(df, planes, vec, out="bucket")
+            if probe and multiprobe:
+                probes = F.array(
+                    F.col("bucket"),
+                    *[F.expr(f"bucket ^ shiftleft(1L, {i})") for i in range(n_planes)],
+                )
+                b = b.withColumn("bucket", F.explode(probes))
+            per_table.append(b.withColumn("tbl", F.lit(t)))
+        out = per_table[0]
+        for p in per_table[1:]:
+            out = out.unionByName(p)
+        return out
+
+    c = bucketed(c_base, "cv", probe=False).withColumn("cn", _norm("cv"))
+    q = bucketed(q_base, "qv", probe=True).withColumn("qn", _norm("qv"))
+    joined = c.join(F.broadcast(q), ["tbl", "bucket"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
     ranked = (
-        joined.dropDuplicates(["query_id", "neighbor_id"])
+        joined.select("query_id", "neighbor_id", "cv", "qv", "cn", "qn")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", F.round(cos, 6))
         .withColumn(
             "rk",

@@ -1,0 +1,139 @@
+"""Extension-operator behavior tests: dedup recall, similarity recall,
+text features, multimodal plumbing — properties the SQL oracle can't
+express (the oracle suite covers value parity; this covers semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog while the cat sleeps"
+    rows = [
+        (0, base),
+        (1, base),                                        # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),              # near dup of 0
+        (3, "completely different text about spark partitions and shuffles"),
+        (4, "another unrelated document mentioning joins aggregates windows"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestMinHashLSH:
+    def test_finds_planted_near_dups(self, corpus):
+        cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text", k=5, n_hashes=32, bands=8)
+        got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
+        assert (0, 1) in got and got[(0, 1)] == 1.0     # exact dup: sig identical
+        assert (0, 2) in got and got[(0, 2)] > 0.5      # near dup: high estimate
+        # Unrelated docs must not look like dups.
+        assert got.get((3, 4), 0.0) < 0.3
+
+    def test_estimate_tracks_exact(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cands = dedup.minhash_lsh_candidates(docs, "doc_id", "text").filter(
+            F.col("est_jaccard") >= 0.8
+        )
+        g = docs.select("doc_id", dedup.char_shingles("text", 5).alias("g"))
+        joined = (
+            cands.join(g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga")), "id_a")
+            .join(g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb")), "id_b")
+            .select(
+                "est_jaccard",
+                (
+                    F.size(F.array_intersect("ga", "gb"))
+                    / F.size(F.array_union("ga", "gb"))
+                ).alias("exact"),
+            )
+        )
+        rows = joined.collect()
+        assert rows, "expected some high-similarity candidates in testdata"
+        for r in rows:
+            assert abs(r["est_jaccard"] - r["exact"]) < 0.25
+
+
+class TestSimHash:
+    def test_dup_and_near_dup_hamming(self, corpus):
+        sigs = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(corpus, "doc_id", "text").collect()}
+        assert sigs[0] == sigs[1]
+        ham_near = bin(sigs[0] ^ sigs[2]).count("1")
+        ham_far = bin(sigs[0] ^ sigs[3]).count("1")
+        assert ham_near < ham_far
+
+    def test_near_pairs(self, corpus):
+        sigs = dedup.with_simhash(corpus, "doc_id", "text")
+        pairs = dedup.simhash_near_pairs(sigs, max_hamming=10, prefix_bits=2)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in got
+
+
+class TestSimilarity:
+    def test_lsh_topk_recall_vs_exact(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = similarity.cosine_topk(emb, queries, k=3)
+        approx = similarity.lsh_topk(emb, queries, k=3, dim=64)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+    def test_blocked_pairs_match_expr_pairs(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs(emb, min_cosine=0.4).collect()}
+        b = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs_blocked(emb, min_cosine=0.4).collect()}
+        assert a == b and a
+
+
+class TestText:
+    def test_quality_features_shape(self, corpus):
+        out = text.quality_features(corpus).collect()
+        for r in out:
+            assert 0 <= r["stopword_ratio"] <= 1
+            assert r["n_tokens"] > 0
+            assert 0 <= r["quality_score"] <= 1
+
+    def test_winnowed_fingerprints_shift_tolerant(self, spark):
+        # Prepending text shifts positions; winnowed shingle fingerprints
+        # must still overlap heavily (that's their point vs head-md5).
+        a = "spark executes declarative plans with catalyst and tungsten"
+        df = spark.createDataFrame([(1, a), (2, "PREFIX " + a)], ["doc_id", "text"])
+        rows = df.select(
+            "doc_id", text.winnowed_fingerprints("text", k=8, window=4).alias("fp")
+        ).collect()
+        s1, s2 = (set(r["fp"]) for r in rows)
+        overlap = len(s1 & s2) / len(s1 | s2)
+        assert overlap > 0.5
+
+    def test_bpe_token_count(self, spark):
+        df = spark.createDataFrame([("hello, world! x2",)], ["text"])
+        n = df.select(text.bpe_token_count("text").alias("n")).collect()[0]["n"]
+        # pieces: hello , world ! x 2
+        assert n == 6
+
+
+class TestMultimodal:
+    def test_feature_extraction_roundtrip(self, corpus):
+        media = multimodal.synthesize_media(corpus, "doc_id", "text")
+        feats = multimodal.extract_features(media, fake=True).collect()
+        assert len(feats) == 5
+        by_id = {r["media_id"]: r for r in feats}
+        # Identical payloads → identical checksums and features.
+        assert by_id[0]["checksum"] == by_id[1]["checksum"]
+        assert by_id[0]["feat_mean"] == by_id[1]["feat_mean"]
+        assert by_id[0]["n_bytes"] > 0
+
+    def test_real_decode_is_stubbed(self, corpus):
+        media = multimodal.synthesize_media(corpus, "doc_id", "text")
+        with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+            multimodal.extract_features(media, fake=False).collect()
+
+    def test_frame_sample(self, corpus):
+        media = multimodal.synthesize_media(corpus, "doc_id", "text")
+        frames = multimodal.frame_sample(media, every_n_bytes=16, max_frames=4).collect()
+        for r in frames:
+            assert 1 <= r["n_frames"] <= 4
+            assert all(len(f) <= 16 for f in r["frames"])

@@ -1,0 +1,70 @@
+"""Streaming tests: micro-batch upsert (foreachBatch) and the batch/stream
+shared windowed aggregation."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.sources.readers import read_table
+from presencia_etl_spark.streaming.micro_batch import incremental_upsert_stream
+from presencia_etl_spark.streaming.windows import windowed_event_counts
+
+
+class TestMicroBatchUpsert:
+    def test_stream_upserts_and_is_replay_safe(self, spark, tmp_path, sf_dir):
+        src_dir = str(tmp_path / "incoming")
+        target = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+
+        events = read_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id"
+        )
+        batch1 = events.filter(F.col("event_id") < 500)
+        batch1.write.mode("append").parquet(src_dir)
+        schema = batch1.schema
+
+        q = incremental_upsert_stream(spark, src_dir, schema, target, ["event_id"], ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(target).count()
+        assert n1 == 500
+
+        # Second file: 100 overlapping (identical → SKIP via hash) + 100 new.
+        batch2 = events.filter((F.col("event_id") >= 400) & (F.col("event_id") < 700))
+        batch2.write.mode("append").parquet(src_dir)
+        q2 = incremental_upsert_stream(spark, src_dir, schema, target, ["event_id"], ckpt)
+        q2.awaitTermination(120)
+        state = spark.read.parquet(target)
+        assert state.count() == 700
+        # No duplicate keys even though 100 ids arrived twice.
+        assert state.select("event_id").distinct().count() == 700
+
+
+class TestWindowedCounts:
+    def test_stream_matches_batch(self, spark, tmp_path, sf_dir):
+        events = read_table(spark, sf_dir, "events")
+        batch_out = {
+            (r["window_start"], r["event_type"]): (r["cnt"], r["sum_value"])
+            for r in windowed_event_counts(events, "ts", "event_type", "1 hour").collect()
+        }
+
+        # Same function over readStream + watermark, drained with
+        # availableNow into a memory sink.
+        src_dir = str(tmp_path / "events_stream")
+        events.write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        agg = windowed_event_counts(stream, "ts", "event_type", "1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        stream_out = {
+            (r["window_start"], r["event_type"]): (r["cnt"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        assert stream_out == batch_out
