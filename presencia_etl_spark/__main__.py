@@ -1,0 +1,94 @@
+"""Thin CLI over the three pipelines (the EP3 control-plane analog).
+
+The reference exposes its scripts over a Flask HTTP server (``server.py``);
+parity only needs a way to trigger the pipelines and read per-table metrics
+back, so this stays a CLI returning JSON (an HTTP wrapper would add nothing
+to the engine).
+
+Usage:
+    python -m presencia_etl_spark full-sync   --source DIR --target DIR
+    python -m presencia_etl_spark incremental --source DIR --target DIR
+    python -m presencia_etl_spark reconcile   --source DIR --table orders \
+        --date-col o_orderdate
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.session import get_spark
+from presencia_etl_spark.sources.readers import read_parquet
+
+
+def _load_tables(spark, source: str, names: list[str]):
+    import glob
+    import os
+
+    if names:
+        return {n: read_parquet(spark, f"{source}/{n}.parquet") for n in names}
+    found = {}
+    for p in sorted(glob.glob(f"{source}/*.parquet")):
+        found[os.path.basename(p)[: -len(".parquet")]] = read_parquet(spark, p)
+    return found
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="presencia_etl_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for cmd in ("full-sync", "incremental"):
+        p = sub.add_parser(cmd)
+        p.add_argument("--source", required=True, help="dir of <table>.parquet inputs")
+        p.add_argument("--target", required=True, help="warehouse output dir")
+        p.add_argument("--tables", nargs="*", default=[], help="subset (default: all found)")
+        p.add_argument("--key", nargs="*", default=[], help="key columns (default: first column)")
+
+    p = sub.add_parser("reconcile")
+    p.add_argument("--source", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--date-col", required=True)
+    p.add_argument("--last-n-months", type=int, default=None)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name=f"presencia-etl-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd in ("full-sync", "incremental"):
+        from presencia_etl_spark.sources.registry import TableConfig
+
+        tables = _load_tables(spark, args.source, args.tables)
+        configs = {
+            n: TableConfig(n, key_cols=list(args.key) or [df.columns[0]])
+            for n, df in tables.items()
+        }
+        if args.cmd == "full-sync":
+            from presencia_etl_spark.plans.full_sync import full_sync
+
+            out = full_sync(spark, tables, configs, args.target)
+        else:
+            from presencia_etl_spark.plans.incremental_sync import incremental_sync
+
+            out = incremental_sync(spark, tables, configs, args.target)
+        print(json.dumps({"cmd": args.cmd, "result": out}))
+        return 0
+
+    from presencia_etl_spark.plans.reconcile import monthly_reconcile
+
+    src = read_parquet(spark, f"{args.source}/{args.table}.parquet")
+    tgt = read_parquet(spark, f"{args.target}/{args.table}.parquet")
+    rec = monthly_reconcile(
+        src, tgt, args.date_col, {}, last_n_months=args.last_n_months
+    )
+    rows = [r.asDict() for r in rec.collect()]
+    total_diff = sum(abs(r["cnt_diff"]) for r in rows)
+    print(json.dumps({"cmd": "reconcile", "months": rows, "total_abs_diff": total_diff}, default=str))
+    return 0 if total_diff == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

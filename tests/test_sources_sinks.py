@@ -1,0 +1,90 @@
+"""Source/sink coverage: CSV all-string reads (S1), DDL schema parsing
+(S2/F14), aux catalog DDL (S9), drop sink (S8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from presencia_etl_spark.sinks.catalog import (
+    AUX_TABLES,
+    create_aux_tables,
+    drop_tables,
+    validate_enums,
+)
+from presencia_etl_spark.sources.readers import read_csv_all_string, table_exists
+from presencia_etl_spark.sources.schema_parse import parse_ddl_columns, parse_ddl_schema
+
+SAMPLE_DDL = """
+-- ----------------------------------------------------------
+-- mdb-schema style dump
+-- ----------------------------------------------------------
+CREATE TABLE `Socios` (
+  `NUMSOCIO` varchar(50),
+  `NOMSOCIO` varchar(255) NOT NULL,
+  `IMPSOCIO` double,
+  `ALTSOCIO` datetime,
+  `BAJA` smallint,
+  `ACTIVO` boolean,
+  `ID` int AUTO_INCREMENT,
+  PRIMARY KEY (`ID`)
+);
+
+CREATE TABLE `Cobradores` (
+  `NUMCOB` int,
+  `NOMCOB` text
+);
+"""
+
+
+class TestSchemaParse:
+    def test_columns_and_types(self):
+        cols = parse_ddl_columns(SAMPLE_DDL, "Socios")
+        assert list(cols) == [
+            "NUMSOCIO", "NOMSOCIO", "IMPSOCIO", "ALTSOCIO", "BAJA", "ACTIVO", "ID",
+        ]
+        schema = parse_ddl_schema(SAMPLE_DDL, "Socios")
+        by_name = {f.name: f.dataType for f in schema.fields}
+        assert isinstance(by_name["NUMSOCIO"], T.StringType)
+        assert isinstance(by_name["IMPSOCIO"], T.DoubleType)
+        assert isinstance(by_name["ALTSOCIO"], T.TimestampType)
+        assert isinstance(by_name["BAJA"], T.IntegerType)
+        assert isinstance(by_name["ACTIVO"], T.BooleanType)
+        assert isinstance(by_name["ID"], T.LongType)  # auto_increment → surrogate
+
+    def test_second_table_and_missing(self):
+        cols = parse_ddl_columns(SAMPLE_DDL, "Cobradores")
+        assert cols == {"NUMCOB": "int", "NOMCOB": "text"}
+        try:
+            parse_ddl_columns(SAMPLE_DDL, "Nope")
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
+class TestCsvSource:
+    def test_all_string_ingest(self, spark, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text("A,FECALTA,IMPX\n1,01/15/22 00:00:00,10.5\n2,,\n")
+        df = read_csv_all_string(spark, str(p))
+        assert all(t == "string" for _, t in df.dtypes)
+        rows = df.orderBy("A").collect()
+        assert rows[0]["A"] == "1" and rows[1]["IMPX"] is None
+
+
+class TestAuxCatalog:
+    def test_create_validate_drop(self, spark):
+        created = create_aux_tables(spark)
+        assert set(created) == set(AUX_TABLES)
+        assert table_exists(spark, "MensajesEnviados")
+
+        good = spark.createDataFrame(
+            [(1, "t", "m", "enviado", None, None)], AUX_TABLES["MensajesEnviados"]
+        )
+        bad = spark.createDataFrame(
+            [(2, "t", "m", "whatever", None, None)], AUX_TABLES["MensajesEnviados"]
+        )
+        assert validate_enums(good, "MensajesEnviados").count() == 0
+        assert validate_enums(bad, "MensajesEnviados").count() == 1
+
+        drop_tables(spark, list(AUX_TABLES))
+        assert not table_exists(spark, "MensajesEnviados")
