@@ -375,7 +375,81 @@ def q34_cdc_pipeline_counts(spark, sf):
     return cdc.cdc_counts(classified)
 
 
+def q37_asof_join(spark, sf):
+    """As-of join: for each click, the user's latest purchase at-or-before
+    it (operators/joins.asof_join; DuckDB ASOF JOIN is the oracle)."""
+    from presencia_etl_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, purchases, "user_id", "ts", "ts")
+    gap = F.col("ts").cast("long") - F.col("ts_asof").cast("long")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("value_asof").cast("bigint").alias("n_matched"),
+        F.round(F.avg(gap), 2).alias("avg_gap_sec"),
+        F.round(F.sum("value_asof"), 2).alias("sum_purchase_value"),
+    )
+
+
+def q38_range_join(spark, sf):
+    """Range join: same-user event pairs within 60 seconds."""
+    from presencia_etl_spark.operators.joins import range_join
+
+    ev = _t(spark, sf, "events").select("user_id", "ts", "event_id")
+    pairs = range_join(
+        ev, ev, "user_id", "ts", "ts", 60, left_carry=["event_id"], right_carry=["event_id"]
+    ).filter(F.col("l_event_id") < F.col("r_event_id"))
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q39_rollup(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.rollup(F.year("o_orderdate").alias("yr"), F.col("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q40_window_funcs(spark, sf):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # Explicit ROWS frame: the default with an ORDER BY is RANGE, which
+    # would sum ties together and diverge from the oracle's ROWS frame.
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.sum("o_totalprice").over(w_sum), 2).alias("running_total"),
+    )
+
+
+def q41_quantiles(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        F.round(F.expr("percentile(n_chars, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 2).alias("p75"),
+    )
+
+
 # --- rows-only (no SQL oracle) ---------------------------------------------
+
+
+def q42_hll_distinct(spark, sf):
+    """HLL approx-distinct next to the exact count (approx value is engine-
+    specific → rows-only; the pytest suite asserts the 5% envelope)."""
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
 
 def q35_multimodal_features(spark, sf):
     docs = _t(spark, sf, "documents")
@@ -439,6 +513,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_cdc_pipeline_counts": q34_cdc_pipeline_counts,
         "q35_multimodal_features": q35_multimodal_features,
         "q36_lsh_topk": q36_lsh_topk,
+        "q37_asof_join": q37_asof_join,
+        "q38_range_join": q38_range_join,
+        "q39_rollup": q39_rollup,
+        "q40_window_funcs": q40_window_funcs,
+        "q41_quantiles": q41_quantiles,
+        "q42_hll_distinct": q42_hll_distinct,
     }
 
 
@@ -668,5 +748,42 @@ def oracle_sql() -> dict[str, str]:
             "WHEN new.event_type <> old.event_type THEN 'update' "
             "ELSE 'skip' END AS op, COUNT(*) AS cnt "
             "FROM new LEFT JOIN old ON new.event_id = old.event_id GROUP BY op"
+        ),
+        "q37_asof_join": (
+            "WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), "
+            "purchases AS (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "j AS (SELECT c.user_id, c.ts AS cts, p.ts AS pts, p.value "
+            "FROM clicks c ASOF LEFT JOIN purchases p "
+            "ON c.user_id = p.user_id AND p.ts <= c.ts) "
+            "SELECT COUNT(*) AS n_clicks, "
+            "CAST(COUNT(value) AS BIGINT) AS n_matched, "
+            "ROUND(AVG(epoch(date_trunc('second', cts)) - "
+            "epoch(date_trunc('second', pts))), 2) AS avg_gap_sec, "
+            "ROUND(SUM(value), 2) AS sum_purchase_value FROM j"
+        ),
+        "q38_range_join": (
+            "SELECT COUNT(*) AS n_pairs FROM events a JOIN events b "
+            "ON a.user_id = b.user_id AND a.event_id < b.event_id "
+            "AND ABS(epoch(date_trunc('second', a.ts)) - "
+            "epoch(date_trunc('second', b.ts))) <= 60"
+        ),
+        "q39_rollup": (
+            "SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr, "
+            "o_orderstatus, COUNT(*) AS cnt FROM orders "
+            "GROUP BY ROLLUP(yr, o_orderstatus)"
+        ),
+        "q40_window_funcs": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn, "
+            "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) "
+            "AS running_total FROM orders WHERE o_custkey < 100 "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "q41_quantiles": (
+            "SELECT ROUND(quantile_cont(n_chars, 0.25), 2) AS p25, "
+            "ROUND(quantile_cont(n_chars, 0.5), 2) AS p50, "
+            "ROUND(quantile_cont(n_chars, 0.75), 2) AS p75 FROM documents"
         ),
     }
