@@ -442,6 +442,14 @@ def q41_quantiles(spark, sf):
 # --- rows-only (no SQL oracle) ---------------------------------------------
 
 
+def q43_ivf_topk(spark, sf):
+    """IVF (KMeans posting lists) approximate top-k — approximate results
+    are engine-specific → rows-only; recall asserted in pytest."""
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries_df, k=3, n_clusters=8, n_probe=3)
+
+
 def q42_hll_distinct(spark, sf):
     """HLL approx-distinct next to the exact count (approx value is engine-
     specific → rows-only; the pytest suite asserts the 5% envelope)."""
@@ -519,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_window_funcs": q40_window_funcs,
         "q41_quantiles": q41_quantiles,
         "q42_hll_distinct": q42_hll_distinct,
+        "q43_ivf_topk": q43_ivf_topk,
     }
 
 

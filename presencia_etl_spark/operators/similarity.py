@@ -175,6 +175,74 @@ def with_lsh_bucket(
     return df.withColumn(out, F.expr(" | ".join(bits)))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning.
+
+    KMeans (pyspark.ml) clusters the corpus once; each vector lives in its
+    centroid's posting list. A query probes its ``n_probe`` nearest
+    centroids (centroid table is tiny → computed driver-side) and re-ranks
+    exactly within those lists. Unlike hyperplane LSH, IVF adapts to the
+    data's actual density; recall/cost is n_probe/n_clusters. At 100 TB the
+    posting lists are the partition layout (repartition by cluster id), so
+    a probe touches only its clusters' files.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c_base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(c_base.select("features"))
+    assigned = model.transform(c_base).select(
+        "neighbor_id", "cv", F.col("prediction").alias("cluster")
+    )
+    assigned = assigned.withColumn("cn", _norm("cv"))
+
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    q_pdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).toPandas()
+    probe_rows = []
+    for _, row in q_pdf.iterrows():
+        qv = np.asarray(row["qv"], dtype=np.float64)
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for cl in np.argsort(d)[:n_probe]:
+            probe_rows.append((int(row["query_id"]), list(map(float, row["qv"])), int(cl)))
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(probe_rows, ["query_id", "qv", "cluster"]).withColumn(
+        "qv", F.col("qv").cast("array<float>")
+    )
+    q = q.withColumn("qn", _norm("qv"))
+
+    joined = assigned.join(F.broadcast(q), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
+    ranked = (
+        joined.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= k).select("query_id", "neighbor_id", "cosine", "rk")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,61 @@
+"""Salting correctness (vs plain aggregation/join) and IVF ANN recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.operators import similarity
+from presencia_etl_spark.operators.skew import salted_agg, salted_join
+
+
+class TestSalting:
+    def test_salted_agg_matches_plain(self, spark):
+        # 90% of rows share one hot key.
+        df = spark.range(0, 10_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit("HOT"))
+            .otherwise(F.col("id").cast("string"))
+            .alias("k"),
+            (F.col("id") % 97).alias("x"),
+        )
+        plain = {
+            r["k"]: (r["cnt"], r["s"], r["mx"])
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("x").alias("s"), F.max("x").alias("mx"))
+            .collect()
+        }
+        salted = {
+            r["k"]: (r["cnt"], r["s"], r["mx"])
+            for r in salted_agg(
+                df, "k", {"cnt": ("count", "*"), "s": ("sum", "x"), "mx": ("max", "x")}
+            ).collect()
+        }
+        assert salted == plain
+
+    def test_salted_join_matches_plain(self, spark):
+        big = spark.range(0, 5_000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        plain = big.join(small, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+        ).collect()[0]
+        salted = salted_join(big, small, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+        ).collect()[0]
+        assert (salted["n"], salted["s"]) == (plain["n"], plain["s"])
+
+
+class TestIVF:
+    def test_ivf_recall_vs_exact(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = similarity.cosine_topk(emb, queries, k=3)
+        approx = similarity.ivf_topk(emb, queries, k=3, n_clusters=8, n_probe=4)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        # probing half the clusters on isotropic data ≈ half the corpus.
+        assert recall >= 0.4, f"IVF recall too low: {recall}"
