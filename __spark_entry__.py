@@ -442,6 +442,37 @@ def q41_quantiles(spark, sf):
 # --- rows-only (no SQL oracle) ---------------------------------------------
 
 
+def q44_dedup_keep_first(spark, sf):
+    """Deterministic keep-first exact dedup (lowest doc_id survives),
+    summarized per source."""
+    docs = _t(spark, sf, "documents")
+    kept = dedup.exact_dedup_keep_first(docs, ["text"], ["doc_id"])
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+    )
+
+
+def q45_bpe_tokens(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(text.bpe_token_count("text")).cast("bigint").alias("total_pieces"),
+        F.round(F.avg(text.bpe_token_count("text")), 2).alias("avg_pieces"),
+    )
+
+
+def q46_winnow_fingerprints(spark, sf):
+    """Winnowed rolling-hash fingerprints (xxhash-based → rows-only)."""
+    docs = _t(spark, sf, "documents")
+    fps = docs.select(
+        "doc_id", F.explode(text.winnowed_fingerprints("text", k=8, window=4)).alias("fp")
+    )
+    return fps.agg(
+        F.countDistinct("fp").alias("n_distinct_fps"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total_fps"),
+    )
+
+
 def q43_ivf_topk(spark, sf):
     """IVF (KMeans posting lists) approximate top-k — approximate results
     are engine-specific → rows-only; recall asserted in pytest."""
@@ -528,6 +559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_quantiles": q41_quantiles,
         "q42_hll_distinct": q42_hll_distinct,
         "q43_ivf_topk": q43_ivf_topk,
+        "q44_dedup_keep_first": q44_dedup_keep_first,
+        "q45_bpe_tokens": q45_bpe_tokens,
+        "q46_winnow_fingerprints": q46_winnow_fingerprints,
     }
 
 
@@ -794,5 +828,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(quantile_cont(n_chars, 0.25), 2) AS p25, "
             "ROUND(quantile_cont(n_chars, 0.5), 2) AS p50, "
             "ROUND(quantile_cont(n_chars, 0.75), 2) AS p75 FROM documents"
+        ),
+        "q44_dedup_keep_first": (
+            "WITH kept AS (SELECT * FROM documents "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1) "
+            "SELECT source, COUNT(*) AS n_kept, "
+            "CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM kept GROUP BY source"
+        ),
+        "q45_bpe_tokens": (
+            "SELECT lang, "
+            "CAST(SUM(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]'))) AS BIGINT) AS total_pieces, "
+            "ROUND(AVG(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]'))), 2) AS avg_pieces "
+            "FROM documents GROUP BY lang"
         ),
     }

@@ -29,8 +29,29 @@ from pyspark.sql import functions as F
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Keep one row per distinct value of ``cols`` (hash-based groupBy under
     the hood — Spark plans dropDuplicates as a partial+final hash aggregate,
-    so only one shuffle and map-side combining)."""
+    so only one shuffle and map-side combining).
+
+    NOTE: which row survives is ARBITRARY (partition-order dependent). Use
+    ``exact_dedup_keep_first`` when survivors must be reproducible.
+    """
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, dup_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Deterministic exact dedup: keep the first row per ``dup_cols`` group
+    ordered by ``order_cols`` (e.g. keep the lowest doc_id). One shuffle
+    (window partition); survivors are stable run-to-run, which matters for
+    reproducible training corpora."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*dup_cols).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
