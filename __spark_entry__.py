@@ -473,6 +473,54 @@ def q46_winnow_fingerprints(spark, sf):
     )
 
 
+def q47_pivot(spark, sf):
+    """Pivot event counts into per-type columns (df.pivot ↔ conditional
+    aggregation in the oracle — identical result columns)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("g", (F.col("user_id") % 10).cast("int"))
+        .groupBy("g")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def q48_grouped_centroid(spark, sf):
+    """Per-label embedding centroid via applyInPandas (grouped-map Arrow
+    UDF) — oracle checks the first 3 dimensions with per-position AVGs."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf, "embeddings")
+    out_schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("d0", T.DoubleType()),
+            T.StructField("d1", T.DoubleType()),
+            T.StructField("d2", T.DoubleType()),
+        ]
+    )
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        c = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n": [len(pdf)],
+                "d0": [round(float(c[0]), 6)],
+                "d1": [round(float(c[1]), 6)],
+                "d2": [round(float(c[2]), 6)],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(centroid, out_schema)
+
+
 def q43_ivf_topk(spark, sf):
     """IVF (KMeans posting lists) approximate top-k — approximate results
     are engine-specific → rows-only; recall asserted in pytest."""
@@ -562,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_dedup_keep_first": q44_dedup_keep_first,
         "q45_bpe_tokens": q45_bpe_tokens,
         "q46_winnow_fingerprints": q46_winnow_fingerprints,
+        "q47_pivot": q47_pivot,
+        "q48_grouped_centroid": q48_grouped_centroid,
     }
 
 
@@ -842,5 +892,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]'))), 2) AS avg_pieces "
             "FROM documents GROUP BY lang"
+        ),
+        "q47_pivot": (
+            "SELECT CAST(user_id % 10 AS INTEGER) AS g, "
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, "
+            "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, "
+            "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, "
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view "
+            "FROM events GROUP BY g"
+        ),
+        "q48_grouped_centroid": (
+            "SELECT label, COUNT(*) AS n, "
+            "ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS d0, "
+            "ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 6) AS d1, "
+            "ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 6) AS d2 "
+            "FROM embeddings GROUP BY label"
         ),
     }

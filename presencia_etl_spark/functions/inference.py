@@ -116,6 +116,40 @@ def infer_schema_by_name(columns: list[str]) -> T.StructType:
     )
 
 
+def cast_failure_condition(
+    df: DataFrame, schema: T.StructType | None = None
+):
+    """Column expression: TRUE when any non-string cast would turn a
+    NON-EMPTY raw value into NULL (garbage, not merely missing)."""
+    target = schema or infer_schema_by_name(df.columns)
+    by_name = {f.name: f.dataType for f in target.fields}
+    cond = F.lit(False)
+    for c in df.columns:
+        dt = by_name.get(c, T.StringType())
+        if isinstance(dt, T.StringType):
+            continue
+        s = empty_to_null(F.col(c))
+        casted = parse_access_datetime(s) if isinstance(dt, T.TimestampType) else s.try_cast(dt)
+        cond = cond | (s.isNotNull() & casted.isNull())
+    return cond
+
+
+def cast_with_quarantine(
+    df: DataFrame, schema: T.StructType | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Cast plan + quarantine split (the engine's N5 deviation).
+
+    The reference silently swallows bad rows at insert time
+    (``sync_ALL.py:299-317``); we deliberately do NOT reproduce that data
+    loss. Returns (typed_good_rows, quarantined_raw_rows) — the
+    badRecordsPath discipline: nothing disappears, bad rows stay raw and
+    inspectable.
+    """
+    target = schema or infer_schema_by_name(df.columns)
+    bad = cast_failure_condition(df, target)
+    return apply_cast_plan(df.filter(~bad), target), df.filter(bad)
+
+
 def apply_cast_plan(
     df: DataFrame, schema: T.StructType | None = None
 ) -> DataFrame:

@@ -169,3 +169,23 @@ class TestInference:
         assert is_date_column("FECHA_ALTA")
         assert is_date_column("somedate")
         assert not is_date_column("IMPLIQUIDA")
+
+
+class TestQuarantine:
+    def test_cast_with_quarantine_splits(self, spark):
+        from presencia_etl_spark.functions.inference import cast_with_quarantine
+
+        df = spark.createDataFrame(
+            [
+                ("1", "10.5", "01/15/22 00:00:00"),   # clean
+                ("2", "", ""),                          # empty → NULL, clean
+                ("3", "garbage", "01/15/22 00:00:00"), # bad money value
+                ("4", "7", "not-a-date"),              # bad date value
+            ],
+            schema=["NUMCOB", "IMPX", "FECALTA"],
+        )
+        good, bad = cast_with_quarantine(df)
+        assert {r["NUMCOB"] for r in good.collect()} == {1, 2}
+        raw_bad = {r["NUMCOB"] for r in bad.collect()}
+        assert raw_bad == {"3", "4"}          # quarantined rows stay raw strings
+        assert dict(good.dtypes)["IMPX"] == "decimal(15,4)"
