@@ -129,9 +129,12 @@ def q10_global_sums(spark, sf):
     return global_sums(
         li,
         {
-            "sum_price": F.round(F.sum("l_extendedprice"), 2),
+            # Integer rounding: a 2-dp boundary sits ~5e-3 away while the
+            # parallel-vs-sequential double-sum error on a ~1e9 total is
+            # ~1e-4 — 0 dp keeps the oracle compare boundary-safe.
+            "sum_price": F.round(F.sum("l_extendedprice"), 0),
             "sum_revenue": F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
             ),
         },
     )
@@ -556,6 +559,53 @@ def q36_lsh_topk(spark, sf):
     return similarity.lsh_topk(emb, queries_df, k=3, dim=64)
 
 
+# Multi-join analytics in plain ANSI SQL — the SAME text runs on Spark
+# (via temp views) and DuckDB. Exercises Catalyst's join reordering +
+# broadcast selection over a 3-way and a 6-way star join.
+_Q49_SQL = (
+    "SELECT o_orderkey, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "COUNT(*) AS n_lines "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' "
+    "GROUP BY o_orderkey HAVING COUNT(*) >= 4"
+)
+_Q50_SQL = (
+    "SELECT r_name, n_name, "
+    "CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue "
+    "FROM region JOIN nation ON n_regionkey = r_regionkey "
+    "JOIN supplier ON s_nationkey = n_nationkey "
+    "JOIN lineitem ON l_suppkey = s_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "WHERE o_orderstatus = 'F' "
+    "GROUP BY r_name, n_name"
+)
+
+
+def _register_views(spark, sf):
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem",
+    ]:
+        _t(spark, sf, t).createOrReplaceTempView(t)
+
+
+def q49_sql_3way_join(spark, sf):
+    """TPC-H-Q3-style revenue per order: identical SQL text on both engines."""
+    _register_views(spark, sf)
+    return spark.sql(_Q49_SQL)
+
+
+def q50_sql_6way_join(spark, sf):
+    """Six-way star join through region→nation→supplier→lineitem→orders→
+    customer; Catalyst reorders and broadcasts the dims."""
+    _register_views(spark, sf)
+    return spark.sql(_Q50_SQL)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the monthly rollup (EP4's aggregation
     shape — the reference's compare_historico_mensual core)."""
@@ -612,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_winnow_fingerprints": q46_winnow_fingerprints,
         "q47_pivot": q47_pivot,
         "q48_grouped_centroid": q48_grouped_centroid,
+        "q49_sql_3way_join": q49_sql_3way_join,
+        "q50_sql_6way_join": q50_sql_6way_join,
     }
 
 
@@ -651,8 +703,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus"
         ),
         "q10_global_sums": (
-            "SELECT ROUND(SUM(l_extendedprice), 2) AS sum_price, "
-            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue "
+            "SELECT ROUND(SUM(l_extendedprice), 0) AS sum_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS sum_revenue "
             "FROM lineitem"
         ),
         "q11_minmax_dates": (
@@ -909,4 +961,6 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 6) AS d2 "
             "FROM embeddings GROUP BY label"
         ),
+        "q49_sql_3way_join": _Q49_SQL,
+        "q50_sql_6way_join": _Q50_SQL,
     }

@@ -36,7 +36,11 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     # Pipelines first (the reference's primary workload), in a clean JVM.
-    pipeline = bench_pipelines(spark, sf_dir)
+    try:
+        pipeline = bench_pipelines(spark, sf_dir)
+    except Exception as e:  # never lose the JSON line to a pipeline failure
+        pipeline = {"error": str(e)[:200]}
+        print(f"# bench pipeline error: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     rows_out: dict[str, int] = {}
