@@ -51,6 +51,99 @@ def monthly_reconcile(
     return out.orderBy("month")
 
 
+def reconcile_report(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_col: str,
+    state_col: str | None = None,
+    date_col: str | None = None,
+    amount_col: str | None = None,
+) -> DataFrame:
+    """The full ``compare_noviembre_2025`` report as one long-format frame.
+
+    Sections (mirroring compare_noviembre_2025.py:89-214): total row
+    counts, per-state counts, min/max dates + distinct days, money sums,
+    and key-set differences both directions. Output columns:
+    (section, metric, src_value, tgt_value, diff) — every value rendered
+    as a string so heterogeneous metrics union into one frame.
+    """
+
+    def side_metrics(df: DataFrame, tag: str) -> DataFrame:
+        parts = []
+        counts = df.agg(F.count(F.lit(1)).alias("v")).select(
+            F.lit("counts").alias("section"),
+            F.lit("total_rows").alias("metric"),
+            F.col("v").cast("string").alias(tag),
+        )
+        parts.append(counts)
+        if state_col is not None:
+            parts.append(
+                df.groupBy(state_col)
+                .agg(F.count(F.lit(1)).alias("v"))
+                .select(
+                    F.lit("state_counts").alias("section"),
+                    F.concat(F.lit(f"{state_col}="), F.col(state_col)).alias("metric"),
+                    F.col("v").cast("string").alias(tag),
+                )
+            )
+        if date_col is not None:
+            parts.append(
+                df.agg(
+                    F.date_format(F.min(date_col), "yyyy-MM-dd").alias("min_date"),
+                    F.date_format(F.max(date_col), "yyyy-MM-dd").alias("max_date"),
+                    F.countDistinct(F.to_date(date_col)).cast("string").alias("distinct_days"),
+                )
+                .selectExpr(
+                    "stack(3, 'min_date', min_date, 'max_date', max_date, "
+                    "'distinct_days', distinct_days) as (metric, v)"
+                )
+                .select(
+                    F.lit("dates").alias("section"), "metric", F.col("v").alias(tag)
+                )
+            )
+        if amount_col is not None:
+            parts.append(
+                df.agg(F.round(F.sum(amount_col), 2).alias("v")).select(
+                    F.lit("amounts").alias("section"),
+                    F.lit(f"sum_{amount_col}").alias("metric"),
+                    F.col("v").cast("string").alias(tag),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    s = side_metrics(src, "src_value")
+    t = side_metrics(tgt, "tgt_value")
+    merged = s.join(t, ["section", "metric"], "full_outer")
+
+    only_src, only_tgt = key_set_diff(src, tgt, [key_col])
+    keys = (
+        only_src.agg(F.count(F.lit(1)).alias("v"))
+        .select(
+            F.lit("key_diff").alias("section"),
+            F.lit("keys_only_in_src").alias("metric"),
+            F.col("v").cast("string").alias("src_value"),
+            F.lit("0").alias("tgt_value"),
+        )
+        .unionByName(
+            only_tgt.agg(F.count(F.lit(1)).alias("v")).select(
+                F.lit("key_diff").alias("section"),
+                F.lit("keys_only_in_tgt").alias("metric"),
+                F.lit("0").alias("src_value"),
+                F.col("v").cast("string").alias("tgt_value"),
+            )
+        )
+    )
+    merged = merged.unionByName(keys)
+    diff = F.when(
+        F.coalesce(F.col("src_value"), F.lit("")) == F.coalesce(F.col("tgt_value"), F.lit("")),
+        F.lit("OK"),
+    ).otherwise(F.lit("DIFF"))
+    return merged.withColumn("diff", diff)
+
+
 def key_reconcile(src: DataFrame, tgt: DataFrame, key_cols: list[str]) -> DataFrame:
     """Exact key-set equality both directions
     (compare_noviembre_2025.py:193-214): rows present on only one side,

@@ -101,3 +101,36 @@ def read_jdbc(
 def table_exists(spark: SparkSession, name: str) -> bool:
     """S4: table-existence probe (SHOW TABLES LIKE analog)."""
     return spark.catalog.tableExists(name)
+
+
+def read_csv_union(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Column-union CSV read: the reference's get_all_columns semantics
+    (sync_ALL.py:158-165 — the schema is the UNION of keys across rows/
+    files; rows missing a column get NULL there). Spark CSV takes one
+    file's header for a whole directory, so files with differing headers
+    are read separately and unioned by name with missing columns allowed.
+    """
+    frames = [read_csv_all_string(spark, p) for p in paths]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def check_schema_drift(
+    df: DataFrame, expected_columns: list[str], fail: bool = True
+) -> tuple[list[str], list[str]]:
+    """Schema-drift probe: (added, removed) vs the expected column set.
+
+    The reference fails loudly when Access grows a column the target lacks
+    ('Unknown column', context/context.md:900-903); parity behavior is this
+    check before a sync. ``fail=False`` just reports (the caller can then
+    widen the target — the Delta mergeSchema-style fix).
+    """
+    have = set(df.columns)
+    want = set(expected_columns)
+    added = sorted(have - want)
+    removed = sorted(want - have)
+    if fail and (added or removed):
+        raise ValueError(f"schema drift: added={added} removed={removed}")
+    return added, removed

@@ -152,3 +152,31 @@ class TestIncrementalTable:
         classified = cdc.cdc_classify(new, old, ["K"], hash_cols=["K", "V"])
         counts = {r["op"]: r["cnt"] for r in cdc.cdc_counts(classified).collect()}
         assert counts == {"insert": 1, "update": 1, "skip": 1}
+
+
+class TestReconcileReport:
+    def test_full_report_shape(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.plans.reconcile import reconcile_report
+        from presencia_etl_spark.sources.readers import read_table
+
+        orders = read_table(spark, sf_dir, "orders")
+        tgt = orders.filter(F.col("o_orderkey") % 10 != 0)
+        rep = reconcile_report(
+            orders, tgt, "o_orderkey",
+            state_col="o_orderstatus", date_col="o_orderdate",
+            amount_col="o_totalprice",
+        )
+        rows = {(r["section"], r["metric"]): r for r in rep.collect()}
+        total = rows[("counts", "total_rows")]
+        assert total["diff"] == "DIFF"
+        assert int(total["src_value"]) > int(total["tgt_value"])
+        ko = rows[("key_diff", "keys_only_in_src")]
+        assert int(ko["src_value"]) > 0 and ko["diff"] == "DIFF"
+        assert rows[("key_diff", "keys_only_in_tgt")]["tgt_value"] == "0"
+        assert rows[("dates", "min_date")]["diff"] in ("OK", "DIFF")
+        # identical frames → everything OK
+        rep2 = reconcile_report(orders, orders, "o_orderkey",
+                                state_col="o_orderstatus")
+        assert all(r["diff"] == "OK" for r in rep2.collect())

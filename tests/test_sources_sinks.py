@@ -88,3 +88,29 @@ class TestAuxCatalog:
 
         drop_tables(spark, list(AUX_TABLES))
         assert not table_exists(spark, "MensajesEnviados")
+
+
+class TestCsvUnionAndDrift:
+    def test_column_union_across_files(self, spark, tmp_path):
+        from presencia_etl_spark.sources.readers import read_csv_union
+
+        p1 = tmp_path / "a.csv"
+        p1.write_text("A,B\n1,x\n")
+        p2 = tmp_path / "b.csv"
+        p2.write_text("A,C\n2,y\n")
+        df = read_csv_union(spark, [str(p1), str(p2)])
+        assert sorted(df.columns) == ["A", "B", "C"]
+        rows = {r["A"]: (r["B"], r["C"]) for r in df.collect()}
+        assert rows == {"1": ("x", None), "2": (None, "y")}
+
+    def test_schema_drift_detection(self, spark):
+        from presencia_etl_spark.sources.readers import check_schema_drift
+
+        df = spark.createDataFrame([("1", "2")], ["A", "NEWCOL"])
+        added, removed = check_schema_drift(df, ["A", "GONE"], fail=False)
+        assert added == ["NEWCOL"] and removed == ["GONE"]
+        try:
+            check_schema_drift(df, ["A", "GONE"], fail=True)
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "NEWCOL" in str(e) and "GONE" in str(e)
