@@ -51,8 +51,14 @@ def cdc_classify(
          (column pruning keeps the scan narrow at scale).
 
     Returns src columns + ``row_hash`` + ``_cdc_op``.
+
+    If src ALREADY carries a ``row_hash`` column it is trusted as-is — the
+    pipelines hash raw pre-cast strings (F6 parity) and casting would
+    otherwise change the rendering and misclassify everything as updated.
     """
-    hashed = with_row_hash(src, hash_cols or src.columns)
+    hashed = (
+        src if "row_hash" in src.columns else with_row_hash(src, hash_cols or src.columns)
+    )
     s = with_cdc_key(hashed, key_cols)
     t = with_cdc_key(tgt, key_cols).select(
         F.col(KEY_COL), F.col(tgt_hash_col).alias("_tgt_hash")

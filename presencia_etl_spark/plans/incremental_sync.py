@@ -44,17 +44,16 @@ def incremental_sync_table(
         overwrite_parquet(out, target_path)
         return {"insert": out.count(), "update": 0, "skip": 0, "mode": "full_refresh"}
 
-    # Hash is computed inside merge_upsert_parquet over the raw (pre-audit)
-    # columns; prepare without typing so hash matches rerun-to-rerun even if
-    # inference rules evolve.
+    # prepare_table computes row_hash over the RAW pre-cast strings (F6);
+    # the merge must reuse that hash — recomputing over typed values would
+    # change the rendering and misclassify every row as updated after a
+    # full_sync-created state.
     prepared = prepare_table(df, cfg, semi_source=semi_source, typed=True)
-    data_cols = [c for c in prepared.columns if c != "row_hash"]
     result = merge_upsert_parquet(
         spark,
-        prepared.select(*data_cols),
+        prepared,
         target_path,
         key_cols,
-        hash_cols=data_cols,
     )
     result["mode"] = "incremental"
     return result

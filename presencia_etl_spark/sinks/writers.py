@@ -218,7 +218,11 @@ def merge_upsert_parquet(
     Never deletes (trap N6).
     """
     if not os.path.exists(target_path):
-        hashed = cdc.with_row_hash(src, hash_cols or src.columns)
+        hashed = (
+            src
+            if "row_hash" in src.columns
+            else cdc.with_row_hash(src, hash_cols or src.columns)
+        )
         out = with_audit_columns(hashed, key_cols)
         overwrite_parquet(out, target_path)
         return {"insert": out.count(), "update": 0, "skip": 0}
