@@ -559,6 +559,53 @@ def q36_lsh_topk(spark, sf):
     return similarity.lsh_topk(emb, queries_df, k=3, dim=64)
 
 
+def q51_vocab(spark, sf):
+    """Corpus vocabulary: top-20 tokens by document frequency (explode →
+    two-level aggregation; tiebreak on token for determinism)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+def q52_tfidf(spark, sf):
+    """TF-IDF top term per document (for doc_id < 10): term frequency ×
+    log(N/df), the training-corpus relevance primitive. Window picks the
+    argmax with deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = (
+        tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    )
+    scored = (
+        tf.filter(F.col("doc_id") < 10)
+        .join(df_, "tok")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "tok", F.col("tfidf"))
+    )
+
+
 # Multi-join analytics in plain ANSI SQL — the SAME text runs on Spark
 # (via temp views) and DuckDB. Exercises Catalyst's join reordering +
 # broadcast selection over a 3-way and a 6-way star join.
@@ -664,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_grouped_centroid": q48_grouped_centroid,
         "q49_sql_3way_join": q49_sql_3way_join,
         "q50_sql_6way_join": q50_sql_6way_join,
+        "q51_vocab": q51_vocab,
+        "q52_tfidf": q52_tfidf,
     }
 
 
@@ -963,4 +1012,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q49_sql_3way_join": _Q49_SQL,
         "q50_sql_6way_join": _Q50_SQL,
+        "q51_vocab": (
+            "WITH toks AS (SELECT doc_id, unnest(list_distinct("
+            "string_split_regex(text, '\\s+'))) AS tok FROM documents) "
+            "SELECT tok, COUNT(*) AS doc_freq FROM toks GROUP BY tok "
+            "ORDER BY doc_freq DESC, tok ASC LIMIT 20"
+        ),
+        "q52_tfidf": (
+            "WITH tf AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok "
+            "FROM documents), "
+            "tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY doc_id, tok), "
+            "dfc AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY tok), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "scored AS (SELECT tfc.doc_id, tfc.tok, "
+            "ROUND(tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf "
+            "FROM tfc JOIN dfc ON tfc.tok = dfc.tok CROSS JOIN n "
+            "WHERE tfc.doc_id < 10) "
+            "SELECT doc_id, tok, tfidf FROM scored "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, tok ASC) = 1"
+        ),
     }

@@ -24,6 +24,17 @@ class TableConfig:
     semi_join: tuple[str, str] | None = None  # (other_table, key_col)
 
 
+# The docs describe an earlier/alternate Socios filter shape —
+# BAJA<>1 AND COMSOCIO='CU' (context/context.md:710-716) — vs the code's
+# COBSOCIO='30' (sync_ALL.py:38-40). SURVEY §0 deems the code authoritative
+# but both shapes worth supporting; they are the same Predicate machinery.
+SOCIOS_DOCS_VARIANT = TableConfig(
+    "Socios",
+    filters=[Predicate("BAJA", "neq", "1"), Predicate("COMSOCIO", "eq", "CU")],
+    key_cols=["NUMSOCIO", "NOMSOCIO"],
+    full_refresh=True,
+)
+
 # The reference's 10-table business registry, expressed declaratively.
 # Filters: sync_ALL.py:34-45 (COBSOCIO='30' on Socios, NUMCOB='30' on
 # Cobradores, BAJA<>'1' NULL-keeping on Liquidaciones); keys:

@@ -180,3 +180,21 @@ class TestReconcileReport:
         rep2 = reconcile_report(orders, orders, "o_orderkey",
                                 state_col="o_orderstatus")
         assert all(r["diff"] == "OK" for r in rep2.collect())
+
+
+class TestSociosDocsVariant:
+    def test_docs_filter_shape(self, spark):
+        from presencia_etl_spark.plans.full_sync import prepare_table
+        from presencia_etl_spark.sources.registry import SOCIOS_DOCS_VARIANT
+
+        df = spark.createDataFrame(
+            [
+                ("1", "A", None, "CU"),    # kept: NULL BAJA + CU
+                ("2", "B", "", "CU"),      # kept: empty BAJA coerces != '1'
+                ("3", "C", "1", "CU"),     # dropped: BAJA=1
+                ("4", "D", "0", "FA"),     # dropped: not CU
+            ],
+            schema=["NUMSOCIO", "NOMSOCIO", "BAJA", "COMSOCIO"],
+        )
+        out = prepare_table(df, SOCIOS_DOCS_VARIANT, typed=False)
+        assert {r["NUMSOCIO"] for r in out.collect()} == {"1", "2"}
