@@ -447,9 +447,12 @@ def q41_quantiles(spark, sf):
 
 def q44_dedup_keep_first(spark, sf):
     """Deterministic keep-first exact dedup (lowest doc_id survives),
-    summarized per source."""
+    summarized per source. Dedup identity is md5(text) on a pre-projected
+    narrow frame, so the window shuffle moves (hash, id, source) — not the
+    documents themselves."""
     docs = _t(spark, sf, "documents")
-    kept = dedup.exact_dedup_keep_first(docs, ["text"], ["doc_id"])
+    narrow = docs.select(F.md5("text").alias("_h"), "doc_id", "source")
+    kept = dedup.exact_dedup_keep_first(narrow, ["_h"], ["doc_id"])
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").cast("bigint").alias("sum_ids"),
@@ -982,7 +985,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q44_dedup_keep_first": (
             "WITH kept AS (SELECT * FROM documents "
-            "QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1) "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) "
             "SELECT source, COUNT(*) AS n_kept, "
             "CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM kept GROUP BY source"
         ),
