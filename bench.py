@@ -124,6 +124,25 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         dt = time.perf_counter() - t0
         out["cdc_mutated_sec"] = round(dt, 3)
         out["cdc_mutated_updates"] = int(r["update"])
+
+        # The reference's '100 changed rows' scenario (~12 s there) against
+        # the partition-pruned merge: only dirty key-hash buckets rewrite.
+        from presencia_etl_spark.sinks.writers import merge_upsert_partitioned
+
+        ptarget = f"{work}/lineitem_bucketed"
+        merge_upsert_partitioned(spark, li, ptarget, ["l_key"], num_buckets=256)
+        sparse = li.withColumn(
+            "l_quantity",
+            F.when(F.col("l_orderkey") < 20, F.col("l_quantity") + 5).otherwise(
+                F.col("l_quantity")
+            ),
+        )
+        t0 = time.perf_counter()
+        r = merge_upsert_partitioned(spark, sparse, ptarget, ["l_key"], num_buckets=256)
+        dt = time.perf_counter() - t0
+        out["cdc_sparse_sec"] = round(dt, 3)
+        out["cdc_sparse_updates"] = int(r["update"])
+        out["cdc_sparse_buckets_rewritten"] = int(r.get("buckets_rewritten", -1))
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
