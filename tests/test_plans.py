@@ -1,0 +1,56 @@
+"""Physical-plan regression tests: pin the optimizer properties the engine
+relies on at scale (SCALE.md claims). If a refactor breaks pushdown or
+broadcast selection, these fail before the perf regression ships."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return entrymod.queries()[name](spark, sf_dir)
+
+    return run
+
+
+class TestPlanProperties:
+    def test_filter_and_projection_pushdown(self, q):
+        p = plan_of(q("q02_project_filter"))
+        assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in p
+        # Column pruning: the scan reads exactly the 3 referenced columns.
+        assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>" in p
+
+    def test_dim_join_broadcasts(self, q):
+        p = plan_of(q("q14_join_agg"))
+        assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    def test_semi_join_broadcasts(self, q):
+        p = plan_of(q("q05_semi_join"))
+        assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+    def test_topk_avoids_global_sort(self, q):
+        p = plan_of(q("q12_topk_days"))
+        assert "TakeOrderedAndProject" in p
+
+    def test_aggregate_is_partial_then_final(self, q):
+        p = plan_of(q("q08_monthly_rollup"))
+        # Two HashAggregate nodes around one Exchange = map-side combine.
+        assert p.count("HashAggregate") >= 2 and "Exchange" in p
+
+    def test_rollup_scan_prunes_columns(self, q):
+        p = plan_of(q("q08_monthly_rollup"))
+        assert "ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp" in p
