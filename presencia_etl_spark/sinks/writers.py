@@ -228,10 +228,20 @@ def merge_upsert_parquet(
         return {"insert": out.count(), "update": 0, "skip": 0}
 
     tgt = spark.read.parquet(target_path)
-    classified = cdc.cdc_classify(src, tgt, key_cols, hash_cols).cache()
+
+    # Phase 1 — NARROW classify for counts only: the plan carries just
+    # (normalized key, hash) through the join, and nothing is cached. The
+    # common cron case (no changes) pays one narrow pass and exits; only
+    # when changes exist do we build and cache the wide classified frame.
+    src_h = (
+        src
+        if "row_hash" in src.columns
+        else cdc.with_row_hash(src, hash_cols or src.columns)
+    )
+    narrow = src_h.select(*key_cols, "row_hash")
     counts = {
         r["op"]: r["cnt"]
-        for r in cdc.cdc_counts(classified).collect()
+        for r in cdc.cdc_counts(cdc.cdc_classify(narrow, tgt, key_cols)).collect()
     }
     n_insert = counts.get(cdc.INSERT, 0)
     n_update = counts.get(cdc.UPDATE, 0)
@@ -240,8 +250,9 @@ def merge_upsert_parquet(
 
     if n_insert == 0 and n_update == 0:
         # No-change pass (the idempotency invariant): nothing to write.
-        classified.unpersist()
         return {"insert": 0, "update": 0, "skip": n_skip}
+
+    classified = cdc.cdc_classify(src_h, tgt, key_cols, hash_cols).cache()
 
     if n_update == 0:
         # Insert-only pass — the common incremental shape. Pure append:
