@@ -78,6 +78,44 @@ def drop_path(path: str) -> None:
         shutil.rmtree(path)
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> dict[str, int]:
+    """Compact a parquet dataset to ~target-sized files.
+
+    Repeated appends (streaming micro-batches, insert-only merges) accrete
+    small files; scans then pay per-file open cost and tiny row groups.
+    Rewrites the dataset into ``ceil(bytes / target)`` files via a staged
+    swap. At true scale run per-partition (each _kb bucket independently)
+    so compaction parallelizes and doesn't rewrite cold partitions.
+    Returns {'files_before', 'files_after', 'bytes'}.
+    """
+    import math
+
+    total = 0
+    n_files = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                n_files += 1
+    if n_files == 0:
+        return {"files_before": 0, "files_after": 0, "bytes": 0}
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path) or ".")
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    after = sum(
+        1
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {"files_before": n_files, "files_after": after, "bytes": total}
+
+
 def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str, str], batchsize: int = 1000) -> None:
     """S5 against a real RDBMS: executor-parallel batched inserts
     (reference: executemany per 1000 rows, single connection)."""

@@ -68,3 +68,24 @@ class TestPartitionedMerge:
         assert state.count() == 600
         ids = [row["id"] for row in state.select("id").collect()]
         assert len(ids) == len(set(ids))
+
+
+class TestCompaction:
+    def test_compact_after_many_appends(self, spark, tmp_path):
+        from presencia_etl_spark.sinks.writers import compact_parquet
+
+        path = str(tmp_path / "accreted")
+        for i in range(12):
+            spark.range(i * 100, (i + 1) * 100).repartition(4).write.mode(
+                "append"
+            ).parquet(path)
+        before = spark.read.parquet(path)
+        n_rows = before.count()
+        assert n_rows == 1200
+
+        r = compact_parquet(spark, path, target_file_mb=128)
+        assert r["files_before"] >= 12
+        assert r["files_after"] < r["files_before"]
+        after = spark.read.parquet(path)
+        assert after.count() == n_rows
+        assert {x["id"] for x in after.collect()} == set(range(1200))
