@@ -274,20 +274,31 @@ def lsh_topk(
     q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
 
     def bucketed(df: DataFrame, vec: str, probe: bool) -> DataFrame:
-        per_table = []
+        # All L table buckets in ONE projection over ONE scan (a union of
+        # per-table frames would rescan the corpus L times), then
+        # posexplode to (tbl, bucket) rows.
+        exprs = []
         for t in range(n_tables):
             planes = hyperplanes(dim, n_planes, seed + 1000 * t)
-            b = with_lsh_bucket(df, planes, vec, out="bucket")
-            if probe and multiprobe:
-                probes = F.array(
-                    F.col("bucket"),
-                    *[F.expr(f"bucket ^ shiftleft(1L, {i})") for i in range(n_planes)],
+            bits = []
+            for i, plane in enumerate(planes):
+                arr = "array(" + ",".join(f"cast({x!r} as double)" for x in plane) + ")"
+                dot = (
+                    f"aggregate(zip_with({vec}, {arr}, (x, y) -> cast(x as double) * y),"
+                    f" cast(0.0 as double), (acc, v) -> acc + v)"
                 )
-                b = b.withColumn("bucket", F.explode(probes))
-            per_table.append(b.withColumn("tbl", F.lit(t)))
-        out = per_table[0]
-        for p in per_table[1:]:
-            out = out.unionByName(p)
+                bits.append(f"if({dot} >= 0, shiftleft(1L, {i}), 0L)")
+            exprs.append(" | ".join(bits))
+        all_buckets = F.array(*[F.expr(e) for e in exprs])
+        out = df.withColumn("_bkts", all_buckets).select(
+            "*", F.posexplode("_bkts").alias("tbl", "bucket")
+        ).drop("_bkts")
+        if probe and multiprobe:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.expr(f"bucket ^ shiftleft(1L, {i})") for i in range(n_planes)],
+            )
+            out = out.withColumn("bucket", F.explode(probes))
         return out
 
     c = bucketed(c_base, "cv", probe=False).withColumn("cn", _norm("cv"))
