@@ -118,6 +118,70 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_width: int = 64, target_height: int = 48, fake: bool = True
+) -> DataFrame:
+    """Resize pass over mapInPandas — same schema in and out, shrunk
+    payload + updated meta.
+
+    The real path needs an image codec (stubbed, like decode); the fake
+    path deterministically downsamples the byte stream by striding, which
+    preserves the plumbing contract a real resizer has: payload shrinks,
+    meta dimensions update, schema is stable, and everything happens
+    executor-side in Arrow batches.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target_bytes = target_width * target_height
+        for pdf in batches:
+            if not fake:
+                pdf["payload"].map(decode_real)  # raises NotImplementedError
+            out_payload = []
+            out_meta = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                raw = bytes(payload or b"")
+                stride = max(1, len(raw) // target_bytes) if raw else 1
+                shrunk = raw[::stride][:target_bytes]
+                out_payload.append(shrunk)
+                m = dict(meta) if meta is not None else {}
+                m.update(
+                    format=(m.get("format") or "fake/raw") + ";resized",
+                    width=target_width,
+                    height=target_height,
+                    n_bytes=len(shrunk),
+                )
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """'Frame sampling' over the opaque payload: slice every Nth byte window
     — JVM-side (substring over binary cast), demonstrating how video frame

@@ -137,3 +137,22 @@ class TestMultimodal:
         for r in frames:
             assert 1 <= r["n_frames"] <= 4
             assert all(len(f) <= 16 for f in r["frames"])
+
+
+class TestResize:
+    def test_resize_shrinks_and_updates_meta(self, spark, corpus_module_scope=None):
+        base = spark.createDataFrame(
+            [(1, "x" * 10000), (2, "short")], ["doc_id", "text"]
+        )
+        media = multimodal.synthesize_media(base, "doc_id", "text")
+        resized = multimodal.resize_media(media, target_width=64, target_height=48)
+        rows = {r["media_id"]: r for r in resized.collect()}
+        assert rows[1]["meta"]["n_bytes"] <= 64 * 48
+        assert rows[1]["meta"]["width"] == 64 and rows[1]["meta"]["height"] == 48
+        assert rows[1]["meta"]["format"].endswith(";resized")
+        assert len(rows[1]["payload"]) == rows[1]["meta"]["n_bytes"]
+        # Short payloads survive intact (stride 1, truncation only).
+        assert bytes(rows[2]["payload"]) == b"short"
+        # Schema contract: resized output feeds the same feature extractor.
+        feats = multimodal.extract_features(resized, fake=True)
+        assert feats.count() == 2
