@@ -562,6 +562,40 @@ def q36_lsh_topk(spark, sf):
     return similarity.lsh_topk(emb, queries_df, k=3, dim=64)
 
 
+def q53_profile(spark, sf):
+    """Per-column quality profile of orders (exact distinct for oracle
+    parity; the operator defaults to HLL at scale)."""
+    from presencia_etl_spark.operators.profile import profile
+
+    return profile(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        exact_distinct=True,
+    ).select(
+        "column_name", "n_rows", "n_null", "null_rate", "n_distinct"
+    )
+
+
+def q54_intersect(spark, sf):
+    """INTERSECT (distinct) of customer keys appearing in orders — the set
+    operation q15's EXCEPT doesn't cover."""
+    cust = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    ords = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    return cust.intersect(ords).select(F.col("k").alias("custkey"))
+
+
+def q55_stratified_sample(spark, sf):
+    """Seeded stratified sample by language (sampler is engine-specific →
+    rows-only; proportions asserted in pytest)."""
+    from presencia_etl_spark.operators.profile import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    sampled = stratified_sample(
+        docs, "lang", {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 1.0}
+    )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 def q51_vocab(spark, sf):
     """Corpus vocabulary: top-20 tokens by document frequency (explode →
     two-level aggregation; tiebreak on token for determinism)."""
@@ -716,6 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_sql_6way_join": q50_sql_6way_join,
         "q51_vocab": q51_vocab,
         "q52_tfidf": q52_tfidf,
+        "q53_profile": q53_profile,
+        "q54_intersect": q54_intersect,
+        "q55_stratified_sample": q55_stratified_sample,
     }
 
 
@@ -1015,6 +1052,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q49_sql_3way_join": _Q49_SQL,
         "q50_sql_6way_join": _Q50_SQL,
+        "q53_profile": (
+            "WITH n AS (SELECT COUNT(*) AS n_rows FROM orders), "
+            "p AS ("
+            "SELECT 'o_orderkey' AS column_name, "
+            "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders "
+            "UNION ALL SELECT 'o_orderstatus', "
+            "CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'o_totalprice', "
+            "CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders) "
+            "SELECT column_name, n.n_rows, p.n_null, "
+            "ROUND(CAST(p.n_null AS DOUBLE) / n.n_rows, 4) AS null_rate, "
+            "p.n_distinct FROM p CROSS JOIN n"
+        ),
+        "q54_intersect": (
+            "SELECT c_custkey AS custkey FROM customer "
+            "INTERSECT SELECT o_custkey FROM orders"
+        ),
         "q51_vocab": (
             "WITH toks AS (SELECT doc_id, unnest(list_distinct("
             "string_split_regex(text, '\\s+'))) AS tok FROM documents) "

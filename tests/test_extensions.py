@@ -156,3 +156,20 @@ class TestResize:
         # Schema contract: resized output feeds the same feature extractor.
         feats = multimodal.extract_features(resized, fake=True)
         assert feats.count() == 2
+
+
+class TestStratifiedSample:
+    def test_proportions(self, spark, sf_dir):
+        from presencia_etl_spark.operators.profile import stratified_sample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        totals = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+        sampled = stratified_sample(docs, "lang", {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 1.0})
+        got = {r["lang"]: r["cnt"] for r in sampled.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+        # Full-fraction strata come back complete; the downsampled one shrinks.
+        for lang in ("es", "de", "fr", "zh"):
+            assert got.get(lang) == totals[lang]
+        assert got.get("en", 0) < totals["en"]
+        # Deterministic for a fixed seed.
+        again = {r["lang"]: r["cnt"] for r in stratified_sample(docs, "lang", {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 1.0}).groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+        assert again == got
