@@ -96,33 +96,49 @@ def cosine_pairs_blocked(
     vec_col: str = "embedding",
     min_cosine: float = 0.9,
     round_to: int = 6,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine ≥ threshold via block GEMM.
+    """All pairs (id_a < id_b) with cosine ≥ threshold via distributed
+    tiled GEMM — nothing touches the driver.
 
-    The scale pattern: one side is broadcast as a dense numpy matrix (a few
-    MB per million rows at d=64 is too big — so at true scale you'd LSH-
-    prefilter or tile both sides; up to ~100K vectors the broadcast fits
-    comfortably), the other side streams through ``mapInPandas`` in Arrow
-    batches, and each batch does ONE float64 matmul instead of B·N
-    interpreted dot products (~50× faster than the higher-order-function
-    form). Results are rounded before thresholding so the exact fold order
-    doesn't affect the cut.
+    Each vector is assigned a block ``b = xxhash64(id) mod n_blocks``; the
+    upper-triangle of block pairs (bi ≤ bj) is covered by replicating every
+    row to the block pairs it participates in (as the left member of
+    (b, j≥b) and the right member of (i≤b, b)). One shuffle groups each
+    block pair on one executor, where a single float64 matmul scores the
+    tile (~50× faster than per-pair higher-order dot products). Results are
+    rounded before thresholding so fold order can't move the cut.
+
+    Scale math: shuffle volume is (n_blocks+1)·N vectors — the classic
+    O(N·√P) triangle-join cost — and peak executor memory is two blocks
+    (~2N/n_blocks rows). Grow ``n_blocks`` ∝ √N to hold tile size constant;
+    at extreme N, LSH-prefilter candidates and verify with exact cosine
+    instead of scoring all tiles.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    spark = df.sparkSession
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # The broadcast side: ids + L2-normalized matrix (small side only —
-    # at larger N, tile or LSH-prefilter instead of broadcasting).
-    pdf = base.toPandas()
-    ids = pdf["id"].to_numpy()
-    mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat_n = mat / norms[:, None]
-    bc = spark.sparkContext.broadcast((ids, mat_n))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    lefts = base.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.expr(f"sequence(blk, {n_blocks - 1})")).alias("bj"),
+        F.lit("L").alias("side"),
+        "id",
+        "v",
+    ).select("bi", "bj", "side", "id", "v")
+    rights = base.select(
+        F.explode(F.expr("sequence(0, blk)")).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit("R").alias("side"),
+        "id",
+        "v",
+    ).select("bi", "bj", "side", "id", "v")
+    tiles = lefts.unionByName(rights)
 
     out_schema = T.StructType(
         [
@@ -131,23 +147,41 @@ def cosine_pairs_blocked(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
 
-    def block(batches):
-        b_ids, b_mat = bc.value
-        for chunk in batches:
-            q = np.vstack(chunk["v"].to_numpy()).astype(np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0] = 1.0
-            sims = np.round((q / qn[:, None]) @ b_mat.T, round_to)
-            qi = chunk["id"].to_numpy()
-            hit_r, hit_c = np.nonzero(sims >= min_cosine)
-            ia, ib = qi[hit_r], b_ids[hit_c]
+    def _normed(pdf: "pd.DataFrame"):
+        ids = pdf["id"].to_numpy()
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        return ids, mat / norms[:, None]
+
+    def gemm(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        left = pdf[pdf["side"] == "L"]
+        right = pdf[pdf["side"] == "R"]
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        l_ids, l_mat = _normed(left)
+        r_ids, r_mat = _normed(right)
+        sims = np.round(l_mat @ r_mat.T, round_to)
+        hit_r, hit_c = np.nonzero(sims >= min_cosine)
+        ia, ib = l_ids[hit_r], r_ids[hit_c]
+        cos = sims[hit_r, hit_c]
+        if bi == bj:
+            # Diagonal tile: left set == right set, every unordered pair
+            # appears twice — keep the (a < b) orientation once.
             keep = ia < ib
-            yield pd.DataFrame(
-                {"id_a": ia[keep], "id_b": ib[keep], "cosine": sims[hit_r, hit_c][keep]}
-            )
+            ia, ib, cos = ia[keep], ib[keep], cos[keep]
+        else:
+            # Off-diagonal: blocks are disjoint, each pair appears once;
+            # orient ids.
+            lo = np.minimum(ia, ib)
+            hi = np.maximum(ia, ib)
+            ia, ib = lo, hi
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cos})
 
-    return base.mapInPandas(block, out_schema)
+    return tiles.groupBy("bi", "bj").applyInPandas(gemm, out_schema)
 
 
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:

@@ -156,8 +156,17 @@ def merge_upsert_partitioned(
     This is the plan shape of Delta's MERGE with partition pruning, with no
     non-core dependency.
     """
-    hash_cols = hash_cols or [c for c in src.columns]
-    keyed = cdc.with_cdc_key(cdc.with_row_hash(src, hash_cols), key_cols)
+    # Trust a pre-computed row_hash (pipelines hash RAW pre-cast strings —
+    # recomputing over typed values, and over the hash column itself, would
+    # misclassify every row as UPDATE). Default hash scope excludes the
+    # audit envelope for the same reason.
+    if "row_hash" in src.columns:
+        hashed = src
+    else:
+        hashed = cdc.with_row_hash(
+            src, hash_cols or [c for c in src.columns if c not in AUDIT_COLS]
+        )
+    keyed = cdc.with_cdc_key(hashed, key_cols)
     keyed = keyed.withColumn(
         BUCKET_COL, F.pmod(F.xxhash64(F.col(cdc.KEY_COL)), F.lit(num_buckets)).cast("int")
     )
@@ -197,7 +206,7 @@ def merge_upsert_partitioned(
         .distinct()
         .collect()
     ]
-    data_cols = [c for c in src.columns]
+    data_cols = [c for c in src.columns if c not in AUDIT_COLS]
 
     # Partition-pruned target scan: only dirty buckets are read.
     tgt_dirty = tgt.filter(F.col(BUCKET_COL).isin(dirty))

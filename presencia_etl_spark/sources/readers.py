@@ -48,7 +48,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
     for c in ns_cols:
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # Integer division: float `/ 1000` promotes int64 nanos to a
+            # double whose ulp at epoch scale (~1.7e18) is 256 ns, so the
+            # truncated result can drift 1µs off exact ns//1000 (DuckDB's
+            # answer) nondeterministically per value.
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))")
+            )
     return df
 
 

@@ -90,6 +90,32 @@ class TestAuxCatalog:
         assert not table_exists(spark, "MensajesEnviados")
 
 
+class TestNanosTimestamps:
+    def test_nanos_convert_exact_integer_division(self, spark, tmp_path):
+        # Float `/ 1000` has 256 ns ulp at epoch scale — values like these
+        # (dense sub-µs residues) drift 1µs off exact ns//1000 under the
+        # old float path. The reader must match DuckDB's exact truncation.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from presencia_etl_spark.sources.readers import read_parquet
+
+        base = 1_700_000_000_000_000_000
+        nanos = [base + i * 7_777_777_777 + r for i in range(200) for r in (0, 1, 499, 999)]
+        table = pa.table({"ts": pa.array(nanos, type=pa.timestamp("ns"))})
+        path = str(tmp_path / "ns.parquet")
+        pq.write_table(table, path)
+
+        df = read_parquet(spark, path)
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got = [
+            r["us"]
+            for r in df.selectExpr("unix_micros(ts) AS us").orderBy("us").collect()
+        ]
+        want = sorted(n // 1000 for n in nanos)
+        assert got == want
+
+
 class TestCsvUnionAndDrift:
     def test_column_union_across_files(self, spark, tmp_path):
         from presencia_etl_spark.sources.readers import read_csv_union
