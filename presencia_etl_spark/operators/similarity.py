@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -209,6 +211,125 @@ def with_lsh_bucket(
     return df.withColumn(out, F.expr(" | ".join(bits)))
 
 
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    sample_rows: int = 4096,
+    max_iter: int = 20,
+) -> "list[list[float]]":
+    """Fit IVF centroids on a deterministic SAMPLE, driver-side with numpy.
+
+    K-means quality needs only a representative sample, not the corpus:
+    taking the ``sample_rows`` lowest ``xxhash64(id)`` rows is a cheap
+    TakeOrdered (no full shuffle, deterministic under any partitioning) and
+    Lloyd's iterations on ≤4k×d doubles are sub-millisecond. This replaces
+    a full-corpus ``pyspark.ml`` KMeans fit whose JVM class-loading +
+    iterative jobs dominated q43's bench time (11.7 s cold → the fit was
+    the regression).
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    k = min(n_clusters, n)
+    C = X[rng.choice(n, k, replace=False)]
+    for _ in range(max_iter):
+        d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        a = d.argmin(1)
+        newC = C.copy()
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                newC[j] = members.mean(0)
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return [[float(x) for x in row] for row in C]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: "list[list[float]]",
+    vec_col: str,
+    out: str = "cluster",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched matmul per batch
+    (vectorized pandas UDF — no driver iteration, no pyspark.ml).
+
+    ``n_probe`` = 1 labels each row with its cluster (int); > 1 returns the
+    ``n_probe`` nearest clusters as an array (the query-side probe list).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(1)[None, :]
+
+    if n_probe <= 1:
+
+        @pandas_udf("int")
+        def nearest(v: pd.Series) -> pd.Series:
+            M = np.vstack(v.to_numpy()).astype(np.float64)
+            d = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + c_sq
+            return pd.Series(d.argmin(1).astype(np.int32))
+
+        return df.withColumn(out, nearest(F.col(vec_col)))
+
+    p = min(n_probe, len(C))
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        d = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + c_sq
+        idx = np.argsort(d, axis=1, kind="stable")[:, :p]
+        return pd.Series([row.astype(np.int32).tolist() for row in idx])
+
+    return df.withColumn(out, probes(F.col(vec_col)))
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    sample_rows: int = 4096,
+) -> "tuple[DataFrame, list[list[float]]]":
+    """Build the IVF index once: (assigned corpus with cluster + norm,
+    centroid list). Persist/save the frame and reuse across queries —
+    ``save_ivf_index`` materializes it partitioned by cluster so a probe
+    touches only its posting lists' files."""
+    centroids = ivf_fit_centroids(corpus, id_col, vec_col, n_clusters, seed, sample_rows)
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        centroids,
+        "cv",
+        out="cluster",
+    ).withColumn("cn", _norm("cv"))
+    return assigned, centroids
+
+
+def save_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Materialize posting lists AS the partition layout: one ``cluster=``
+    directory per posting list, so a probe of p clusters reads only p
+    directories (partition pruning on the cluster filter)."""
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -218,46 +339,39 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    index: "tuple[DataFrame, list[list[float]]] | None" = None,
 ) -> DataFrame:
-    """Approximate top-k via IVF (inverted-file) partitioning.
+    """Approximate top-k via IVF (inverted-file) posting lists.
 
-    KMeans (pyspark.ml) clusters the corpus once; each vector lives in its
-    centroid's posting list. A query probes its ``n_probe`` nearest
-    centroids (centroid table is tiny → computed driver-side) and re-ranks
-    exactly within those lists. Unlike hyperplane LSH, IVF adapts to the
-    data's actual density; recall/cost is n_probe/n_clusters. At 100 TB the
-    posting lists are the partition layout (repartition by cluster id), so
-    a probe touches only its clusters' files.
+    Centroids come from a driver-side numpy fit on a deterministic sample
+    (``ivf_fit_centroids``); corpus rows are labeled with their nearest
+    centroid by a vectorized pandas UDF (one matmul per Arrow batch);
+    queries probe their ``n_probe`` nearest centroids the same way (no
+    driver-side iteration anywhere). Exact cosine re-rank runs only inside
+    probed posting lists. Pass ``index=(assigned, centroids)`` (from
+    ``build_ivf_index`` / ``load_ivf_index``) to reuse a persisted
+    assignment instead of re-labeling the corpus per call; with a saved
+    index the cluster join prunes to the probed ``cluster=`` partitions.
     """
-    import numpy as np
+    if index is not None:
+        assigned, centroids = index
+    else:
+        centroids = ivf_fit_centroids(corpus, id_col, vec_col, n_clusters, seed)
+        assigned = ivf_assign(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            centroids,
+            "cv",
+            out="cluster",
+        ).withColumn("cn", _norm("cv"))
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    c_base = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    q = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        centroids,
+        "qv",
+        out="probe_list",
+        n_probe=n_probe,
     )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(c_base.select("features"))
-    assigned = model.transform(c_base).select(
-        "neighbor_id", "cv", F.col("prediction").alias("cluster")
-    )
-    assigned = assigned.withColumn("cn", _norm("cv"))
-
-    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
-
-    q_pdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).toPandas()
-    probe_rows = []
-    for _, row in q_pdf.iterrows():
-        qv = np.asarray(row["qv"], dtype=np.float64)
-        d = ((centroids - qv) ** 2).sum(axis=1)
-        for cl in np.argsort(d)[:n_probe]:
-            probe_rows.append((int(row["query_id"]), list(map(float, row["qv"])), int(cl)))
-    spark = corpus.sparkSession
-    q = spark.createDataFrame(probe_rows, ["query_id", "qv", "cluster"]).withColumn(
-        "qv", F.col("qv").cast("array<float>")
-    )
+    q = q.withColumn("cluster", F.explode("probe_list")).drop("probe_list")
     q = q.withColumn("qn", _norm("qv"))
 
     joined = assigned.join(F.broadcast(q), "cluster").filter(
@@ -265,8 +379,7 @@ def ivf_topk(
     )
     cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
     ranked = (
-        joined.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", F.round(cos, 6))
+        joined.withColumn("cosine", F.round(cos, 6))
         .withColumn(
             "rk",
             F.row_number().over(

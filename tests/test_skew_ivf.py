@@ -59,3 +59,41 @@ class TestIVF:
         recall = len(e & a) / len(e)
         # probing half the clusters on isotropic data ≈ half the corpus.
         assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+    def test_ivf_index_persist_roundtrip(self, spark, sf_dir, tmp_path):
+        """A saved index (posting lists == cluster= partition dirs) reused
+        via index= must reproduce the on-the-fly result exactly."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10)
+        direct = similarity.ivf_topk(emb, queries, k=3, n_clusters=8, n_probe=4)
+
+        assigned, centroids = similarity.build_ivf_index(emb, n_clusters=8)
+        path = str(tmp_path / "ivf_index")
+        similarity.save_ivf_index(assigned, path)
+        # Posting lists ARE the partition layout: one cluster= dir each.
+        import os
+
+        cluster_dirs = [d for d in os.listdir(path) if d.startswith("cluster=")]
+        assert len(cluster_dirs) >= 2, cluster_dirs
+
+        loaded = similarity.load_ivf_index(spark, path)
+        via_index = similarity.ivf_topk(
+            emb, queries, k=3, n_probe=4, index=(loaded, centroids)
+        )
+        d = {(r["query_id"], r["neighbor_id"], r["rk"]) for r in direct.collect()}
+        i = {(r["query_id"], r["neighbor_id"], r["rk"]) for r in via_index.collect()}
+        assert d == i
+
+    def test_ivf_assign_probe_list_shape(self, spark):
+        """Query-side probe assignment is distributed (array<int> column),
+        deterministic, and returns the n_probe nearest distinct clusters."""
+        cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.2]), (2, [9.0, 1.0]), (3, [1.0, 9.0])], ["vec_id", "v"]
+        ).withColumn("v", F.col("v").cast("array<float>"))
+        out = {
+            r["vec_id"]: r["p"]
+            for r in similarity.ivf_assign(df, cents, "v", out="p", n_probe=2).collect()
+        }
+        assert out[1][0] == 0 and out[2][0] == 1 and out[3][0] == 2
+        assert all(len(v) == 2 and len(set(v)) == 2 for v in out.values())
