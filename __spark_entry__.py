@@ -11,9 +11,17 @@ fixed scale; dates/timestamps are emitted as formatted strings; BIGINT
 casts pin DuckDB's HUGEINT sums to int64 so value-hashes match.
 
 Queries without an oracle entry (q28_minhash_lsh, q29_simhash,
-q35_multimodal_features, q36_lsh_topk) are genuinely non-SQL-expressible in
-DuckDB (engine-specific hash functions / Arrow-batched stubs / approximate
-results) and take the rows-only check.
+q35_multimodal_features, q36_lsh_topk, q42/q43/q46, q19_stratified_sample)
+are genuinely non-SQL-expressible in DuckDB (engine-specific hash functions
+/ Arrow-batched stubs / approximate results) and take the rows-only check.
+
+NOTE on numbering: the contract is capped at exactly 50 keys (the driver's
+CORRECTNESS snapshot records 50). Round 3 merged five pairs of single-row
+aggregate queries (cross-joined, all original columns kept: scan stats,
+filters, date predicates, hash+coercion, fingerprint+jaccard) and reused
+the freed numbers for the former q51–q55 (vocab, tfidf, profile,
+intersect, stratified sample) plus a true Structured-Streaming dedup
+query — so numbers are stable but not thematic.
 """
 
 from __future__ import annotations
@@ -60,8 +68,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # SURVEY §2.7 declared queries (Q01–Q20)
 # ---------------------------------------------------------------------------
 
-def q01_scan_count(spark, sf):
-    return _t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+def q01_scan_stats(spark, sf):
+    """COUNT(*) + global sums (lineitem) × min/max/distinct dates (orders)
+    — three single-row aggregates cross-joined into one contract row
+    (merged former q01/q10/q11 to fit the 50-key snapshot cap)."""
+    li = _t(spark, sf, "lineitem")
+    sums = global_sums(
+        li,
+        {
+            "n": F.count(F.lit(1)),
+            # Integer rounding: a 2-dp boundary sits ~5e-3 away while the
+            # parallel-vs-sequential double-sum error on a ~1e9 total is
+            # ~1e-4 — 0 dp keeps the oracle compare boundary-safe.
+            "sum_price": F.round(F.sum("l_extendedprice"), 0),
+            "sum_revenue": F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ),
+        },
+    )
+    dates = date_min_max_distinct(_t(spark, sf, "orders"), "o_orderdate")
+    return sums.crossJoin(dates)
 
 
 def q02_project_filter(spark, sf):
@@ -71,19 +97,34 @@ def q02_project_filter(spark, sf):
     )
 
 
-def q03_null_keeping_neq(spark, sf):
+def q03_filters(spark, sf):
+    """NULL-keeping <> (orders) × conjunctive filter (lineitem) — merged
+    former q03/q04 single-row counts."""
     orders = _t(spark, sf, "orders")
-    return orders.filter(null_safe_neq("o_orderstatus", "F")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-
-
-def q04_conjunctive_filter(spark, sf):
     li = _t(spark, sf, "lineitem")
-    return apply_filters(
+    neq = orders.filter(null_safe_neq("o_orderstatus", "F")).agg(
+        F.count(F.lit(1)).alias("n_neq")
+    )
+    conj = apply_filters(
         li,
         [Predicate("l_returnflag", "eq", "R"), Predicate("l_linestatus", "eq", "F")],
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n_conj"))
+    return neq.crossJoin(conj)
+
+
+def q04_vocab(spark, sf):
+    """Corpus vocabulary: top-20 tokens by document frequency (explode →
+    two-level aggregation; tiebreak on token for determinism)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(20)
+    )
 
 
 def q05_semi_join(spark, sf):
@@ -104,11 +145,29 @@ def q06_anti_join(spark, sf):
     ).select("c_custkey")
 
 
-def q07_date_component(spark, sf):
+def q07_date_predicates(spark, sf):
+    """Date-component predicate count (orders) × multi-format date parse
+    roundtrip (events) — merged former q07/q18 single-row results."""
     orders = _t(spark, sf, "orders")
-    return date_component_filter(orders, "o_orderdate", 1995, 3).agg(
-        F.count(F.lit(1)).alias("n")
+    comp = date_component_filter(orders, "o_orderdate", 1995, 3).agg(
+        F.count(F.lit(1)).alias("n_mar1995")
     )
+    ev = _t(spark, sf, "events")
+    synth = (
+        F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "MM/dd/yy HH:mm:ss"))
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "MM/dd/yyyy HH:mm:ss"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    )
+    parsed = parse_access_datetime(synth)
+    dates = ev.select(
+        parsed.alias("p"), F.date_trunc("second", F.col("ts")).alias("sec")
+    ).agg(
+        F.count("p").alias("n_parsed"),
+        F.sum(F.when(F.col("p") == F.col("sec"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_roundtrip"),
+    )
+    return comp.crossJoin(dates)
 
 
 def q08_monthly_rollup(spark, sf):
@@ -124,24 +183,48 @@ def q09_frequency(spark, sf):
     return frequency(_t(spark, sf, "orders"), "o_orderstatus")
 
 
-def q10_global_sums(spark, sf):
-    li = _t(spark, sf, "lineitem")
-    return global_sums(
-        li,
-        {
-            # Integer rounding: a 2-dp boundary sits ~5e-3 away while the
-            # parallel-vs-sequential double-sum error on a ~1e9 total is
-            # ~1e-4 — 0 dp keeps the oracle compare boundary-safe.
-            "sum_price": F.round(F.sum("l_extendedprice"), 0),
-            "sum_revenue": F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
-            ),
-        },
+def q10_tfidf(spark, sf):
+    """TF-IDF top term per document (for doc_id < 10): term frequency ×
+    log(N/df), the training-corpus relevance primitive. Window picks the
+    argmax with deterministic tiebreak. N comes from a scalar-subquery
+    cross join (no eager driver-side count — one plan, one scan)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.filter(F.col("doc_id") < 10)
+        .join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "tok", F.col("tfidf"))
     )
 
 
-def q11_minmax_dates(spark, sf):
-    return date_min_max_distinct(_t(spark, sf, "orders"), "o_orderdate")
+def q11_profile(spark, sf):
+    """Per-column quality profile of orders (exact distinct for oracle
+    parity; the operator defaults to HLL at scale)."""
+    from presencia_etl_spark.operators.profile import profile
+
+    return profile(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        exact_distinct=True,
+    ).select("column_name", "n_rows", "n_null", "null_rate", "n_distinct")
 
 
 def q12_topk_days(spark, sf):
@@ -179,11 +262,19 @@ def q15_set_diff(spark, sf):
     return only_part.select(F.col("k").alias("p_partkey"))
 
 
-def q16_row_hash(spark, sf):
+def q16_hash_coercion(spark, sf):
+    """Row-hash distinctness (supplier) × numeric coercion w/ default
+    (events) — merged former q16/q19 single-row results."""
     supp = _t(spark, sf, "supplier")
-    return supp.select(
+    hashes = supp.select(
         row_hash(["s_name", "s_nationkey", "s_suppkey"]).alias("h")
     ).agg(F.countDistinct("h").alias("n_distinct"))
+    ev = _t(spark, sf, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+    coerced = ev.select(coerce_double(k).alias("kd")).agg(
+        F.round(F.sum("kd"), 2).alias("sum_k")
+    )
+    return hashes.crossJoin(coerced)
 
 
 def q17_cdc_classify(spark, sf):
@@ -204,30 +295,24 @@ def q17_cdc_classify(spark, sf):
     return cdc.cdc_counts(classified)
 
 
-def q18_multiformat_dates(spark, sf):
-    ev = _t(spark, sf, "events")
-    synth = (
-        F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "MM/dd/yy HH:mm:ss"))
-        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "MM/dd/yyyy HH:mm:ss"))
-        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
-    )
-    parsed = parse_access_datetime(synth)
-    return ev.select(
-        parsed.alias("p"), F.date_trunc("second", F.col("ts")).alias("sec")
-    ).agg(
-        F.count("p").alias("n_parsed"),
-        F.sum(F.when(F.col("p") == F.col("sec"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_roundtrip"),
-    )
+def q18_intersect(spark, sf):
+    """INTERSECT (distinct) of customer keys appearing in orders — the set
+    operation q15's EXCEPT doesn't cover."""
+    cust = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    ords = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    return cust.intersect(ords).select(F.col("k").alias("custkey"))
 
 
-def q19_coercion(spark, sf):
-    ev = _t(spark, sf, "events")
-    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
-    return ev.select(coerce_double(k).alias("kd")).agg(
-        F.round(F.sum("kd"), 2).alias("sum_k")
+def q19_stratified_sample(spark, sf):
+    """Seeded stratified sample by language (sampler is engine-specific →
+    rows-only; proportions asserted in pytest)."""
+    from presencia_etl_spark.operators.profile import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    sampled = stratified_sample(
+        docs, "lang", {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 1.0}
     )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
 def q20_union_counts(spark, sf):
@@ -280,11 +365,24 @@ def q24_lang_id(spark, sf):
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def q25_fingerprint(spark, sf):
+def q25_fingerprint_jaccard(spark, sf):
+    """md5 fingerprint distinctness × n-gram Jaccard over consecutive-id
+    candidate pairs — merged former q25/q30 single-row results."""
     docs = _t(spark, sf, "documents")
-    return docs.select(text.md5_fingerprint("text").alias("fp")).agg(
+    fps = docs.select(text.md5_fingerprint("text").alias("fp")).agg(
         F.countDistinct("fp").alias("n_distinct")
     )
+    # Deterministic candidate pairs: consecutive doc ids (the SQL-checkable
+    # slice of the pair space; LSH candidates feed the same verifier).
+    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + 1
+    ).join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "inner").select("id_a", "id_b")
+    jac = dedup.ngram_jaccard(pairs, docs, "doc_id", "text", n=3).agg(
+        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return fps.crossJoin(jac)
 
 
 def q26_sim_topk(spark, sf):
@@ -317,19 +415,47 @@ def q29_simhash(spark, sf):
     )
 
 
-def q30_ngram_jaccard(spark, sf):
-    docs = _t(spark, sf, "documents")
-    # Deterministic candidate pairs: consecutive doc ids (the SQL-checkable
-    # slice of the pair space; LSH candidates feed the same verifier).
-    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
-        "id_b", F.col("id_a") + 1
-    ).join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "inner").select("id_a", "id_b")
-    out = dedup.ngram_jaccard(pairs, docs, "doc_id", "text", n=3)
-    return out.agg(
-        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
-        F.round(F.max("jaccard"), 4).alias("max_jaccard"),
-        F.count(F.lit(1)).alias("n_pairs"),
+def q30_streaming_dedup(spark, sf):
+    """TRUE Structured Streaming execution of the stateful cross-batch
+    dedup (applyInPandasWithState): documents are split into 4 source
+    files, streamed one file per micro-batch (availableNow), deduped on
+    md5(text) with per-key state, and the survivors counted. The count is
+    order-independent (first-winner identity doesn't matter), so the batch
+    oracle is COUNT(DISTINCT md5(text)). The result is materialized before
+    return so the temp stream workspace can be deleted."""
+    import shutil
+    import tempfile
+
+    from presencia_etl_spark.streaming.stateful import streaming_dedup
+
+    docs = _t(spark, sf, "documents").select(
+        F.md5("text").alias("row_hash"), "doc_id"
     )
+    # State shard key must be a function of the hash so per-key state sets
+    # are disjoint and survivors == distinct hashes.
+    docs = docs.withColumn("shard", F.substring("row_hash", 1, 1))
+    work = tempfile.mkdtemp(prefix="q30_stream_")
+    try:
+        src, sink, chk = f"{work}/src", f"{work}/sink", f"{work}/chk"
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        deduped = streaming_dedup(stream, "shard", hash_col="row_hash")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(sink).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame([(n,)], "n_unique bigint")
 
 
 def q31_event_windows(spark, sf):
@@ -562,87 +688,6 @@ def q36_lsh_topk(spark, sf):
     return similarity.lsh_topk(emb, queries_df, k=3, dim=64)
 
 
-def q53_profile(spark, sf):
-    """Per-column quality profile of orders (exact distinct for oracle
-    parity; the operator defaults to HLL at scale)."""
-    from presencia_etl_spark.operators.profile import profile
-
-    return profile(
-        _t(spark, sf, "orders"),
-        ["o_orderkey", "o_orderstatus", "o_totalprice"],
-        exact_distinct=True,
-    ).select(
-        "column_name", "n_rows", "n_null", "null_rate", "n_distinct"
-    )
-
-
-def q54_intersect(spark, sf):
-    """INTERSECT (distinct) of customer keys appearing in orders — the set
-    operation q15's EXCEPT doesn't cover."""
-    cust = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
-    ords = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
-    return cust.intersect(ords).select(F.col("k").alias("custkey"))
-
-
-def q55_stratified_sample(spark, sf):
-    """Seeded stratified sample by language (sampler is engine-specific →
-    rows-only; proportions asserted in pytest)."""
-    from presencia_etl_spark.operators.profile import stratified_sample
-
-    docs = _t(spark, sf, "documents")
-    sampled = stratified_sample(
-        docs, "lang", {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 1.0}
-    )
-    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
-
-
-def q51_vocab(spark, sf):
-    """Corpus vocabulary: top-20 tokens by document frequency (explode →
-    two-level aggregation; tiebreak on token for determinism)."""
-    docs = _t(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok")
-    )
-    return (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .orderBy(F.desc("doc_freq"), F.asc("tok"))
-        .limit(20)
-    )
-
-
-def q52_tfidf(spark, sf):
-    """TF-IDF top term per document (for doc_id < 10): term frequency ×
-    log(N/df), the training-corpus relevance primitive. Window picks the
-    argmax with deterministic tiebreak."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf, "documents")
-    n_docs = docs.count()
-    tf = (
-        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = (
-        tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    )
-    scored = (
-        tf.filter(F.col("doc_id") < 10)
-        .join(df_, "tok")
-        .withColumn(
-            "tfidf",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "tok", F.col("tfidf"))
-    )
-
-
 # Multi-join analytics in plain ANSI SQL — the SAME text runs on Spark
 # (via temp views) and DuckDB. Exercises Catalyst's join reordering +
 # broadcast selection over a 3-way and a 6-way star join.
@@ -698,36 +743,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q01_scan_count": q01_scan_count,
+        "q01_scan_stats": q01_scan_stats,
         "q02_project_filter": q02_project_filter,
-        "q03_null_keeping_neq": q03_null_keeping_neq,
-        "q04_conjunctive_filter": q04_conjunctive_filter,
+        "q03_filters": q03_filters,
+        "q04_vocab": q04_vocab,
         "q05_semi_join": q05_semi_join,
         "q06_anti_join": q06_anti_join,
-        "q07_date_component": q07_date_component,
+        "q07_date_predicates": q07_date_predicates,
         "q08_monthly_rollup": q08_monthly_rollup,
         "q09_frequency": q09_frequency,
-        "q10_global_sums": q10_global_sums,
-        "q11_minmax_dates": q11_minmax_dates,
+        "q10_tfidf": q10_tfidf,
+        "q11_profile": q11_profile,
         "q12_topk_days": q12_topk_days,
         "q13_duplicate_keys": q13_duplicate_keys,
         "q14_join_agg": q14_join_agg,
         "q15_set_diff": q15_set_diff,
-        "q16_row_hash": q16_row_hash,
+        "q16_hash_coercion": q16_hash_coercion,
         "q17_cdc_classify": q17_cdc_classify,
-        "q18_multiformat_dates": q18_multiformat_dates,
-        "q19_coercion": q19_coercion,
+        "q18_intersect": q18_intersect,
+        "q19_stratified_sample": q19_stratified_sample,
         "q20_union_counts": q20_union_counts,
         "q21_dedup_exact": q21_dedup_exact,
         "q22_text_tokens": q22_text_tokens,
         "q23_text_quality": q23_text_quality,
         "q24_lang_id": q24_lang_id,
-        "q25_fingerprint": q25_fingerprint,
+        "q25_fingerprint_jaccard": q25_fingerprint_jaccard,
         "q26_sim_topk": q26_sim_topk,
         "q27_neardup_cosine": q27_neardup_cosine,
         "q28_minhash_lsh": q28_minhash_lsh,
         "q29_simhash": q29_simhash,
-        "q30_ngram_jaccard": q30_ngram_jaccard,
+        "q30_streaming_dedup": q30_streaming_dedup,
         "q31_event_windows": q31_event_windows,
         "q32_sessionize": q32_sessionize,
         "q33_reconcile": q33_reconcile,
@@ -748,27 +793,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_grouped_centroid": q48_grouped_centroid,
         "q49_sql_3way_join": q49_sql_3way_join,
         "q50_sql_6way_join": q50_sql_6way_join,
-        "q51_vocab": q51_vocab,
-        "q52_tfidf": q52_tfidf,
-        "q53_profile": q53_profile,
-        "q54_intersect": q54_intersect,
-        "q55_stratified_sample": q55_stratified_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "q01_scan_count": "SELECT COUNT(*) AS n FROM lineitem",
+        "q01_scan_stats": (
+            "SELECT * FROM "
+            "(SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 0) AS sum_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS sum_revenue "
+            "FROM lineitem) "
+            "CROSS JOIN (SELECT strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date, "
+            "strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date, "
+            "COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS distinct_days FROM orders)"
+        ),
         "q02_project_filter": (
             "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'"
         ),
-        "q03_null_keeping_neq": (
-            "SELECT COUNT(*) AS n FROM orders "
-            "WHERE o_orderstatus IS NULL OR o_orderstatus <> 'F'"
+        "q03_filters": (
+            "SELECT * FROM "
+            "(SELECT COUNT(*) AS n_neq FROM orders "
+            "WHERE o_orderstatus IS NULL OR o_orderstatus <> 'F') "
+            "CROSS JOIN (SELECT COUNT(*) AS n_conj FROM lineitem "
+            "WHERE l_returnflag = 'R' AND l_linestatus = 'F')"
         ),
-        "q04_conjunctive_filter": (
-            "SELECT COUNT(*) AS n FROM lineitem "
-            "WHERE l_returnflag = 'R' AND l_linestatus = 'F'"
+        "q04_vocab": (
+            "WITH toks AS (SELECT doc_id, unnest(list_distinct("
+            "string_split_regex(text, '\\s+'))) AS tok FROM documents) "
+            "SELECT tok, COUNT(*) AS doc_freq FROM toks GROUP BY tok "
+            "ORDER BY doc_freq DESC, tok ASC LIMIT 20"
         ),
         "q05_semi_join": (
             "SELECT c_custkey FROM customer "
@@ -779,10 +832,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
             "WHERE o_custkey IS NOT NULL)"
         ),
-        "q07_date_component": (
-            "SELECT COUNT(*) AS n FROM orders "
+        "q07_date_predicates": (
+            "WITH synth AS (SELECT ts, CASE "
+            "WHEN event_id % 3 = 0 THEN strftime(ts, '%m/%d/%y %H:%M:%S') "
+            "WHEN event_id % 3 = 1 THEN strftime(ts, '%m/%d/%Y %H:%M:%S') "
+            "ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS s FROM events), "
+            "parsed AS (SELECT ts, COALESCE("
+            "try_strptime(s, '%m/%d/%y %H:%M:%S'), "
+            "try_strptime(s, '%m/%d/%Y %H:%M:%S'), "
+            "try_strptime(s, '%Y-%m-%d %H:%M:%S')) AS p FROM synth) "
+            "SELECT * FROM "
+            "(SELECT COUNT(*) AS n_mar1995 FROM orders "
             "WHERE EXTRACT(year FROM o_orderdate) = 1995 "
-            "AND EXTRACT(month FROM o_orderdate) = 3"
+            "AND EXTRACT(month FROM o_orderdate) = 3) "
+            "CROSS JOIN (SELECT COUNT(p) AS n_parsed, "
+            "CAST(SUM(CASE WHEN p = date_trunc('second', ts) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_roundtrip FROM parsed)"
         ),
         "q08_monthly_rollup": (
             "SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS cnt, "
@@ -791,15 +856,35 @@ def oracle_sql() -> dict[str, str]:
         "q09_frequency": (
             "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus"
         ),
-        "q10_global_sums": (
-            "SELECT ROUND(SUM(l_extendedprice), 0) AS sum_price, "
-            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS sum_revenue "
-            "FROM lineitem"
+        "q10_tfidf": (
+            "WITH tf AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok "
+            "FROM documents), "
+            "tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY doc_id, tok), "
+            "dfc AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY tok), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "scored AS (SELECT tfc.doc_id, tfc.tok, "
+            "ROUND(tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf "
+            "FROM tfc JOIN dfc ON tfc.tok = dfc.tok CROSS JOIN n "
+            "WHERE tfc.doc_id < 10) "
+            "SELECT doc_id, tok, tfidf FROM scored "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, tok ASC) = 1"
         ),
-        "q11_minmax_dates": (
-            "SELECT strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date, "
-            "strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date, "
-            "COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS distinct_days FROM orders"
+        "q11_profile": (
+            "WITH n AS (SELECT COUNT(*) AS n_rows FROM orders), "
+            "p AS ("
+            "SELECT 'o_orderkey' AS column_name, "
+            "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders "
+            "UNION ALL SELECT 'o_orderstatus', "
+            "CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'o_totalprice', "
+            "CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders) "
+            "SELECT column_name, n.n_rows, p.n_null, "
+            "ROUND(CAST(p.n_null AS DOUBLE) / n.n_rows, 4) AS null_rate, "
+            "p.n_distinct FROM p CROSS JOIN n"
         ),
         "q12_topk_days": (
             "SELECT strftime(o_orderdate, '%Y-%m-%d') AS k, COUNT(*) AS cnt "
@@ -817,12 +902,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey FROM part "
             "EXCEPT SELECT l_partkey FROM lineitem"
         ),
-        "q16_row_hash": (
-            "SELECT COUNT(DISTINCT sha256(concat_ws('|', "
+        "q16_hash_coercion": (
+            "SELECT * FROM "
+            "(SELECT COUNT(DISTINCT sha256(concat_ws('|', "
             "coalesce(nullif(CAST(s_name AS VARCHAR), ''), 'NULL'), "
             "coalesce(nullif(CAST(s_nationkey AS VARCHAR), ''), 'NULL'), "
             "coalesce(nullif(CAST(s_suppkey AS VARCHAR), ''), 'NULL')))) "
-            "AS n_distinct FROM supplier"
+            "AS n_distinct FROM supplier) "
+            "CROSS JOIN (SELECT ROUND(SUM(COALESCE(TRY_CAST(NULLIF("
+            "regexp_extract(props, '\"k\": (\\d+)', 1), '') AS DOUBLE), 0)), 2) "
+            "AS sum_k FROM events)"
         ),
         "q17_cdc_classify": (
             "WITH old AS (SELECT o_orderkey, o_orderpriority FROM orders "
@@ -834,23 +923,9 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'skip' END AS op, COUNT(*) AS cnt "
             "FROM new LEFT JOIN old ON new.o_orderkey = old.o_orderkey GROUP BY op"
         ),
-        "q18_multiformat_dates": (
-            "WITH synth AS (SELECT ts, CASE "
-            "WHEN event_id % 3 = 0 THEN strftime(ts, '%m/%d/%y %H:%M:%S') "
-            "WHEN event_id % 3 = 1 THEN strftime(ts, '%m/%d/%Y %H:%M:%S') "
-            "ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS s FROM events), "
-            "parsed AS (SELECT ts, COALESCE("
-            "try_strptime(s, '%m/%d/%y %H:%M:%S'), "
-            "try_strptime(s, '%m/%d/%Y %H:%M:%S'), "
-            "try_strptime(s, '%Y-%m-%d %H:%M:%S')) AS p FROM synth) "
-            "SELECT COUNT(p) AS n_parsed, "
-            "CAST(SUM(CASE WHEN p = date_trunc('second', ts) THEN 1 ELSE 0 END) "
-            "AS BIGINT) AS n_roundtrip FROM parsed"
-        ),
-        "q19_coercion": (
-            "SELECT ROUND(SUM(COALESCE(TRY_CAST(NULLIF("
-            "regexp_extract(props, '\"k\": (\\d+)', 1), '') AS DOUBLE), 0)), 2) "
-            "AS sum_k FROM events"
+        "q18_intersect": (
+            "SELECT c_custkey AS custkey FROM customer "
+            "INTERSECT SELECT o_custkey FROM orders"
         ),
         "q20_union_counts": (
             "SELECT 'lineitem' AS table_name, COUNT(*) AS cnt FROM lineitem "
@@ -901,10 +976,27 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'und' END AS pred_lang FROM scored) "
             "SELECT pred_lang, COUNT(*) AS cnt FROM pred GROUP BY pred_lang"
         ),
-        "q25_fingerprint": (
-            "SELECT COUNT(DISTINCT md5(concat_ws('|', "
+        "q25_fingerprint_jaccard": (
+            "WITH grams AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, GREATEST(len(string_split_regex(text, '\\s+')) - 2, 1)), "
+            "i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' '))) AS g "
+            "FROM documents), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g AS ga, b.g AS gb "
+            "FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1), "
+            "jac AS (SELECT ROUND(CASE WHEN len(list_distinct(ga || gb)) > 0 THEN "
+            "CAST(len(list_intersect(ga, gb)) AS DOUBLE) / "
+            "CAST(len(list_distinct(ga || gb)) AS DOUBLE) ELSE 0.0 END, 4) AS j "
+            "FROM pairs) "
+            "SELECT * FROM "
+            "(SELECT COUNT(DISTINCT md5(concat_ws('|', "
             "CAST(length(text) AS VARCHAR), substr(text, 1, 40)))) "
-            "AS n_distinct FROM documents"
+            "AS n_distinct FROM documents) "
+            "CROSS JOIN (SELECT ROUND(AVG(j), 4) AS avg_jaccard, "
+            "ROUND(MAX(j), 4) AS max_jaccard, COUNT(*) AS n_pairs FROM jac)"
+        ),
+        "q30_streaming_dedup": (
+            "SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique "
+            "FROM documents"
         ),
         "q26_sim_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
@@ -924,20 +1016,6 @@ def oracle_sql() -> dict[str, str]:
             "ON a.vec_id < b.vec_id "
             "WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])), 6) >= 0.45"
-        ),
-        "q30_ngram_jaccard": (
-            "WITH grams AS (SELECT doc_id, list_distinct(list_transform("
-            "generate_series(1, GREATEST(len(string_split_regex(text, '\\s+')) - 2, 1)), "
-            "i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' '))) AS g "
-            "FROM documents), "
-            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g AS ga, b.g AS gb "
-            "FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1), "
-            "jac AS (SELECT ROUND(CASE WHEN len(list_distinct(ga || gb)) > 0 THEN "
-            "CAST(len(list_intersect(ga, gb)) AS DOUBLE) / "
-            "CAST(len(list_distinct(ga || gb)) AS DOUBLE) ELSE 0.0 END, 4) AS j "
-            "FROM pairs) "
-            "SELECT ROUND(AVG(j), 4) AS avg_jaccard, ROUND(MAX(j), 4) AS max_jaccard, "
-            "COUNT(*) AS n_pairs FROM jac"
         ),
         "q31_event_windows": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
@@ -1052,44 +1130,4 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q49_sql_3way_join": _Q49_SQL,
         "q50_sql_6way_join": _Q50_SQL,
-        "q53_profile": (
-            "WITH n AS (SELECT COUNT(*) AS n_rows FROM orders), "
-            "p AS ("
-            "SELECT 'o_orderkey' AS column_name, "
-            "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
-            "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders "
-            "UNION ALL SELECT 'o_orderstatus', "
-            "CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
-            "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders "
-            "UNION ALL SELECT 'o_totalprice', "
-            "CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
-            "CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders) "
-            "SELECT column_name, n.n_rows, p.n_null, "
-            "ROUND(CAST(p.n_null AS DOUBLE) / n.n_rows, 4) AS null_rate, "
-            "p.n_distinct FROM p CROSS JOIN n"
-        ),
-        "q54_intersect": (
-            "SELECT c_custkey AS custkey FROM customer "
-            "INTERSECT SELECT o_custkey FROM orders"
-        ),
-        "q51_vocab": (
-            "WITH toks AS (SELECT doc_id, unnest(list_distinct("
-            "string_split_regex(text, '\\s+'))) AS tok FROM documents) "
-            "SELECT tok, COUNT(*) AS doc_freq FROM toks GROUP BY tok "
-            "ORDER BY doc_freq DESC, tok ASC LIMIT 20"
-        ),
-        "q52_tfidf": (
-            "WITH tf AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok "
-            "FROM documents), "
-            "tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY doc_id, tok), "
-            "dfc AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY tok), "
-            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
-            "scored AS (SELECT tfc.doc_id, tfc.tok, "
-            "ROUND(tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf "
-            "FROM tfc JOIN dfc ON tfc.tok = dfc.tok CROSS JOIN n "
-            "WHERE tfc.doc_id < 10) "
-            "SELECT doc_id, tok, tfidf FROM scored "
-            "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id "
-            "ORDER BY tfidf DESC, tok ASC) = 1"
-        ),
     }
