@@ -408,7 +408,11 @@ def q28_minhash_lsh(spark, sf):
 def q29_simhash(spark, sf):
     docs = _t(spark, sf, "documents")
     sigs = dedup.with_simhash(docs, "doc_id", "text")
-    pairs = dedup.simhash_near_pairs(sigs, max_hamming=16, prefix_bits=4)
+    # Production near-dup threshold: hamming ≤ 3 with 4 rotated 16-bit
+    # blocks — FULL recall by pigeonhole (≥1 block has zero differing
+    # bits), sparse buckets. (hamming ≤ 16 would need 17 blocks and finds
+    # ~half of all pairs — a threshold, not a dedup.)
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=3, n_blocks=4)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("hamming").alias("min_hamming"),

@@ -254,16 +254,50 @@ def _simhash_from_hashes(hashes_col: str, bits: int = 64) -> F.Column:
     )
 
 
-def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Near-pairs by hamming distance, blocked on the signature's top bits
-    so the self-join is bucket-local (at web scale, use 4 rotated prefix
-    blocks for full recall; one block shown here keeps the plan minimal)."""
-    blocked = sigs.withColumn("blk", F.expr(f"shiftrightunsigned(simhash, {64 - prefix_bits})"))
-    a = blocked.select(F.col("blk"), F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"))
-    b = blocked.select(F.col("blk"), F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"))
+def simhash_near_pairs(
+    sigs: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+) -> DataFrame:
+    """Near-pairs by hamming distance with FULL-RECALL rotated blocking.
+
+    The 64 signature bits are split into ``n_blocks`` contiguous blocks;
+    every signature is exploded to (block_idx, block_key) rows and the
+    self-join runs per block. Pigeonhole: a pair with hamming ≤
+    ``n_blocks - 1`` has at least one block with zero differing bits, so it
+    collides in that block — recall is complete whenever
+    ``max_hamming < n_blocks`` (the default 4×16-bit blocks cover the
+    standard ≤3-bit near-dup threshold). Pairs colliding in several blocks
+    are deduped on (id_a, id_b) before the hamming filter.
+
+    Scale: shuffle is n_blocks·N narrow (block_key, id, sig) rows; each
+    block's join is bucket-local in its 64/n_blocks-bit keyspace. Raising
+    ``max_hamming`` needs more blocks for the guarantee → smaller keys →
+    denser buckets; that trade-off is inherent to Hamming LSH.
+    """
+    base, rem = divmod(64, n_blocks)
+    key_structs, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        mask = (1 << w) - 1
+        key_structs.append(
+            f"struct({i} as bi, shiftrightunsigned(simhash, {off}) & {mask}L as bk)"
+        )
+        off += w
+    exploded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"array({','.join(key_structs)})")).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.bi").alias("bi"), F.col("b.bk").alias("bk"))
+    a = exploded.select(
+        "bi", "bk", F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    b = exploded.select(
+        "bi", "bk", F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b")
+    )
     return (
-        a.join(b, "blk")
+        a.join(b, ["bi", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

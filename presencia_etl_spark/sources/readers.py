@@ -50,8 +50,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
             # Integer division: float `/ 1000` promotes int64 nanos to a
             # double whose ulp at epoch scale (~1.7e18) is 256 ns, so the
-            # truncated result can drift 1µs off exact ns//1000 (DuckDB's
-            # answer) nondeterministically per value.
+            # result can drift 1µs off nondeterministically per value.
+            # `DIV` truncates toward zero — which is ALSO what DuckDB's
+            # ns→µs cast does for pre-epoch (negative) nanos (verified:
+            # -1500 ns → -1 µs, not floor's -2), so the engines agree on
+            # both sides of the epoch (regression-tested pre/post-epoch).
             df = df.withColumn(
                 c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))")
             )

@@ -65,9 +65,38 @@ class TestSimHash:
 
     def test_near_pairs(self, corpus):
         sigs = dedup.with_simhash(corpus, "doc_id", "text")
-        pairs = dedup.simhash_near_pairs(sigs, max_hamming=10, prefix_bits=2)
+        pairs = dedup.simhash_near_pairs(sigs, max_hamming=10, n_blocks=11)
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert (0, 1) in got
+
+    def test_full_recall_when_diff_bits_in_top_prefix(self, spark):
+        """Regression for the single-prefix-block miss: a pair whose only
+        differing bits sit in the TOP 16 bits (the old block key) must
+        still be found — the rotated blocks guarantee it for
+        hamming < n_blocks."""
+        def s64(x: int) -> int:  # wrap to signed int64 for the long column
+            x &= (1 << 64) - 1
+            return x - (1 << 64) if x >= (1 << 63) else x
+
+        base = 0x0123456789ABCDEF
+        rows = [
+            (1, s64(base)),
+            (2, s64(base ^ (0b11 << 62))),  # differs only in bits 62,63
+            (3, s64(base ^ (0b111 << 20))),  # differs in a middle block
+            (4, s64(~base)),  # far away
+        ]
+        sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_near_pairs(sigs, max_hamming=3, n_blocks=4).collect()
+        }
+        assert got.get((1, 2)) == 2, got
+        assert got.get((1, 3)) == 3, got
+        assert (1, 4) not in got, got  # far pair excluded
+        assert (2, 3) not in got, got  # hamming 5 > max_hamming
+        # multi-block collisions must not duplicate a pair
+        rows_out = dedup.simhash_near_pairs(sigs, max_hamming=3, n_blocks=4).collect()
+        assert len(rows_out) == len({(r["id_a"], r["id_b"]) for r in rows_out})
 
 
 class TestSimilarity:
@@ -82,16 +111,22 @@ class TestSimilarity:
         assert recall >= 0.5, f"LSH recall too low: {recall}"
 
     def test_blocked_pairs_match_expr_pairs(self, spark, sf_dir):
+        # Pair SETS must agree exactly; cosines only within tolerance —
+        # np.round (half-even, GEMM fold order) vs F.round (HALF_UP,
+        # aggregate fold order) can disagree in the 6th decimal on rare
+        # boundary values, which is not a correctness difference.
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         a = {
-            (r["id_a"], r["id_b"], r["cosine"])
+            (r["id_a"], r["id_b"]): r["cosine"]
             for r in similarity.cosine_pairs(emb, min_cosine=0.4).collect()
         }
         b = {
-            (r["id_a"], r["id_b"], r["cosine"])
+            (r["id_a"], r["id_b"]): r["cosine"]
             for r in similarity.cosine_pairs_blocked(emb, min_cosine=0.4).collect()
         }
-        assert a == b and a
+        assert set(a) == set(b) and a
+        for k in a:
+            assert abs(a[k] - b[k]) < 2e-6, (k, a[k], b[k])
 
     def test_blocked_pairs_stable_across_block_counts(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -115,6 +115,36 @@ class TestNanosTimestamps:
         want = sorted(n // 1000 for n in nanos)
         assert got == want
 
+    def test_nanos_convert_pre_epoch_matches_duckdb(self, spark, tmp_path):
+        """Pre-epoch (negative) nanos: DuckDB's ns→µs cast truncates toward
+        zero (-1500 ns → -1 µs, NOT floor's -2); `DIV 1000` must agree."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from presencia_etl_spark.sources.readers import read_parquet
+
+        nanos = [-1500, -1000, -999, -1, 0, 1, 999, 1000, 1500]
+        table = pa.table({"ts": pa.array(nanos, type=pa.timestamp("ns"))})
+        path = str(tmp_path / "ns_pre_epoch.parquet")
+        pq.write_table(table, path)
+
+        got = [
+            r["us"]
+            for r in read_parquet(spark, path)
+            .selectExpr("unix_micros(ts) AS us")
+            .orderBy("us")
+            .collect()
+        ]
+        duck = sorted(
+            int(v[0])
+            for v in duckdb.connect()
+            .execute(f"SELECT epoch_us(CAST(ts AS TIMESTAMP)) FROM '{path}'")
+            .fetchall()
+        )
+        assert got == duck
+        assert got == sorted(int(n / 1000) for n in nanos)  # trunc, not floor
+
 
 class TestCsvUnionAndDrift:
     def test_column_union_across_files(self, spark, tmp_path):
