@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -32,6 +33,50 @@ from pyspark.sql import functions as F
 from presencia_etl_spark.operators import cdc
 
 AUDIT_COLS = ("id", "row_hash", "created_at", "updated_at")
+BUCKET_COL = "_kb"
+
+
+def _warn_audit_collisions(src: DataFrame) -> None:
+    """A source data column named like the audit envelope (other than a
+    trusted pre-computed row_hash) is silently shadowed by the surrogate
+    audit value — a natural key called ``id`` would be LOST. Warn loudly;
+    callers should rename before merging."""
+    clash = [c for c in src.columns if c in AUDIT_COLS and c != "row_hash"]
+    if clash:
+        warnings.warn(
+            f"source columns {clash} collide with the audit envelope "
+            f"{AUDIT_COLS}; they will be replaced by surrogate audit values "
+            "— rename them before merging if they carry data",
+            stacklevel=3,
+        )
+
+
+def _widen_for_drift(
+    src: DataFrame, tgt: DataFrame
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Schema evolution on merge (the reference's documented drift failure,
+    context/context.md:900-903): a column the source GREW is added to the
+    target frame NULL-filled (old rows keep NULL until their key is next
+    updated), and a column the source DROPPED is added back to the source
+    as NULL so in-flight updates don't lose it. Because row hashes cover
+    the value set, every overlapping key reclassifies as UPDATE on the
+    first post-drift merge and settles to SKIP on the next (idempotency
+    holds). Returns (src, tgt, drifted) — ``drifted`` forces callers onto
+    their full-rewrite path: appending or bucket-pruning with a widened
+    schema would leave mixed-schema parquet files that a plain (non-
+    mergeSchema) read silently truncates."""
+    tgt_data = [f for f in tgt.schema.fields if f.name not in AUDIT_COLS]
+    src_names = set(src.columns)
+    drifted = False
+    for f in src.schema.fields:
+        if f.name not in tgt.columns and f.name not in AUDIT_COLS:
+            tgt = tgt.withColumn(f.name, F.lit(None).cast(f.dataType))
+            drifted = True
+    for f in tgt_data:
+        if f.name not in src_names and f.name != BUCKET_COL:
+            src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+            drifted = True
+    return src, tgt, drifted
 
 
 def with_audit_columns(
@@ -86,8 +131,11 @@ def compact_parquet(
     Repeated appends (streaming micro-batches, insert-only merges) accrete
     small files; scans then pay per-file open cost and tiny row groups.
     Rewrites the dataset into ``ceil(bytes / target)`` files via a staged
-    swap. At true scale run per-partition (each _kb bucket independently)
-    so compaction parallelizes and doesn't rewrite cold partitions.
+    swap. A hive-partitioned layout (e.g. the ``_kb=`` bucketed merge
+    target) is PRESERVED — flattening it would leave the next dynamic
+    partition overwrite unable to replace the compacted root files, i.e.
+    stale duplicate rows. Partitioned inputs are rewritten with
+    ``partitionBy`` (one task per partition value → one file per bucket).
     Returns {'files_before', 'files_after', 'bytes'}.
     """
     import math
@@ -102,9 +150,23 @@ def compact_parquet(
     if n_files == 0:
         return {"files_before": 0, "files_after": 0, "bytes": 0}
     n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    part_cols = [
+        d.split("=", 1)[0]
+        for d in sorted(os.listdir(path))
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    part_cols = list(dict.fromkeys(part_cols))
     df = spark.read.parquet(path)
     tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path) or ".")
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    if part_cols:
+        # One shuffle keyed on the partition columns → one output file per
+        # partition dir; cold partitions still rewrite here, so at true
+        # scale call this per dirty-partition subset instead.
+        df.repartition(*[F.col(c) for c in part_cols]).write.mode(
+            "overwrite"
+        ).partitionBy(*part_cols).parquet(tmp)
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.replace(tmp, path)
     after = sum(
@@ -128,9 +190,6 @@ def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str,
         .mode("append")
         .save()
     )
-
-
-BUCKET_COL = "_kb"
 
 
 def merge_upsert_partitioned(
@@ -160,23 +219,29 @@ def merge_upsert_partitioned(
     # recomputing over typed values, and over the hash column itself, would
     # misclassify every row as UPDATE). Default hash scope excludes the
     # audit envelope for the same reason.
+    _warn_audit_collisions(src)
     if "row_hash" in src.columns:
         hashed = src
     else:
         hashed = cdc.with_row_hash(
             src, hash_cols or [c for c in src.columns if c not in AUDIT_COLS]
         )
-    keyed = cdc.with_cdc_key(hashed, key_cols)
-    keyed = keyed.withColumn(
-        BUCKET_COL, F.pmod(F.xxhash64(F.col(cdc.KEY_COL)), F.lit(num_buckets)).cast("int")
-    )
+
+    def keyed_of(h: DataFrame) -> DataFrame:
+        k = cdc.with_cdc_key(h, key_cols)
+        return k.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(cdc.KEY_COL)), F.lit(num_buckets)).cast("int"),
+        )
 
     if not os.path.exists(target_path):
-        out = with_audit_columns(keyed.drop(cdc.KEY_COL), key_cols)
+        out = with_audit_columns(keyed_of(hashed).drop(cdc.KEY_COL), key_cols)
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
         return {"insert": out.count(), "update": 0, "skip": 0, "buckets_rewritten": num_buckets}
 
     tgt = spark.read.parquet(target_path)
+    hashed, tgt, drifted = _widen_for_drift(hashed, tgt)
+    keyed = keyed_of(hashed)
     t = cdc.with_cdc_key(tgt, key_cols).select(
         F.col(cdc.KEY_COL), F.col("row_hash").alias("_tgt_hash")
     )
@@ -206,7 +271,16 @@ def merge_upsert_partitioned(
         .distinct()
         .collect()
     ]
-    data_cols = [c for c in src.columns if c not in AUDIT_COLS]
+    if drifted:
+        # Schema drift must reach EVERY bucket — pruning would leave clean
+        # buckets with the old file schema (silent truncation on read).
+        dirty = sorted(
+            set(dirty)
+            | {r[BUCKET_COL] for r in tgt.select(BUCKET_COL).distinct().collect()}
+        )
+    data_cols = [
+        c for c in tgt.columns if c not in AUDIT_COLS and c != BUCKET_COL
+    ]
 
     # Partition-pruned target scan: only dirty buckets are read.
     tgt_dirty = tgt.filter(F.col(BUCKET_COL).isin(dirty))
@@ -236,13 +310,42 @@ def merge_upsert_partitioned(
         .unionByName(inserted.select(*data_cols, *audit))
     )
 
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    # CRASH SAFETY: stage the rebuilt dirty buckets to a sibling temp dir
+    # FIRST (the job reads the live target while computing them — a dynamic
+    # partition overwrite of the same path would destroy its own input on a
+    # mid-commit failure or stage retry), then swap each _kb= directory
+    # into place with two renames. A crash mid-swap leaves every bucket as
+    # either its complete old or complete new version (old copies are
+    # parked inside the staging dir, never under the target, so a partial
+    # swap can't double-read); the merge is idempotent, so re-running it
+    # converges the remaining buckets.
+    staged = tempfile.mkdtemp(
+        prefix="merge_buckets_", dir=os.path.dirname(target_path) or "."
+    )
     try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        new_parts.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        new_parts.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged)
+        classified.unpersist()
+        try:
+            for b in dirty:
+                src_dir = os.path.join(staged, f"{BUCKET_COL}={b}")
+                dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
+                if not os.path.exists(src_dir):
+                    continue  # no deletes → only possible for an empty task
+                parked = os.path.join(staged, f"_old_{b}")
+                if os.path.exists(dst_dir):
+                    os.rename(dst_dir, parked)
+                os.rename(src_dir, dst_dir)
+        except BaseException:
+            # Put back any bucket whose old dir was parked but whose new
+            # dir didn't land — the target stays complete (old version).
+            for b in dirty:
+                dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
+                parked = os.path.join(staged, f"_old_{b}")
+                if not os.path.exists(dst_dir) and os.path.exists(parked):
+                    os.rename(parked, dst_dir)
+            raise
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    classified.unpersist()
+        shutil.rmtree(staged, ignore_errors=True)
     return {
         "insert": n_insert,
         "update": n_update,
@@ -262,13 +365,19 @@ def merge_upsert_parquet(
 
     Semantics = reference incremental sync: INSERT new keys, UPDATE changed
     hashes (updated_at refreshed, created_at/id preserved), SKIP identical.
-    Never deletes (trap N6).
+    Never deletes (trap N6). Schema drift (source grew/dropped a column) is
+    absorbed by ``_widen_for_drift``. The default hash scope excludes the
+    audit envelope (mirrors the partitioned variant — audit values must
+    never feed row identity).
     """
+    _warn_audit_collisions(src)
     if not os.path.exists(target_path):
         hashed = (
             src
             if "row_hash" in src.columns
-            else cdc.with_row_hash(src, hash_cols or src.columns)
+            else cdc.with_row_hash(
+                src, hash_cols or [c for c in src.columns if c not in AUDIT_COLS]
+            )
         )
         out = with_audit_columns(hashed, key_cols)
         overwrite_parquet(out, target_path)
@@ -283,8 +392,11 @@ def merge_upsert_parquet(
     src_h = (
         src
         if "row_hash" in src.columns
-        else cdc.with_row_hash(src, hash_cols or src.columns)
+        else cdc.with_row_hash(
+            src, hash_cols or [c for c in src.columns if c not in AUDIT_COLS]
+        )
     )
+    src_h, tgt, drifted = _widen_for_drift(src_h, tgt)
     narrow = src_h.select(*key_cols, "row_hash")
     counts = {
         r["op"]: r["cnt"]
@@ -301,10 +413,12 @@ def merge_upsert_parquet(
 
     classified = cdc.cdc_classify(src_h, tgt, key_cols, hash_cols).cache()
 
-    if n_update == 0:
+    if n_update == 0 and not drifted:
         # Insert-only pass — the common incremental shape. Pure append:
         # no rewrite of existing state at all (the reference's batched
-        # INSERT path, minus its row-at-a-time fallback).
+        # INSERT path, minus its row-at-a-time fallback). Skipped under
+        # drift: appended files would carry the widened schema while old
+        # files keep the narrow one.
         max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
         inserted = with_audit_columns(
             classified.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(

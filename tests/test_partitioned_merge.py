@@ -4,9 +4,14 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
-from presencia_etl_spark.sinks.writers import merge_upsert_partitioned
+from presencia_etl_spark.sinks.writers import (
+    compact_parquet,
+    merge_upsert_parquet,
+    merge_upsert_partitioned,
+)
 
 
 def _bucket_mtimes(path: str) -> dict[str, float]:
@@ -70,6 +75,169 @@ class TestPartitionedMerge:
         assert len(ids) == len(set(ids))
 
 
+class TestCrashSafety:
+    def _seed(self, spark, target, n=2000, buckets=16):
+        src = spark.range(0, n).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 7).cast("string").alias("V"),
+        )
+        merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=buckets)
+        return src
+
+    def test_staged_write_failure_leaves_target_intact(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A failure while STAGING the rebuilt buckets (before any swap)
+        must leave the live target byte-identical and re-mergeable —
+        the old dynamic-partition overwrite had already replaced
+        partitions by this point."""
+        target = str(tmp_path / "state")
+        src = self._seed(spark, target)
+        before = sorted(
+            (r["K"], r["V"]) for r in spark.read.parquet(target).collect()
+        )
+
+        import presencia_etl_spark.sinks.writers as W
+
+        real_mkdtemp = W.tempfile.mkdtemp
+
+        def exploding_mkdtemp(*a, **kw):  # staging dir creation is step 1
+            raise OSError("injected staging failure")
+
+        monkeypatch.setattr(W.tempfile, "mkdtemp", exploding_mkdtemp)
+        mut = src.withColumn(
+            "V", F.when(F.col("K") == "42", F.lit("CHANGED")).otherwise(F.col("V"))
+        )
+        with pytest.raises(OSError, match="injected"):
+            merge_upsert_partitioned(spark, mut, target, ["K"], num_buckets=16)
+        monkeypatch.setattr(W.tempfile, "mkdtemp", real_mkdtemp)
+
+        after = sorted(
+            (r["K"], r["V"]) for r in spark.read.parquet(target).collect()
+        )
+        assert after == before  # untouched
+        r = merge_upsert_partitioned(spark, mut, target, ["K"], num_buckets=16)
+        assert r["update"] == 1  # re-mergeable, converges
+
+    def test_swap_failure_rolls_back_parked_bucket(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """If a bucket-directory rename fails mid-swap, every bucket must
+        end as a COMPLETE old or new version (no missing/partial dirs),
+        the state must stay readable, and a re-merge must converge."""
+        target = str(tmp_path / "state")
+        src = self._seed(spark, target)
+
+        import presencia_etl_spark.sinks.writers as W
+
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def flaky_rename(a, b):
+            if "_kb=" in os.path.basename(b):  # the src→dst landing rename
+                calls["n"] += 1
+                if calls["n"] == 2:
+                    raise OSError("injected swap failure")
+            real_rename(a, b)
+
+        monkeypatch.setattr(W.os, "rename", flaky_rename)
+        # Mutate several keys → several dirty buckets → multiple swaps.
+        mut = src.withColumn(
+            "V",
+            F.when(F.col("K").isin("1", "2", "3", "4", "5"), F.lit("M")).otherwise(
+                F.col("V")
+            ),
+        )
+        with pytest.raises(OSError, match="injected"):
+            merge_upsert_partitioned(spark, mut, target, ["K"], num_buckets=16)
+        monkeypatch.setattr(W.os, "rename", real_rename)
+
+        state = spark.read.parquet(target)
+        assert state.count() == 2000  # every key present exactly once
+        ks = [r["K"] for r in state.select("K").collect()]
+        assert len(ks) == len(set(ks))
+        r = merge_upsert_partitioned(spark, mut, target, ["K"], num_buckets=16)
+        assert r["insert"] == 0 and r["update"] > 0  # converges
+        final = spark.read.parquet(target)
+        assert final.filter(F.col("V") == "M").count() == 5
+
+
+class TestSchemaEvolution:
+    def test_flat_merge_widens_on_new_column(self, spark, tmp_path):
+        target = str(tmp_path / "state")
+        v1 = spark.range(0, 100).select(
+            F.col("id").cast("string").alias("K"), F.lit("a").alias("A")
+        )
+        merge_upsert_parquet(spark, v1, target, ["K"])
+        # v2 grows column B and covers only half the keys.
+        v2 = spark.range(0, 50).select(
+            F.col("id").cast("string").alias("K"),
+            F.lit("a").alias("A"),
+            F.lit("b").alias("B"),
+        )
+        r = merge_upsert_parquet(spark, v2, target, ["K"])
+        assert r["update"] == 50  # hash now covers B → overlap reclassifies
+        state = spark.read.parquet(target)
+        assert "B" in state.columns
+        assert state.filter(F.col("B").isNull()).count() == 50  # old rows NULL
+        assert state.filter(F.col("B") == "b").count() == 50
+        # Idempotency: second identical merge settles to SKIP.
+        r = merge_upsert_parquet(spark, v2, target, ["K"])
+        assert r["insert"] == 0 and r["update"] == 0
+
+    def test_flat_merge_dropped_column_preserved_as_null(self, spark, tmp_path):
+        target = str(tmp_path / "state")
+        v1 = spark.range(0, 40).select(
+            F.col("id").cast("string").alias("K"),
+            F.lit("a").alias("A"),
+            F.lit("b").alias("B"),
+        )
+        merge_upsert_parquet(spark, v1, target, ["K"])
+        v2 = spark.range(0, 40).select(
+            F.col("id").cast("string").alias("K"), F.lit("a2").alias("A")
+        )
+        r = merge_upsert_parquet(spark, v2, target, ["K"])
+        assert r["update"] == 40
+        state = spark.read.parquet(target)
+        assert set(state.select("A").distinct().toPandas()["A"]) == {"a2"}
+        assert state.filter(F.col("B").isNull()).count() == 40
+        r = merge_upsert_parquet(spark, v2, target, ["K"])
+        assert r["insert"] == 0 and r["update"] == 0
+
+    def test_partitioned_merge_widens_every_bucket(self, spark, tmp_path):
+        target = str(tmp_path / "state")
+        v1 = spark.range(0, 400).select(
+            F.col("id").cast("string").alias("K"), F.lit("a").alias("A")
+        )
+        merge_upsert_partitioned(spark, v1, target, ["K"], num_buckets=8)
+        # Source grows B but only touches a handful of keys → drift must
+        # still rewrite ALL buckets (mixed-schema files are unreadable
+        # without mergeSchema).
+        v2 = spark.range(0, 10).select(
+            F.col("id").cast("string").alias("K"),
+            F.lit("a").alias("A"),
+            F.lit("b").alias("B"),
+        )
+        r = merge_upsert_partitioned(spark, v2, target, ["K"], num_buckets=8)
+        assert r["buckets_rewritten"] == 8
+        state = spark.read.parquet(target)  # plain read, no mergeSchema
+        assert "B" in state.columns
+        assert state.count() == 400
+        assert state.filter(F.col("B") == "b").count() == 10
+        assert state.filter(F.col("B").isNull()).count() == 390
+        r = merge_upsert_partitioned(spark, v2, target, ["K"], num_buckets=8)
+        assert r["insert"] == 0 and r["update"] == 0
+
+    def test_audit_collision_warns(self, spark, tmp_path):
+        target = str(tmp_path / "state")
+        src = spark.range(0, 10).select(
+            F.col("id").cast("string").alias("K"),
+            F.col("id").alias("id"),  # natural key named like audit col
+        )
+        with pytest.warns(UserWarning, match="collide with the audit envelope"):
+            merge_upsert_parquet(spark, src, target, ["K"])
+
+
 class TestCompaction:
     def test_compact_after_many_appends(self, spark, tmp_path):
         from presencia_etl_spark.sinks.writers import compact_parquet
@@ -89,3 +257,32 @@ class TestCompaction:
         after = spark.read.parquet(path)
         assert after.count() == n_rows
         assert {x["id"] for x in after.collect()} == set(range(1200))
+
+    def test_compact_preserves_bucket_layout_then_merge(self, spark, tmp_path):
+        """Regression: compacting a _kb=-partitioned merge target used to
+        flatten it to root-level files; the next bucket-pruned merge then
+        replaced only _kb= dirs, leaving the compacted root rows as stale
+        duplicates. Layout must survive compaction and a sparse merge must
+        not duplicate keys."""
+        target = str(tmp_path / "state")
+        src = spark.range(0, 1000).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 5).cast("string").alias("V"),
+        )
+        merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=8)
+
+        r = compact_parquet(spark, target, target_file_mb=128)
+        assert r["files_after"] <= r["files_before"]
+        kb_dirs = [d for d in os.listdir(target) if d.startswith("_kb=")]
+        assert len(kb_dirs) == 8, "bucket layout must survive compaction"
+
+        mut = src.withColumn(
+            "V", F.when(F.col("K") == "7", F.lit("CHANGED")).otherwise(F.col("V"))
+        )
+        r = merge_upsert_partitioned(spark, mut, target, ["K"], num_buckets=8)
+        assert r["update"] == 1
+        state = spark.read.parquet(target)
+        assert state.count() == 1000  # no stale duplicates
+        ks = [row["K"] for row in state.select("K").collect()]
+        assert len(ks) == len(set(ks))
+        assert state.filter(F.col("K") == "7").collect()[0]["V"] == "CHANGED"
