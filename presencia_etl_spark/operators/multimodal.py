@@ -72,12 +72,36 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes) -> bytes:
-    """Real decode path — requires an image/audio codec library."""
-    raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg, not present in this container; "
-        "use fake=True for the deterministic stub"
-    )
+def _try_import_pil():
+    """Optional codec: PIL if installed, else None (this container has no
+    codec libs — the stub branch stays the default and is always tested;
+    the real branch activates automatically where PIL exists)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+PIL_IMAGE = _try_import_pil()
+
+
+def decode_real(payload: bytes) -> "tuple[bytes, int, int]":
+    """Real decode path: image bytes → (raw RGB bytes, width, height).
+
+    Uses PIL when importable; otherwise raises NotImplementedError (the
+    deterministic ``fake=True`` stub is the supported path in codec-less
+    environments)."""
+    if PIL_IMAGE is None:
+        raise NotImplementedError(
+            "media decoding requires PIL/ffmpeg, not present in this "
+            "container; use fake=True for the deterministic stub"
+        )
+    import io
+
+    img = PIL_IMAGE.open(io.BytesIO(payload)).convert("RGB")
+    return img.tobytes(), img.width, img.height
 
 
 def _fake_features(payload: bytes) -> tuple[float, float]:
@@ -98,11 +122,15 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     needs; only the per-blob function is stubbed.
     """
 
+    def featurize(p) -> tuple[float, float]:
+        raw = bytes(p or b"")
+        if not fake:
+            raw, _w, _h = decode_real(raw)  # PIL pixels, or NotImplementedError
+        return _fake_features(raw)  # byte/pixel mean+std — same math both ways
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                pdf["payload"].map(decode_real)  # raises NotImplementedError
-            feats = pdf["payload"].map(lambda p: _fake_features(bytes(p or b"")))
+            feats = pdf["payload"].map(featurize)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -154,18 +182,27 @@ def resize_media(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target_bytes = target_width * target_height
         for pdf in batches:
-            if not fake:
-                pdf["payload"].map(decode_real)  # raises NotImplementedError
             out_payload = []
             out_meta = []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 raw = bytes(payload or b"")
-                stride = max(1, len(raw) // target_bytes) if raw else 1
-                shrunk = raw[::stride][:target_bytes]
+                if not fake:
+                    if PIL_IMAGE is None:
+                        decode_real(raw)  # canonical NotImplementedError
+                    # Real branch: decode → PIL resize → raw RGB out.
+                    import io
+
+                    img = PIL_IMAGE.open(io.BytesIO(raw)).convert("RGB")
+                    shrunk = img.resize((target_width, target_height)).tobytes()
+                    fmt_suffix = ";resized-rgb"
+                else:
+                    stride = max(1, len(raw) // target_bytes) if raw else 1
+                    shrunk = raw[::stride][:target_bytes]
+                    fmt_suffix = ";resized"
                 out_payload.append(shrunk)
                 m = dict(meta) if meta is not None else {}
                 m.update(
-                    format=(m.get("format") or "fake/raw") + ";resized",
+                    format=(m.get("format") or "fake/raw") + fmt_suffix,
                     width=target_width,
                     height=target_height,
                     n_bytes=len(shrunk),

@@ -78,3 +78,70 @@ def salted_join(
         )
     )
     return big_s.join(small_rep, [key, SALT_COL], how).drop(SALT_COL)
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key: str,
+    sample_fraction: float = 0.01,
+    max_sample: int = 100_000,
+    seed: int = 42,
+) -> dict:
+    """Cheap key-frequency probe on a seeded sample (bounded rows → bounded
+    cost regardless of table size). Returns {'top_share', 'n_keys',
+    'sample_rows'} — top_share is the hottest key's fraction of sampled
+    rows, the signal AQE also uses for its skew-join split decision."""
+    sampled = df.select(key).sample(fraction=min(1.0, sample_fraction), seed=seed)
+    if max_sample:
+        sampled = sampled.limit(max_sample)
+    row = (
+        sampled.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.max("c").alias("top"),
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .collect()[0]
+    )
+    total = row["total"] or 0
+    return {
+        "top_share": (row["top"] / total) if total else 0.0,
+        "n_keys": row["n_keys"],
+        "sample_rows": total,
+    }
+
+
+def choose_join_strategy(
+    big: DataFrame,
+    key: str,
+    hot_share_threshold: float = 0.2,
+    sample_fraction: float = 0.01,
+    seed: int = 42,
+) -> str:
+    """'salted' when the sampled hottest key exceeds the threshold share of
+    rows (one reducer would own ≥ threshold of the join input), else
+    'plain' (Catalyst/AQE handle mild skew fine without replication)."""
+    stats = key_skew_stats(big, key, sample_fraction=sample_fraction, seed=seed)
+    return "salted" if stats["top_share"] >= hot_share_threshold else "plain"
+
+
+def skew_aware_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    hot_share_threshold: float = 0.2,
+    sample_fraction: float = 0.01,
+) -> DataFrame:
+    """Auto-selecting equi-join: probes the big side's key frequencies and
+    routes to ``salted_join`` only when a hot key would dominate a reducer
+    — plain joins keep their broadcast/SMJ plans and pay zero replication.
+    The probe is one bounded sample aggregation (scalar collect)."""
+    strategy = choose_join_strategy(
+        big, key, hot_share_threshold=hot_share_threshold, sample_fraction=sample_fraction
+    )
+    if strategy == "salted":
+        return salted_join(big, small, key, n_salts=n_salts, how=how)
+    return big.join(small, key, how)

@@ -189,10 +189,34 @@ class TestMultimodal:
         assert by_id[0]["feat_mean"] == by_id[1]["feat_mean"]
         assert by_id[0]["n_bytes"] > 0
 
-    def test_real_decode_is_stubbed(self, corpus):
+    @pytest.mark.skipif(
+        multimodal.PIL_IMAGE is not None, reason="PIL installed: real branch active"
+    )
+    def test_real_decode_raises_without_codec(self, corpus):
         media = multimodal.synthesize_media(corpus, "doc_id", "text")
         with pytest.raises(Exception, match="NotImplementedError|media decoding"):
             multimodal.extract_features(media, fake=False).collect()
+
+    @pytest.mark.skipif(
+        multimodal.PIL_IMAGE is None, reason="PIL not installed: stub branch only"
+    )
+    def test_real_decode_with_codec(self, spark):
+        """When PIL IS importable the same fake=False call decodes real
+        image bytes (tiny generated PNG) instead of raising."""
+        import io
+
+        img = multimodal.PIL_IMAGE.new("RGB", (8, 6), color=(10, 20, 30))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        png = buf.getvalue()
+        media = spark.createDataFrame(
+            [(1, png, ("image/png", 8, 6, len(png)))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        feats = {r["media_id"]: r for r in multimodal.extract_features(media, fake=False).collect()}
+        assert feats[1]["feat_mean"] == 20.0  # mean of (10,20,30) per pixel
+        resized = multimodal.resize_media(media, 4, 3, fake=False).collect()[0]
+        assert resized["meta"]["n_bytes"] == 4 * 3 * 3  # RGB out
 
     def test_frame_sample(self, corpus):
         media = multimodal.synthesize_media(corpus, "doc_id", "text")

@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from presencia_etl_spark.operators import similarity
-from presencia_etl_spark.operators.skew import salted_agg, salted_join
+from presencia_etl_spark.operators.skew import (
+    choose_join_strategy,
+    salted_agg,
+    salted_join,
+    skew_aware_join,
+)
 
 
 class TestSalting:
@@ -46,6 +51,38 @@ class TestSalting:
             F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
         ).collect()[0]
         assert (salted["n"], salted["s"]) == (plain["n"], plain["s"])
+
+    def test_auto_trigger_selects_salting_only_on_skew(self, spark):
+        hot = spark.range(0, 5_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        uniform = spark.range(0, 5_000).select(
+            (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+        )
+        assert choose_join_strategy(hot, "k", sample_fraction=1.0) == "salted"
+        assert choose_join_strategy(uniform, "k", sample_fraction=1.0) == "plain"
+
+    def test_skew_aware_join_matches_plain_both_routes(self, spark):
+        small = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        for big in (
+            spark.range(0, 5_000).select(  # hot: 90% of rows on k=1
+                F.when(F.col("id") % 5 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+                F.col("id").alias("v"),
+            ),
+            spark.range(0, 5_000).select(  # uniform
+                (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+            ),
+        ):
+            plain = big.join(small, "k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+            ).collect()[0]
+            auto = skew_aware_join(big, small, "k", sample_fraction=1.0).agg(
+                F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+            ).collect()[0]
+            assert (auto["n"], auto["s"]) == (plain["n"], plain["s"])
 
 
 class TestIVF:
