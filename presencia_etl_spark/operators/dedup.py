@@ -18,6 +18,8 @@ bucket-size cap. Signatures are recomputable, so nothing is driver-side.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -101,6 +103,93 @@ def minhash_signature(shingles_col: str, n_hashes: int = 32) -> F.Column:
     )
 
 
+# --- exact numpy replica of Spark's XXH64 (catalyst XxHash64) ---------------
+_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = np.uint64(0x165667B19E3779F9)
+_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x: "np.ndarray", r: int) -> "np.ndarray":
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xxh_fmix(acc: "np.ndarray") -> "np.ndarray":
+    acc = acc ^ (acc >> np.uint64(33))
+    acc = acc * _XXH_P2
+    acc = acc ^ (acc >> np.uint64(29))
+    acc = acc * _XXH_P3
+    return acc ^ (acc >> np.uint64(32))
+
+
+def xxh64_long(value: "np.ndarray", seed) -> "np.ndarray":
+    """Spark ``XXH64.hashLong`` vectorized (wrapping uint64 arithmetic) —
+    bit-identical to the SQL ``xxhash64(<bigint>)`` chain step."""
+    with np.errstate(over="ignore"):
+        acc = seed + _XXH_P5 + np.uint64(8)
+        acc = acc ^ (_rotl64(value * _XXH_P2, 31) * _XXH_P1)
+        acc = _rotl64(acc, 27) * _XXH_P1 + _XXH_P4
+        return _xxh_fmix(acc)
+
+
+def xxh64_int(value: "np.ndarray", seed) -> "np.ndarray":
+    """Spark ``XXH64.hashInt`` vectorized — the chain step SQL uses for an
+    IntegerType argument (e.g. a ``sequence()`` index)."""
+    with np.errstate(over="ignore"):
+        acc = seed + _XXH_P5 + np.uint64(4)
+        acc = acc ^ ((value & np.uint64(0xFFFFFFFF)) * _XXH_P1)
+        acc = _rotl64(acc, 23) * _XXH_P2 + _XXH_P3
+        return _xxh_fmix(acc)
+
+
+def minhash_signature_arrow(
+    df: DataFrame,
+    shingles_col: str,
+    n_hashes: int = 32,
+    out: str = "sig",
+) -> DataFrame:
+    """Hybrid MinHash: shingles are hashed ONCE each JVM-side (xxhash64),
+    then the ``n_hashes`` per-family minima run vectorized in numpy via a
+    pandas UDF — one (|S| × n) hash + min per doc instead of |S|·n
+    interpreted ``zip_with`` steps (the SQL fold in ``minhash_signature``
+    was the q28 bottleneck: ~5 s for 5k docs vs well under 1 s here).
+
+    The family is EXACTLY the SQL path's ``xxhash64(h, i)`` — Spark's
+    chained XXH64 (hashInt(i, hashLong(h, 42))) replicated in wrapping
+    uint64 numpy, signed-min folded with the same ``(1<<62)-1`` sentinel —
+    so both paths produce bit-identical signatures (parity-tested). A
+    first attempt used a splitmix64 XOR-seed family; its cross-seed
+    correlations inflated est_jaccard ~2.5× on real corpora — min-wise
+    family quality is NOT a given, reuse the proven one.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    max_l = (1 << 62) - 1
+    idx = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    seed42 = np.uint64(42)
+    empty_sig = [max_l] * n_hashes
+
+    @pandas_udf("array<long>")
+    def sigs(th: pd.Series) -> pd.Series:
+        res = []
+        for hs in th.to_numpy():
+            if hs is None or len(hs) == 0:
+                res.append(empty_sig)
+                continue
+            H = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            base = xxh64_long(H, seed42)[:, None]  # (m, 1)
+            fam = xxh64_int(idx, base).view(np.int64)  # (m, n) signed
+            mins = np.minimum(fam.min(axis=0), max_l)
+            res.append(mins.tolist())
+        return pd.Series(res)
+
+    hashed = df.withColumn(
+        "_th", F.expr(f"transform({shingles_col}, s -> xxhash64(s))")
+    )
+    return hashed.withColumn(out, sigs(F.col("_th"))).drop("_th")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -109,6 +198,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     max_bucket: int = 1000,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -117,18 +207,28 @@ def minhash_lsh_candidates(
     are candidates. ``max_bucket`` drops degenerate buckets (e.g. empty
     docs) that would explode quadratically.
     """
+    from pyspark.sql import Window
+
     rows_per_band = n_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            char_shingles(text_col, k).alias("shingles"),
-        )
-        .withColumn("sig", minhash_signature("shingles", n_hashes))
-        .drop("shingles")
+    # Signatures are computed ONCE and persisted; everything that moves
+    # through the LSH shuffles is NARROW (band_id, band_hash, doc_id)
+    # triples — the 32-long sig arrays rejoin only for the few surviving
+    # candidate pairs (Catalyst/AQE broadcasts the sig side when small; at
+    # petabyte scale that final join is a sorted id join and the persist
+    # becomes a checkpoint to storage).
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        char_shingles(text_col, k).alias("shingles"),
     )
+    if use_arrow:
+        sig = minhash_signature_arrow(shingled, "shingles", n_hashes).drop("shingles")
+    else:
+        sig = shingled.withColumn(
+            "sig", minhash_signature("shingles", n_hashes)
+        ).drop("shingles")
+    sig = sig.persist()
     banded = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
@@ -137,31 +237,32 @@ def minhash_lsh_candidates(
                 f" {rows_per_band}), ','))))"
             )
         ).alias("band"),
-    ).select("doc_id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
 
-    # The banded frame feeds three consumers (bucket sizing + both join
-    # sides); persist it so the signature computation runs once, not 3×.
-    # At petabyte scale this is a checkpoint to storage instead.
-    banded = banded.persist()
-
-    # Prune degenerate buckets before the self-join.
-    sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bsz"))
-    pruned = banded.join(
-        sizes.filter(F.col("bsz") <= max_bucket).select("band_id", "band_hash"),
-        ["band_id", "band_hash"],
+    # Prune degenerate buckets with ONE window pass (no sizes join).
+    w = Window.partitionBy("band_id", "band_hash")
+    pruned = (
+        banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
     )
 
-    a = pruned.select("band_id", "band_hash", F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = pruned.select("band_id", "band_hash", F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    a = pruned.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
+    b = pruned.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
     pairs = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pairs.join(
+        sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
-    ) / F.lit(float(len(range(n_hashes)) or 1))
+    ) / F.lit(float(n_hashes or 1))
     return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
 
 

@@ -415,29 +415,39 @@ def lsh_topk(
 
     The corpus is bucketed once per table ((table, bucket) exploded pairs
     — narrow), queries are broadcast; the exact cosine re-rank runs only
-    inside candidate buckets.
+    inside candidate buckets. All L×b plane dots are ONE Arrow-batched
+    matmul per batch (a vectorized pandas UDF): the previous formulation —
+    L·b literal-array ``aggregate``/``zip_with`` folds per row — was
+    interpreter-bound and ~4× slower at sf0.1.
     """
+    from pyspark.sql.functions import pandas_udf
+
     c_base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
 
+    # (L·b, d) plane matrix, captured by the UDF closure (small, shipped
+    # once per worker). Bit i of table t's bucket = sign of plane (t, i).
+    P = np.asarray(
+        [
+            plane
+            for t in range(n_tables)
+            for plane in hyperplanes(dim, n_planes, seed + 1000 * t)
+        ],
+        dtype=np.float64,
+    )
+    bit_weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
+
+    @pandas_udf("array<long>")
+    def all_table_buckets(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        bits = (M @ P.T >= 0).reshape(len(M), n_tables, n_planes)
+        vals = (bits * bit_weights).sum(axis=2)
+        return pd.Series([row.tolist() for row in vals])
+
     def bucketed(df: DataFrame, vec: str, probe: bool) -> DataFrame:
-        # All L table buckets in ONE projection over ONE scan (a union of
-        # per-table frames would rescan the corpus L times), then
+        # All L table buckets in ONE projection over ONE scan, then
         # posexplode to (tbl, bucket) rows.
-        exprs = []
-        for t in range(n_tables):
-            planes = hyperplanes(dim, n_planes, seed + 1000 * t)
-            bits = []
-            for i, plane in enumerate(planes):
-                arr = "array(" + ",".join(f"cast({x!r} as double)" for x in plane) + ")"
-                dot = (
-                    f"aggregate(zip_with({vec}, {arr}, (x, y) -> cast(x as double) * y),"
-                    f" cast(0.0 as double), (acc, v) -> acc + v)"
-                )
-                bits.append(f"if({dot} >= 0, shiftleft(1L, {i}), 0L)")
-            exprs.append(" | ".join(bits))
-        all_buckets = F.array(*[F.expr(e) for e in exprs])
-        out = df.withColumn("_bkts", all_buckets).select(
+        out = df.withColumn("_bkts", all_table_buckets(F.col(vec))).select(
             "*", F.posexplode("_bkts").alias("tbl", "bucket")
         ).drop("_bkts")
         if probe and multiprobe:

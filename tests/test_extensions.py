@@ -54,6 +54,41 @@ class TestMinHashLSH:
         for r in rows:
             assert abs(r["est_jaccard"] - r["exact"]) < 0.25
 
+    def test_arrow_sigs_bit_identical_to_sql(self, spark, sf_dir):
+        """The vectorized path replicates Spark's chained XXH64 exactly —
+        signatures (and therefore candidates) must match the SQL fold
+        bit-for-bit. Guards the family against 'looks-random-enough'
+        substitutes: a splitmix XOR-seed family passed every smoke test
+        here yet inflated est_jaccard ~2.5× on the real corpus."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+        sh = docs.select("doc_id", dedup.char_shingles("text", 5).alias("sh"))
+        sql_sigs = {
+            r["doc_id"]: list(r["sig"])
+            for r in sh.withColumn(
+                "sig", dedup.minhash_signature("sh", 32)
+            ).collect()
+        }
+        arrow_sigs = {
+            r["doc_id"]: list(r["sig"])
+            for r in dedup.minhash_signature_arrow(sh, "sh", 32).collect()
+        }
+        assert arrow_sigs == sql_sigs
+
+    def test_arrow_and_sql_candidates_agree(self, corpus):
+        a = {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in dedup.minhash_lsh_candidates(
+                corpus, "doc_id", "text", use_arrow=True
+            ).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in dedup.minhash_lsh_candidates(
+                corpus, "doc_id", "text", use_arrow=False
+            ).collect()
+        }
+        assert a == b and a
+
 
 class TestSimHash:
     def test_dup_and_near_dup_hamming(self, corpus):
