@@ -54,3 +54,20 @@ class TestPlanProperties:
     def test_rollup_scan_prunes_columns(self, q):
         p = plan_of(q("q08_monthly_rollup"))
         assert "ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp" in p
+
+    def test_ivf_index_probe_prunes_partitions(self, spark, sf_dir, tmp_path):
+        """A saved IVF index is partitioned by cluster; filtering to the
+        probed clusters must hit PartitionFilters (only the probed
+        posting lists' files are read — the 100 TB contract)."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, _cent = similarity.build_ivf_index(emb, n_clusters=8)
+        path = str(tmp_path / "ivf_plan_index")
+        similarity.save_ivf_index(assigned, path)
+        loaded = similarity.load_ivf_index(spark, path)
+        p = plan_of(loaded.filter(F.col("cluster").isin(1, 3)))
+        # partition-level filter on the cluster dirs, not a post-scan Filter
+        assert "PartitionFilters: [cluster#" in p and "IN (1,3)" in p
