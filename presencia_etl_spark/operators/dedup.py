@@ -292,6 +292,114 @@ def ngram_jaccard(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering (connected components) + end-to-end corpus dedup
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive closure of a near-dup pair set: (id, component) where
+    component = the MINIMUM id reachable through any chain of pairs.
+
+    Pairwise output alone under-dedups: A~B and B~C without A~C leaves two
+    survivors. Each round combines min-label propagation (every node takes
+    the min label among itself and its neighbors) with POINTER JUMPING
+    (label ← label's label), so label distance halves per round: O(log
+    diameter) rounds, not O(diameter). Every round is localCheckpoint'ed —
+    iterative DataFrame algorithms otherwise accrete lineage until
+    planning time dominates (on a real cluster use ``checkpoint`` to a
+    reliable dir instead). The loop exits early on a zero-changes round
+    (the convergence count is scalar bookkeeping, not data movement). At
+    extreme scale swap for large-star/small-star (Kiveris et al.) — same
+    DataFrame-only building blocks.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("dst_comp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+            .select(F.col("src").alias("id"), "nbr_comp")
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+        )
+        # Pointer jump: comp ← comp's comp (halves label distance).
+        ptr = stepped.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
+        jumped = (
+            stepped.join(ptr, stepped["comp"] == ptr["pid"], "left")
+            .select(
+                stepped["id"],
+                F.least(
+                    stepped["comp"], F.coalesce(ptr["pcomp"], stepped["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup removal: MinHash-LSH candidates → exact n-gram
+    Jaccard verification → connected components → keep the minimum-id
+    representative per cluster. Returns the deduplicated corpus (original
+    schema). Deterministic: survivors are the same run-to-run.
+
+    This is the composition a training-data pipeline actually runs; each
+    stage is the scale-shaped operator documented above (narrow LSH
+    shuffles, candidate-only verification, shallow label propagation).
+    """
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands
+    ).filter(F.col("est_jaccard") >= est_threshold)
+    verified = ngram_jaccard(
+        cands.select("id_a", "id_b"), docs, id_col, text_col
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    comp = connected_components(verified)
+    # Survivor per component = min id == the component label itself.
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -90,6 +90,62 @@ class TestMinHashLSH:
         assert a == b and a
 
 
+class TestDedupClustering:
+    def test_connected_components_transitive_chain(self, spark):
+        # A~B, B~C, (D~E) — no direct A~C pair; components must merge them.
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"]
+        )
+        comp = {
+            r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    def test_connected_components_long_chain_converges(self, spark):
+        n = 40  # path graph 0-1-2-...-39: worst-case diameter
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+        )
+        comp = {
+            r["id"]: r["comp"]
+            for r in dedup.connected_components(pairs, max_iter=50).collect()
+        }
+        assert set(comp.values()) == {0} and len(comp) == n + 1
+
+    def test_dedup_corpus_collapses_chain_to_one_survivor(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm fire and the birds sing outside"
+        )
+        rows = [
+            (10, base),
+            (11, base),  # exact dup of 10
+            (12, base.replace("lazy", "sleepy")),  # near dup of 10/11
+            (13, base.replace("lazy", "sleepy").replace("quick", "rapid")),
+            # 13 is nearer to 12 than to 10 — transitivity must still
+            # collapse the whole chain to one survivor.
+            (20, "completely different text about spark partitions and shuffle behavior at scale"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_corpus(
+                docs, "doc_id", "text", est_threshold=0.3, jaccard_threshold=0.3
+            ).collect()
+        )
+        assert kept == [10, 20]  # min-id survivor per cluster + the singleton
+
+    def test_dedup_corpus_deterministic(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = sorted(
+            r["doc_id"] for r in dedup.dedup_corpus(docs, "doc_id", "text").collect()
+        )
+        b = sorted(
+            r["doc_id"] for r in dedup.dedup_corpus(docs, "doc_id", "text").collect()
+        )
+        assert a == b and len(a) < docs.count()  # testdata has planted dups
+
+
 class TestSimHash:
     def test_dup_and_near_dup_hamming(self, corpus):
         sigs = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(corpus, "doc_id", "text").collect()}
