@@ -186,6 +186,55 @@ def cosine_pairs_blocked(
     return tiles.groupBy("bi", "bj").applyInPandas(gemm, out_schema)
 
 
+def l2_normalize(df: DataFrame, vec_col: str = "embedding", out: str | None = None) -> DataFrame:
+    """L2-normalize an embedding column (zero vectors pass through) — one
+    JVM higher-order expression, no UDF. Normalized corpora turn cosine
+    into a plain dot product, halving re-rank flops downstream."""
+    out = out or vec_col
+    nrm = _norm(vec_col)
+    # Norm bound ONCE via a single-element outer transform — inlining the
+    # aggregate into the inner lambda would re-sum the vector per element
+    # (the quadratic HOF trap; see winnowed_fingerprints).
+    normalized = F.expr(
+        f"transform(array(sqrt(aggregate({vec_col}, cast(0.0 as double),"
+        f" (a, v) -> a + cast(v as double) * cast(v as double)))),"
+        f" n -> transform({vec_col}, x -> cast(cast(x as double) / n as float)))[0]"
+    )
+    return df.withColumn(
+        out, F.when(nrm == 0, F.col(vec_col)).otherwise(normalized)
+    )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", out: str = "embedding_q", scale_col: str = "q_scale"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q = round(x · 127 / max|x|),
+    scale stored alongside for dequantization. 4× storage reduction for a
+    100 TB embedding store (float32 → int8 + one float per vector); cosine
+    on dequantized vectors is within ~1% of exact for typical embeddings.
+    All JVM-side (two higher-order passes: absmax, then scale+round)."""
+    absmax = F.expr(
+        f"aggregate({vec_col}, cast(0.0 as double),"
+        f" (a, v) -> greatest(a, abs(cast(v as double))))"
+    )
+    df = df.withColumn(scale_col, (F.when(absmax == 0, 1.0).otherwise(absmax) / 127.0))
+    return df.withColumn(
+        out,
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) / {scale_col}) as tinyint))"
+        ),
+    )
+
+
+def dequantize_embeddings_int8(
+    df: DataFrame, q_col: str = "embedding_q", scale_col: str = "q_scale", out: str = "embedding"
+) -> DataFrame:
+    return df.withColumn(
+        out,
+        F.expr(f"transform({q_col}, q -> cast(cast(q as double) * {scale_col} as float))"),
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (driver-side constants, broadcast as
     literals into the plan)."""

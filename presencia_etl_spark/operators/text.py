@@ -118,6 +118,43 @@ def predict_lang(col: Column | str, markers: dict[str, tuple[str, ...]] = LANG_M
     return best_lang
 
 
+# PII patterns for training-corpus scrubbing. Order matters: the email
+# rule must run before the phone rule (digits inside a mailto-ish string).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b(?:\+?\d{1,3}[-. ]?)?(?:\(\d{2,4}\)[-. ]?)?\d{3,4}[-. ]\d{3,4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(
+    col: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS
+) -> Column:
+    """Replace PII-shaped substrings with typed placeholder tokens — the
+    standard scrub pass before a corpus feeds training. A chain of JVM
+    ``regexp_replace`` calls: no UDF, scales linearly with cores, and the
+    placeholders keep token positions meaningful for downstream stats."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in patterns:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(col: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
+    """Struct of per-type PII hit counts (audit/reporting side of the
+    scrub; e.g. filter docs whose counts exceed a threshold)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))).alias(
+                t.strip("<>").lower()
+            )
+            for p, t in patterns
+        ]
+    )
+
+
 def md5_fingerprint(col: Column | str, head: int = 40) -> Column:
     """Cheap doc fingerprint: md5(length-tagged head of the text)."""
     c = F.col(col) if isinstance(col, str) else col

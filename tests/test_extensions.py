@@ -336,6 +336,82 @@ class TestResize:
         assert feats.count() == 2
 
 
+class TestPiiRedaction:
+    def test_redact_and_count(self, spark):
+        rows = [
+            (1, "mail me at alice.smith+x@example.co.uk or call 555-123-4567"),
+            (2, "server at 192.168.1.10 logged ssn 123-45-6789"),
+            (3, "nothing sensitive here at all"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "t"])
+        out = {
+            r["id"]: (r["red"], r["c"])
+            for r in df.select(
+                "id",
+                text.redact_pii("t").alias("red"),
+                text.pii_counts("t").alias("c"),
+            ).collect()
+        }
+        assert "<EMAIL>" in out[1][0] and "@" not in out[1][0]
+        assert "<PHONE>" in out[1][0]
+        assert "<IP>" in out[2][0] and "<SSN>" in out[2][0]
+        assert out[3][0] == "nothing sensitive here at all"
+        assert out[1][1]["email"] == 1 and out[2][1]["ip"] == 1
+        assert out[2][1]["ssn"] == 1 and out[3][1]["email"] == 0
+
+    def test_redaction_is_idempotent(self, spark):
+        df = spark.createDataFrame([(1, "x bob@x.io 10.0.0.1 y")], ["id", "t"])
+        once = df.select(text.redact_pii("t").alias("t"))
+        twice = once.select(text.redact_pii("t").alias("t"))
+        assert once.collect() == twice.collect()
+
+
+class TestEmbeddingCompression:
+    def test_l2_normalize_unit_norm_and_direction(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+        n = similarity.with_norm(
+            similarity.l2_normalize(emb, "embedding", out="nv"), "nv", out="nn"
+        )
+        rows = n.select("vec_id", "nn").collect()
+        assert rows and all(abs(r["nn"] - 1.0) < 1e-5 for r in rows)
+        # Direction preserved: cosine(original, normalized) == 1.
+        both = similarity.l2_normalize(emb, "embedding", out="nv")
+        cos = both.select(
+            (
+                F.expr(
+                    "aggregate(zip_with(embedding, nv, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (a, v) -> a + v)"
+                )
+            ).alias("dot"),
+        )
+        # dot(original, unit(original)) == |original|
+        norms = similarity.with_norm(emb, "embedding", out="nrm").select("nrm").collect()
+        dots = cos.collect()
+        for d, m in zip(dots, norms):
+            assert abs(d["dot"] - m["nrm"]) < 1e-3
+
+    def test_int8_quantize_roundtrip_preserves_cosine(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+        q = similarity.quantize_embeddings_int8(emb, "embedding")
+        assert dict(q.dtypes)["embedding_q"] == "array<tinyint>"
+        deq = similarity.dequantize_embeddings_int8(
+            q.drop("embedding").withColumnRenamed("vec_id", "vec_id"),
+            out="embedding_dq",
+        )
+        joined = emb.join(deq.select("vec_id", "embedding_dq"), "vec_id")
+        cos = joined.select(
+            "vec_id",
+            (
+                F.expr(
+                    "aggregate(zip_with(embedding, embedding_dq, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (a, v) -> a + v)"
+                )
+                / (
+                    similarity._norm("embedding") * similarity._norm("embedding_dq")
+                )
+            ).alias("cos"),
+        ).collect()
+        assert cos and all(r["cos"] > 0.999 for r in cos)
+
+
 class TestStratifiedSample:
     def test_proportions(self, spark, sf_dir):
         from presencia_etl_spark.operators.profile import stratified_sample
