@@ -439,7 +439,12 @@ def q30_streaming_dedup(spark, sf):
     # are disjoint and survivors == distinct hashes.
     docs = docs.withColumn("shard", F.substring("row_hash", 1, 1))
     work = tempfile.mkdtemp(prefix="q30_stream_")
+    # The state store commits one file per shuffle partition per batch —
+    # with 16 shard keys, 4 state partitions cut commit overhead 4× while
+    # keeping the stateful stage parallel. Restore the session conf after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         src, sink, chk = f"{work}/src", f"{work}/sink", f"{work}/chk"
         docs.repartition(4).write.mode("overwrite").parquet(src)
         stream = (
@@ -458,6 +463,7 @@ def q30_streaming_dedup(spark, sf):
         q.awaitTermination()
         n = spark.read.parquet(sink).count()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame([(n,)], "n_unique bigint")
 
