@@ -60,3 +60,75 @@ def stratified_sample(
     (e.g. downsample dominant languages). Deterministic for a fixed seed
     and partitioning; approximate per-stratum sizes (Bernoulli sampling)."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def hash_split(
+    df: DataFrame, id_col: str, fractions: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Deterministic train/val/test split by key hash: adds a ``split``
+    column. Unlike ``randomSplit`` the assignment depends ONLY on
+    (id, seed) — stable under repartitioning, re-runs, and appends (a new
+    row lands in the same split forever), which is what leakage-safe
+    training splits require. Fractions must sum to ~1."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    # uniform in [0, 1) from the key hash
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        clause = F.when(u < cum, F.lit(name))
+        expr = clause if expr is None else expr.when(u < cum, F.lit(name))
+    expr = (
+        expr.otherwise(F.lit(names[-1]))
+        if expr is not None
+        else F.lit(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def weighted_mix(
+    corpora: dict[str, DataFrame],
+    weights: dict[str, float],
+    seed: int = 42,
+    shuffle_key_col: str | None = "_shuffle_key",
+    id_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Mix corpora to target proportions — the training-mixture operator
+    ("40% web, 40% code, 20% books"). Output size is the largest achievable
+    without oversampling any source: N = min_i(n_i / w_i); each source is
+    Bernoulli-sampled to its target share and tagged with ``_source``.
+    Schemas must be union-compatible (use a common (id, text) projection).
+    ``shuffle_key_col`` adds a deterministic hash for the caller to
+    sort/range-partition by — a global shuffle of the mixture without a
+    driver-side pass. Counting each source is scalar bookkeeping; the
+    sample itself never leaves the executors."""
+    missing = set(corpora) ^ set(weights)
+    if missing:
+        raise ValueError(f"corpora/weights key mismatch: {missing}")
+    wsum = sum(weights.values())
+    norm = {k: w / wsum for k, w in weights.items()}
+    counts = {k: df.count() for k, df in corpora.items()}
+    n_out = min(counts[k] / norm[k] for k in corpora if norm[k] > 0)
+    parts = []
+    for k, df in corpora.items():
+        target = n_out * norm[k]
+        frac = min(1.0, target / counts[k]) if counts[k] else 0.0
+        part = df.sample(fraction=frac, seed=seed).withColumn("_source", F.lit(k))
+        if shuffle_key_col:
+            key = (
+                F.col(id_cols[k])
+                if id_cols and k in id_cols
+                else F.monotonically_increasing_id()
+            )
+            part = part.withColumn(
+                shuffle_key_col, F.xxhash64(key, F.lit(seed), F.lit(k))
+            )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

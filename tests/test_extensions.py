@@ -412,6 +412,58 @@ class TestEmbeddingCompression:
         assert cos and all(r["cos"] > 0.999 for r in cos)
 
 
+class TestSplitAndMix:
+    def test_hash_split_deterministic_disjoint_complete(self, spark, sf_dir):
+        from presencia_etl_spark.operators.profile import hash_split
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = hash_split(docs, "doc_id", fr)
+        b = hash_split(docs.repartition(7), "doc_id", fr)  # same assignment
+        am = {r["doc_id"]: r["split"] for r in a.select("doc_id", "split").collect()}
+        bm = {r["doc_id"]: r["split"] for r in b.select("doc_id", "split").collect()}
+        assert am == bm
+        n = len(am)
+        from collections import Counter
+
+        c = Counter(am.values())
+        assert set(c) <= {"train", "val", "test"} and sum(c.values()) == n
+        assert abs(c["train"] / n - 0.8) < 0.05  # proportions approximate
+
+    def test_hash_split_rejects_bad_fractions(self, spark):
+        from presencia_etl_spark.operators.profile import hash_split
+
+        df = spark.range(5).withColumnRenamed("id", "k")
+        with pytest.raises(ValueError, match="sum to 1"):
+            hash_split(df, "k", {"a": 0.5, "b": 0.1})
+
+    def test_weighted_mix_proportions(self, spark):
+        from presencia_etl_spark.operators.profile import weighted_mix
+
+        web = spark.range(0, 10_000).select(F.col("id"), F.lit("w").alias("t"))
+        code = spark.range(0, 2_000).select(F.col("id"), F.lit("c").alias("t"))
+        mixed = weighted_mix(
+            {"web": web, "code": code},
+            {"web": 0.5, "code": 0.5},
+            id_cols={"web": "id", "code": "id"},
+        )
+        counts = {
+            r["_source"]: r["n"]
+            for r in mixed.groupBy("_source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # code is the limiting source: N = 2000/0.5 = 4000 → ~2000 each.
+        assert counts["code"] > 1800  # fraction 1.0 → all of it
+        assert abs(counts["web"] - 2000) < 300
+        assert "_shuffle_key" in mixed.columns
+
+    def test_weighted_mix_key_mismatch(self, spark):
+        from presencia_etl_spark.operators.profile import weighted_mix
+
+        df = spark.range(5)
+        with pytest.raises(ValueError, match="mismatch"):
+            weighted_mix({"a": df}, {"b": 1.0})
+
+
 class TestStratifiedSample:
     def test_proportions(self, spark, sf_dir):
         from presencia_etl_spark.operators.profile import stratified_sample
