@@ -604,7 +604,9 @@ def q45_bpe_tokens(spark, sf):
 
 
 def q46_winnow_fingerprints(spark, sf):
-    """Winnowed rolling-hash fingerprints (xxhash-based → rows-only)."""
+    """Winnowed rolling-hash fingerprints (xxhash-based → rows-only).
+    Pure-SQL fold with the gram array bound once — measured faster than an
+    Arrow hybrid at every realistic doc length (see text.py note)."""
     docs = _t(spark, sf, "documents")
     fps = docs.select(
         "doc_id", F.explode(text.winnowed_fingerprints("text", k=8, window=4)).alias("fp")
