@@ -17,6 +17,7 @@ engine reads:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -124,6 +125,62 @@ def read_csv_union(spark: SparkSession, paths: list[str]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     return out
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Read a JSONL corpus (the standard training-data interchange format).
+
+    PERMISSIVE mode: malformed lines land whole in ``corrupt_col`` instead
+    of failing the job — at corpus scale a handful of bad lines must not
+    kill a 100 TB read; filter/route them downstream (``jsonl_quarantine``
+    splits the frame). With an explicit ``schema`` Spark skips the
+    inference pass (one full scan saved — always pass one at scale; the
+    corrupt column is appended to it automatically).
+    """
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if schema is not None:
+        if corrupt_col not in [f.name for f in schema.fields]:
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+            )
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def jsonl_quarantine(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_corrupt_col, corrupt_lines) — route bad lines to
+    a quarantine sink instead of silently dropping them.
+
+    The parsed frame is cached first: Spark refuses queries that reference
+    ONLY the internal corrupt-record column (SPARK-26228 semantics — the
+    raw line isn't available post-pushdown otherwise). The cache holds the
+    parsed batch once for both output legs; unpersist after writing them.
+    """
+    if corrupt_col not in df.columns:
+        return df, df.limit(0).select(F.lit("").alias(corrupt_col))
+    df = df.cache()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, bad
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """Write a JSONL corpus (gzip by default — splittable formats beat it
+    at scale, but gzip-JSONL is the lingua franca consumers expect)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def check_schema_drift(

@@ -146,6 +146,55 @@ class TestNanosTimestamps:
         assert got == sorted(int(n / 1000) for n in nanos)  # trunc, not floor
 
 
+class TestJsonl:
+    def test_roundtrip_and_quarantine(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from presencia_etl_spark.sources.readers import (
+            jsonl_quarantine,
+            read_jsonl,
+            write_jsonl,
+        )
+
+        src = tmp_path / "corpus"
+        src.mkdir()
+        (src / "a.jsonl").write_text(
+            '{"doc_id": 1, "text": "hello world"}\n'
+            '{"doc_id": 2, "text": "second doc"}\n'
+            "{broken json line\n"
+            '{"doc_id": 3, "text": "third"}\n'
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        df = read_jsonl(spark, str(src), schema=schema)
+        clean, bad = jsonl_quarantine(df)
+        assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2, 3]
+        assert "_corrupt_record" not in clean.columns
+        assert bad.count() == 1 and "broken" in bad.collect()[0][0]
+
+        out = str(tmp_path / "out")
+        write_jsonl(clean, out, compression=None)
+        back = read_jsonl(spark, out, schema=schema)
+        assert sorted(r["doc_id"] for r in back.collect()) == [1, 2, 3]
+
+    def test_explicit_schema_skips_inference(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from presencia_etl_spark.sources.readers import read_jsonl
+
+        p = tmp_path / "t.jsonl"
+        p.write_text('{"a": 1, "b": "x"}\n')
+        schema = T.StructType(
+            [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+        )
+        df = read_jsonl(spark, str(p), schema=schema)
+        assert [f.name for f in df.schema.fields] == ["a", "b", "_corrupt_record"]
+
+
 class TestCsvUnionAndDrift:
     def test_column_union_across_files(self, spark, tmp_path):
         from presencia_etl_spark.sources.readers import read_csv_union
