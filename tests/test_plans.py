@@ -55,6 +55,14 @@ class TestPlanProperties:
         p = plan_of(q("q08_monthly_rollup"))
         assert "ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp" in p
 
+    def test_tfidf_pushes_doc_filter_into_scan(self, q):
+        """q10's tf branch must scan only doc_id < 10 (PushedFilters) while
+        the document-frequency branch scans all docs — two scans, one
+        pruned, no full-corpus tf aggregation for 10 docs' output."""
+        p = plan_of(q("q10_tfidf"))
+        assert "LessThan(doc_id,10)" in p
+        assert "BroadcastHashJoin" in p  # df join small side broadcast
+
     def test_ivf_index_probe_prunes_partitions(self, spark, sf_dir, tmp_path):
         """A saved IVF index is partitioned by cluster; filtering to the
         probed clusters must hit PartitionFilters (only the probed
