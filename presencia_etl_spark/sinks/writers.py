@@ -178,6 +178,25 @@ def compact_parquet(
     return {"files_before": n_files, "files_after": after, "bytes": total}
 
 
+def write_range_sorted(
+    df: DataFrame, path: str, sort_col: str, num_files: int = 8
+) -> None:
+    """Write parquet globally range-ordered on ``sort_col``: one range
+    shuffle (sampled split points) + sort-within-partitions, so every file
+    owns a disjoint value range and every row group is internally ordered.
+    Scans filtered on ``sort_col`` then skip whole files/row-groups via
+    parquet min/max stats — at 100 TB this is the difference between
+    touching one day's files and scanning the corpus. (The write-side
+    equivalent of partitionBy for high-cardinality order keys like
+    timestamps, without the tiny-directory explosion.)"""
+    (
+        df.repartitionByRange(num_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str, str], batchsize: int = 1000) -> None:
     """S5 against a real RDBMS: executor-parallel batched inserts
     (reference: executemany per 1000 rows, single connection)."""

@@ -3,6 +3,9 @@
 
 from __future__ import annotations
 
+import os
+
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from presencia_etl_spark.sinks.catalog import (
@@ -193,6 +196,38 @@ class TestJsonl:
         )
         df = read_jsonl(spark, str(p), schema=schema)
         assert [f.name for f in df.schema.fields] == ["a", "b", "_corrupt_record"]
+
+
+class TestRangeSortedWrite:
+    def test_files_own_disjoint_ranges(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from presencia_etl_spark.sinks.writers import write_range_sorted
+
+        df = spark.range(0, 10_000).select(
+            (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v")
+        )
+        path = str(tmp_path / "sorted")
+        write_range_sorted(df, path, "k", num_files=4)
+
+        ranges = []
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                md = pq.ParquetFile(os.path.join(path, f)).metadata
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(0).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                ranges.append((min(mins), max(maxs)))
+        assert len(ranges) == 4
+        ranges.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2  # disjoint value ranges → file-level skipping
+        # Content survives the reorder.
+        back = spark.read.parquet(path)
+        assert back.count() == 10_000
+        assert back.agg(F.sum("v")).collect()[0][0] == sum(range(10_000))
 
 
 class TestCsvUnionAndDrift:
