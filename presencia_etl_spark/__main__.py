@@ -1,15 +1,15 @@
 """Thin CLI over the three pipelines (the EP3 control-plane analog).
 
 The reference exposes its scripts over a Flask HTTP server (``server.py``);
-parity only needs a way to trigger the pipelines and read per-table metrics
-back, so this stays a CLI returning JSON (an HTTP wrapper would add nothing
-to the engine).
+the ``serve`` subcommand starts the stdlib analog
+(presencia_etl_spark/server.py) with the same trigger surface.
 
 Usage:
     python -m presencia_etl_spark full-sync   --source DIR --target DIR
     python -m presencia_etl_spark incremental --source DIR --target DIR
     python -m presencia_etl_spark reconcile   --source DIR --table orders \
         --date-col o_orderdate
+    python -m presencia_etl_spark serve --port 8000
 """
 
 from __future__ import annotations
@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--tables", nargs="*", default=[], help="subset (default: all found)")
         p.add_argument("--key", nargs="*", default=[], help="key columns (default: first column)")
 
+    p = sub.add_parser("serve", help="HTTP control plane (reference server.py analog)")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
@@ -57,6 +61,12 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"presencia-etl-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "serve":
+        from presencia_etl_spark.server import serve
+
+        serve(spark, host=args.host, port=args.port)
+        return 0
 
     if args.cmd in ("full-sync", "incremental"):
         from presencia_etl_spark.sources.registry import TableConfig

@@ -1,0 +1,134 @@
+"""HTTP control plane: the reference's Flask trigger server re-expressed.
+
+The reference exposes its pipelines over HTTP (``server.py:10-20`` index
+catalog; ``:44-54`` /run/sync_all + /run/sync_incremental + /run/clean,
+each running a script synchronously and answering ``{"status": "ok",
+"output": ...}`` or a 500 with ``{"status": "error", "error": ...}``).
+This analog serves the same surface from the stdlib (no Flask dependency)
+and runs the pipelines IN-PROCESS against one shared SparkSession — no
+per-request JVM spin-up, which is the Spark-shaped equivalent of the
+reference keeping one mysql connection per script run.
+
+Endpoints (GET, like the reference):
+  /                → service catalog
+  /health          → liveness probe
+  /run/full-sync   ?source=DIR&target=DIR[&tables=a,b][&key=k1,k2]
+  /run/incremental ?source=DIR&target=DIR[&tables=a,b][&key=k1,k2]
+  /run/clean       ?target=DIR   (drops the warehouse dir's tables)
+
+Synchronous by design: the reference blocks until the script exits; a
+queue/async layer belongs in an orchestrator, not the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+CATALOG = {
+    "service": "presencia-etl-spark",
+    "status": "online",
+    "endpoints": {
+        "/run/full-sync": "full synchronization (first load)",
+        "/run/incremental": "incremental synchronization (daily)",
+        "/run/clean": "drop warehouse tables",
+        "/health": "liveness",
+    },
+}
+
+
+def _run_pipeline(spark, cmd: str, params: dict) -> dict:
+    from presencia_etl_spark.__main__ import _load_tables
+    from presencia_etl_spark.sources.registry import TableConfig
+
+    source, target = params["source"], params["target"]
+    names = [t for t in params.get("tables", "").split(",") if t]
+    keys = [k for k in params.get("key", "").split(",") if k]
+    tables = _load_tables(spark, source, names)
+    if not tables:
+        raise ValueError(f"no <table>.parquet inputs found under {source!r}")
+    configs = {
+        n: TableConfig(n, key_cols=keys or [df.columns[0]])
+        for n, df in tables.items()
+    }
+    if cmd == "full-sync":
+        from presencia_etl_spark.plans.full_sync import full_sync
+
+        return full_sync(spark, tables, configs, target)
+    from presencia_etl_spark.plans.incremental_sync import incremental_sync
+
+    return incremental_sync(spark, tables, configs, target)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    spark = None  # injected by make_server
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args) -> None:  # quiet test output
+        pass
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
+        url = urlparse(self.path)
+        params = {k: v[0] for k, v in parse_qs(url.query).items()}
+        try:
+            if url.path == "/":
+                self._reply(200, CATALOG)
+            elif url.path == "/health":
+                self._reply(200, {"status": "ok"})
+            elif url.path in ("/run/full-sync", "/run/incremental"):
+                if "source" not in params or "target" not in params:
+                    self._reply(
+                        400,
+                        {"status": "error", "error": "source and target params required"},
+                    )
+                    return
+                out = _run_pipeline(self.spark, url.path.rsplit("/", 1)[-1], params)
+                self._reply(200, {"status": "ok", "result": out})
+            elif url.path == "/run/clean":
+                target = params.get("target")
+                if not target:
+                    self._reply(400, {"status": "error", "error": "target param required"})
+                    return
+                shutil.rmtree(target, ignore_errors=True)
+                self._reply(200, {"status": "ok", "result": {"dropped": target}})
+            else:
+                self._reply(404, {"status": "error", "error": f"unknown path {url.path}"})
+        except Exception as e:  # mirror the reference's 500 JSON envelope
+            self._reply(500, {"status": "error", "error": str(e)})
+
+
+def make_server(spark, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build the server bound to (host, port); ``port=0`` picks a free one
+    (``server.server_address[1]`` has the real port). Call
+    ``serve_forever()`` (or run it in a thread, as the tests do)."""
+    handler = type("BoundHandler", (_Handler,), {"spark": spark})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(spark, host: str = "0.0.0.0", port: int = 8000) -> None:
+    server = make_server(spark, host, port)
+    print(json.dumps({"serving": f"http://{host}:{port}", "endpoints": list(CATALOG["endpoints"])}))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+
+
+def _start_background(spark, host: str = "127.0.0.1", port: int = 0):
+    """Test helper: server + thread, returns (server, base_url)."""
+    server = make_server(spark, host, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, f"http://{host}:{server.server_address[1]}"

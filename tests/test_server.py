@@ -1,0 +1,81 @@
+"""HTTP control plane: the reference server.py trigger surface, end-to-end
+against a live (ephemeral-port) server sharing the test SparkSession."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.server import _start_background
+
+
+def _get(url: str):
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv, base = _start_background(spark)
+    yield base
+    srv.shutdown()
+
+
+class TestControlPlane:
+    def test_catalog_and_health(self, server):
+        code, body = _get(f"{server}/")
+        assert code == 200 and body["status"] == "online"
+        assert "/run/full-sync" in body["endpoints"]
+        code, body = _get(f"{server}/health")
+        assert code == 200 and body["status"] == "ok"
+
+    def test_full_then_incremental_then_clean(self, spark, server, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.range(0, 200).select(
+            F.col("id").cast("string").alias("K"), (F.col("id") % 5).alias("V")
+        ).write.parquet(str(src / "widgets.parquet"))
+        target = tmp_path / "wh"
+
+        code, body = _get(
+            f"{server}/run/full-sync?source={src}&target={target}&key=K"
+        )
+        assert code == 200 and body["status"] == "ok", body
+        assert spark.read.parquet(f"{target}/widgets").count() == 200
+
+        code, body = _get(
+            f"{server}/run/incremental?source={src}&target={target}&key=K"
+        )
+        assert code == 200 and body["status"] == "ok", body
+        widgets = body["result"]["widgets"]
+        assert widgets["insert"] == 0 and widgets["update"] == 0
+
+        code, body = _get(f"{server}/run/clean?target={target}")
+        assert code == 200 and body["status"] == "ok"
+        import os
+
+        assert not os.path.exists(str(target))
+
+    def test_missing_params_is_400(self, server):
+        code, body = _get(f"{server}/run/full-sync")
+        assert code == 400 and body["status"] == "error"
+
+    def test_pipeline_failure_is_500_json(self, server, tmp_path):
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        code, body = _get(
+            f"{server}/run/full-sync?source={empty}&target={tmp_path}/t"
+        )
+        assert code == 500 and body["status"] == "error"
+        assert "no <table>.parquet" in body["error"]
+
+    def test_unknown_path_is_404(self, server):
+        code, body = _get(f"{server}/nope")
+        assert code == 404 and body["status"] == "error"
