@@ -127,6 +127,65 @@ def read_csv_union(spark: SparkSession, paths: list[str]) -> DataFrame:
     return out
 
 
+def read_mdb_table(
+    spark: SparkSession,
+    mdb_path: str,
+    table: str,
+    runner=None,
+) -> DataFrame:
+    """S1 primary source: an Access table via ``mdb-export`` — the
+    reference's actual scan (``sync_ALL.py:128-137``: subprocess mdb-export
+    → csv.DictReader all-string rows). Same semantics here: the exported
+    CSV is parsed all-string (typing stays in the cast plan, N1).
+
+    ``runner(cmd: list[str]) -> str`` abstracts the subprocess so the
+    parsing layer is testable without the binary (this container has no
+    mdb-tools and the reference's .mdb is a Git-LFS pointer); the default
+    runner shells out and raises a clear error when mdb-tools is missing.
+    The export happens driver-side — Access files are single-machine
+    artifacts by nature (the reference reads one too); the DataFrame that
+    leaves here is distributed like any other all-string source.
+    """
+    csv_text = (runner or _run_mdb_export)(["mdb-export", mdb_path, table])
+    return _csv_text_all_string(spark, csv_text)
+
+
+def mdb_list_tables(mdb_path: str, runner=None) -> list[str]:
+    """``mdb-tables -1`` analog (one name per line)."""
+    out = (runner or _run_mdb_export)(["mdb-tables", "-1", mdb_path])
+    return [line.strip() for line in out.splitlines() if line.strip()]
+
+
+def _run_mdb_export(cmd: list[str]) -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            cmd, capture_output=True, text=True, check=True
+        ).stdout
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"{cmd[0]} not found — install mdb-tools to read Access files, "
+            "or pass runner= for a custom exporter"
+        ) from e
+
+
+def _csv_text_all_string(spark: SparkSession, csv_text: str) -> DataFrame:
+    """Parse in-memory CSV text with full CSV semantics (quoting, embedded
+    commas/newlines — csv.DictReader parity) into an all-string frame."""
+    import csv as _csv
+    from io import StringIO
+
+    rows = list(_csv.reader(StringIO(csv_text)))
+    if not rows:
+        return spark.createDataFrame([], T.StructType([]))
+    header, data = rows[0], rows[1:]
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in header])
+    # '' → NULL at the boundary, mirroring read_csv_all_string + N2.
+    cleaned = [[v if v != "" else None for v in r] for r in data]
+    return spark.createDataFrame(cleaned, schema)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

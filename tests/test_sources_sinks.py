@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -147,6 +148,57 @@ class TestNanosTimestamps:
         )
         assert got == duck
         assert got == sorted(int(n / 1000) for n in nanos)  # trunc, not floor
+
+
+class TestMdbSource:
+    """The mdb-export scan (reference sync_ALL.py:128-137) with an injected
+    exporter — the binary isn't in this container, but the full parse path
+    (CSV quoting, all-string typing, ''→NULL) is exercised for real."""
+
+    FAKE_EXPORT = (
+        "NUMSOCIO,NOMBRE,IMPORTE,OBS\n"
+        '0001,"PEREZ, JUAN",123.45,\n'
+        '0002,"LOPEZ ""EL TANO"" LUIS",0,"linea\ncon salto"\n'
+    )
+
+    def _runner(self, calls):
+        def run(cmd):
+            calls.append(cmd)
+            if cmd[0] == "mdb-export":
+                return self.FAKE_EXPORT
+            if cmd[0] == "mdb-tables":
+                return "Socios\nCuotas\n"
+            raise AssertionError(cmd)
+
+        return run
+
+    def test_export_parses_all_string_with_csv_semantics(self, spark):
+        from presencia_etl_spark.sources.readers import read_mdb_table
+
+        calls = []
+        df = read_mdb_table(spark, "/x/Datos1.mdb", "Socios", runner=self._runner(calls))
+        assert calls == [["mdb-export", "/x/Datos1.mdb", "Socios"]]
+        assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 4
+        rows = {r["NUMSOCIO"]: r for r in df.collect()}
+        assert rows["0001"]["NOMBRE"] == "PEREZ, JUAN"  # embedded comma
+        assert rows["0002"]["NOMBRE"] == 'LOPEZ "EL TANO" LUIS'  # escaped quotes
+        assert rows["0002"]["OBS"] == "linea\ncon salto"  # embedded newline
+        assert rows["0001"]["OBS"] is None  # '' → NULL (N2)
+
+    def test_list_tables(self):
+        from presencia_etl_spark.sources.readers import mdb_list_tables
+
+        calls = []
+        assert mdb_list_tables("/x/Datos1.mdb", runner=self._runner(calls)) == [
+            "Socios",
+            "Cuotas",
+        ]
+
+    def test_missing_binary_raises_clear_error(self, spark):
+        from presencia_etl_spark.sources.readers import read_mdb_table
+
+        with pytest.raises(RuntimeError, match="mdb-tools"):
+            read_mdb_table(spark, "/x/Datos1.mdb", "Socios")
 
 
 class TestJsonl:
