@@ -35,6 +35,11 @@ def monthly_reconcile(
             aggs.append(expr.alias(f"{alias}_{suffix}"))
         return df.groupBy(month_key(date_col).alias("month")).agg(*aggs)
 
+    # Full-outer can't broadcast in Spark, so this is the one SortMergeJoin
+    # in the contract plans — by design: both sides are post-aggregation
+    # month rows (|months|, not |rows|), so the sort is over dozens of rows
+    # at ANY input scale. The heavy work (the two aggregations) is
+    # partial+final hash-aggregated before the join.
     joined = side(src, "src").join(side(tgt, "tgt"), on="month", how="full_outer")
     out = joined
     for alias in ["cnt", *measures.keys()]:
