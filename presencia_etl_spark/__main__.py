@@ -48,8 +48,14 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--key", nargs="*", default=[], help="key columns (default: first column)")
 
     p = sub.add_parser("serve", help="HTTP control plane (reference server.py analog)")
-    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument(
+        "--warehouse-root",
+        default=None,
+        help="fence for /run/clean: only paths inside this dir may be dropped "
+        "(endpoint disabled when unset)",
+    )
 
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
@@ -65,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "serve":
         from presencia_etl_spark.server import serve
 
-        serve(spark, host=args.host, port=args.port)
+        serve(spark, host=args.host, port=args.port, warehouse_root=args.warehouse_root)
         return 0
 
     if args.cmd in ("full-sync", "incremental"):

@@ -199,6 +199,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     max_bucket: int = 1000,
     use_arrow: bool = True,
+    eager: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -206,6 +207,13 @@ def minhash_lsh_candidates(
     fraction of matching signature positions. Pairs sharing ≥1 band bucket
     are candidates. ``max_bucket`` drops degenerate buckets (e.g. empty
     docs) that would explode quadratically.
+
+    ``eager=True`` (default) materializes the (narrow) pair list with
+    ``localCheckpoint`` and unpersists the signature cache before returning,
+    so repeated calls don't accumulate cached frames for the session
+    lifetime. Pass ``eager=False`` to keep the fully lazy plan — the
+    signature frame stays persisted and the CALLER owns releasing it
+    (``spark.catalog.clearCache()`` or session teardown).
     """
     from pyspark.sql import Window
 
@@ -263,7 +271,13 @@ def minhash_lsh_candidates(
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
     ) / F.lit(float(n_hashes or 1))
-    return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    out = pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    if eager:
+        # Surviving pairs are tiny next to the corpus; snapshotting them
+        # truncates the lineage so the signature cache can be released NOW.
+        out = out.localCheckpoint(eager=True)
+        sig.unpersist()
+    return out
 
 
 def ngram_jaccard(

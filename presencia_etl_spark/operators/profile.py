@@ -104,8 +104,11 @@ def weighted_mix(
     Schemas must be union-compatible (use a common (id, text) projection).
     ``shuffle_key_col`` adds a deterministic hash for the caller to
     sort/range-partition by — a global shuffle of the mixture without a
-    driver-side pass. Counting each source is scalar bookkeeping; the
-    sample itself never leaves the executors."""
+    driver-side pass. The key hashes the source's id column when one is
+    given in ``id_cols``, else the full row content — never a
+    partition-layout-dependent id, so the shuffle order is stable across
+    runs and repartitionings either way. Counting each source is scalar
+    bookkeeping; the sample itself never leaves the executors."""
     missing = set(corpora) ^ set(weights)
     if missing:
         raise ValueError(f"corpora/weights key mismatch: {missing}")
@@ -119,13 +122,17 @@ def weighted_mix(
         frac = min(1.0, target / counts[k]) if counts[k] else 0.0
         part = df.sample(fraction=frac, seed=seed).withColumn("_source", F.lit(k))
         if shuffle_key_col:
-            key = (
-                F.col(id_cols[k])
+            # ADVICE r3: monotonically_increasing_id() depends on partition
+            # layout — the shuffle key would differ run to run. Hash the
+            # declared id column, or the full row content when none is
+            # declared; both are functions of the DATA only.
+            keys = (
+                [F.col(id_cols[k])]
                 if id_cols and k in id_cols
-                else F.monotonically_increasing_id()
+                else [F.col(c) for c in df.columns]
             )
             part = part.withColumn(
-                shuffle_key_col, F.xxhash64(key, F.lit(seed), F.lit(k))
+                shuffle_key_col, F.xxhash64(*keys, F.lit(seed), F.lit(k))
             )
         parts.append(part)
     out = parts[0]

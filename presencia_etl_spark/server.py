@@ -14,7 +14,9 @@ Endpoints (GET, like the reference):
   /health          → liveness probe
   /run/full-sync   ?source=DIR&target=DIR[&tables=a,b][&key=k1,k2]
   /run/incremental ?source=DIR&target=DIR[&tables=a,b][&key=k1,k2]
-  /run/clean       ?target=DIR   (drops the warehouse dir's tables)
+  /run/clean       ?target=DIR   (drops the warehouse dir's tables; the
+                   target must resolve inside the configured warehouse
+                   root — the endpoint is disabled without one)
 
 Synchronous by design: the reference blocks until the script exits; a
 queue/async layer belongs in an orchestrator, not the engine.
@@ -23,6 +25,7 @@ queue/async layer belongs in an orchestrator, not the engine.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -65,6 +68,27 @@ def _run_pipeline(spark, cmd: str, params: dict) -> dict:
 
 class _Handler(BaseHTTPRequestHandler):
     spark = None  # injected by make_server
+    warehouse_root = None  # injected by make_server; gates /run/clean
+
+    def _clean_target(self, target: str) -> str:
+        """Validate a /run/clean target against the configured warehouse root.
+
+        The reference's /run/clean runs a fixed script scoped to its own DB
+        tables; a caller-supplied filesystem path must therefore be fenced:
+        without a configured root the endpoint is disabled, and any resolved
+        path (symlinks followed) outside the root is rejected.
+        """
+        if self.warehouse_root is None:
+            raise PermissionError(
+                "/run/clean disabled: server started without a warehouse root"
+            )
+        root = os.path.realpath(self.warehouse_root)
+        resolved = os.path.realpath(target)
+        if resolved != root and not resolved.startswith(root + os.sep):
+            raise PermissionError(
+                f"target {target!r} is outside the warehouse root {root!r}"
+            )
+        return resolved
 
     def _reply(self, code: int, payload: dict) -> None:
         body = json.dumps(payload, default=str).encode()
@@ -99,24 +123,46 @@ class _Handler(BaseHTTPRequestHandler):
                 if not target:
                     self._reply(400, {"status": "error", "error": "target param required"})
                     return
-                shutil.rmtree(target, ignore_errors=True)
-                self._reply(200, {"status": "ok", "result": {"dropped": target}})
+                try:
+                    resolved = self._clean_target(target)
+                except PermissionError as e:
+                    self._reply(403, {"status": "error", "error": str(e)})
+                    return
+                shutil.rmtree(resolved, ignore_errors=True)
+                self._reply(200, {"status": "ok", "result": {"dropped": resolved}})
             else:
                 self._reply(404, {"status": "error", "error": f"unknown path {url.path}"})
         except Exception as e:  # mirror the reference's 500 JSON envelope
             self._reply(500, {"status": "error", "error": str(e)})
 
 
-def make_server(spark, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def make_server(
+    spark,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    warehouse_root: str | None = None,
+) -> ThreadingHTTPServer:
     """Build the server bound to (host, port); ``port=0`` picks a free one
     (``server.server_address[1]`` has the real port). Call
-    ``serve_forever()`` (or run it in a thread, as the tests do)."""
-    handler = type("BoundHandler", (_Handler,), {"spark": spark})
+    ``serve_forever()`` (or run it in a thread, as the tests do).
+
+    ``warehouse_root`` fences /run/clean: only paths that resolve inside it
+    may be dropped, and the endpoint is disabled when it is None."""
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {"spark": spark, "warehouse_root": warehouse_root},
+    )
     return ThreadingHTTPServer((host, port), handler)
 
 
-def serve(spark, host: str = "0.0.0.0", port: int = 8000) -> None:
-    server = make_server(spark, host, port)
+def serve(
+    spark,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    warehouse_root: str | None = None,
+) -> None:
+    server = make_server(spark, host, port, warehouse_root=warehouse_root)
     print(json.dumps({"serving": f"http://{host}:{port}", "endpoints": list(CATALOG["endpoints"])}))
     try:
         server.serve_forever()
@@ -126,9 +172,9 @@ def serve(spark, host: str = "0.0.0.0", port: int = 8000) -> None:
         server.shutdown()
 
 
-def _start_background(spark, host: str = "127.0.0.1", port: int = 0):
+def _start_background(spark, host: str = "127.0.0.1", port: int = 0, warehouse_root=None):
     """Test helper: server + thread, returns (server, base_url)."""
-    server = make_server(spark, host, port)
+    server = make_server(spark, host, port, warehouse_root=warehouse_root)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, f"http://{host}:{server.server_address[1]}"

@@ -22,6 +22,7 @@ aware equivalent of AUTO_INCREMENT (excluded from hashes/comparisons).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -34,6 +35,45 @@ from presencia_etl_spark.operators import cdc
 
 AUDIT_COLS = ("id", "row_hash", "created_at", "updated_at")
 BUCKET_COL = "_kb"
+# Swap journal for the partitioned merge: written under the target (the
+# leading underscore hides it from Spark's parquet listing) before any
+# bucket directory is renamed, removed only once every swap has landed.
+# Its presence therefore MEANS "a swap was interrupted by a hard crash".
+MERGE_JOURNAL = "_merge_swap_journal.json"
+
+
+def _recover_interrupted_swap(target_path: str) -> bool:
+    """Repair a bucket swap that a hard crash (SIGKILL/power loss)
+    interrupted mid-rename.
+
+    The Python-exception path rolls back inline; this covers the crash
+    window the rollback can't: between parking a bucket's old directory
+    and renaming its replacement in, the bucket is absent from the target
+    — without the journal a rerun would silently reclassify those rows as
+    INSERT with fresh ids/created_at. Using the journal, each listed
+    bucket whose ``_kb=`` dir is missing is completed forward (staged new
+    version, already fully written before any rename began) or, failing
+    that, rolled back from its parked old copy. Returns True if a journal
+    was found and repaired."""
+    journal = os.path.join(target_path, MERGE_JOURNAL)
+    if not os.path.exists(journal):
+        return False
+    with open(journal) as fh:
+        state = json.load(fh)
+    staged = state["staged"]
+    for b in state["buckets"]:
+        dst = os.path.join(target_path, f"{BUCKET_COL}={b}")
+        if os.path.exists(dst):
+            continue  # old still in place or new already landed — complete
+        new_dir = os.path.join(staged, f"{BUCKET_COL}={b}")
+        parked = os.path.join(staged, f"_old_{b}")
+        if os.path.exists(new_dir):
+            os.rename(new_dir, dst)
+        elif os.path.exists(parked):
+            os.rename(parked, dst)
+    os.remove(journal)
+    shutil.rmtree(staged, ignore_errors=True)
+    return True
 
 
 def _warn_audit_collisions(src: DataFrame) -> None:
@@ -258,6 +298,7 @@ def merge_upsert_partitioned(
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
         return {"insert": out.count(), "update": 0, "skip": 0, "buckets_rewritten": num_buckets}
 
+    _recover_interrupted_swap(target_path)
     tgt = spark.read.parquet(target_path)
     hashed, tgt, drifted = _widen_for_drift(hashed, tgt)
     keyed = keyed_of(hashed)
@@ -333,17 +374,21 @@ def merge_upsert_partitioned(
     # FIRST (the job reads the live target while computing them — a dynamic
     # partition overwrite of the same path would destroy its own input on a
     # mid-commit failure or stage retry), then swap each _kb= directory
-    # into place with two renames. A crash mid-swap leaves every bucket as
-    # either its complete old or complete new version (old copies are
-    # parked inside the staging dir, never under the target, so a partial
-    # swap can't double-read); the merge is idempotent, so re-running it
-    # converges the remaining buckets.
+    # into place with two renames. Python exceptions roll back inline; a
+    # HARD crash (SIGKILL/power loss) mid-swap can leave a bucket absent,
+    # so a journal is written under the target before the first rename and
+    # removed after the last — `_recover_interrupted_swap` (run at the top
+    # of every merge) completes or rolls back any journaled swap, and the
+    # idempotent merge then converges the remaining buckets.
     staged = tempfile.mkdtemp(
         prefix="merge_buckets_", dir=os.path.dirname(target_path) or "."
     )
+    journal = os.path.join(target_path, MERGE_JOURNAL)
     try:
         new_parts.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged)
         classified.unpersist()
+        with open(journal, "w") as fh:
+            json.dump({"staged": staged, "buckets": list(dirty)}, fh)
         try:
             for b in dirty:
                 src_dir = os.path.join(staged, f"{BUCKET_COL}={b}")
@@ -363,6 +408,11 @@ def merge_upsert_partitioned(
                 if not os.path.exists(dst_dir) and os.path.exists(parked):
                     os.rename(parked, dst_dir)
             raise
+        finally:
+            # Swap finished (or was fully rolled back) — either way every
+            # bucket is complete, so the interrupted-swap marker comes off.
+            if os.path.exists(journal):
+                os.remove(journal)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
     return {

@@ -74,6 +74,15 @@ class TestMinHashLSH:
         }
         assert arrow_sigs == sql_sigs
 
+    def test_no_cached_frame_leaks(self, spark, corpus):
+        """ADVICE r3: each call persisted the signature frame for the
+        session lifetime. Eager mode must leave the DataFrame cache
+        empty once the candidates are materialized."""
+        spark.catalog.clearCache()
+        cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text")
+        assert cands.count() > 0
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
     def test_arrow_and_sql_candidates_agree(self, corpus):
         a = {
             (r["id_a"], r["id_b"], r["est_jaccard"])
@@ -455,6 +464,27 @@ class TestSplitAndMix:
         assert counts["code"] > 1800  # fraction 1.0 → all of it
         assert abs(counts["web"] - 2000) < 300
         assert "_shuffle_key" in mixed.columns
+
+    def test_weighted_mix_shuffle_key_stable_across_layouts(self, spark):
+        """ADVICE r3: without id_cols the key came from
+        monotonically_increasing_id() — partition-layout-dependent. It must
+        now be a pure function of row content: same data, different
+        partitioning → identical (row, key) mapping."""
+        from presencia_etl_spark.operators.profile import weighted_mix
+
+        base = spark.range(0, 1000).select(
+            F.col("id"), (F.col("id") % 13).cast("string").alias("t")
+        )
+
+        def keys_of(df):
+            mixed = weighted_mix({"src": df}, {"src": 1.0})  # no id_cols
+            return {
+                (r["id"], r["t"]): r["_shuffle_key"] for r in mixed.collect()
+            }
+
+        a = keys_of(base.repartition(32))
+        b = keys_of(base.coalesce(1))
+        assert a == b and len(a) == 1000
 
     def test_weighted_mix_key_mismatch(self, spark):
         from presencia_etl_spark.operators.profile import weighted_mix

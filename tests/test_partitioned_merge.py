@@ -161,6 +161,57 @@ class TestCrashSafety:
         final = spark.read.parquet(target)
         assert final.filter(F.col("V") == "M").count() == 5
 
+    @pytest.mark.parametrize("new_dir_landed_in_staging", [True, False])
+    def test_hard_crash_mid_swap_recovers_from_journal(
+        self, spark, tmp_path, new_dir_landed_in_staging
+    ):
+        """ADVICE r3: a SIGKILL between parking a bucket's old dir and
+        renaming its replacement in leaves that bucket ABSENT — the
+        Python-exception rollback never runs, and a rerun used to silently
+        reclassify the bucket's rows as INSERT with fresh ids. Simulate
+        the exact post-crash filesystem state (journal present, bucket dir
+        missing, old copy parked in staging ± the staged new dir) and
+        assert the next merge repairs it: no phantom inserts, ids stable."""
+        import shutil as sh
+
+        from presencia_etl_spark.sinks.writers import MERGE_JOURNAL
+
+        target = str(tmp_path / "state")
+        src = self._seed(spark, target)
+        ids_before = {
+            r["K"]: r["id"] for r in spark.read.parquet(target).collect()
+        }
+
+        bucket_dir = next(
+            d for d in sorted(os.listdir(target)) if d.startswith("_kb=")
+        )
+        b = int(bucket_dir.split("=")[1])
+        staged = str(tmp_path / "merge_buckets_simcrash")
+        os.makedirs(staged)
+        if new_dir_landed_in_staging:
+            # Crash AFTER the staged write, BEFORE the landing rename:
+            # the complete new version sits in staging → roll forward.
+            sh.copytree(
+                os.path.join(target, bucket_dir), os.path.join(staged, bucket_dir)
+            )
+        os.rename(
+            os.path.join(target, bucket_dir), os.path.join(staged, f"_old_{b}")
+        )
+        with open(os.path.join(target, MERGE_JOURNAL), "w") as fh:
+            import json
+
+            json.dump({"staged": staged, "buckets": [b]}, fh)
+        assert not os.path.exists(os.path.join(target, bucket_dir))
+
+        r = merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=16)
+        assert r == {"insert": 0, "update": 0, "skip": 2000, "buckets_rewritten": 0}
+        assert not os.path.exists(os.path.join(target, MERGE_JOURNAL))
+        assert not os.path.exists(staged)
+        ids_after = {
+            r["K"]: r["id"] for r in spark.read.parquet(target).collect()
+        }
+        assert ids_after == ids_before  # audit continuity preserved
+
 
 class TestSchemaEvolution:
     def test_flat_merge_widens_on_new_column(self, spark, tmp_path):

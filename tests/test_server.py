@@ -22,8 +22,18 @@ def _get(url: str):
 
 
 @pytest.fixture(scope="module")
-def server(spark):
-    srv, base = _start_background(spark)
+def server(spark, tmp_path_factory):
+    # Fence /run/clean to the pytest temp root — every per-test tmp_path
+    # lives under it, so in-fence cleans succeed and anything else is 403.
+    root = tmp_path_factory.getbasetemp()
+    srv, base = _start_background(spark, warehouse_root=str(root))
+    yield base
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def unfenced_server(spark):
+    srv, base = _start_background(spark)  # no warehouse_root
     yield base
     srv.shutdown()
 
@@ -79,3 +89,21 @@ class TestControlPlane:
     def test_unknown_path_is_404(self, server):
         code, body = _get(f"{server}/nope")
         assert code == 404 and body["status"] == "error"
+
+    def test_clean_outside_root_is_403(self, server, tmp_path):
+        victim = tmp_path / "keepme"
+        victim.mkdir()
+        # Absolute path outside the fence.
+        code, body = _get(f"{server}/run/clean?target=/root/repo/presencia_etl_spark")
+        assert code == 403 and "outside the warehouse root" in body["error"]
+        # Traversal out of an in-fence prefix resolves outside → rejected.
+        code, body = _get(f"{server}/run/clean?target={tmp_path}/../../../../etc")
+        assert code == 403 and body["status"] == "error"
+        assert victim.exists()
+
+    def test_clean_disabled_without_root(self, unfenced_server, tmp_path):
+        victim = tmp_path / "keepme2"
+        victim.mkdir()
+        code, body = _get(f"{unfenced_server}/run/clean?target={victim}")
+        assert code == 403 and "disabled" in body["error"]
+        assert victim.exists()
