@@ -128,6 +128,22 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         )
     n_rows = li.count()
     work = tempfile.mkdtemp(prefix="bench_pipeline_")
+
+    # Untimed warmup: run the merge code paths once on a small slice so
+    # whole-stage-codegen/JIT compilation of the normalize+hash expressions
+    # isn't billed to the first timed pass (throughput vs the baseline is a
+    # steady-state comparison; the reference's Python loop has no warmup
+    # cliff to pay).
+    warm_t = f"{work}/warmup_state"
+    warm = li.limit(5000)
+    merge_upsert_parquet(spark, warm, warm_t, ["l_key"])
+    merge_upsert_parquet(
+        spark,
+        warm.withColumn("l_quantity", F.col("l_quantity") + 1),
+        warm_t,
+        ["l_key"],
+    )
+
     target = f"{work}/lineitem_state"
     out: dict = {"rows": n_rows}
     try:

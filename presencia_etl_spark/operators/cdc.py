@@ -36,6 +36,16 @@ def with_cdc_key(df: DataFrame, key_cols: Iterable[str], out: str = KEY_COL) -> 
     return df.withColumn(out, composite_key(list(key_cols)))
 
 
+def ensure_cdc_key(df: DataFrame, key_cols: Iterable[str]) -> DataFrame:
+    """``with_cdc_key``, but trust an existing ``_cdc_key`` column.
+
+    Merge targets persist the normalized key (like they persist
+    ``row_hash``), so steady-state syncs read it from parquet instead of
+    re-running the normalize expression over the whole target every pass —
+    at 100 TB that recompute dwarfs the column's storage cost."""
+    return df if KEY_COL in df.columns else with_cdc_key(df, key_cols)
+
+
 def cdc_classify(
     src: DataFrame,
     tgt: DataFrame,
@@ -60,7 +70,7 @@ def cdc_classify(
         src if "row_hash" in src.columns else with_row_hash(src, hash_cols or src.columns)
     )
     s = with_cdc_key(hashed, key_cols)
-    t = with_cdc_key(tgt, key_cols).select(
+    t = ensure_cdc_key(tgt, key_cols).select(
         F.col(KEY_COL), F.col(tgt_hash_col).alias("_tgt_hash")
     )
     joined = s.join(t, on=KEY_COL, how="left_outer")

@@ -91,6 +91,63 @@ def _warn_audit_collisions(src: DataFrame) -> None:
         )
 
 
+BROADCAST_KEY_LIMIT = 5_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int, limit: int = BROADCAST_KEY_LIMIT):
+    """Broadcast a dirty-key frame only when its row count (already known
+    from the classify pass) is small; past the limit leave it unhinted so
+    AQE picks a shuffle strategy. An unconditional broadcast of 'the
+    changed keys' dies on the first drift-style merge where EVERY key
+    reclassifies as update."""
+    return F.broadcast(df) if n_rows <= limit else df
+
+
+def _parallelize_scan(df: DataFrame) -> DataFrame:
+    """Spread the expensive per-row projections (key normalize, SHA-256
+    row hash) across the session's full parallelism when the source
+    arrives in fewer partitions — a single large parquet file splits at
+    row-group granularity, so a 600 K-row single-row-group file runs its
+    whole projection on one task while the other cores idle. The one-time
+    shuffle of raw bytes is repaid several times over by the parallel
+    projection (measured 8→3 s on the bench full load). No-op when the
+    source is already wide enough (the 100 TB case: thousands of input
+    splits)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
+def _fetch_dirty_rows(
+    src_wide: DataFrame,
+    dirty_ops: DataFrame,
+    key_cols: list[str],
+    n_dirty: int,
+    carry: list[str],
+) -> DataFrame:
+    """ONE source re-scan that fetches the wide rows for the dirty keys
+    while computing NOTHING per row: the join is on RAW key-column
+    equality (null-safe, so NULL keys still match their classify row), and
+    op, row_hash, the normalized key — and the bucket, for the partitioned
+    merge — ride in from the (usually broadcast) dirty set, where they
+    were already computed during classify. Raw equality is sufficient
+    because the dirty set's rows came from this same source frame. The
+    classify pass pays the normalize+hash expressions once; this scan pays
+    only parquet decode."""
+    d = src_wide.drop("row_hash")
+    b = dirty_ops.select(
+        *[F.col(c).alias(f"_b_{c}") for c in key_cols], *carry
+    )
+    cond = None
+    for c in key_cols:
+        e = d[c].eqNullSafe(F.col(f"_b_{c}"))
+        cond = e if cond is None else cond & e
+    return d.join(_maybe_broadcast(b, n_dirty), cond).drop(
+        *[f"_b_{c}" for c in key_cols]
+    )
+
+
 def _widen_for_drift(
     src: DataFrame, tgt: DataFrame
 ) -> tuple[DataFrame, DataFrame, list[str]]:
@@ -105,15 +162,16 @@ def _widen_for_drift(
     their full-rewrite path: appending or bucket-pruning with a widened
     schema would leave mixed-schema parquet files that a plain (non-
     mergeSchema) read silently truncates."""
-    tgt_data = [f for f in tgt.schema.fields if f.name not in AUDIT_COLS]
+    infra = set(AUDIT_COLS) | {BUCKET_COL, cdc.KEY_COL}
+    tgt_data = [f for f in tgt.schema.fields if f.name not in infra]
     src_names = set(src.columns)
     drifted = False
     for f in src.schema.fields:
-        if f.name not in tgt.columns and f.name not in AUDIT_COLS:
+        if f.name not in tgt.columns and f.name not in infra:
             tgt = tgt.withColumn(f.name, F.lit(None).cast(f.dataType))
             drifted = True
     for f in tgt_data:
-        if f.name not in src_names and f.name != BUCKET_COL:
+        if f.name not in src_names:
             src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
             drifted = True
     return src, tgt, drifted
@@ -279,6 +337,7 @@ def merge_upsert_partitioned(
     # misclassify every row as UPDATE). Default hash scope excludes the
     # audit envelope for the same reason.
     _warn_audit_collisions(src)
+    src = _parallelize_scan(src)
     if "row_hash" in src.columns:
         hashed = src
     else:
@@ -294,81 +353,121 @@ def merge_upsert_partitioned(
         )
 
     if not os.path.exists(target_path):
-        out = with_audit_columns(keyed_of(hashed).drop(cdc.KEY_COL), key_cols)
+        # The normalized _cdc_key is persisted alongside row_hash: later
+        # syncs read both from parquet instead of re-running the normalize
+        # expression over the whole target.
+        out = with_audit_columns(keyed_of(hashed), key_cols)
+        # Align the shuffle with the output layout: one task per bucket →
+        # one file per bucket dir. Without this, every writing task spills
+        # a file into every bucket it touches and the target accretes
+        # num_tasks × num_buckets small files that all later scans pay for.
+        out = out.repartition(num_buckets, F.col(BUCKET_COL))
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
-        return {"insert": out.count(), "update": 0, "skip": 0, "buckets_rewritten": num_buckets}
+        # Count the WRITTEN files (parquet footer metadata, no recompute) —
+        # counting `out` would re-run the whole hash+normalize plan.
+        n = spark.read.parquet(target_path).count()
+        return {"insert": n, "update": 0, "skip": 0, "buckets_rewritten": num_buckets}
 
     _recover_interrupted_swap(target_path)
     tgt = spark.read.parquet(target_path)
+    # Pre-persisted-key targets lack _cdc_key; any rewrite must then touch
+    # every bucket (like drift) or the partial write would leave mixed
+    # schemas across bucket dirs.
+    key_migration = cdc.KEY_COL not in tgt.columns
     hashed, tgt, drifted = _widen_for_drift(hashed, tgt)
     keyed = keyed_of(hashed)
-    t = cdc.with_cdc_key(tgt, key_cols).select(
+    t = cdc.ensure_cdc_key(tgt, key_cols).select(
         F.col(cdc.KEY_COL), F.col("row_hash").alias("_tgt_hash")
     )
-    joined = keyed.join(t, cdc.KEY_COL, "left_outer")
+    # ONE narrow classify pass: cache only (raw keys, key, bucket, op,
+    # hash) — the wide rewrite inputs are rebuilt below from the small
+    # dirty sets, re-scanning parquet instead of caching table-sized
+    # source rows.
+    joined = keyed.select(*key_cols, cdc.KEY_COL, BUCKET_COL, "row_hash").join(
+        t, cdc.KEY_COL, "left_outer"
+    )
     op = (
         F.when(F.col("_tgt_hash").isNull(), F.lit(cdc.INSERT))
         .when(F.col("row_hash") != F.col("_tgt_hash"), F.lit(cdc.UPDATE))
         .otherwise(F.lit(cdc.SKIP))
     )
-    classified = joined.withColumn(cdc.OP_COL, op).drop("_tgt_hash").cache()
+    ops = (
+        joined.withColumn(cdc.OP_COL, op)
+        .select(*key_cols, cdc.KEY_COL, BUCKET_COL, cdc.OP_COL, "row_hash")
+        .cache()
+    )
     counts = {
         r["op"]: r["cnt"]
-        for r in classified.groupBy(F.col(cdc.OP_COL).alias("op"))
+        for r in ops.groupBy(F.col(cdc.OP_COL).alias("op"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
     n_insert, n_update = counts.get(cdc.INSERT, 0), counts.get(cdc.UPDATE, 0)
     n_skip = counts.get(cdc.SKIP, 0)
     if n_insert == 0 and n_update == 0:
-        classified.unpersist()
+        ops.unpersist()
         return {"insert": 0, "update": 0, "skip": n_skip, "buckets_rewritten": 0}
 
     dirty = [
         r[BUCKET_COL]
-        for r in classified.filter(F.col(cdc.OP_COL) != cdc.SKIP)
+        for r in ops.filter(F.col(cdc.OP_COL) != cdc.SKIP)
         .select(BUCKET_COL)
         .distinct()
         .collect()
     ]
-    if drifted:
-        # Schema drift must reach EVERY bucket — pruning would leave clean
-        # buckets with the old file schema (silent truncation on read).
+    if drifted or key_migration:
+        # Schema drift (and the one-time _cdc_key backfill) must reach
+        # EVERY bucket — pruning would leave clean buckets with the old
+        # file schema (silent truncation on read).
         dirty = sorted(
             set(dirty)
             | {r[BUCKET_COL] for r in tgt.select(BUCKET_COL).distinct().collect()}
         )
     data_cols = [
-        c for c in tgt.columns if c not in AUDIT_COLS and c != BUCKET_COL
+        c
+        for c in tgt.columns
+        if c not in AUDIT_COLS and c not in (BUCKET_COL, cdc.KEY_COL)
     ]
 
     # Partition-pruned target scan: only dirty buckets are read.
     tgt_dirty = tgt.filter(F.col(BUCKET_COL).isin(dirty))
-    tgt_dirty_k = cdc.with_cdc_key(tgt_dirty, key_cols)
-    changed = classified.filter(F.col(cdc.OP_COL) == cdc.UPDATE).select(cdc.KEY_COL)
-    untouched = tgt_dirty_k.join(F.broadcast(changed), cdc.KEY_COL, "left_anti").drop(
-        cdc.KEY_COL
+    tgt_dirty_k = cdc.ensure_cdc_key(tgt_dirty, key_cols)
+    n_dirty = n_insert + n_update
+    dirty_ops = ops.filter(F.col(cdc.OP_COL) != cdc.SKIP)
+    upd_keys = dirty_ops.filter(F.col(cdc.OP_COL) == cdc.UPDATE).select(cdc.KEY_COL)
+    src_dirty = _fetch_dirty_rows(
+        hashed,
+        dirty_ops,
+        key_cols,
+        n_dirty,
+        carry=[cdc.OP_COL, "row_hash", cdc.KEY_COL, BUCKET_COL],
+    ).cache()
+    untouched = tgt_dirty_k.join(
+        _maybe_broadcast(upd_keys, n_update), cdc.KEY_COL, "left_anti"
+    )
+    tgt_upd = tgt_dirty_k.select(cdc.KEY_COL, "id", "created_at").join(
+        _maybe_broadcast(upd_keys, n_update), cdc.KEY_COL, "left_semi"
     )
     updated = (
-        classified.filter(F.col(cdc.OP_COL) == cdc.UPDATE)
-        .join(tgt_dirty_k.select(cdc.KEY_COL, "id", "created_at"), cdc.KEY_COL)
+        src_dirty.filter(F.col(cdc.OP_COL) == cdc.UPDATE)
+        .join(_maybe_broadcast(tgt_upd, n_update), cdc.KEY_COL)
         .withColumn("updated_at", F.current_timestamp())
-        .select(*data_cols, "row_hash", "id", "created_at", "updated_at", BUCKET_COL)
     )
-    max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
-    inserted = with_audit_columns(
-        classified.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(
-            *data_cols, "row_hash", BUCKET_COL
-        ),
-        key_cols,
-        id_offset=int(max_id),
+    audit = ["row_hash", "id", "created_at", "updated_at", cdc.KEY_COL, BUCKET_COL]
+    new_parts = untouched.select(*data_cols, *audit).unionByName(
+        updated.select(*data_cols, *audit)
     )
-    audit = ["row_hash", "id", "created_at", "updated_at", BUCKET_COL]
-    new_parts = (
-        untouched.select(*data_cols, *audit)
-        .unionByName(updated.select(*data_cols, *audit))
-        .unionByName(inserted.select(*data_cols, *audit))
-    )
+    if n_insert > 0:
+        # max(id) is a full-target scan — only pay it when inserting.
+        max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
+        inserted = with_audit_columns(
+            src_dirty.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(
+                *data_cols, "row_hash", cdc.KEY_COL, BUCKET_COL
+            ),
+            key_cols,
+            id_offset=int(max_id),
+        )
+        new_parts = new_parts.unionByName(inserted.select(*data_cols, *audit))
 
     # CRASH SAFETY: stage the rebuilt dirty buckets to a sibling temp dir
     # FIRST (the job reads the live target while computing them — a dynamic
@@ -385,8 +484,13 @@ def merge_upsert_partitioned(
     )
     journal = os.path.join(target_path, MERGE_JOURNAL)
     try:
+        # One task per dirty bucket → one file per rebuilt bucket dir (see
+        # the initial-load comment; keeps target file count == bucket count
+        # across arbitrarily many merges).
+        new_parts = new_parts.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
         new_parts.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged)
-        classified.unpersist()
+        ops.unpersist()
+        src_dirty.unpersist()
         with open(journal, "w") as fh:
             json.dump({"staged": staged, "buckets": list(dirty)}, fh)
         try:
@@ -440,6 +544,7 @@ def merge_upsert_parquet(
     never feed row identity).
     """
     _warn_audit_collisions(src)
+    src = _parallelize_scan(src)
     if not os.path.exists(target_path):
         hashed = (
             src
@@ -448,16 +553,23 @@ def merge_upsert_parquet(
                 src, hash_cols or [c for c in src.columns if c not in AUDIT_COLS]
             )
         )
-        out = with_audit_columns(hashed, key_cols)
+        # Persist the normalized _cdc_key alongside row_hash so later
+        # syncs read both from parquet instead of recomputing.
+        out = with_audit_columns(cdc.with_cdc_key(hashed, key_cols), key_cols)
         overwrite_parquet(out, target_path)
-        return {"insert": out.count(), "update": 0, "skip": 0}
+        # Count the WRITTEN files (parquet footer metadata, no recompute) —
+        # counting `out` would re-run the whole hash+normalize plan.
+        n = spark.read.parquet(target_path).count()
+        return {"insert": n, "update": 0, "skip": 0}
 
     tgt = spark.read.parquet(target_path)
 
-    # Phase 1 — NARROW classify for counts only: the plan carries just
-    # (normalized key, hash) through the join, and nothing is cached. The
-    # common cron case (no changes) pays one narrow pass and exits; only
-    # when changes exist do we build and cache the wide classified frame.
+    # ONE narrow classify pass: only (keys, op, hash) is computed and
+    # cached — never the wide source rows. The wide frames for the rewrite
+    # are reconstructed by (usually broadcast) joins of the source /
+    # target against the small dirty-key sets, which re-scan parquet with
+    # pushdown instead of holding a table-sized cache — the only shape
+    # that survives a 100 TB source.
     src_h = (
         src
         if "row_hash" in src.columns
@@ -465,82 +577,95 @@ def merge_upsert_parquet(
             src, hash_cols or [c for c in src.columns if c not in AUDIT_COLS]
         )
     )
+    # Pre-persisted-key targets lack _cdc_key; the first change-bearing
+    # merge backfills it via the full-rewrite path.
+    key_migration = cdc.KEY_COL not in tgt.columns
     src_h, tgt, drifted = _widen_for_drift(src_h, tgt)
     narrow = src_h.select(*key_cols, "row_hash")
-    counts = {
-        r["op"]: r["cnt"]
-        for r in cdc.cdc_counts(cdc.cdc_classify(narrow, tgt, key_cols)).collect()
-    }
+    ops = (
+        cdc.cdc_classify(narrow, tgt, key_cols)
+        .select(*key_cols, cdc.KEY_COL, cdc.OP_COL, "row_hash")
+        .cache()
+    )
+    counts = {r["op"]: r["cnt"] for r in cdc.cdc_counts(ops).collect()}
     n_insert = counts.get(cdc.INSERT, 0)
     n_update = counts.get(cdc.UPDATE, 0)
     n_skip = counts.get(cdc.SKIP, 0)
-    data_cols = [c for c in tgt.columns if c not in AUDIT_COLS]
+    data_cols = [c for c in tgt.columns if c not in AUDIT_COLS and c != cdc.KEY_COL]
 
     if n_insert == 0 and n_update == 0:
         # No-change pass (the idempotency invariant): nothing to write.
+        ops.unpersist()
         return {"insert": 0, "update": 0, "skip": n_skip}
 
-    classified = cdc.cdc_classify(src_h, tgt, key_cols, hash_cols).cache()
-
-    if n_update == 0 and not drifted:
+    if n_update == 0 and not drifted and not key_migration:
         # Insert-only pass — the common incremental shape. Pure append:
         # no rewrite of existing state at all (the reference's batched
         # INSERT path, minus its row-at-a-time fallback). Skipped under
         # drift: appended files would carry the widened schema while old
         # files keep the narrow one.
+        ins_ops = ops.filter(F.col(cdc.OP_COL) == cdc.INSERT)
         max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
         inserted = with_audit_columns(
-            classified.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(
-                *data_cols, "row_hash"
-            ),
+            _fetch_dirty_rows(
+                src_h, ins_ops, key_cols, n_insert,
+                carry=[cdc.OP_COL, "row_hash", cdc.KEY_COL],
+            ).select(*data_cols, "row_hash", cdc.KEY_COL),
             key_cols,
             id_offset=int(max_id),
         )
-        inserted.select(*data_cols, "row_hash", "id", "created_at", "updated_at").write.mode(
-            "append"
-        ).parquet(target_path)
-        classified.unpersist()
+        inserted.select(
+            *data_cols, "row_hash", cdc.KEY_COL, "id", "created_at", "updated_at"
+        ).write.mode("append").parquet(target_path)
+        ops.unpersist()
         return {"insert": n_insert, "update": 0, "skip": n_skip}
 
     # Updates present → staged rewrite: unchanged ∪ updated ∪ inserted.
-    tgt_k = cdc.with_cdc_key(tgt, key_cols)
+    tgt_k = cdc.ensure_cdc_key(tgt, key_cols)
+    n_dirty = n_insert + n_update
+    dirty_ops = ops.filter(F.col(cdc.OP_COL) != cdc.SKIP)
+    upd_keys = dirty_ops.filter(F.col(cdc.OP_COL) == cdc.UPDATE).select(cdc.KEY_COL)
+    src_dirty = _fetch_dirty_rows(
+        src_h, dirty_ops, key_cols, n_dirty,
+        carry=[cdc.OP_COL, "row_hash", cdc.KEY_COL],
+    ).cache()
 
-    changed_keys = classified.filter(F.col(cdc.OP_COL) == cdc.UPDATE).select(cdc.KEY_COL)
-    untouched = tgt_k.join(F.broadcast(changed_keys), cdc.KEY_COL, "left_anti").drop(cdc.KEY_COL)
-
-    updated = (
-        classified.filter(F.col(cdc.OP_COL) == cdc.UPDATE)
-        .join(
-            tgt_k.select(cdc.KEY_COL, "id", "created_at"),
-            cdc.KEY_COL,
-            "inner",
-        )
-        .withColumn("updated_at", F.current_timestamp())
-        .select(*data_cols, "row_hash", "id", "created_at", "updated_at")
+    untouched = tgt_k.join(
+        _maybe_broadcast(upd_keys, n_update), cdc.KEY_COL, "left_anti"
     )
 
-    new_state = untouched.select(
-        *data_cols, "row_hash", "id", "created_at", "updated_at"
-    ).unionByName(updated)
+    # The updated rows' audit identity (id, created_at) comes from the
+    # target — pre-filter that side to just the updated keys so the final
+    # join has a tiny build side.
+    tgt_upd = tgt_k.select(cdc.KEY_COL, "id", "created_at").join(
+        _maybe_broadcast(upd_keys, n_update), cdc.KEY_COL, "left_semi"
+    )
+    updated = (
+        src_dirty.filter(F.col(cdc.OP_COL) == cdc.UPDATE)
+        .join(_maybe_broadcast(tgt_upd, n_update), cdc.KEY_COL)
+        .withColumn("updated_at", F.current_timestamp())
+    )
+
+    out_cols = [*data_cols, "row_hash", cdc.KEY_COL, "id", "created_at", "updated_at"]
+    new_state = untouched.select(*out_cols).unionByName(updated.select(*out_cols))
 
     if n_insert > 0:
         max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
         inserted = with_audit_columns(
-            classified.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(
-                *data_cols, "row_hash"
+            src_dirty.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(
+                *data_cols, "row_hash", cdc.KEY_COL
             ),
             key_cols,
             id_offset=int(max_id),
         )
-        new_state = new_state.unionByName(
-            inserted.select(*data_cols, "row_hash", "id", "created_at", "updated_at")
-        )
+        new_state = new_state.unionByName(inserted.select(*out_cols))
 
     # Stage to a temp dir, then atomically swap — parquet overwrite of a
     # path we are also reading would corrupt the source mid-plan.
     tmp = tempfile.mkdtemp(prefix="merge_stage_", dir=os.path.dirname(target_path) or ".")
     new_state.write.mode("overwrite").parquet(tmp)
-    classified.unpersist()
+    ops.unpersist()
+    src_dirty.unpersist()
     shutil.rmtree(target_path)
     os.replace(tmp, target_path)
     return {
