@@ -289,6 +289,81 @@ class TestSchemaEvolution:
             merge_upsert_parquet(spark, src, target, ["K"])
 
 
+class TestKeyBackfill:
+    """Merge targets now persist the normalized _cdc_key; targets written
+    before that change must be backfilled by a FULL rewrite (a partial one
+    would leave mixed schemas), and keep working in the meantime."""
+
+    def _strip_key(self, spark, path, partitioned):
+        from presencia_etl_spark.operators.cdc import KEY_COL
+
+        df = spark.read.parquet(path).drop(KEY_COL)
+        if partitioned:
+            df.write.mode("overwrite").partitionBy("_kb").parquet(path + ".old")
+        else:
+            df.write.mode("overwrite").parquet(path + ".old")
+        import shutil
+
+        shutil.rmtree(path)
+        shutil.move(path + ".old", path)
+
+    def test_flat_merge_backfills_key(self, spark, tmp_path):
+        from presencia_etl_spark.operators.cdc import KEY_COL
+
+        target = str(tmp_path / "state")
+        src = spark.range(0, 300).select(
+            F.col("id").cast("string").alias("K"), (F.col("id") % 3).alias("V")
+        )
+        merge_upsert_parquet(spark, src, target, ["K"])
+        self._strip_key(spark, target, partitioned=False)
+        assert KEY_COL not in spark.read.parquet(target).columns
+
+        # No-change pass against an old-layout target still works (key is
+        # computed on the fly) and must NOT rewrite anything.
+        r = merge_upsert_parquet(spark, src, target, ["K"])
+        assert r == {"insert": 0, "update": 0, "skip": 300}
+        assert KEY_COL not in spark.read.parquet(target).columns
+
+        # Insert-only batch: the append fast-path must be skipped (it would
+        # mix schemas) and the rewrite must backfill the key everywhere.
+        more = spark.range(0, 320).select(
+            F.col("id").cast("string").alias("K"), (F.col("id") % 3).alias("V")
+        )
+        r = merge_upsert_parquet(spark, more, target, ["K"])
+        assert r["insert"] == 20 and r["update"] == 0
+        state = spark.read.parquet(target)
+        assert KEY_COL in state.columns
+        assert state.filter(F.col(KEY_COL).isNull()).count() == 0
+        assert state.count() == 320
+
+    def test_partitioned_merge_backfills_key_all_buckets(self, spark, tmp_path):
+        from presencia_etl_spark.operators.cdc import KEY_COL
+
+        target = str(tmp_path / "state")
+        src = spark.range(0, 400).select(
+            F.col("id").cast("string").alias("K"), (F.col("id") % 3).alias("V")
+        )
+        merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=8)
+        self._strip_key(spark, target, partitioned=True)
+
+        mut = src.withColumn(
+            "V", F.when(F.col("K") == "5", F.lit(99)).otherwise(F.col("V"))
+        )
+        r = merge_upsert_partitioned(spark, mut, target, ["K"], num_buckets=8)
+        # One dirty key, but the key backfill must reach EVERY bucket.
+        assert r["update"] == 1 and r["buckets_rewritten"] == 8
+        state = spark.read.parquet(target)  # plain read: schema is uniform
+        assert KEY_COL in state.columns
+        assert state.filter(F.col(KEY_COL).isNull()).count() == 0
+        assert state.count() == 400
+        # Next sparse merge prunes again (no more migration).
+        mut2 = src.withColumn(
+            "V", F.when(F.col("K") == "7", F.lit(98)).otherwise(F.col("V"))
+        )
+        r = merge_upsert_partitioned(spark, mut2, target, ["K"], num_buckets=8)
+        assert r["buckets_rewritten"] < 8
+
+
 class TestCompaction:
     def test_compact_after_many_appends(self, spark, tmp_path):
         from presencia_etl_spark.sinks.writers import compact_parquet
