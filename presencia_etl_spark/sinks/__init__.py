@@ -4,16 +4,22 @@ from presencia_etl_spark.sinks.writers import (
     append_parquet,
     drop_path,
     merge_upsert_parquet,
+    merge_upsert_partitioned,
     overwrite_parquet,
     with_audit_columns,
+    write_bucketed_table,
     write_jdbc_append,
+    write_range_sorted,
 )
 
 __all__ = [
     "append_parquet",
     "drop_path",
     "merge_upsert_parquet",
+    "merge_upsert_partitioned",
     "overwrite_parquet",
     "with_audit_columns",
+    "write_bucketed_table",
     "write_jdbc_append",
+    "write_range_sorted",
 ]

@@ -295,6 +295,35 @@ def write_range_sorted(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-bucketed warehouse table: the shuffle-FREE co-location layout.
+
+    The catalog records the bucketing spec, so a join or aggregation of
+    two tables bucketed identically on the join key compiles with NO
+    Exchange on either side — repeated fact↔state syncs, the dominant
+    workload at 100 TB, stop shuffling the big tables entirely (pinned in
+    tests/test_plans.py: two bucketed sides, broadcast disabled, zero
+    Exchange operators in the join plan). ``sort_cols`` additionally
+    sorts within each bucket file, letting SortMergeJoin skip its sort.
+
+    This must go through ``saveAsTable`` — path-based parquet has nowhere
+    to carry bucket metadata; reads come back via ``spark.table(name)``.
+    The bucket count is part of the contract: co-location only applies
+    between tables with the SAME count (use powers of two so a 2× rescale
+    can split buckets pairwise)."""
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str, str], batchsize: int = 1000) -> None:
     """S5 against a real RDBMS: executor-parallel batched inserts
     (reference: executemany per 1000 rows, single connection)."""

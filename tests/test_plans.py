@@ -79,3 +79,45 @@ class TestPlanProperties:
         p = plan_of(loaded.filter(F.col("cluster").isin(1, 3)))
         # partition-level filter on the cluster dirs, not a post-scan Filter
         assert "PartitionFilters: [cluster#" in p and "IN (1,3)" in p
+
+    def test_bucketed_tables_join_without_exchange(self, spark, sf_dir):
+        """Two tables bucketed identically on the join key must join with
+        ZERO Exchange operators (broadcast disabled to force the worst
+        case) — the co-location layout SCALE.md promises for repeated
+        100 TB fact-state syncs. Bucket metadata only exists through the
+        catalog, hence saveAsTable."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.sinks.writers import write_bucketed_table
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        write_bucketed_table(
+            orders, "t_orders_b", ["o_custkey"], num_buckets=8,
+            sort_cols=["o_custkey"],
+        )
+        write_bucketed_table(
+            cust, "t_cust_b", ["c_custkey"], num_buckets=8,
+            sort_cols=["c_custkey"],
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = spark.table("t_orders_b").join(
+                spark.table("t_cust_b"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            p = plan_of(j)
+            assert "Exchange" not in p, p
+            assert "SortMergeJoin" in p
+            assert "Bucketed: true" in p
+            # And the result is right (same rows as the shuffled join).
+            n_bucketed = j.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_orders_b")
+            spark.sql("DROP TABLE IF EXISTS t_cust_b")
+        n_plain = orders.join(
+            cust, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+        assert n_bucketed == n_plain
