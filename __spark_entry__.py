@@ -38,6 +38,7 @@ from presencia_etl_spark.functions import (
     parse_access_datetime,
     row_hash,
 )
+from presencia_etl_spark.functions.partitioning import parallelize_scan
 from presencia_etl_spark.operators import cdc, dedup, similarity, text
 from presencia_etl_spark.operators.aggregates import (
     date_min_max_distinct,
@@ -337,7 +338,7 @@ def q21_dedup_exact(spark, sf):
 
 
 def q22_text_tokens(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = parallelize_scan(_t(spark, sf, "documents"))
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(text.token_count("text")).cast("bigint").alias("total_tokens"),
@@ -359,7 +360,8 @@ def q23_text_quality(spark, sf):
 
 
 def q24_lang_id(spark, sf):
-    docs = _t(spark, sf, "documents")
+    # predict_lang's tokenize+filter chain is the cost — spread it.
+    docs = parallelize_scan(_t(spark, sf, "documents"))
     return docs.select(text.predict_lang("text").alias("pred_lang")).groupBy(
         "pred_lang"
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -610,7 +612,9 @@ def q46_winnow_fingerprints(spark, sf):
     """Winnowed rolling-hash fingerprints (xxhash-based → rows-only).
     Pure-SQL fold with the gram array bound once — measured faster than an
     Arrow hybrid at every realistic doc length (see text.py note)."""
-    docs = _t(spark, sf, "documents")
+    # The winnowing fold is the most expensive per-row expression in the
+    # suite — never let a single-file corpus run it on one task.
+    docs = parallelize_scan(_t(spark, sf, "documents"))
     fps = docs.select(
         "doc_id", F.explode(text.winnowed_fingerprints("text", k=8, window=4)).alias("fp")
     )

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from presencia_etl_spark.functions.partitioning import parallelize_scan
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -224,7 +226,9 @@ def minhash_lsh_candidates(
     # candidate pairs (Catalyst/AQE broadcasts the sig side when small; at
     # petabyte scale that final join is a sorted id join and the persist
     # becomes a checkpoint to storage).
-    shingled = df.select(
+    # Shingling + signatures are the CPU-heavy stage; make sure a
+    # single-file corpus doesn't run them on one task.
+    shingled = parallelize_scan(df).select(
         F.col(id_col).alias("doc_id"),
         char_shingles(text_col, k).alias("shingles"),
     )
@@ -288,7 +292,7 @@ def ngram_jaccard(
     ``pairs``: (id_a, id_b); ``docs``: the corpus. Two narrow joins bring in
     the n-gram sets; the set math is JVM-side array ops.
     """
-    grams = docs.select(
+    grams = parallelize_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.expr(
             f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {n} + 1, 1)),"
@@ -427,7 +431,7 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str, use_arrow: bool = Tr
     higher-order fold. ``use_arrow=False`` keeps the pure-SQL fold (same
     output bits — both tested).
     """
-    hashed = df.select(
+    hashed = parallelize_scan(df).select(
         F.col(id_col).alias("doc_id"),
         F.expr(f"transform(split({text_col}, '\\\\s+'), t -> xxhash64(t))").alias("th"),
     )

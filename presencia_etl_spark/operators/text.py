@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from presencia_etl_spark.functions.partitioning import parallelize_scan
+
 # A BPE-ish pre-tokenization split: word pieces, numbers, punctuation runs.
 BPE_SPLIT_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -64,7 +66,10 @@ def punct_ratio(col: Column | str, punct_class: str = r"[.,;:!?'\"()\[\]]") -> C
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach n_tokens / avg_token_len / stopword_ratio / punct_ratio /
-    quality_score. One projection, no shuffle."""
+    quality_score. One projection, no shuffle (beyond the scan-width
+    repair for single-file corpora — the tokenize-and-filter chain is the
+    expensive part and must not run on one task)."""
+    df = parallelize_scan(df)
     toks = tokens(text_col)
     n_tok = F.size(toks).cast("double")
     out = df.withColumn("n_tokens", F.size(tokens(text_col)))

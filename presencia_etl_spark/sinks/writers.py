@@ -31,6 +31,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from presencia_etl_spark.functions.partitioning import parallelize_scan
 from presencia_etl_spark.operators import cdc
 
 AUDIT_COLS = ("id", "row_hash", "created_at", "updated_at")
@@ -71,6 +72,17 @@ def _recover_interrupted_swap(target_path: str) -> bool:
             os.rename(new_dir, dst)
         elif os.path.exists(parked):
             os.rename(parked, dst)
+        else:
+            # The bucket is gone and so is the staging dir (e.g. it was
+            # cleaned out from under us). Refuse to continue — removing
+            # the journal here would let the next merge silently
+            # reclassify the missing bucket's rows as fresh inserts.
+            raise RuntimeError(
+                f"interrupted merge swap cannot be repaired: bucket "
+                f"{BUCKET_COL}={b} is missing from {target_path!r} and no "
+                f"copy exists under the journaled staging dir {staged!r}; "
+                "restore from backup before re-merging"
+            )
     os.remove(journal)
     shutil.rmtree(staged, ignore_errors=True)
     return True
@@ -105,18 +117,9 @@ def _maybe_broadcast(df: DataFrame, n_rows: int, limit: int = BROADCAST_KEY_LIMI
 
 def _parallelize_scan(df: DataFrame) -> DataFrame:
     """Spread the expensive per-row projections (key normalize, SHA-256
-    row hash) across the session's full parallelism when the source
-    arrives in fewer partitions — a single large parquet file splits at
-    row-group granularity, so a 600 K-row single-row-group file runs its
-    whole projection on one task while the other cores idle. The one-time
-    shuffle of raw bytes is repaid several times over by the parallel
-    projection (measured 8→3 s on the bench full load). No-op when the
-    source is already wide enough (the 100 TB case: thousands of input
-    splits)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
-        return df.repartition(target)
-    return df
+    row hash) across the session's full parallelism — measured 8→3 s on
+    the bench full load. See functions/partitioning.py."""
+    return parallelize_scan(df)
 
 
 def _fetch_dirty_rows(
@@ -520,8 +523,11 @@ def merge_upsert_partitioned(
         new_parts.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged)
         ops.unpersist()
         src_dirty.unpersist()
-        with open(journal, "w") as fh:
+        # Atomic journal write (tmp + rename): a crash mid-write must leave
+        # either no journal or a complete one, never truncated JSON.
+        with open(journal + ".tmp", "w") as fh:
             json.dump({"staged": staged, "buckets": list(dirty)}, fh)
+        os.replace(journal + ".tmp", journal)
         try:
             for b in dirty:
                 src_dir = os.path.join(staged, f"{BUCKET_COL}={b}")
