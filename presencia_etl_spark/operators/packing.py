@@ -1,0 +1,102 @@
+"""Sequence packing: assemble documents into fixed token-budget packs.
+
+The training-batch construction primitive: LLM pretraining consumes
+fixed-length sequences, and feeding one short document per sequence
+wastes most of the context window. Packing greedily concatenates
+documents until the token budget is hit, cutting pad-token waste from
+~50% to a few percent.
+
+Spark-first shape: a global greedy pack is inherently sequential, so the
+corpus is sharded by id range and each shard packs independently inside
+one Arrow batch (``applyInPandas``). Pack ids are (shard, local-index)
+pairs, so they are globally unique with NO cross-shard coordination —
+the algorithm is embarrassingly parallel and scales linearly with
+executors. The loss vs a true global sequential pack is at most one
+under-filled pack per shard; with 100K-doc shards that is noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SHARD_COL = "_pack_shard"
+_SHARD_BITS = 32
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_size: int = 100_000,
+) -> DataFrame:
+    """Assign every row a ``pack_id`` such that each pack's total
+    ``token_col`` stays within ``budget``.
+
+    Rows are packed greedily in ``id_col`` order within id-range shards
+    (``floor(id / shard_size)``), so the assignment is a pure function of
+    the data — deterministic across runs and partition layouts. A row
+    whose token count alone exceeds the budget gets a pack of its own
+    (never split, never dropped — truncation is the tokenizer's call,
+    not the packer's).
+
+    ``pack_id`` = ``shard << 32 | local_pack_index`` (bigint).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("pack_id", T.LongType())]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf[token_col].to_numpy()
+        local = np.zeros(len(toks), dtype=np.int64)
+        cur, acc = 0, 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if acc > 0 and acc + t > budget:
+                cur += 1
+                acc = 0
+            local[i] = cur
+            acc += t
+        shard = int(pdf[_SHARD_COL].iloc[0])
+        pdf = pdf.drop(columns=[_SHARD_COL])
+        pdf["pack_id"] = (shard << _SHARD_BITS) | local
+        return pdf
+
+    sharded = df.withColumn(
+        _SHARD_COL, F.floor(F.col(id_col).cast("long") / F.lit(shard_size))
+    )
+    return sharded.groupBy(_SHARD_COL).applyInPandas(pack, out_schema)
+
+
+def pack_stats(packed: DataFrame, token_col: str, budget: int) -> DataFrame:
+    """Packing-quality summary: pack count, mean fill ratio, waste.
+
+    One aggregation pass over the packed frame; ``fill`` is each pack's
+    token total over the budget (packs holding a single over-budget row
+    report fill > 1 — they carry no padding, the sequence is long).
+    """
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum(token_col).alias("_pack_tokens"),
+        F.count(F.lit(1)).alias("_pack_docs"),
+    )
+    return per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("_pack_docs").cast("bigint").alias("n_docs"),
+        F.round(F.avg(F.col("_pack_tokens") / F.lit(float(budget))), 4).alias(
+            "mean_fill"
+        ),
+        F.round(
+            F.sum(
+                F.greatest(F.lit(budget) - F.col("_pack_tokens"), F.lit(0))
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(budget))),
+            4,
+        ).alias("pad_waste_ratio"),
+    )
