@@ -15,13 +15,35 @@ cost.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
-def parallelize_scan(df: DataFrame, factor: int = 2) -> DataFrame:
+def parallelize_scan(
+    df: DataFrame, factor: int = 2, min_bytes: int = 256 << 10
+) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism when its
-    current partition count is more than ``factor``× below it."""
+    current partition count is more than ``factor``× below it.
+
+    Tiny inputs are left alone: when the frame reads local files totalling
+    under ``min_bytes``, the shuffle would cost more than the single-task
+    projection it parallelizes. The threshold is COMPRESSED bytes and set
+    low (256 KB) on purpose — text parquet decompresses ~5-10× and the
+    callers of this helper do heavy per-row expression work, so even a
+    sub-megabyte file repays one round-robin shuffle. Sizing uses file
+    metadata only — no job is triggered — and non-file or remote-scheme
+    plans skip the check (assume big)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * factor <= target:
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() * factor > target:
+        return df
+    try:
+        files = df.inputFiles()
+        local = [f[len("file:"):] for f in files if f.startswith("file:")]
+        if files and len(local) == len(files):
+            total = sum(os.path.getsize(f) for f in local if os.path.exists(f))
+            if total < min_bytes:
+                return df
+    except Exception:
+        pass  # non-file source (rdd, in-memory, jdbc): size unknown → widen
+    return df.repartition(target)
