@@ -48,6 +48,14 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        # A non-numeric id would cast to NULL and collapse every row into
+        # one shard — a silent single-task pack. Make the contract loud.
+        raise TypeError(
+            f"pack_sequences shards by integer id ranges; {id_col!r} is "
+            f"{id_type} — map it to a numeric id first (e.g. xxhash64)"
+        )
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("pack_id", T.LongType())]
     )

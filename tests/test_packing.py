@@ -77,3 +77,8 @@ class TestPackSequences:
     def test_budget_validation(self, corpus):
         with pytest.raises(ValueError, match="budget"):
             pack_sequences(corpus, "doc_id", "n_tokens", budget=0)
+
+    def test_non_numeric_id_rejected(self, spark):
+        df = spark.createDataFrame([("a", 10)], ["doc_id", "n_tokens"])
+        with pytest.raises(TypeError, match="numeric id"):
+            pack_sequences(df, "doc_id", "n_tokens", budget=512)
