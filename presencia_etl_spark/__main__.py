@@ -46,6 +46,14 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--target", required=True, help="warehouse output dir")
         p.add_argument("--tables", nargs="*", default=[], help="subset (default: all found)")
         p.add_argument("--key", nargs="*", default=[], help="key columns (default: first column)")
+        p.add_argument(
+            "--buckets",
+            type=int,
+            default=0,
+            help="key-hash bucket count for the partitioned merge state "
+            "(0 = flat state; use for large tables so sparse syncs rewrite "
+            "only dirty buckets)",
+        )
 
     p = sub.add_parser("serve", help="HTTP control plane (reference server.py analog)")
     p.add_argument("--host", default="127.0.0.1")
@@ -79,7 +87,11 @@ def main(argv: list[str] | None = None) -> int:
 
         tables = _load_tables(spark, args.source, args.tables)
         configs = {
-            n: TableConfig(n, key_cols=list(args.key) or [df.columns[0]])
+            n: TableConfig(
+                n,
+                key_cols=list(args.key) or [df.columns[0]],
+                num_buckets=args.buckets,
+            )
             for n, df in tables.items()
         }
         if args.cmd == "full-sync":

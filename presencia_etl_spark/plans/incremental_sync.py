@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from presencia_etl_spark.plans.full_sync import prepare_table
 from presencia_etl_spark.sinks.writers import (
     merge_upsert_parquet,
+    merge_upsert_partitioned,
     overwrite_parquet,
     with_audit_columns,
 )
@@ -49,12 +50,15 @@ def incremental_sync_table(
     # change the rendering and misclassify every row as updated after a
     # full_sync-created state.
     prepared = prepare_table(df, cfg, semi_source=semi_source, typed=True)
-    result = merge_upsert_parquet(
-        spark,
-        prepared,
-        target_path,
-        key_cols,
-    )
+    if cfg.num_buckets > 0:
+        # Large-state tables opt into the bucket-pruned layout: a sync
+        # with localized changes rewrites dirty_buckets/N of the state
+        # instead of all of it (the 100 TB default; see docs/SCALE.md).
+        result = merge_upsert_partitioned(
+            spark, prepared, target_path, key_cols, num_buckets=cfg.num_buckets
+        )
+    else:
+        result = merge_upsert_parquet(spark, prepared, target_path, key_cols)
     result["mode"] = "incremental"
     return result
 

@@ -14,6 +14,7 @@ Endpoints (GET, like the reference):
   /health          → liveness probe
   /run/full-sync   ?source=DIR&target=DIR[&tables=a,b][&key=k1,k2]
   /run/incremental ?source=DIR&target=DIR[&tables=a,b][&key=k1,k2]
+                   [&buckets=N]   (N>0 → bucket-pruned partitioned state)
   /run/clean       ?target=DIR   (drops the warehouse dir's tables; the
                    target must resolve inside the configured warehouse
                    root — the endpoint is disabled without one)
@@ -50,11 +51,12 @@ def _run_pipeline(spark, cmd: str, params: dict) -> dict:
     source, target = params["source"], params["target"]
     names = [t for t in params.get("tables", "").split(",") if t]
     keys = [k for k in params.get("key", "").split(",") if k]
+    buckets = int(params.get("buckets", "0"))
     tables = _load_tables(spark, source, names)
     if not tables:
         raise ValueError(f"no <table>.parquet inputs found under {source!r}")
     configs = {
-        n: TableConfig(n, key_cols=keys or [df.columns[0]])
+        n: TableConfig(n, key_cols=keys or [df.columns[0]], num_buckets=buckets)
         for n, df in tables.items()
     }
     if cmd == "full-sync":

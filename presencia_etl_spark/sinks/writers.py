@@ -402,6 +402,16 @@ def merge_upsert_partitioned(
 
     _recover_interrupted_swap(target_path)
     tgt = spark.read.parquet(target_path)
+    if BUCKET_COL not in tgt.columns:
+        # An implicit flat→bucketed migration can't be made crash-safe
+        # (root-level files and _kb= dirs would coexist mid-swap and
+        # double-count); make the layout switch an explicit operator step.
+        raise ValueError(
+            f"target {target_path!r} is not bucketed (no {BUCKET_COL} "
+            "column): it was created by the flat merge. Rebuild the state "
+            "with merge_upsert_partitioned from a full load, or keep "
+            "syncing it with merge_upsert_parquet."
+        )
     # Pre-persisted-key targets lack _cdc_key; any rewrite must then touch
     # every bucket (like drift) or the partial write would leave mixed
     # schemas across bucket dirs.
@@ -598,6 +608,12 @@ def merge_upsert_parquet(
         return {"insert": n, "update": 0, "skip": 0}
 
     tgt = spark.read.parquet(target_path)
+    if BUCKET_COL in tgt.columns:
+        raise ValueError(
+            f"target {target_path!r} is bucketed ({BUCKET_COL} present): "
+            "sync it with merge_upsert_partitioned — the flat merge would "
+            "silently flatten the pruned layout."
+        )
 
     # ONE narrow classify pass: only (keys, op, hash) is computed and
     # cached — never the wide source rows. The wide frames for the rewrite

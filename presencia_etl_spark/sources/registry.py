@@ -22,6 +22,7 @@ class TableConfig:
     key_cols: list[str] = field(default_factory=list)  # [] → first column
     full_refresh: bool = False  # no reliable key → drop/recreate each run
     semi_join: tuple[str, str] | None = None  # (other_table, key_col)
+    num_buckets: int = 0  # >0 → bucket-pruned partitioned merge state
 
 
 # The docs describe an earlier/alternate Socios filter shape —

@@ -364,6 +364,26 @@ class TestKeyBackfill:
         assert r["buckets_rewritten"] < 8
 
 
+class TestLayoutMismatch:
+    def test_partitioned_merge_rejects_flat_target(self, spark, tmp_path):
+        target = str(tmp_path / "state")
+        src = spark.range(0, 50).select(
+            F.col("id").cast("string").alias("K"), F.lit("x").alias("V")
+        )
+        merge_upsert_parquet(spark, src, target, ["K"])
+        with pytest.raises(ValueError, match="not bucketed"):
+            merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=8)
+
+    def test_flat_merge_rejects_bucketed_target(self, spark, tmp_path):
+        target = str(tmp_path / "state")
+        src = spark.range(0, 50).select(
+            F.col("id").cast("string").alias("K"), F.lit("x").alias("V")
+        )
+        merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=8)
+        with pytest.raises(ValueError, match="is bucketed"):
+            merge_upsert_parquet(spark, src, target, ["K"])
+
+
 class TestCompaction:
     def test_compact_after_many_appends(self, spark, tmp_path):
         from presencia_etl_spark.sinks.writers import compact_parquet

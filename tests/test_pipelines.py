@@ -145,6 +145,31 @@ class TestIncrementalTable:
         )
         assert r["mode"] == "full_refresh" and r["insert"] == 4
 
+    def test_bucketed_state_mode(self, spark, tmp_path):
+        """num_buckets>0 in TableConfig routes the sync through the
+        bucket-pruned partitioned merge: state lands in _kb= dirs, a
+        localized change rewrites only its bucket, idempotency holds."""
+        cfg = TableConfig("T", key_cols=["K"], num_buckets=8)
+        src = spark.range(0, 400).select(
+            F.col("id").cast("string").alias("K"), (F.col("id") % 5).alias("V")
+        )
+        wh = str(tmp_path / "wh")
+        r = incremental_sync_table(spark, src, cfg, wh)
+        assert r["mode"] == "incremental" and r["insert"] == 400
+        import os
+
+        kb_dirs = [d for d in os.listdir(f"{wh}/T") if d.startswith("_kb=")]
+        assert len(kb_dirs) == 8
+
+        r = incremental_sync_table(spark, src, cfg, wh)
+        assert r["insert"] == 0 and r["update"] == 0
+
+        mut = src.withColumn(
+            "V", F.when(F.col("K") == "42", F.lit(99)).otherwise(F.col("V"))
+        )
+        r = incremental_sync_table(spark, mut, cfg, wh)
+        assert r["update"] == 1 and r["buckets_rewritten"] == 1
+
     def test_cdc_counts_shape(self, spark):
         old = spark.createDataFrame([("1", "a"), ("2", "b")], ["K", "V"])
         old = cdc.with_row_hash(old, ["K", "V"])
