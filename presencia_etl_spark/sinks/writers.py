@@ -531,8 +531,6 @@ def merge_upsert_partitioned(
         # across arbitrarily many merges).
         new_parts = new_parts.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
         new_parts.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged)
-        ops.unpersist()
-        src_dirty.unpersist()
         # Atomic journal write (tmp + rename): a crash mid-write must leave
         # either no journal or a complete one, never truncated JSON.
         with open(journal + ".tmp", "w") as fh:
@@ -563,6 +561,10 @@ def merge_upsert_partitioned(
             if os.path.exists(journal):
                 os.remove(journal)
     finally:
+        # Caches release on failure too — a failed merge must not leak
+        # persisted frames for the session lifetime.
+        ops.unpersist()
+        src_dirty.unpersist()
         shutil.rmtree(staged, ignore_errors=True)
     return {
         "insert": n_insert,
@@ -665,10 +667,12 @@ def merge_upsert_parquet(
             key_cols,
             id_offset=int(max_id),
         )
-        inserted.select(
-            *data_cols, "row_hash", cdc.KEY_COL, "id", "created_at", "updated_at"
-        ).write.mode("append").parquet(target_path)
-        ops.unpersist()
+        try:
+            inserted.select(
+                *data_cols, "row_hash", cdc.KEY_COL, "id", "created_at", "updated_at"
+            ).write.mode("append").parquet(target_path)
+        finally:
+            ops.unpersist()
         return {"insert": n_insert, "update": 0, "skip": n_skip}
 
     # Updates present → staged rewrite: unchanged ∪ updated ∪ inserted.
@@ -714,11 +718,16 @@ def merge_upsert_parquet(
     # Stage to a temp dir, then atomically swap — parquet overwrite of a
     # path we are also reading would corrupt the source mid-plan.
     tmp = tempfile.mkdtemp(prefix="merge_stage_", dir=os.path.dirname(target_path) or ".")
-    new_state.write.mode("overwrite").parquet(tmp)
-    ops.unpersist()
-    src_dirty.unpersist()
-    shutil.rmtree(target_path)
-    os.replace(tmp, target_path)
+    try:
+        new_state.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_path)
+        os.replace(tmp, target_path)
+    finally:
+        # Caches release on failure too — a failed merge must not leak
+        # persisted frames for the session lifetime.
+        ops.unpersist()
+        src_dirty.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
     return {
         "insert": n_insert,
         "update": n_update,
