@@ -106,12 +106,15 @@ def _warn_audit_collisions(src: DataFrame) -> None:
 BROADCAST_KEY_LIMIT = 5_000_000
 
 
-def _maybe_broadcast(df: DataFrame, n_rows: int, limit: int = BROADCAST_KEY_LIMIT):
+def _maybe_broadcast(df: DataFrame, n_rows: int, limit: int | None = None):
     """Broadcast a dirty-key frame only when its row count (already known
     from the classify pass) is small; past the limit leave it unhinted so
     AQE picks a shuffle strategy. An unconditional broadcast of 'the
     changed keys' dies on the first drift-style merge where EVERY key
-    reclassifies as update."""
+    reclassifies as update. The limit is read at call time so tests can
+    force the shuffle path."""
+    if limit is None:
+        limit = BROADCAST_KEY_LIMIT
     return F.broadcast(df) if n_rows <= limit else df
 
 

@@ -364,6 +364,47 @@ class TestKeyBackfill:
         assert r["buckets_rewritten"] < 8
 
 
+class TestShuffleJoinPath:
+    def test_merges_correct_with_broadcast_disabled(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The 100 TB path: when the dirty set is past the broadcast limit,
+        every rewrite join runs as an AQE-chosen shuffle join. Force it by
+        zeroing the limit and assert both merges still converge to the
+        same state they produce with broadcasts."""
+        import presencia_etl_spark.sinks.writers as W
+
+        monkeypatch.setattr(W, "BROADCAST_KEY_LIMIT", 0)
+        base = spark.range(0, 600)
+        src = base.select(
+            F.col("id").cast("string").alias("K"), (F.col("id") % 7).alias("V")
+        )
+        mut = base.select(
+            F.col("id").cast("string").alias("K"),
+            F.when(F.col("id") % 50 == 0, F.lit(99))
+            .otherwise(F.col("id") % 7)
+            .alias("V"),
+        )
+
+        flat = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, src, flat, ["K"])
+        r = merge_upsert_parquet(spark, mut, flat, ["K"])
+        assert r["update"] == 12 and r["insert"] == 0
+        state = spark.read.parquet(flat)
+        assert state.count() == 600
+        assert state.filter(F.col("V") == 99).count() == 12
+
+        part = str(tmp_path / "part")
+        merge_upsert_partitioned(spark, src, part, ["K"], num_buckets=8)
+        r = merge_upsert_partitioned(spark, mut, part, ["K"], num_buckets=8)
+        assert r["update"] == 12 and r["insert"] == 0
+        state = spark.read.parquet(part)
+        assert state.count() == 600
+        assert state.filter(F.col("V") == 99).count() == 12
+        r = merge_upsert_partitioned(spark, mut, part, ["K"], num_buckets=8)
+        assert r["update"] == 0 and r["insert"] == 0  # idempotent
+
+
 class TestLayoutMismatch:
     def test_partitioned_merge_rejects_flat_target(self, spark, tmp_path):
         target = str(tmp_path / "state")
