@@ -192,6 +192,53 @@ def minhash_signature_arrow(
     return hashed.withColumn(out, sigs(F.col("_th"))).drop("_th")
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 32,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """(doc_id, sig) for a corpus: shingling + MinHash in one scan.
+    Shared front half of ``minhash_lsh_candidates`` and the persisted
+    ``dedup_index`` — both must produce bit-identical signatures or an
+    indexed batch would never collide with historical docs."""
+    shingled = parallelize_scan(df).select(
+        F.col(id_col).alias("doc_id"),
+        char_shingles(text_col, k).alias("shingles"),
+    )
+    if use_arrow:
+        return minhash_signature_arrow(shingled, "shingles", n_hashes).drop("shingles")
+    return shingled.withColumn(
+        "sig", minhash_signature("shingles", n_hashes)
+    ).drop("shingles")
+
+
+def band_rows(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Explode a (doc_id, sig) frame into narrow (band_id, band_hash, doc_id)
+    LSH rows — the ONLY shape that moves through dedup shuffles and the
+    on-disk layout of the persisted index (``dedup_index``). One xxhash64
+    per band over the joined signature slice; everything stays in codegen.
+    """
+    rows_per_band = n_hashes // bands
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> named_struct('band_id', b,"
+                f" 'band_hash', xxhash64(array_join(slice(sig, b * {rows_per_band} + 1,"
+                f" {rows_per_band}), ','))))"
+            )
+        ).alias("band"),
+    ).select(
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+        "doc_id",
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -219,7 +266,6 @@ def minhash_lsh_candidates(
     """
     from pyspark.sql import Window
 
-    rows_per_band = n_hashes // bands
     # Signatures are computed ONCE and persisted; everything that moves
     # through the LSH shuffles is NARROW (band_id, band_hash, doc_id)
     # triples — the 32-long sig arrays rejoin only for the few surviving
@@ -227,29 +273,10 @@ def minhash_lsh_candidates(
     # petabyte scale that final join is a sorted id join and the persist
     # becomes a checkpoint to storage).
     # Shingling + signatures are the CPU-heavy stage; make sure a
-    # single-file corpus doesn't run them on one task.
-    shingled = parallelize_scan(df).select(
-        F.col(id_col).alias("doc_id"),
-        char_shingles(text_col, k).alias("shingles"),
-    )
-    if use_arrow:
-        sig = minhash_signature_arrow(shingled, "shingles", n_hashes).drop("shingles")
-    else:
-        sig = shingled.withColumn(
-            "sig", minhash_signature("shingles", n_hashes)
-        ).drop("shingles")
-    sig = sig.persist()
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> named_struct('band_id', b,"
-                f" 'band_hash', xxhash64(array_join(slice(sig, b * {rows_per_band} + 1,"
-                f" {rows_per_band}), ','))))"
-            )
-        ).alias("band"),
-    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    # single-file corpus doesn't run them on one task (parallelize_scan
+    # inside minhash_signatures).
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes, use_arrow).persist()
+    banded = band_rows(sig, n_hashes, bands)
 
     # Prune degenerate buckets with ONE window pass (no sizes join).
     w = Window.partitionBy("band_id", "band_hash")

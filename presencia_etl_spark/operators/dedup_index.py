@@ -1,0 +1,214 @@
+"""Persisted MinHash-LSH index: incremental near-dup detection at corpus scale.
+
+No analogue in the reference (its CDC hash state, ``sync_INCREMENTAL.py:169-176``,
+is exact row identity); this is the 100 TB extension that makes near-dedup
+INCREMENTAL. ``minhash_lsh_candidates`` is the right shape for a one-shot
+corpus pass, but a training pipeline receives batches forever — re-shingling
+and re-LSHing 100 TB of history per arriving batch is the scale killer. The
+index persists the two narrow artifacts once:
+
+- ``bands/``       (band_id, band_hash, doc_id) hive-partitioned by band_id,
+                   range-sorted on band_hash → a batch probe prunes to its
+                   band partitions and skips files via parquet min/max stats.
+- ``signatures/``  (doc_id, sig array<long>) range-sorted on doc_id → the
+                   verification join fetches only matched docs' signatures.
+- ``_index_meta.json``  (k, n_hashes, bands) — probes with mismatched LSH
+                   parameters would silently return nothing; fail fast.
+
+A batch probe then costs O(|batch|) signature work + a broadcast-pruned join
+against the band table: history is never re-hashed, and only matched ids'
+signatures are read back. ``update_minhash_index`` appends the same two
+artifacts for accepted docs, so the index grows with the corpus.
+
+Layout is plain parquet + a staged append (no table format dependency); on a
+real cluster the same frames write to Delta/Iceberg for ACID appends.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.operators.dedup import band_rows, minhash_signatures
+
+SIG_DIR = "signatures"
+BAND_DIR = "bands"
+META_FILE = "_index_meta.json"
+
+
+def _meta_path(index_path: str) -> str:
+    return os.path.join(index_path, META_FILE)
+
+
+def _read_meta(index_path: str) -> dict:
+    with open(_meta_path(index_path)) as f:
+        return json.load(f)
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    num_files: int = 8,
+) -> dict:
+    """Create the index from an initial corpus. One pass computes
+    signatures (persisted), bands derive from the cached signatures, and
+    both artifacts land range-sorted so probes file-skip. Returns
+    {'docs': n} for bookkeeping."""
+    sig = minhash_signatures(docs, id_col, text_col, k, n_hashes).persist()
+    (
+        sig.repartitionByRange(num_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_path, SIG_DIR))
+    )
+    (
+        band_rows(sig, n_hashes, bands)
+        .repartitionByRange(num_files, "band_id", "band_hash")
+        .sortWithinPartitions("band_hash")
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(os.path.join(index_path, BAND_DIR))
+    )
+    n = spark.read.parquet(os.path.join(index_path, SIG_DIR)).count()
+    sig.unpersist()
+    with open(_meta_path(index_path), "w") as f:
+        json.dump({"k": k, "n_hashes": n_hashes, "bands": bands, "docs": n}, f)
+    return {"docs": n}
+
+
+def update_minhash_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    num_files: int = 4,
+) -> dict:
+    """Append accepted docs to an existing index. LSH parameters come from
+    the stored meta (a caller-supplied mismatch would poison the index).
+    Appended files are range-sorted within the batch, so min/max skipping
+    still holds per file. Returns {'added': n, 'docs': total}."""
+    meta = _read_meta(index_path)
+    sig = minhash_signatures(
+        new_docs, id_col, text_col, meta["k"], meta["n_hashes"]
+    ).persist()
+    (
+        sig.repartitionByRange(num_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append")
+        .parquet(os.path.join(index_path, SIG_DIR))
+    )
+    (
+        band_rows(sig, meta["n_hashes"], meta["bands"])
+        .repartitionByRange(num_files, "band_id", "band_hash")
+        .sortWithinPartitions("band_hash")
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(os.path.join(index_path, BAND_DIR))
+    )
+    added = sig.count()
+    sig.unpersist()
+    meta["docs"] = meta.get("docs", 0) + added
+    with open(_meta_path(index_path), "w") as f:
+        json.dump(meta, f)
+    return {"added": added, "docs": meta["docs"]}
+
+
+def query_minhash_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup matches of a batch against the indexed history:
+    (batch_id, index_id, est_jaccard), batch rows whose id already exists
+    in the index excluded (a resubmitted doc is not its own duplicate).
+
+    Scale shape: only the BATCH is shingled/hashed. Its band keys join the
+    stored band table — band_id partition pruning plus band_hash file
+    skipping bound the read to the probed buckets; with a small batch the
+    key side broadcasts, so the history never shuffles. Degenerate buckets
+    (an empty-doc band shared by millions of docs) are capped at
+    ``max_bucket`` MATCHED rows per bucket — counted on the join result,
+    never on the full index. Signature verification reads back only the
+    matched index ids via a second broadcast-pruned join.
+    """
+    from pyspark.sql import Window
+
+    meta = _read_meta(index_path)
+    bsig = minhash_signatures(
+        batch, id_col, text_col, meta["k"], meta["n_hashes"]
+    ).persist()
+    bband = band_rows(bsig, meta["n_hashes"], meta["bands"])
+
+    iband = spark.read.parquet(os.path.join(index_path, BAND_DIR))
+    matched = iband.join(
+        bband.select("band_id", "band_hash", F.col("doc_id").alias("batch_id")),
+        ["band_id", "band_hash"],
+    ).filter(F.col("doc_id") != F.col("batch_id"))
+    w = Window.partitionBy("band_id", "band_hash")
+    pairs = (
+        matched.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= max_bucket)
+        .select("batch_id", F.col("doc_id").alias("index_id"))
+        .dropDuplicates(["batch_id", "index_id"])
+    )
+
+    isig = spark.read.parquet(os.path.join(index_path, SIG_DIR))
+    n_hashes = meta["n_hashes"]
+    est = F.expr(
+        "aggregate(zip_with(sig_b, sig_i, (x, y) -> if(x = y, 1, 0)),"
+        " 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(n_hashes))
+    out = (
+        pairs.join(
+            bsig.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("sig_b")),
+            "batch_id",
+        )
+        .join(
+            isig.select(F.col("doc_id").alias("index_id"), F.col("sig").alias("sig_i")),
+            "index_id",
+        )
+        .select("batch_id", "index_id", F.round(est, 4).alias("est_jaccard"))
+        .localCheckpoint(eager=True)
+    )
+    bsig.unpersist()
+    return out
+
+
+def admit_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    est_threshold: float = 0.8,
+    update_index: bool = True,
+) -> DataFrame:
+    """The pipeline composition: drop batch docs that near-duplicate
+    indexed history (estimated Jaccard ≥ threshold), then register the
+    survivors so FUTURE batches dedup against them too. Returns the
+    admitted rows (original schema). This is the steady-state ingest loop
+    a 100 TB training corpus actually runs — per batch, work is
+    O(|batch|), never O(|history|)."""
+    matches = query_minhash_index(spark, batch, id_col, text_col, index_path)
+    dupes = (
+        matches.filter(F.col("est_jaccard") >= est_threshold)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    admitted = batch.join(dupes, id_col, "left_anti").localCheckpoint(eager=True)
+    if update_index:
+        update_minhash_index(spark, admitted, id_col, text_col, index_path)
+    return admitted
