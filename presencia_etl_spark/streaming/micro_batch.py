@@ -39,3 +39,59 @@ def incremental_upsert_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_admit_stream(
+    spark: SparkSession,
+    source_path: str,
+    source_schema,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    target_path: str,
+    checkpoint_path: str,
+    est_threshold: float = 0.8,
+    trigger_once: bool = True,
+):
+    """Streaming corpus ingest: readStream(parquet dir) → foreachBatch
+    (``dedup_index.admit_batch``) → append admitted docs to the corpus.
+
+    Each micro-batch near-dedups against ALL previously admitted history
+    via the persisted MinHash index — O(|batch|) per batch, the index
+    grows with the corpus. foreachBatch replay (at-least-once) is handled
+    at the id level: docs whose id already landed in the target are
+    dropped before the probe (the index's near-dup exclusion is by
+    DIFFERENT id, so a replayed doc would otherwise re-admit itself and
+    duplicate both target and index). The batch work is the SAME admit
+    loop the batch pipeline runs — one code path, one semantics. Residual
+    crash window: failing between the index append and the target append
+    re-registers those signatures on replay — duplicate index rows only
+    fatten their buckets (matching is unchanged; ids self-exclude), so
+    correctness holds. Returns the started StreamingQuery.
+    """
+    import os
+
+    from presencia_etl_spark.operators.dedup_index import admit_batch
+
+    stream = spark.readStream.schema(source_schema).parquet(source_path)
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.isdir(target_path):
+            seen = spark.read.parquet(target_path).select(id_col)
+            batch_df = batch_df.join(seen, id_col, "left_anti")
+            if batch_df.isEmpty():
+                return
+        admitted = admit_batch(
+            spark, batch_df, id_col, text_col, index_path,
+            est_threshold=est_threshold,
+        )
+        admitted.write.mode("append").parquet(target_path)
+
+    writer = stream.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

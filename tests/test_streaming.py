@@ -68,3 +68,59 @@ class TestWindowedCounts:
             for r in spark.sql("SELECT * FROM win_counts").collect()
         }
         assert stream_out == batch_out
+
+
+class TestDedupAdmitStream:
+    def test_stream_admits_and_gates_near_dups(self, spark, tmp_path):
+        from presencia_etl_spark.operators import dedup_index
+        from presencia_etl_spark.streaming.micro_batch import dedup_admit_stream
+
+        base = (
+            "the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps nearby in the warm afternoon sun"
+        )
+        idx = str(tmp_path / "idx")
+        src = str(tmp_path / "incoming")
+        target = str(tmp_path / "corpus")
+        ckpt = str(tmp_path / "ckpt")
+
+        history = spark.createDataFrame(
+            [(0, base), (1, "unrelated seed document about shuffle hash joins")],
+            ["doc_id", "text"],
+        )
+        dedup_index.build_minhash_index(spark, history, "doc_id", "text", idx)
+
+        b1 = spark.createDataFrame(
+            [
+                (100, base.replace("lazy", "sleepy")),  # near-dup of history
+                (101, "fresh essay on watermarks and late arriving events"),
+            ],
+            ["doc_id", "text"],
+        )
+        b1.write.mode("append").parquet(src)
+        q = dedup_admit_stream(
+            spark, src, b1.schema, "doc_id", "text", idx, target, ckpt,
+            est_threshold=0.5,
+        )
+        q.awaitTermination(120)
+        assert [r["doc_id"] for r in spark.read.parquet(target).collect()] == [101]
+
+        # Batch 2: near-dup of the ADMITTED streamed doc + replay of 101.
+        b2 = spark.createDataFrame(
+            [
+                (200, "fresh essay on watermarks and late arriving event streams"),
+                (101, "fresh essay on watermarks and late arriving events"),
+                (201, "entirely new corpus entry describing salted aggregations"),
+            ],
+            ["doc_id", "text"],
+        )
+        b2.write.mode("append").parquet(src)
+        q2 = dedup_admit_stream(
+            spark, src, b1.schema, "doc_id", "text", idx, target, ckpt,
+            est_threshold=0.5,
+        )
+        q2.awaitTermination(120)
+        state = spark.read.parquet(target)
+        ids = sorted(r["doc_id"] for r in state.collect())
+        assert ids == [101, 201]  # 200 gated by 101's index entry; 101 not duplicated
+        assert state.select("doc_id").distinct().count() == 2
