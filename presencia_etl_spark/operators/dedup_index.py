@@ -199,16 +199,26 @@ def admit_batch(
     """The pipeline composition: drop batch docs that near-duplicate
     indexed history (estimated Jaccard ≥ threshold), then register the
     survivors so FUTURE batches dedup against them too. Returns the
-    admitted rows (original schema). This is the steady-state ingest loop
-    a 100 TB training corpus actually runs — per batch, work is
-    O(|batch|), never O(|history|)."""
-    matches = query_minhash_index(spark, batch, id_col, text_col, index_path)
+    admitted rows (original schema). Idempotent at the id level: a row
+    whose id is already registered was admitted by an earlier run and is
+    neither returned nor re-registered, so batch replays are safe. This
+    is the steady-state ingest loop a 100 TB training corpus actually
+    runs — per batch, work is O(|batch|), never O(|history|)."""
+    # An id already registered in the index IS the admitted doc — a replay
+    # must not re-probe (it would pass, its self-pair is id-excluded) nor
+    # re-register its signatures. The id probe reads only the doc_id
+    # column of the signature store, file-skipped via its range sort.
+    seen = spark.read.parquet(os.path.join(index_path, SIG_DIR)).select(
+        F.col("doc_id").alias(id_col)
+    )
+    fresh = batch.join(seen, id_col, "left_anti")
+    matches = query_minhash_index(spark, fresh, id_col, text_col, index_path)
     dupes = (
         matches.filter(F.col("est_jaccard") >= est_threshold)
         .select(F.col("batch_id").alias(id_col))
         .distinct()
     )
-    admitted = batch.join(dupes, id_col, "left_anti").localCheckpoint(eager=True)
+    admitted = fresh.join(dupes, id_col, "left_anti").localCheckpoint(eager=True)
     if update_index:
         update_minhash_index(spark, admitted, id_col, text_col, index_path)
     return admitted

@@ -87,13 +87,19 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     out = out.withColumn("punct_ratio", F.round(punct_ratio(text_col), 4))
     # Simple monotone quality heuristic: long-enough docs with normal token
-    # length and some stopwords score higher.
+    # length and some stopwords score higher; punctuation-dominated text
+    # (markup soup, ascii art) is pushed toward 0 — without the penalty a
+    # three-"token" run of pure punctuation lands mid-scale because its
+    # token length looks wordlike.
     score = (
         F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
         + F.when((F.col("avg_token_len") >= 3) & (F.col("avg_token_len") <= 10), 0.3).otherwise(0.0)
         + F.least(F.col("stopword_ratio") * F.lit(3.0), F.lit(0.3))
+        - F.least(F.col("punct_ratio") * F.lit(1.5), F.lit(1.0))
     )
-    return out.withColumn("quality_score", F.round(score, 4))
+    return out.withColumn(
+        "quality_score", F.round(F.greatest(score, F.lit(0.0)), 4)
+    )
 
 
 def _in_set(words: tuple[str, ...]):
