@@ -123,6 +123,10 @@ def update_minhash_index(
     return {"added": added, "docs": meta["docs"]}
 
 
+PROBE_PUSHDOWN_LIMIT = 4096
+PROBE_BROADCAST_LIMIT = 5_000_000
+
+
 def query_minhash_index(
     spark: SparkSession,
     batch: DataFrame,
@@ -130,33 +134,55 @@ def query_minhash_index(
     text_col: str,
     index_path: str,
     max_bucket: int = 1000,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup matches of a batch against the indexed history:
-    (batch_id, index_id, est_jaccard), batch rows whose id already exists
-    in the index excluded (a resubmitted doc is not its own duplicate).
+    (batch_id, index_id, est_jaccard), self-pairs (same id on both sides)
+    excluded — a resubmitted doc is not its own duplicate.
 
-    Scale shape: only the BATCH is shingled/hashed. Its band keys join the
-    stored band table — band_id partition pruning plus band_hash file
-    skipping bound the read to the probed buckets; with a small batch the
-    key side broadcasts, so the history never shuffles. Degenerate buckets
-    (an empty-doc band shared by millions of docs) are capped at
-    ``max_bucket`` MATCHED rows per bucket — counted on the join result,
-    never on the full index. Signature verification reads back only the
-    matched index ids via a second broadcast-pruned join.
+    Scale shape: only the BATCH is shingled/hashed; the batch doc count is
+    known from the (persisted) signature pass, so the probe adapts to it:
+
+    - ≤ ``PROBE_PUSHDOWN_LIMIT`` band keys: the keys are collected (bounded
+      scalar bookkeeping) and pushed as an ``In(band_hash, ...)`` parquet
+      filter — the scan of a 100 TB band table then SKIPS every file and
+      row group whose band_hash range misses the probe set (the band files
+      are range-sorted exactly for this). Probing with a trickle batch
+      reads KBs of history, not the index.
+    - Larger batches: the probe side is broadcast up to
+      ``PROBE_BROADCAST_LIMIT`` keys (history still never shuffles); past
+      that, AQE picks a shuffle join — at which point the batch is
+      corpus-sized and the one-shot ``minhash_lsh_candidates`` shape is
+      the comparison anyway.
+
+    Degenerate buckets (an empty-doc band shared by millions of docs) are
+    capped at ``max_bucket`` MATCHED rows per bucket — counted on the join
+    result, never on the full index. Signature verification reads back
+    only the matched index ids via a second pruned join.
+
+    ``eager=False`` returns the fully LAZY plan (no checkpoints, no
+    signature cache, no matched-id pushdown on the signature store) —
+    the plan-pin tests explain this form; callers want the default.
     """
     from pyspark.sql import Window
 
     meta = _read_meta(index_path)
-    bsig = minhash_signatures(
-        batch, id_col, text_col, meta["k"], meta["n_hashes"]
-    ).persist()
+    bsig = minhash_signatures(batch, id_col, text_col, meta["k"], meta["n_hashes"])
+    if eager:
+        bsig = bsig.persist()
+    n_keys = bsig.count() * meta["bands"]
     bband = band_rows(bsig, meta["n_hashes"], meta["bands"])
 
     iband = spark.read.parquet(os.path.join(index_path, BAND_DIR))
-    matched = iband.join(
-        bband.select("band_id", "band_hash", F.col("doc_id").alias("batch_id")),
-        ["band_id", "band_hash"],
-    ).filter(F.col("doc_id") != F.col("batch_id"))
+    if n_keys <= PROBE_PUSHDOWN_LIMIT:
+        keys = [r["band_hash"] for r in bband.select("band_hash").distinct().collect()]
+        iband = iband.filter(F.col("band_hash").isin(keys))
+    probe = bband.select("band_id", "band_hash", F.col("doc_id").alias("batch_id"))
+    if n_keys <= PROBE_BROADCAST_LIMIT:
+        probe = F.broadcast(probe)
+    matched = iband.join(probe, ["band_id", "band_hash"]).filter(
+        F.col("doc_id") != F.col("batch_id")
+    )
     w = Window.partitionBy("band_id", "band_hash")
     pairs = (
         matched.withColumn("bsz", F.count(F.lit(1)).over(w))
@@ -166,6 +192,14 @@ def query_minhash_index(
     )
 
     isig = spark.read.parquet(os.path.join(index_path, SIG_DIR))
+    if eager and n_keys <= PROBE_PUSHDOWN_LIMIT:
+        # Materialize the (tiny) pair list once so the verification scan
+        # can push In(doc_id, ...) — the doc_id-range-sorted signature
+        # store then file-skips to just the matched docs.
+        pairs = pairs.localCheckpoint(eager=True)
+        ids = [r["index_id"] for r in pairs.select("index_id").distinct().collect()]
+        if len(ids) <= PROBE_PUSHDOWN_LIMIT:
+            isig = isig.filter(F.col("doc_id").isin(ids))
     n_hashes = meta["n_hashes"]
     est = F.expr(
         "aggregate(zip_with(sig_b, sig_i, (x, y) -> if(x = y, 1, 0)),"
@@ -181,9 +215,10 @@ def query_minhash_index(
             "index_id",
         )
         .select("batch_id", "index_id", F.round(est, 4).alias("est_jaccard"))
-        .localCheckpoint(eager=True)
     )
-    bsig.unpersist()
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        bsig.unpersist()
     return out
 
 

@@ -121,3 +121,44 @@ class TestPlanProperties:
             cust, F.col("o_custkey") == F.col("c_custkey")
         ).count()
         assert n_bucketed == n_plain
+
+
+class TestDedupIndexProbePlan:
+    def test_small_probe_pushes_band_keys_and_broadcasts_batch(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A trickle-batch probe of the persisted MinHash index must (a)
+        push its band hashes into the band-table scan as an In filter —
+        that is what turns a 100 TB index read into a few row groups —
+        and (b) broadcast the BATCH side (never the index)."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.operators import dedup_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx = str(tmp_path / "idx")
+        dedup_index.build_minhash_index(spark, docs, "doc_id", "text", idx)
+        batch = spark.createDataFrame(
+            [(10**9, "the quick brown fox jumps over a sleepy dog")],
+            ["doc_id", "text"],
+        )
+        lazy = dedup_index.query_minhash_index(
+            spark, batch, "doc_id", "text", idx, eager=False
+        )
+        p = plan_of(lazy)
+        assert "In(band_hash, [" in p, p
+        scan_lines = [
+            ln for ln in p.splitlines() if "Location: InMemoryFileIndex" in ln
+        ]
+        assert any("idx/bands" in ln for ln in scan_lines), scan_lines
+        # The band join must STREAM the index scan and broadcast the probe:
+        # tree shape `BroadcastHashJoin ... BuildRight` whose left child is
+        # the filtered parquet scan.
+        import re
+
+        assert re.search(
+            r"BroadcastHashJoin Inner BuildRight \(\d+\)\n"
+            r"([^\n]*?):- Filter \(\d+\)\n"
+            r"\1:  \+- Scan parquet",
+            p,
+        ), p
