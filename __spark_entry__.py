@@ -11,9 +11,9 @@ fixed scale; dates/timestamps are emitted as formatted strings; BIGINT
 casts pin DuckDB's HUGEINT sums to int64 so value-hashes match.
 
 Queries without an oracle entry (q28_minhash_lsh, q29_simhash,
-q35_multimodal_features, q36_lsh_topk, q42/q43/q46, q19_stratified_sample)
-are genuinely non-SQL-expressible in DuckDB (engine-specific hash functions
-/ Arrow-batched stubs / approximate results) and take the rows-only check.
+q35_multimodal_features, q36_lsh_topk, q42/q43/q46) are genuinely
+non-SQL-expressible in DuckDB (engine-specific hash functions /
+Arrow-batched stubs / approximate results) and take the rows-only check.
 
 NOTE on numbering: the contract is capped at exactly 50 keys (the driver's
 CORRECTNESS snapshot records 50). Round 3 merged five pairs of single-row
@@ -305,13 +305,15 @@ def q18_intersect(spark, sf):
 
 
 def q19_stratified_sample(spark, sf):
-    """Seeded stratified sample by language (sampler is engine-specific →
-    rows-only; proportions asserted in pytest)."""
-    from presencia_etl_spark.operators.profile import stratified_sample
+    """Deterministic hash-threshold stratified sample by language: keep
+    iff md5(doc_id:seed)[:8] % 1e6 < frac*1e6 — a pure function of the
+    key, so DuckDB replicates it exactly (full rows+schema+hash oracle,
+    unlike sampleBy's engine-private RNG)."""
+    from presencia_etl_spark.operators.profile import stratified_sample_hash
 
     docs = _t(spark, sf, "documents")
-    sampled = stratified_sample(
-        docs, "lang", {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 1.0}
+    sampled = stratified_sample_hash(
+        docs, "lang", "doc_id", {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 1.0}
     )
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
@@ -529,8 +531,10 @@ def q37_asof_join(spark, sf):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
+    from presencia_etl_spark.functions.dates import epoch_seconds
+
     joined = asof_join(clicks, purchases, "user_id", "ts", "ts")
-    gap = F.col("ts").cast("long") - F.col("ts_asof").cast("long")
+    gap = epoch_seconds("ts") - epoch_seconds("ts_asof")
     return joined.agg(
         F.count(F.lit(1)).alias("n_clicks"),
         F.count("value_asof").cast("bigint").alias("n_matched"),
@@ -945,6 +949,17 @@ def oracle_sql() -> dict[str, str]:
         "q18_intersect": (
             "SELECT c_custkey AS custkey FROM customer "
             "INTERSECT SELECT o_custkey FROM orders"
+        ),
+        "q19_stratified_sample": (
+            # Same md5-threshold predicate as stratified_sample_hash: md5 of
+            # the decimal key string is bit-identical across engines.
+            "SELECT lang, COUNT(*) AS n_sampled FROM documents "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) "
+            "AS BIGINT) % 1000000 < "
+            "CASE lang WHEN 'en' THEN 250000 WHEN 'es' THEN 1000000 "
+            "WHEN 'de' THEN 1000000 WHEN 'fr' THEN 1000000 "
+            "WHEN 'zh' THEN 1000000 ELSE 0 END "
+            "GROUP BY lang"
         ),
         "q20_union_counts": (
             "SELECT 'lineitem' AS table_name, COUNT(*) AS cnt FROM lineitem "

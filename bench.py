@@ -43,29 +43,51 @@ def main() -> None:
         pipeline = {"error": str(e)[:200]}
         print(f"# bench pipeline error: {e}", file=sys.stderr)
 
+    # Median-of-3 per query: single-run timings at this scale swing ±40%
+    # under sandbox load (round-4 postmortem: phantom 2-3× "regressions"
+    # that vanished on re-run), so round-over-round comparison needs a
+    # robust estimator. Failures go to a separate `errors` map — never
+    # -1.0 sentinels inside the timings (they made sums meaningless) —
+    # and are reported as one clean line, no traceback in the tail.
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     rows_out: dict[str, int] = {}
+    errors: dict[str, str] = {}
     queries = entrymod.queries()
     t_all = time.perf_counter()
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            rows_out[name] = len(df.collect())
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # keep the bench alive; failures are visible
-            timings[name] = -1.0
-            rows_out[name] = -1
-            print(f"# bench error in {name}: {e}", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 3)
+        runs: list[float] = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                rows_out[name] = len(df.collect())
+                runs.append(time.perf_counter() - t0)
+            except Exception as e:
+                errors[name] = _one_line_err(e)
+                print(f"# bench error in {name}: {errors[name]}", file=sys.stderr)
+                break  # don't re-run a deterministic failure
+        if runs:
+            runs.sort()
+            timings[name] = round(runs[len(runs) // 2], 3)
+            spread[name] = round(runs[-1] - runs[0], 3)
+    wall = round(time.perf_counter() - t_all, 3)
+    # `value` is the sum of per-query medians so it (a) equals the sum of
+    # the `queries` map and (b) is load-robust; raw wall is in the detail.
+    total = round(sum(timings.values()), 3)
 
     # Full payload to a detail file the judge can read directly.
     detail = {
-        "metric": "total_query_wall_sec",
+        "metric": "total_query_median_sec",
         "value": total,
         "unit": "sec",
+        "reps": REPS,
+        "wall_sec": wall,
         "queries": timings,
+        "spread": spread,
         "rows_out": rows_out,
+        "errors": errors,
         "pipeline": pipeline,
         "sf": sf,
     }
@@ -76,11 +98,13 @@ def main() -> None:
     # rows_out. Both r1 and r2 bench lines were too long for the driver's
     # tail capture (parsed: null) — keep this under ~2 KB.
     short = {
-        "metric": "total_query_wall_sec",
+        "metric": "total_query_median_sec",
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "reps": REPS,
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "errors": errors,
         "pipeline": pipeline,
         "detail": "BENCH_DETAIL.json",
     }
@@ -89,6 +113,13 @@ def main() -> None:
         short.pop("queries", None)
         line = json.dumps(short, separators=(",", ":"))
     print(line)
+
+
+def _one_line_err(e: Exception) -> str:
+    """First line of the exception message, truncated from the TAIL so the
+    error class/code survives (a plan dump's head is unreadable noise)."""
+    msg = f"{type(e).__name__}: {str(e).strip().splitlines()[0] if str(e).strip() else ''}"
+    return msg[:160]
 
 
 def bench_pipelines(spark, sf_dir: str) -> dict:
@@ -192,6 +223,27 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         out["cdc_sparse_sec"] = round(dt, 3)
         out["cdc_sparse_updates"] = int(r["update"])
         out["cdc_sparse_buckets_rewritten"] = int(r.get("buckets_rewritten", -1))
+
+        # Steady-state corpus admit loop (what a 100 TB training pipeline
+        # runs per ingest batch): history indexed untimed, then one fixed
+        # 20% batch through gate→probe→admit→register.
+        from presencia_etl_spark.operators.dedup_index import build_minhash_index
+        from presencia_etl_spark.plans.corpus_prep import prepare_training_corpus
+
+        docs = read_table(spark, sf_dir, "documents")
+        history = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        idx = f"{work}/corpus_idx"
+        build_minhash_index(spark, history, "doc_id", "text", idx)
+        t0 = time.perf_counter()
+        prep = prepare_training_corpus(
+            spark, batch, "doc_id", "text", idx, min_quality=0.05
+        )
+        n_packed = prep["packed"].count()
+        dt = time.perf_counter() - t0
+        out["admit_batch_sec"] = round(dt, 3)
+        out["admit_batch_rows"] = int(batch.count())
+        out["admit_packed_seqs"] = int(n_packed)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -63,3 +63,16 @@ def month_key(col: Column | str) -> Column:
     """'yyyy-MM' month bucket (compare_historico_mensual.py:64-65)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, "yyyy-MM")
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Epoch seconds from any timestamp flavor (LTZ, NTZ, or string).
+
+    ``CAST(ts AS LONG)`` is legal on TIMESTAMP but raises
+    CAST_WITHOUT_SUGGESTION on TIMESTAMP_NTZ; routing through
+    ``cast("timestamp")`` first accepts both. An NTZ value is interpreted
+    in the session timezone (UTC for this engine), and in relative
+    arithmetic (gaps, band buckets) any fixed offset cancels anyway.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")

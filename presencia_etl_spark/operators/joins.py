@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from presencia_etl_spark.functions.dates import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -113,7 +115,7 @@ def range_join(
         F.explode(
             F.array(
                 *[
-                    (F.floor(F.col(left_ts).cast("long") / gap) + d).alias("b")
+                    (F.floor(epoch_seconds(left_ts) / gap) + d).alias("b")
                     for d in (-1, 0, 1)
                 ]
             )
@@ -123,9 +125,9 @@ def range_join(
         F.col(key),
         F.col(right_ts).alias("r_ts"),
         *[F.col(c).alias(f"r_{c}") for c in (right_carry or [])],
-        F.floor(F.col(right_ts).cast("long") / gap).alias("bucket"),
+        F.floor(epoch_seconds(right_ts) / gap).alias("bucket"),
     )
     joined = l.join(r, [key, "bucket"]).filter(
-        F.abs(F.col("l_ts").cast("long") - F.col("r_ts").cast("long")) <= gap
+        F.abs(epoch_seconds("l_ts") - epoch_seconds("r_ts")) <= gap
     )
     return joined.drop("bucket")

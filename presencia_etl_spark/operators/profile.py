@@ -62,6 +62,43 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def stratified_sample_hash(
+    df: DataFrame, strata_col: str, id_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Stratified sample by deterministic key hash instead of an RNG.
+
+    A row is kept iff ``md5(id:seed)[:8] as uint32 % 1e6 < frac*1e6`` for
+    its stratum — a pure function of (id, seed), so the sample is
+    reproducible across engines, partitionings, and re-runs (md5 of the
+    decimal-string key is bit-identical in Spark and DuckDB, which makes
+    the sample oracle-checkable, unlike ``sampleBy``'s engine-private
+    RNG). Appends are stable: an existing row never flips in or out when
+    data arrives. Scan-local — no shuffle, no driver participation."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        % 1_000_000
+    )
+    thresh = None
+    for stratum, frac in fractions.items():
+        t = F.lit(int(round(frac * 1_000_000)))
+        thresh = (
+            F.when(F.col(strata_col) == stratum, t)
+            if thresh is None
+            else thresh.when(F.col(strata_col) == stratum, t)
+        )
+    thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
+    return df.filter(bucket < thresh)
+
+
 def hash_split(
     df: DataFrame, id_col: str, fractions: dict[str, float], seed: int = 42
 ) -> DataFrame:

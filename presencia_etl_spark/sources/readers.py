@@ -59,6 +59,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
             df = df.withColumn(
                 c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))")
             )
+    # Parquet µs timestamps without a timezone flag surface as TIMESTAMP_NTZ,
+    # which breaks long-casts (CAST_WITHOUT_SUGGESTION) and streaming
+    # watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Normalize to LTZ at
+    # the boundary so no operator ever sees NTZ; with the session pinned to
+    # UTC (session.py) the cast is value-transparent and matches how DuckDB
+    # renders the same file.
+    for c, dt in df.dtypes:
+        if dt.startswith("timestamp_ntz"):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

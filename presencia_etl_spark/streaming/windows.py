@@ -27,6 +27,11 @@ def windowed_event_counts(
     """Tumbling-window count+sum per key. Works batch or streaming; pass
     ``watermark`` (e.g. '2 hours') when df is a stream so state is bounded
     and late data beyond the bound is dropped."""
+    if dict(df.dtypes).get(ts_col, "").startswith("timestamp_ntz"):
+        # withWatermark requires TIMESTAMP (LTZ); NTZ event-time columns throw
+        # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. Value-transparent under the
+        # engine's UTC session timezone.
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     return (

@@ -509,3 +509,31 @@ class TestStratifiedSample:
         # Deterministic for a fixed seed.
         again = {r["lang"]: r["cnt"] for r in stratified_sample(docs, "lang", {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 1.0}).groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
         assert again == got
+
+    def test_hash_sampler_append_stable(self, spark, sf_dir):
+        """The md5-threshold sampler keeps a row based only on (id, seed):
+        sampling a half-corpus and the full corpus must agree on every
+        shared id — the leakage-safety property sampleBy's RNG lacks."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.operators.profile import stratified_sample_hash
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fracs = {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 1.0}
+        full = stratified_sample_hash(docs, "lang", "doc_id", fracs)
+        half = stratified_sample_hash(
+            docs.filter(F.col("doc_id") % 2 == 0), "lang", "doc_id", fracs
+        )
+        full_even = {
+            r["doc_id"]
+            for r in full.filter(F.col("doc_id") % 2 == 0).select("doc_id").collect()
+        }
+        half_ids = {r["doc_id"] for r in half.select("doc_id").collect()}
+        assert full_even == half_ids
+        # A stratum not in the fraction map is dropped entirely.
+        assert (
+            stratified_sample_hash(docs, "lang", "doc_id", {"en": 0.25})
+            .filter(F.col("lang") != "en")
+            .count()
+            == 0
+        )

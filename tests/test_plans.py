@@ -162,3 +162,29 @@ class TestDedupIndexProbePlan:
             r"\1:  \+- Scan parquet",
             p,
         ), p
+
+
+class TestTimeJoinPlans:
+    """As-of and range joins (operators/joins.py) must never degenerate into
+    theta-join plans — that's the difference between 'one shuffle' and
+    'cartesian explosion' at 100 TB."""
+
+    def test_asof_join_is_one_window_shuffle_no_join(self, q):
+        p = plan_of(q("q37_asof_join"))
+        # Union-tag-window plan: no join operator of any kind, exactly one
+        # hash-partitioning Exchange (the window); the trailing
+        # SinglePartition exchange for the global agg is fine.
+        assert "Join" not in p, p
+        assert "Window" in p
+        import re
+
+        assert len(re.findall(r"Arguments: hashpartitioning\(", p)) == 1, p
+
+    def test_range_join_is_hash_equi_join(self, q):
+        p = plan_of(q("q38_range_join"))
+        # Band-bucketed equi-join: a hash join on (key, bucket), the |l-r|
+        # predicate applied as a post-join condition — never a cartesian or
+        # broadcast-nested-loop theta join.
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p, p

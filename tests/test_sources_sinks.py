@@ -306,3 +306,86 @@ class TestCsvUnionAndDrift:
             raise AssertionError("expected ValueError")
         except ValueError as e:
             assert "NEWCOL" in str(e) and "GONE" in str(e)
+
+
+class TestTimestampEncodings:
+    """The driver's testdata changed ns→µs parquet timestamps between rounds
+    and silently broke three NTZ-blind code paths (round-4 verdict). Pin that
+    all three physical encodings — ns, µs-naive (Spark: NTZ), µs-UTC (Spark:
+    LTZ) — read identically and survive the timestamp-arithmetic operators."""
+
+    def _write_encodings(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = 1_700_000_000_000_000  # µs, 2023-11-14T22:13:20Z
+        us = [base + i * 37_000_000 for i in range(400)]
+        uid = [i % 7 for i in range(400)]
+        eid = list(range(400))
+        paths = {}
+        for name, typ in (
+            ("ns", pa.timestamp("ns")),
+            ("us_naive", pa.timestamp("us")),
+            ("us_utc", pa.timestamp("us", tz="UTC")),
+        ):
+            vals = [v * 1000 for v in us] if name == "ns" else us
+            table = pa.table(
+                {
+                    "ts": pa.array(vals, type=typ),
+                    "user_id": pa.array(uid, type=pa.int64()),
+                    "event_id": pa.array(eid, type=pa.int64()),
+                }
+            )
+            p = str(tmp_path / f"ev_{name}.parquet")
+            pq.write_table(table, p)
+            paths[name] = p
+        return paths
+
+    def test_reader_normalizes_all_encodings_to_ltz(self, spark, tmp_path):
+        from presencia_etl_spark.sources.readers import read_parquet
+
+        micros = {}
+        for name, p in self._write_encodings(tmp_path).items():
+            df = read_parquet(spark, p)
+            assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+            micros[name] = [
+                r["us"]
+                for r in df.selectExpr("unix_micros(ts) AS us").orderBy("us").collect()
+            ]
+        assert micros["ns"] == micros["us_naive"] == micros["us_utc"]
+
+    def test_asof_and_range_join_encoding_invariant(self, spark, tmp_path):
+        from presencia_etl_spark.operators.joins import asof_join, range_join
+        from presencia_etl_spark.sources.readers import read_parquet
+
+        results = {}
+        for name, p in self._write_encodings(tmp_path).items():
+            df = read_parquet(spark, p)
+            left = df.filter(F.col("event_id") % 2 == 0).select("user_id", "ts")
+            right = df.filter(F.col("event_id") % 2 == 1).select(
+                "user_id", "ts", "event_id"
+            )
+            a = asof_join(left, right, "user_id", "ts", "ts")
+            asof_rows = sorted(
+                (r["user_id"], str(r["ts"]), r["event_id_asof"]) for r in a.collect()
+            )
+            rj = range_join(
+                df, df, "user_id", "ts", "ts", 120, right_carry=["event_id"]
+            )
+            n_pairs = rj.count()
+            results[name] = (asof_rows, n_pairs)
+        assert results["ns"] == results["us_naive"] == results["us_utc"]
+        assert results["ns"][1] > 0
+
+    def test_windowed_counts_accept_ntz_event_time(self, spark, tmp_path):
+        # Raw NTZ frame (bypassing read_parquet) must still watermark:
+        # windowed_event_counts casts the event-time column itself.
+        from presencia_etl_spark.streaming.windows import windowed_event_counts
+
+        p = self._write_encodings(tmp_path)["us_naive"]
+        raw = spark.read.parquet(p).withColumn("value", F.lit(1.0)).withColumn(
+            "event_type", F.lit("click")
+        )
+        assert dict(raw.dtypes)["ts"].startswith("timestamp_ntz")
+        out = windowed_event_counts(raw, watermark="2 hours")
+        assert out.agg(F.sum("cnt")).collect()[0][0] == 400
