@@ -92,11 +92,16 @@ def update_minhash_index(
     text_col: str,
     index_path: str,
     num_files: int = 4,
+    compact_every: int | None = 64,
 ) -> dict:
     """Append accepted docs to an existing index. LSH parameters come from
     the stored meta (a caller-supplied mismatch would poison the index).
     Appended files are range-sorted within the batch, so min/max skipping
-    still holds per file. Returns {'added': n, 'docs': total}."""
+    still holds per file. Every append widens the per-file band_hash
+    overlap, though — after ``compact_every`` appends (tracked in the
+    index meta) the index auto-compacts back to one globally range-sorted
+    file set; pass ``compact_every=None`` to manage compaction yourself.
+    Returns {'added': n, 'docs': total, 'compacted': bool}."""
     meta = _read_meta(index_path)
     sig = minhash_signatures(
         new_docs, id_col, text_col, meta["k"], meta["n_hashes"]
@@ -118,9 +123,95 @@ def update_minhash_index(
     added = sig.count()
     sig.unpersist()
     meta["docs"] = meta.get("docs", 0) + added
+    meta["appends"] = meta.get("appends", 0) + 1
     with open(_meta_path(index_path), "w") as f:
         json.dump(meta, f)
-    return {"added": added, "docs": meta["docs"]}
+    compacted = False
+    if compact_every is not None and meta["appends"] >= compact_every:
+        compact_minhash_index(spark, index_path)
+        compacted = True
+    return {"added": added, "docs": meta["docs"], "compacted": compacted}
+
+
+def compact_minhash_index(
+    spark: SparkSession, index_path: str, num_files: int | None = None
+) -> dict:
+    """Rewrite both index artifacts into one globally range-sorted file set.
+
+    Thousands of micro-batch admits leave ``signatures/`` and each
+    ``bands/band_id=`` partition with thousands of small files whose
+    band_hash/doc_id min-max ranges all overlap — probe pushdown still
+    *filters* correctly but stops *skipping* (every file's range contains
+    every key), and scans pay per-file open cost. Compaction restores the
+    build-time layout: signatures range-partitioned and sorted on doc_id,
+    bands range-partitioned on (band_id, band_hash), sorted on band_hash,
+    hive-partitioned by band_id. Staged swap (write aside, then rename) so
+    a concurrent reader sees old-or-new, never a half state; on a real
+    cluster this is a Delta/Iceberg OPTIMIZE instead. ``num_files=None``
+    sizes output at ~128 MB/file from the current on-disk bytes.
+    Resets the meta append counter. Returns file counts before/after."""
+    import math
+    import shutil
+
+    meta = _read_meta(index_path)
+
+    def _swap(sub: str, write_fn) -> tuple[int, int]:
+        live = os.path.join(index_path, sub)
+        before = sum(
+            1
+            for root, _d, files in os.walk(live)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        bytes_ = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _d, files in os.walk(live)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_out = num_files or max(1, math.ceil(bytes_ / (128 * 1024 * 1024)))
+        staged = live + "__compacting"
+        shutil.rmtree(staged, ignore_errors=True)
+        write_fn(spark.read.parquet(live), staged, n_out)
+        retired = live + "__retired"
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(live, retired)
+        os.rename(staged, live)
+        shutil.rmtree(retired)
+        after = sum(
+            1
+            for root, _d, files in os.walk(live)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        return before, after
+
+    def _write_sig(df: DataFrame, dest: str, n_out: int) -> None:
+        (
+            df.repartitionByRange(n_out, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+
+    def _write_bands(df: DataFrame, dest: str, n_out: int) -> None:
+        (
+            df.repartitionByRange(n_out, "band_id", "band_hash")
+            .sortWithinPartitions("band_hash")
+            .write.mode("overwrite")
+            .partitionBy("band_id")
+            .parquet(dest)
+        )
+
+    sig_before, sig_after = _swap(SIG_DIR, _write_sig)
+    band_before, band_after = _swap(BAND_DIR, _write_bands)
+    meta["appends"] = 0
+    with open(_meta_path(index_path), "w") as f:
+        json.dump(meta, f)
+    return {
+        "sig_files": (sig_before, sig_after),
+        "band_files": (band_before, band_after),
+    }
 
 
 PROBE_PUSHDOWN_LIMIT = 4096

@@ -137,3 +137,117 @@ class TestAdmitLoop:
             spark, b, "doc_id", "text", idx, update_index=False
         )
         assert dedup_index._read_meta(idx)["docs"] == 4
+
+
+class TestCompaction:
+    def test_many_tiny_appends_compact_and_probe_unchanged(
+        self, spark, history, tmp_path
+    ):
+        """Thousands of micro-batch admits accrete small files; compaction
+        must shrink the file count, keep probe results bit-identical, and
+        reset the meta append counter."""
+        idx = str(tmp_path / "idx_compact")
+        dedup_index.build_minhash_index(
+            spark, history, "doc_id", "text", idx, num_files=2
+        )
+        for i in range(6):
+            b = spark.createDataFrame(
+                [(500 + i, f"tiny append batch number {i} with unique words w{i}")],
+                ["doc_id", "text"],
+            )
+            r = dedup_index.update_minhash_index(
+                spark, b, "doc_id", "text", idx, compact_every=None
+            )
+            assert not r["compacted"]
+        assert dedup_index._read_meta(idx)["appends"] == 6
+
+        probe = spark.createDataFrame(
+            [(900, BASE.replace("dog", "hound")), (901, "tiny append batch number 3 with unique words w3")],
+            ["doc_id", "text"],
+        )
+        before = {
+            (r["batch_id"], r["index_id"], r["est_jaccard"])
+            for r in dedup_index.query_minhash_index(
+                spark, probe, "doc_id", "text", idx
+            ).collect()
+        }
+        assert any(b[0] == 901 for b in before)  # appended docs are probed
+
+        def count_files(sub):
+            return sum(
+                1
+                for root, _d, files in os.walk(os.path.join(idx, sub))
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        files_before = count_files("signatures") + count_files("bands")
+        stats = dedup_index.compact_minhash_index(spark, idx, num_files=2)
+        files_after = count_files("signatures") + count_files("bands")
+        assert files_after < files_before, (files_before, files_after, stats)
+        assert dedup_index._read_meta(idx)["appends"] == 0
+        assert dedup_index._read_meta(idx)["docs"] == 10
+
+        after = {
+            (r["batch_id"], r["index_id"], r["est_jaccard"])
+            for r in dedup_index.query_minhash_index(
+                spark, probe, "doc_id", "text", idx
+            ).collect()
+        }
+        assert after == before
+
+    def test_auto_compaction_triggers_at_threshold(self, spark, history, tmp_path):
+        idx = str(tmp_path / "idx_auto")
+        dedup_index.build_minhash_index(spark, history, "doc_id", "text", idx)
+        for i in range(3):
+            b = spark.createDataFrame(
+                [(600 + i, f"auto compact batch {i} unique u{i}")],
+                ["doc_id", "text"],
+            )
+            r = dedup_index.update_minhash_index(
+                spark, b, "doc_id", "text", idx, compact_every=3
+            )
+        assert r["compacted"]
+        assert dedup_index._read_meta(idx)["appends"] == 0
+
+    def test_compacted_index_keeps_probe_pushdown_plan(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The plan pin from TestDedupIndexProbePlan, against a COMPACTED
+        index: the In(band_hash) pushdown and probe-side broadcast must
+        survive the rewrite (compaction exists precisely to keep that scan
+        file-skipping)."""
+        import io
+        import re
+        from contextlib import redirect_stdout
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx = str(tmp_path / "idx_plan")
+        dedup_index.build_minhash_index(spark, docs, "doc_id", "text", idx)
+        extra = spark.createDataFrame(
+            [(10**8 + i, f"filler append {i}") for i in range(3)],
+            ["doc_id", "text"],
+        )
+        dedup_index.update_minhash_index(
+            spark, extra, "doc_id", "text", idx, compact_every=None
+        )
+        dedup_index.compact_minhash_index(spark, idx)
+
+        batch = spark.createDataFrame(
+            [(10**9, "the quick brown fox jumps over a sleepy dog")],
+            ["doc_id", "text"],
+        )
+        lazy = dedup_index.query_minhash_index(
+            spark, batch, "doc_id", "text", idx, eager=False
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            lazy.explain("formatted")
+        p = buf.getvalue()
+        assert "In(band_hash, [" in p, p
+        assert re.search(
+            r"BroadcastHashJoin Inner BuildRight \(\d+\)\n"
+            r"([^\n]*?):- Filter \(\d+\)\n"
+            r"\1:  \+- Scan parquet",
+            p,
+        ), p
