@@ -224,6 +224,20 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         out["cdc_sparse_updates"] = int(r["update"])
         out["cdc_sparse_buckets_rewritten"] = int(r.get("buckets_rewritten", -1))
 
+        # Same sparse scenario through the merge-on-read sink: the write
+        # is O(changes) (one small delta dir, zero base churn) — the shape
+        # that wins at 100 TB where COW's dirty-bucket rewrite is the
+        # round-4 worst case vs baseline.
+        from presencia_etl_spark.sinks.mor import merge_upsert_mor
+
+        mtarget = f"{work}/lineitem_mor"
+        merge_upsert_mor(spark, li, mtarget, ["l_key"], num_buckets=256)
+        t0 = time.perf_counter()
+        r = merge_upsert_mor(spark, sparse, mtarget, ["l_key"], num_buckets=256)
+        dt = time.perf_counter() - t0
+        out["cdc_sparse_mor_sec"] = round(dt, 3)
+        out["cdc_sparse_mor_updates"] = int(r["update"])
+
         # Steady-state corpus admit loop (what a 100 TB training pipeline
         # runs per ingest batch): history indexed untimed, then one fixed
         # 20% batch through gate→probe→admit→register.

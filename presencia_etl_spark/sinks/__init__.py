@@ -1,5 +1,10 @@
 """Sinks: overwrite / append / merge-upsert writers (SURVEY §2.1 S5–S8)."""
 
+from presencia_etl_spark.sinks.mor import (
+    compact_mor,
+    merge_upsert_mor,
+    read_mor,
+)
 from presencia_etl_spark.sinks.writers import (
     append_parquet,
     drop_path,
@@ -14,6 +19,9 @@ from presencia_etl_spark.sinks.writers import (
 
 __all__ = [
     "append_parquet",
+    "compact_mor",
+    "merge_upsert_mor",
+    "read_mor",
     "drop_path",
     "merge_upsert_parquet",
     "merge_upsert_partitioned",

@@ -1,0 +1,364 @@
+"""Merge-on-read upsert sink: O(changes) writes for sparse CDC.
+
+The bucketed COW merge (``writers.merge_upsert_partitioned``) rewrites every
+bucket containing a changed key — with 256 buckets, ~70 scattered changes
+dirty ~66 buckets, i.e. ~25% of a 100 TB state rewritten for a 0.01% change
+(the round-4 worst-case vs the reference baseline). This sink is the
+Hudi/Iceberg merge-on-read answer with no table-format dependency:
+
+- ``base/``                 the bucketed COW layout (``_kb=`` partition dirs,
+                            persisted ``_cdc_key``/``row_hash`` — identical to
+                            what ``merge_upsert_partitioned`` writes).
+- ``deltas/_delta_seq=N/``  one small parquet dir per merge holding ONLY the
+                            inserted/updated rows (full schema + audit +
+                            ``_kb`` column); the hive dir name carries the
+                            sequence number, so one read of ``deltas/``
+                            recovers ordering for free.
+- ``_mor_meta.json``        {num_buckets, seq} bookkeeping.
+
+A sparse merge costs one narrow classify join plus a write of |changes|
+rows — no base file is touched. Readers reconcile: base rows whose key has
+no delta override, union the per-key LATEST delta row (window over the
+delta set only, which is small by construction; the base never enters a
+window). ``compact_mor`` folds the deltas into the base rewriting only the
+buckets deltas touch, through the same journaled crash-safe bucket swap as
+the COW merge, and auto-triggers after ``compact_every`` merges — bounding
+read amplification at ``compact_every`` small files per scan.
+
+Reference semantics preserved (sync_INCREMENTAL.py:169-204): INSERT new
+keys, UPDATE changed hashes (created_at/id preserved, updated_at
+refreshed), SKIP identical, never delete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.operators import cdc
+from presencia_etl_spark.sinks.writers import (
+    AUDIT_COLS,
+    BUCKET_COL,
+    _fetch_dirty_rows,
+    _maybe_broadcast,
+    _parallelize_scan,
+    _recover_interrupted_swap,
+    _warn_audit_collisions,
+    merge_upsert_partitioned,
+    swap_bucket_dirs,
+)
+
+BASE_DIR = "base"
+DELTA_DIR = "deltas"
+META_FILE = "_mor_meta.json"
+SEQ_COL = "_delta_seq"
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, META_FILE)
+
+
+def _read_meta(path: str) -> dict:
+    with open(_meta_path(path)) as f:
+        return json.load(f)
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    with open(_meta_path(path) + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(_meta_path(path) + ".tmp", _meta_path(path))
+
+
+def _delta_seqs(path: str) -> list[int]:
+    droot = os.path.join(path, DELTA_DIR)
+    if not os.path.isdir(droot):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(droot)
+        if d.startswith(f"{SEQ_COL}=")
+    )
+
+
+def _read_deltas(spark: SparkSession, path: str) -> DataFrame | None:
+    """All live delta rows with their sequence number (from the hive dir)."""
+    if not _delta_seqs(path):
+        return None
+    return spark.read.option("basePath", os.path.join(path, DELTA_DIR)).parquet(
+        os.path.join(path, DELTA_DIR)
+    )
+
+
+def _delta_latest(deltas: DataFrame) -> DataFrame:
+    """Per-key latest delta row. The window runs over the DELTA SET ONLY —
+    bounded by compact_every merges' worth of changes — never the base."""
+    w = Window.partitionBy(cdc.KEY_COL).orderBy(F.col(SEQ_COL).desc())
+    return (
+        deltas.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert_mor(
+    spark: SparkSession,
+    src: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    hash_cols: list[str] | None = None,
+    num_buckets: int = 256,
+    compact_every: int | None = 16,
+) -> dict[str, int]:
+    """Upsert ``src`` writing ONLY the changed rows (a new delta dir).
+
+    Initial load delegates to the COW bucketed writer (the base layout is
+    byte-compatible). Returns the usual {insert, update, skip} counts plus
+    {'delta_files': n, 'compacted': bool}; a no-change merge writes
+    nothing at all. Auto-compacts after ``compact_every`` outstanding
+    deltas (None = caller-managed)."""
+    if not os.path.exists(target_path):
+        os.makedirs(target_path)
+        r = merge_upsert_partitioned(
+            spark,
+            src,
+            os.path.join(target_path, BASE_DIR),
+            key_cols,
+            hash_cols,
+            num_buckets,
+        )
+        _write_meta(target_path, {"num_buckets": num_buckets, "seq": 0})
+        return {**r, "delta_files": 0, "compacted": False}
+
+    meta = _read_meta(target_path)
+    base_path = os.path.join(target_path, BASE_DIR)
+    _recover_interrupted_swap(base_path)
+    _warn_audit_collisions(src)
+    src = _parallelize_scan(src)
+    hashed = (
+        src
+        if "row_hash" in src.columns
+        else cdc.with_row_hash(
+            src, hash_cols or [c for c in src.columns if c not in AUDIT_COLS]
+        )
+    )
+    keyed = cdc.with_cdc_key(hashed, key_cols).withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(F.col(cdc.KEY_COL)), F.lit(meta["num_buckets"])).cast(
+            "int"
+        ),
+    )
+
+    base = spark.read.parquet(base_path)
+    deltas = _read_deltas(spark, target_path)
+    # Current (key → hash) view: base overridden by the latest delta.
+    base_kh = base.select(cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash"))
+    if deltas is not None:
+        dl = _delta_latest(deltas).select(
+            cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash")
+        )
+        base_kh = base_kh.join(
+            F.broadcast(dl.select(cdc.KEY_COL)), cdc.KEY_COL, "left_anti"
+        ).unionByName(dl)
+
+    joined = keyed.select(*key_cols, cdc.KEY_COL, BUCKET_COL, "row_hash").join(
+        base_kh, cdc.KEY_COL, "left_outer"
+    )
+    op = (
+        F.when(F.col("_tgt_hash").isNull(), F.lit(cdc.INSERT))
+        .when(F.col("row_hash") != F.col("_tgt_hash"), F.lit(cdc.UPDATE))
+        .otherwise(F.lit(cdc.SKIP))
+    )
+    ops = (
+        joined.withColumn(cdc.OP_COL, op)
+        .select(*key_cols, cdc.KEY_COL, BUCKET_COL, cdc.OP_COL, "row_hash")
+        .cache()
+    )
+    src_dirty = None
+    upd_keys = None
+    try:
+        counts = {
+            r["op"]: r["cnt"]
+            for r in ops.groupBy(F.col(cdc.OP_COL).alias("op"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        n_insert = counts.get(cdc.INSERT, 0)
+        n_update = counts.get(cdc.UPDATE, 0)
+        n_skip = counts.get(cdc.SKIP, 0)
+        if n_insert == 0 and n_update == 0:
+            # Idempotent replay / no-op: NOTHING is written — not even an
+            # empty delta dir (which would still cost a file open per scan).
+            return {
+                "insert": 0,
+                "update": 0,
+                "skip": n_skip,
+                "delta_files": 0,
+                "compacted": False,
+            }
+
+        n_dirty = n_insert + n_update
+        dirty_ops = ops.filter(F.col(cdc.OP_COL) != cdc.SKIP)
+        src_dirty = _fetch_dirty_rows(
+            hashed,
+            dirty_ops,
+            key_cols,
+            n_dirty,
+            carry=[cdc.OP_COL, "row_hash", cdc.KEY_COL, BUCKET_COL],
+        ).cache()
+        data_cols = [
+            c
+            for c in base.columns
+            if c not in AUDIT_COLS and c not in (BUCKET_COL, cdc.KEY_COL)
+        ]
+        audit = ["row_hash", "id", "created_at", "updated_at", cdc.KEY_COL, BUCKET_COL]
+
+        # Updated keys keep id/created_at from their CURRENT row, which may
+        # live in the base (bucket-pruned scan) or in an earlier delta.
+        upd_keys = (
+            src_dirty.filter(F.col(cdc.OP_COL) == cdc.UPDATE)
+            .select(cdc.KEY_COL, BUCKET_COL)
+            .cache()
+        )
+        parts: list[DataFrame] = []
+        if n_update > 0:
+            upd_buckets = [
+                r[BUCKET_COL] for r in upd_keys.select(BUCKET_COL).distinct().collect()
+            ]
+            cur = base.filter(F.col(BUCKET_COL).isin(upd_buckets)).select(
+                cdc.KEY_COL, "id", "created_at", F.lit(-1).alias(SEQ_COL)
+            )
+            if deltas is not None:
+                cur = cur.unionByName(
+                    deltas.select(cdc.KEY_COL, "id", "created_at", SEQ_COL)
+                )
+            w = Window.partitionBy(cdc.KEY_COL).orderBy(F.col(SEQ_COL).desc())
+            cur = (
+                cur.join(
+                    _maybe_broadcast(upd_keys.select(cdc.KEY_COL), n_update),
+                    cdc.KEY_COL,
+                    "left_semi",
+                )
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(cdc.KEY_COL, "id", "created_at")
+            )
+            updated = (
+                src_dirty.filter(F.col(cdc.OP_COL) == cdc.UPDATE)
+                .join(_maybe_broadcast(cur, n_update), cdc.KEY_COL)
+                .withColumn("updated_at", F.current_timestamp())
+            )
+            parts.append(updated.select(*data_cols, *audit))
+        if n_insert > 0:
+            from presencia_etl_spark.sinks.writers import with_audit_columns
+
+            max_id = base.agg(F.max("id")).collect()[0][0] or 0
+            if deltas is not None:
+                max_id = max(
+                    max_id, deltas.agg(F.max("id")).collect()[0][0] or 0
+                )
+            inserted = with_audit_columns(
+                src_dirty.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(
+                    *data_cols, "row_hash", cdc.KEY_COL, BUCKET_COL
+                ),
+                key_cols,
+                id_offset=int(max_id),
+            )
+            parts.append(inserted.select(*data_cols, *audit))
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        seq = meta["seq"] + 1
+        ddir = os.path.join(target_path, DELTA_DIR, f"{SEQ_COL}={seq}")
+        # A delta is small by definition — land it in few files so read
+        # amplification stays ~O(#outstanding merges), not O(#tasks).
+        n_files = max(1, min(4, n_dirty // 100_000 + 1))
+        out.repartition(n_files).write.mode("errorifexists").parquet(ddir)
+        meta["seq"] = seq
+        _write_meta(target_path, meta)
+    finally:
+        # Caches release on failure too — a failed merge must not leak
+        # persisted frames for the session lifetime.
+        ops.unpersist()
+        if src_dirty is not None:
+            src_dirty.unpersist()
+        if upd_keys is not None:
+            upd_keys.unpersist()
+
+    compacted = False
+    if compact_every is not None and len(_delta_seqs(target_path)) >= compact_every:
+        compact_mor(spark, target_path)
+        compacted = True
+    return {
+        "insert": n_insert,
+        "update": n_update,
+        "skip": n_skip,
+        "delta_files": n_files,
+        "compacted": compacted,
+    }
+
+
+def read_mor(spark: SparkSession, target_path: str) -> DataFrame:
+    """The current state: base rows without a delta override, union the
+    per-key latest delta row. The anti-join side is the (small) delta key
+    set, broadcast — the base scan stays pruned/streamed; columns come
+    back in the base layout (data + audit + _cdc_key + _kb)."""
+    base = spark.read.parquet(os.path.join(target_path, BASE_DIR))
+    deltas = _read_deltas(spark, target_path)
+    if deltas is None:
+        return base
+    latest = _delta_latest(deltas).select(*base.columns)
+    keep = base.join(
+        F.broadcast(latest.select(cdc.KEY_COL)), cdc.KEY_COL, "left_anti"
+    )
+    return keep.unionByName(latest)
+
+
+def compact_mor(spark: SparkSession, target_path: str) -> dict[str, int]:
+    """Fold outstanding deltas into the base, rewriting ONLY the buckets
+    deltas touch — through the same journaled crash-safe bucket swap as the
+    COW merge. Deltas are removed after the swap lands; a crash between
+    swap and delta removal re-applies the (idempotent, latest-wins)
+    overrides on the next compact/merge. Returns bucket/delta counts."""
+    base_path = os.path.join(target_path, BASE_DIR)
+    _recover_interrupted_swap(base_path)
+    deltas = _read_deltas(spark, target_path)
+    if deltas is None:
+        return {"buckets_rewritten": 0, "deltas_folded": 0}
+    seqs = _delta_seqs(target_path)
+    base = spark.read.parquet(base_path)
+    latest = _delta_latest(deltas).select(*base.columns).cache()
+    try:
+        dirty = [
+            r[BUCKET_COL] for r in latest.select(BUCKET_COL).distinct().collect()
+        ]
+        n_keys = latest.count()
+        keep = base.filter(F.col(BUCKET_COL).isin(dirty)).join(
+            _maybe_broadcast(latest.select(cdc.KEY_COL), n_keys),
+            cdc.KEY_COL,
+            "left_anti",
+        )
+        new_parts = keep.unionByName(latest)
+        staged = tempfile.mkdtemp(
+            prefix="mor_compact_", dir=os.path.dirname(base_path) or "."
+        )
+        try:
+            new_parts.repartition(max(len(dirty), 1), F.col(BUCKET_COL)).write.mode(
+                "overwrite"
+            ).partitionBy(BUCKET_COL).parquet(staged)
+            swap_bucket_dirs(staged, base_path, dirty)
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+    finally:
+        latest.unpersist()
+    for s in seqs:
+        shutil.rmtree(
+            os.path.join(target_path, DELTA_DIR, f"{SEQ_COL}={s}"),
+            ignore_errors=True,
+        )
+    return {"buckets_rewritten": len(dirty), "deltas_folded": len(seqs)}

@@ -88,6 +88,44 @@ def _recover_interrupted_swap(target_path: str) -> bool:
     return True
 
 
+def swap_bucket_dirs(staged: str, target_path: str, buckets) -> None:
+    """Swap fully-staged ``_kb=`` bucket dirs into a live target, crash-
+    safely. A journal is written (atomically: tmp + rename) under the
+    target before the first rename and removed after the last; Python
+    exceptions roll back inline, and a HARD crash mid-swap is repaired by
+    ``_recover_interrupted_swap`` at the top of the next merge. Shared by
+    the COW bucketed merge and the merge-on-read compactor (sinks/mor.py)
+    — the crash-safety machinery must not fork."""
+    journal = os.path.join(target_path, MERGE_JOURNAL)
+    with open(journal + ".tmp", "w") as fh:
+        json.dump({"staged": staged, "buckets": list(buckets)}, fh)
+    os.replace(journal + ".tmp", journal)
+    try:
+        for b in buckets:
+            src_dir = os.path.join(staged, f"{BUCKET_COL}={b}")
+            dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
+            if not os.path.exists(src_dir):
+                continue  # no deletes → only possible for an empty task
+            parked = os.path.join(staged, f"_old_{b}")
+            if os.path.exists(dst_dir):
+                os.rename(dst_dir, parked)
+            os.rename(src_dir, dst_dir)
+    except BaseException:
+        # Put back any bucket whose old dir was parked but whose new
+        # dir didn't land — the target stays complete (old version).
+        for b in buckets:
+            dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
+            parked = os.path.join(staged, f"_old_{b}")
+            if not os.path.exists(dst_dir) and os.path.exists(parked):
+                os.rename(parked, dst_dir)
+        raise
+    finally:
+        # Swap finished (or was fully rolled back) — either way every
+        # bucket is complete, so the interrupted-swap marker comes off.
+        if os.path.exists(journal):
+            os.remove(journal)
+
+
 def _warn_audit_collisions(src: DataFrame) -> None:
     """A source data column named like the audit envelope (other than a
     trusted pre-computed row_hash) is silently shadowed by the surrogate
@@ -527,42 +565,13 @@ def merge_upsert_partitioned(
     staged = tempfile.mkdtemp(
         prefix="merge_buckets_", dir=os.path.dirname(target_path) or "."
     )
-    journal = os.path.join(target_path, MERGE_JOURNAL)
     try:
         # One task per dirty bucket → one file per rebuilt bucket dir (see
         # the initial-load comment; keeps target file count == bucket count
         # across arbitrarily many merges).
         new_parts = new_parts.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
         new_parts.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged)
-        # Atomic journal write (tmp + rename): a crash mid-write must leave
-        # either no journal or a complete one, never truncated JSON.
-        with open(journal + ".tmp", "w") as fh:
-            json.dump({"staged": staged, "buckets": list(dirty)}, fh)
-        os.replace(journal + ".tmp", journal)
-        try:
-            for b in dirty:
-                src_dir = os.path.join(staged, f"{BUCKET_COL}={b}")
-                dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
-                if not os.path.exists(src_dir):
-                    continue  # no deletes → only possible for an empty task
-                parked = os.path.join(staged, f"_old_{b}")
-                if os.path.exists(dst_dir):
-                    os.rename(dst_dir, parked)
-                os.rename(src_dir, dst_dir)
-        except BaseException:
-            # Put back any bucket whose old dir was parked but whose new
-            # dir didn't land — the target stays complete (old version).
-            for b in dirty:
-                dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
-                parked = os.path.join(staged, f"_old_{b}")
-                if not os.path.exists(dst_dir) and os.path.exists(parked):
-                    os.rename(parked, dst_dir)
-            raise
-        finally:
-            # Swap finished (or was fully rolled back) — either way every
-            # bucket is complete, so the interrupted-swap marker comes off.
-            if os.path.exists(journal):
-                os.remove(journal)
+        swap_bucket_dirs(staged, target_path, dirty)
     finally:
         # Caches release on failure too — a failed merge must not leak
         # persisted frames for the session lifetime.

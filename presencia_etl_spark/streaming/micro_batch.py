@@ -23,13 +23,27 @@ def incremental_upsert_stream(
     key_cols: list[str],
     checkpoint_path: str,
     trigger_once: bool = True,
+    mode: str = "cow",
 ):
     """readStream(parquet dir) → foreachBatch(merge upsert). Returns the
-    started StreamingQuery (caller awaits/stops)."""
+    started StreamingQuery (caller awaits/stops).
+
+    ``mode="cow"`` merges through the flat COW writer; ``mode="mor"``
+    through the merge-on-read sink (``sinks/mor.py``) — the right choice
+    for high-frequency micro-batches, where each trigger writes only its
+    O(changes) delta and compaction amortizes across ``compact_every``
+    batches instead of rewriting state per trigger."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     stream = spark.readStream.schema(source_schema).parquet(source_path)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if mode == "mor":
+            from presencia_etl_spark.sinks.mor import merge_upsert_mor
+
+            merge_upsert_mor(spark, batch_df, target_path, key_cols)
             return
         merge_upsert_parquet(spark, batch_df, target_path, key_cols)
 

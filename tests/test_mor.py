@@ -1,0 +1,154 @@
+"""Merge-on-read upsert sink: O(changes) sparse merges, latest-wins reads,
+crash-safe compaction — differential-tested against the flat COW merge."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.operators import cdc
+from presencia_etl_spark.sinks import mor
+from presencia_etl_spark.sinks.writers import merge_upsert_parquet
+
+
+def _src(spark, n=2000, salt="0"):
+    return spark.range(0, n).select(
+        F.col("id").cast("string").alias("K"),
+        F.concat(F.lit(salt), (F.col("id") % 7).cast("string")).alias("V"),
+    )
+
+
+def _state(df):
+    """Comparable (key → value) projection, audit/internals stripped."""
+    return {
+        (r["K"]): r["V"]
+        for r in df.select("K", "V").collect()
+    }
+
+
+def _base_files(target):
+    base = os.path.join(target, "base")
+    out = {}
+    for d in os.listdir(base):
+        if d.startswith("_kb="):
+            full = os.path.join(base, d)
+            out[d] = sorted(os.listdir(full))
+    return out
+
+
+class TestMorMerge:
+    def test_initial_load_and_noop_replay(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        src = _src(spark)
+        r = mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=16)
+        assert r["insert"] == 2000 and r["delta_files"] == 0
+        assert _state(mor.read_mor(spark, target)) == _state(src)
+
+        # Replay: all skip, and NOTHING is written (no delta dir).
+        r = mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=16)
+        assert (r["insert"], r["update"], r["skip"]) == (0, 0, 2000)
+        assert mor._delta_seqs(target) == []
+
+    def test_sparse_update_touches_no_base_file(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        src = _src(spark)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=16)
+        before = _base_files(target)
+
+        mutated = src.withColumn(
+            "V", F.when(F.col("K") == "42", F.lit("changed")).otherwise(F.col("V"))
+        )
+        r = mor.merge_upsert_mor(spark, mutated, target, ["K"], num_buckets=16)
+        assert (r["insert"], r["update"], r["skip"]) == (0, 1, 1999)
+        assert _base_files(target) == before  # zero base churn
+        assert mor._delta_seqs(target) == [1]
+        assert _state(mor.read_mor(spark, target)) == _state(mutated)
+
+    def test_differential_vs_flat_cow_merge(self, spark, tmp_path):
+        """Same merge sequence through MOR and the flat COW merge must
+        converge to the same (key → value) state, with audit semantics
+        (created_at/id preserved on update, updated_at refreshed)."""
+        mor_t = str(tmp_path / "mor")
+        cow_t = str(tmp_path / "cow")
+        s1 = _src(spark, 1000)
+        s2 = _src(spark, 1200, salt="x")  # 1000 updates + 200 inserts
+        for s in (s1, s2):
+            mor.merge_upsert_mor(spark, s, mor_t, ["K"], num_buckets=8)
+            merge_upsert_parquet(spark, s, cow_t, ["K"])
+        got = mor.read_mor(spark, mor_t)
+        want = spark.read.parquet(cow_t)
+        assert _state(got) == _state(want)
+        # Updated keys kept their created_at != updated_at; ids unique.
+        upd = got.filter(F.col("K") == "5").collect()[0]
+        assert upd["created_at"] < upd["updated_at"]
+        assert got.select("id").distinct().count() == got.count()
+
+    def test_latest_wins_across_deltas(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        src = _src(spark, 100)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=4)
+        for val in ("a", "b", "c"):
+            m = src.withColumn(
+                "V", F.when(F.col("K") == "7", F.lit(val)).otherwise(F.col("V"))
+            )
+            mor.merge_upsert_mor(spark, m, target, ["K"], num_buckets=4)
+        view = mor.read_mor(spark, target)
+        assert view.filter(F.col("K") == "7").collect()[0]["V"] == "c"
+        assert view.count() == 100  # no duplicate rows from overrides
+        assert mor._delta_seqs(target) == [1, 2, 3]
+
+    def test_compaction_folds_and_preserves_state(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        src = _src(spark, 500)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=8)
+        m = src.withColumn(
+            "V", F.when(F.col("K").isin("1", "2"), F.lit("m")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m, target, ["K"], num_buckets=8)
+        before = _state(mor.read_mor(spark, target))
+        files_before = _base_files(target)
+
+        r = mor.compact_mor(spark, target)
+        assert r["deltas_folded"] == 1
+        assert 0 < r["buckets_rewritten"] <= 2
+        assert mor._delta_seqs(target) == []
+        assert _state(mor.read_mor(spark, target)) == before
+        # Only the dirty buckets' files changed.
+        after = _base_files(target)
+        changed = [k for k in files_before if files_before[k] != after[k]]
+        assert len(changed) == r["buckets_rewritten"]
+
+        # Post-compaction merges keep working (seq keeps rising).
+        m2 = m.withColumn(
+            "V", F.when(F.col("K") == "3", F.lit("z")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m2, target, ["K"], num_buckets=8)
+        assert mor._delta_seqs(target) == [2]  # monotonic, never reused
+        assert _state(mor.read_mor(spark, target))["3"] == "z"
+
+    def test_auto_compaction_trigger(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        src = _src(spark, 50)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=4)
+        r = None
+        for i in range(2):
+            m = src.withColumn(
+                "V",
+                F.when(F.col("K") == str(i), F.lit(f"v{i}")).otherwise(F.col("V")),
+            )
+            r = mor.merge_upsert_mor(
+                spark, m, target, ["K"], num_buckets=4, compact_every=2
+            )
+        assert r["compacted"]
+        assert mor._delta_seqs(target) == []
+
+    def test_insert_ids_continue_past_delta_ids(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        mor.merge_upsert_mor(spark, _src(spark, 100), target, ["K"], num_buckets=4)
+        mor.merge_upsert_mor(spark, _src(spark, 150), target, ["K"], num_buckets=4)
+        mor.merge_upsert_mor(spark, _src(spark, 200), target, ["K"], num_buckets=4)
+        view = mor.read_mor(spark, target)
+        assert view.count() == 200
+        assert view.select("id").distinct().count() == 200
+        assert view.select(cdc.KEY_COL).distinct().count() == 200

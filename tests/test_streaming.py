@@ -40,6 +40,48 @@ class TestMicroBatchUpsert:
         # No duplicate keys even though 100 ids arrived twice.
         assert state.select("event_id").distinct().count() == 700
 
+    def test_stream_upsert_mor_mode(self, spark, tmp_path, sf_dir):
+        """Same stream through the merge-on-read sink: per-trigger writes
+        are O(changes) deltas; the read view converges identically."""
+        from presencia_etl_spark.sinks.mor import read_mor
+
+        src_dir = str(tmp_path / "incoming_mor")
+        target = str(tmp_path / "state_mor")
+        ckpt = str(tmp_path / "ckpt_mor")
+
+        events = read_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id"
+        )
+        batch1 = events.filter(F.col("event_id") < 500)
+        batch1.write.mode("append").parquet(src_dir)
+        schema = batch1.schema
+        q = incremental_upsert_stream(
+            spark, src_dir, schema, target, ["event_id"], ckpt, mode="mor"
+        )
+        q.awaitTermination(120)
+        assert read_mor(spark, target).count() == 500
+
+        mutated = events.filter(
+            (F.col("event_id") >= 400) & (F.col("event_id") < 700)
+        ).withColumn(
+            "event_type",
+            F.when(F.col("event_id") == 450, F.lit("mutated")).otherwise(
+                F.col("event_type")
+            ),
+        )
+        mutated.write.mode("append").parquet(src_dir)
+        q2 = incremental_upsert_stream(
+            spark, src_dir, schema, target, ["event_id"], ckpt, mode="mor"
+        )
+        q2.awaitTermination(120)
+        view = read_mor(spark, target)
+        assert view.count() == 700
+        assert view.select("event_id").distinct().count() == 700
+        assert (
+            view.filter(F.col("event_id") == 450).collect()[0]["event_type"]
+            == "mutated"
+        )
+
 
 class TestWindowedCounts:
     def test_stream_matches_batch(self, spark, tmp_path, sf_dir):
