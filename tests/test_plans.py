@@ -188,3 +188,27 @@ class TestTimeJoinPlans:
         assert "CartesianProduct" not in p, p
         assert "BroadcastNestedLoopJoin" not in p, p
         assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+
+
+class TestMorReadPlan:
+    def test_read_view_broadcasts_delta_side(self, spark, tmp_path):
+        """read_mor's reconcile must broadcast the (small) delta key set —
+        a SortMergeJoin here would shuffle the full base on every read."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.sinks import mor
+
+        target = str(tmp_path / "mor")
+        src = spark.range(0, 5000).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 7).cast("string").alias("V"),
+        )
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=8)
+        m = src.withColumn(
+            "V", F.when(F.col("K") == "9", F.lit("x")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m, target, ["K"], num_buckets=8)
+
+        p = plan_of(mor.read_mor(spark, target))
+        assert "BroadcastHashJoin LeftAnti BuildRight" in p, p
+        assert "SortMergeJoin" not in p, p
