@@ -93,6 +93,7 @@ def update_minhash_index(
     index_path: str,
     num_files: int = 4,
     compact_every: int | None = 64,
+    precomputed_sig: DataFrame | None = None,
 ) -> dict:
     """Append accepted docs to an existing index. LSH parameters come from
     the stored meta (a caller-supplied mismatch would poison the index).
@@ -101,11 +102,22 @@ def update_minhash_index(
     overlap, though — after ``compact_every`` appends (tracked in the
     index meta) the index auto-compacts back to one globally range-sorted
     file set; pass ``compact_every=None`` to manage compaction yourself.
+    ``precomputed_sig`` is a (doc_id, sig) frame for EXACTLY ``new_docs``
+    computed with this index's parameters — the admit loop passes the
+    probe's signatures so the shingling+hashing (the dominant per-batch
+    CPU cost) runs once, not twice.
     Returns {'added': n, 'docs': total, 'compacted': bool}."""
     meta = _read_meta(index_path)
-    sig = minhash_signatures(
-        new_docs, id_col, text_col, meta["k"], meta["n_hashes"]
-    ).persist()
+    if precomputed_sig is not None:
+        # The caller's frame may READ this index (the admit loop's lineage
+        # goes through the signature store's seen-id anti-join) — appending
+        # below while that lineage is live would feed the write back into
+        # its own input on any recompute. Snapshot it first.
+        sig = precomputed_sig.localCheckpoint(eager=True)
+    else:
+        sig = minhash_signatures(
+            new_docs, id_col, text_col, meta["k"], meta["n_hashes"]
+        ).persist()
     (
         sig.repartitionByRange(num_files, "doc_id")
         .sortWithinPartitions("doc_id")
@@ -121,7 +133,8 @@ def update_minhash_index(
         .parquet(os.path.join(index_path, BAND_DIR))
     )
     added = sig.count()
-    sig.unpersist()
+    if precomputed_sig is None:
+        sig.unpersist()
     meta["docs"] = meta.get("docs", 0) + added
     meta["appends"] = meta.get("appends", 0) + 1
     with open(_meta_path(index_path), "w") as f:
@@ -226,6 +239,7 @@ def query_minhash_index(
     index_path: str,
     max_bucket: int = 1000,
     eager: bool = True,
+    precomputed_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup matches of a batch against the indexed history:
     (batch_id, index_id, est_jaccard), self-pairs (same id on both sides)
@@ -254,12 +268,20 @@ def query_minhash_index(
     ``eager=False`` returns the fully LAZY plan (no checkpoints, no
     signature cache, no matched-id pushdown on the signature store) —
     the plan-pin tests explain this form; callers want the default.
+    ``precomputed_sig``: a ready (doc_id, sig) frame for the batch (the
+    caller owns its persist/unpersist lifecycle); used by the admit loop
+    to share one signature pass between probe and register.
     """
     from pyspark.sql import Window
 
     meta = _read_meta(index_path)
-    bsig = minhash_signatures(batch, id_col, text_col, meta["k"], meta["n_hashes"])
-    if eager:
+    owns_sig = precomputed_sig is None
+    bsig = (
+        minhash_signatures(batch, id_col, text_col, meta["k"], meta["n_hashes"])
+        if owns_sig
+        else precomputed_sig
+    )
+    if eager and owns_sig:
         bsig = bsig.persist()
     n_keys = bsig.count() * meta["bands"]
     bband = band_rows(bsig, meta["n_hashes"], meta["bands"])
@@ -309,7 +331,8 @@ def query_minhash_index(
     )
     if eager:
         out = out.localCheckpoint(eager=True)
-        bsig.unpersist()
+        if owns_sig:
+            bsig.unpersist()
     return out
 
 
@@ -338,13 +361,30 @@ def admit_batch(
         F.col("doc_id").alias(id_col)
     )
     fresh = batch.join(seen, id_col, "left_anti")
-    matches = query_minhash_index(spark, fresh, id_col, text_col, index_path)
-    dupes = (
-        matches.filter(F.col("est_jaccard") >= est_threshold)
-        .select(F.col("batch_id").alias(id_col))
-        .distinct()
-    )
-    admitted = fresh.join(dupes, id_col, "left_anti").localCheckpoint(eager=True)
-    if update_index:
-        update_minhash_index(spark, admitted, id_col, text_col, index_path)
+    # ONE signature pass serves both the probe and the registration —
+    # shingling+hashing is the dominant per-batch CPU cost; computing it
+    # twice would double the steady-state ingest bill.
+    meta = _read_meta(index_path)
+    fsig = minhash_signatures(
+        fresh, id_col, text_col, meta["k"], meta["n_hashes"]
+    ).persist()
+    try:
+        matches = query_minhash_index(
+            spark, fresh, id_col, text_col, index_path, precomputed_sig=fsig
+        )
+        dupes = (
+            matches.filter(F.col("est_jaccard") >= est_threshold)
+            .select(F.col("batch_id").alias(id_col))
+            .distinct()
+        )
+        admitted = fresh.join(dupes, id_col, "left_anti").localCheckpoint(eager=True)
+        if update_index:
+            asig = fsig.join(
+                admitted.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+            )
+            update_minhash_index(
+                spark, admitted, id_col, text_col, index_path, precomputed_sig=asig
+            )
+    finally:
+        fsig.unpersist()
     return admitted
