@@ -152,3 +152,38 @@ class TestMorMerge:
         assert view.count() == 200
         assert view.select("id").distinct().count() == 200
         assert view.select(cdc.KEY_COL).distinct().count() == 200
+
+
+class TestMorDifferentialRandomized:
+    def test_random_merge_sequence_matches_flat_cow(self, spark, tmp_path):
+        """Seeded random merge sequence (overlapping inserts/updates/no-ops)
+        through MOR and the flat COW merge — final states must be
+        identical. One sequence, several merges: covers interleavings the
+        hand-written cases don't (update-then-insert same batch, repeated
+        updates of one key across deltas, partial overlaps)."""
+        import random
+
+        rng = random.Random(20260813)
+        mor_t = str(tmp_path / "mor")
+        cow_t = str(tmp_path / "cow")
+        keyspace = [f"k{i}" for i in range(300)]
+        current = {}
+        for step in range(5):
+            picked = rng.sample(keyspace, rng.randint(40, 160))
+            rows = []
+            for k in picked:
+                # ~half keep their old value (no-op), half mutate/insert.
+                if k in current and rng.random() < 0.5:
+                    v = current[k]
+                else:
+                    v = f"v{step}_{rng.randint(0, 9)}"
+                current[k] = v
+                rows.append((k, v))
+            batch = spark.createDataFrame(rows, ["K", "V"])
+            mor.merge_upsert_mor(
+                spark, batch, mor_t, ["K"], num_buckets=8, compact_every=3
+            )
+            merge_upsert_parquet(spark, batch, cow_t, ["K"])
+        got = _state(mor.read_mor(spark, mor_t))
+        want = _state(spark.read.parquet(cow_t))
+        assert got == want == current
