@@ -54,6 +54,13 @@ def main(argv: list[str] | None = None) -> int:
             "(0 = flat state; use for large tables so sparse syncs rewrite "
             "only dirty buckets)",
         )
+        p.add_argument(
+            "--mor",
+            action="store_true",
+            help="merge-on-read state: each incremental sync writes only "
+            "its O(changes) delta (read back via sinks.mor.read_mor; "
+            "compaction folds deltas into the bucketed base)",
+        )
 
     p = sub.add_parser("serve", help="HTTP control plane (reference server.py analog)")
     p.add_argument("--host", default="127.0.0.1")
@@ -91,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
                 n,
                 key_cols=list(args.key) or [df.columns[0]],
                 num_buckets=args.buckets,
+                merge_mode="mor" if getattr(args, "mor", False) else "cow",
             )
             for n, df in tables.items()
         }

@@ -50,6 +50,18 @@ def incremental_sync_table(
     # change the rendering and misclassify every row as updated after a
     # full_sync-created state.
     prepared = prepare_table(df, cfg, semi_source=semi_source, typed=True)
+    if cfg.merge_mode == "mor":
+        # Merge-on-read: each sync writes only its O(changes) delta; use
+        # for high-frequency syncs of large state where even dirty-bucket
+        # rewrites are too much write amplification (docs/SCALE.md).
+        from presencia_etl_spark.sinks.mor import merge_upsert_mor
+
+        result = merge_upsert_mor(
+            spark, prepared, target_path, key_cols,
+            num_buckets=cfg.num_buckets or 256,
+        )
+        result["mode"] = "incremental_mor"
+        return result
     if cfg.num_buckets > 0:
         # Large-state tables opt into the bucket-pruned layout: a sync
         # with localized changes rewrites dirty_buckets/N of the state

@@ -15,6 +15,7 @@ Endpoints (GET, like the reference):
   /run/full-sync   ?source=DIR&target=DIR[&tables=a,b][&key=k1,k2]
   /run/incremental ?source=DIR&target=DIR[&tables=a,b][&key=k1,k2]
                    [&buckets=N]   (N>0 → bucket-pruned partitioned state)
+                   [&mor=1]       (merge-on-read delta state, sinks/mor.py)
   /run/clean       ?target=DIR   (drops the warehouse dir's tables; the
                    target must resolve inside the configured warehouse
                    root — the endpoint is disabled without one)
@@ -52,11 +53,15 @@ def _run_pipeline(spark, cmd: str, params: dict) -> dict:
     names = [t for t in params.get("tables", "").split(",") if t]
     keys = [k for k in params.get("key", "").split(",") if k]
     buckets = int(params.get("buckets", "0"))
+    mode = "mor" if params.get("mor", "0") in ("1", "true") else "cow"
     tables = _load_tables(spark, source, names)
     if not tables:
         raise ValueError(f"no <table>.parquet inputs found under {source!r}")
     configs = {
-        n: TableConfig(n, key_cols=keys or [df.columns[0]], num_buckets=buckets)
+        n: TableConfig(
+            n, key_cols=keys or [df.columns[0]], num_buckets=buckets,
+            merge_mode=mode,
+        )
         for n, df in tables.items()
     }
     if cmd == "full-sync":

@@ -23,6 +23,7 @@ class TableConfig:
     full_refresh: bool = False  # no reliable key → drop/recreate each run
     semi_join: tuple[str, str] | None = None  # (other_table, key_col)
     num_buckets: int = 0  # >0 → bucket-pruned partitioned merge state
+    merge_mode: str = "cow"  # cow | mor (merge-on-read delta state, sinks/mor.py)
 
 
 # The docs describe an earlier/alternate Socios filter shape —

@@ -170,6 +170,37 @@ class TestIncrementalTable:
         r = incremental_sync_table(spark, mut, cfg, wh)
         assert r["update"] == 1 and r["buckets_rewritten"] == 1
 
+    def test_mor_state_mode(self, spark, tmp_path):
+        """merge_mode='mor' routes the sync through the merge-on-read
+        sink: a localized change writes one delta dir and zero base
+        files; read_mor shows the merged state; idempotency holds."""
+        import os
+
+        from presencia_etl_spark.sinks.mor import read_mor
+
+        cfg = TableConfig("T", key_cols=["K"], num_buckets=8, merge_mode="mor")
+        src = spark.range(0, 400).select(
+            F.col("id").cast("string").alias("K"), (F.col("id") % 5).alias("V")
+        )
+        wh = str(tmp_path / "wh")
+        r = incremental_sync_table(spark, src, cfg, wh)
+        assert r["mode"] == "incremental_mor" and r["insert"] == 400
+
+        r = incremental_sync_table(spark, src, cfg, wh)
+        assert r["insert"] == 0 and r["update"] == 0
+        assert not os.path.isdir(f"{wh}/T/deltas")  # no-op wrote nothing
+
+        mut = src.withColumn(
+            "V", F.when(F.col("K") == "42", F.lit(99)).otherwise(F.col("V"))
+        )
+        r = incremental_sync_table(spark, mut, cfg, wh)
+        assert r["update"] == 1 and r["delta_files"] >= 1
+        state = read_mor(spark, f"{wh}/T")
+        assert state.count() == 400
+        # prepare_table's name-inference keeps V string-typed, like the
+        # bucketed-mode sibling state.
+        assert state.filter(F.col("K") == "42").collect()[0]["V"] == "99"
+
     def test_cdc_counts_shape(self, spark):
         old = spark.createDataFrame([("1", "a"), ("2", "b")], ["K", "V"])
         old = cdc.with_row_hash(old, ["K", "V"])

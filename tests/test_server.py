@@ -73,6 +73,23 @@ class TestControlPlane:
 
         assert not os.path.exists(str(target))
 
+    def test_incremental_mor_param(self, spark, server, tmp_path):
+        """&mor=1 routes the sync through the merge-on-read state."""
+        from presencia_etl_spark.sinks.mor import read_mor
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.range(0, 100).select(
+            F.col("id").cast("string").alias("K"), (F.col("id") % 5).alias("V")
+        ).write.parquet(str(src / "gadgets.parquet"))
+        target = tmp_path / "whm"
+        code, body = _get(
+            f"{server}/run/incremental?source={src}&target={target}&key=K&mor=1"
+        )
+        assert code == 200 and body["status"] == "ok", body
+        assert body["result"]["gadgets"]["mode"] == "incremental_mor"
+        assert read_mor(spark, f"{target}/gadgets").count() == 100
+
     def test_missing_params_is_400(self, server):
         code, body = _get(f"{server}/run/full-sync")
         assert code == 400 and body["status"] == "error"
