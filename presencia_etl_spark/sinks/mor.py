@@ -154,6 +154,23 @@ def merge_upsert_mor(
     )
 
     base = spark.read.parquet(base_path)
+    infra = set(AUDIT_COLS) | {BUCKET_COL, cdc.KEY_COL, SEQ_COL}
+    src_data = {c for c in hashed.columns if c not in infra and c != "row_hash"}
+    base_data = {c for c in base.columns if c not in infra}
+    if src_data != base_data:
+        # Schema drift: delta files with a different column set would make
+        # the read view's union ill-typed. Fold outstanding deltas, then
+        # route THIS merge through the COW bucketed writer, whose
+        # _widen_for_drift rewrites every bucket with the widened schema
+        # (the documented drift discipline — mixed-schema files silently
+        # truncate under plain reads). Subsequent merges resume MOR deltas
+        # against the widened base.
+        compact_mor(spark, target_path)
+        result = merge_upsert_partitioned(
+            spark, src, base_path, key_cols, hash_cols, meta["num_buckets"]
+        )
+        return {**result, "delta_files": 0, "compacted": True}
+
     deltas = _read_deltas(spark, target_path)
     # Current (key → hash) view: base overridden by the latest delta.
     base_kh = base.select(cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash"))

@@ -187,3 +187,35 @@ class TestMorDifferentialRandomized:
         got = _state(mor.read_mor(spark, mor_t))
         want = _state(spark.read.parquet(cow_t))
         assert got == want == current
+
+
+class TestMorSchemaDrift:
+    def test_drifted_source_widens_base_and_resumes_deltas(self, spark, tmp_path):
+        """A source that grew a column can't land in delta files (the read
+        view's union would be ill-typed): the merge folds deltas and runs
+        the COW drift path, widening every bucket; later merges resume
+        O(changes) deltas against the widened base."""
+        target = str(tmp_path / "mor")
+        src = _src(spark, 200)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=4)
+        m = src.withColumn(
+            "V", F.when(F.col("K") == "1", F.lit("m")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m, target, ["K"], num_buckets=4)
+        assert mor._delta_seqs(target) == [1]
+
+        grown = m.withColumn("W", F.concat(F.lit("w"), F.col("K")))
+        r = mor.merge_upsert_mor(spark, grown, target, ["K"], num_buckets=4)
+        assert r["compacted"] and mor._delta_seqs(target) == []
+        view = mor.read_mor(spark, target)
+        assert "W" in view.columns
+        assert view.filter(F.col("K") == "3").collect()[0]["W"] == "w3"
+        assert view.filter(F.col("K") == "1").collect()[0]["V"] == "m"
+
+        # Post-drift sparse merge is a delta again, carrying the new column.
+        g2 = grown.withColumn(
+            "W", F.when(F.col("K") == "2", F.lit("neww")).otherwise(F.col("W"))
+        )
+        r = mor.merge_upsert_mor(spark, g2, target, ["K"], num_buckets=4)
+        assert r["update"] == 1 and r["delta_files"] >= 1
+        assert mor.read_mor(spark, target).filter(F.col("K") == "2").collect()[0]["W"] == "neww"
