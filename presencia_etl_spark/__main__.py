@@ -10,6 +10,7 @@ Usage:
     python -m presencia_etl_spark reconcile   --source DIR --table orders \
         --date-col o_orderdate
     python -m presencia_etl_spark serve --port 8000
+    python -m presencia_etl_spark compact --target DIR   # mor / index / parquet
 """
 
 from __future__ import annotations
@@ -72,6 +73,17 @@ def main(argv: list[str] | None = None) -> int:
         "(endpoint disabled when unset)",
     )
 
+    p = sub.add_parser(
+        "compact",
+        help="compact a state dir: merge-on-read target (folds deltas), "
+        "MinHash index (restores range-sorted file-skipping layout), or "
+        "plain/bucketed parquet (rewrites to ~target-sized files)",
+    )
+    p.add_argument("--target", required=True, help="state directory to compact")
+    p.add_argument(
+        "--file-mb", type=int, default=128, help="target file size for plain parquet"
+    )
+
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
@@ -111,6 +123,30 @@ def main(argv: list[str] | None = None) -> int:
 
             out = incremental_sync(spark, tables, configs, args.target)
         print(json.dumps({"cmd": args.cmd, "result": out}))
+        return 0
+
+    if args.cmd == "compact":
+        import os
+
+        target = args.target
+        if os.path.exists(os.path.join(target, "_mor_meta.json")):
+            from presencia_etl_spark.sinks.mor import compact_mor
+
+            out = {"kind": "mor", **compact_mor(spark, target)}
+        elif os.path.exists(os.path.join(target, "_index_meta.json")):
+            from presencia_etl_spark.operators.dedup_index import (
+                compact_minhash_index,
+            )
+
+            out = {"kind": "minhash_index", **compact_minhash_index(spark, target)}
+        else:
+            from presencia_etl_spark.sinks.writers import compact_parquet
+
+            out = {
+                "kind": "parquet",
+                **compact_parquet(spark, target, target_file_mb=args.file_mb),
+            }
+        print(json.dumps({"cmd": "compact", "result": out}))
         return 0
 
     from presencia_etl_spark.plans.reconcile import monthly_reconcile

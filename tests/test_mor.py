@@ -219,3 +219,48 @@ class TestMorSchemaDrift:
         r = mor.merge_upsert_mor(spark, g2, target, ["K"], num_buckets=4)
         assert r["update"] == 1 and r["delta_files"] >= 1
         assert mor.read_mor(spark, target).filter(F.col("K") == "2").collect()[0]["W"] == "neww"
+
+
+class TestCompactCli:
+    def test_compact_subcommand_detects_state_kind(
+        self, spark, tmp_path, capsys
+    ):
+        """`compact --target DIR` routes by state kind: MOR target folds
+        deltas; a MinHash index restores its sorted layout; plain parquet
+        rewrites to sized files."""
+        import json
+
+        from presencia_etl_spark.__main__ import main
+        from presencia_etl_spark.operators import dedup_index
+
+        # MOR state with one outstanding delta.
+        mor_t = str(tmp_path / "mor")
+        src = _src(spark, 100)
+        mor.merge_upsert_mor(spark, src, mor_t, ["K"], num_buckets=4)
+        m = src.withColumn(
+            "V", F.when(F.col("K") == "1", F.lit("m")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m, mor_t, ["K"], num_buckets=4)
+        assert main(["compact", "--target", mor_t]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["kind"] == "mor"
+        assert mor._delta_seqs(mor_t) == []
+
+        # MinHash index.
+        idx = str(tmp_path / "idx")
+        docs = spark.createDataFrame(
+            [(i, f"document number {i} with words w{i}") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        dedup_index.build_minhash_index(spark, docs, "doc_id", "text", idx)
+        assert main(["compact", "--target", idx]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["kind"] == "minhash_index"
+
+        # Plain parquet.
+        plain = str(tmp_path / "plain")
+        src.repartition(8).write.parquet(plain)
+        assert main(["compact", "--target", plain]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["kind"] == "parquet"
+        assert out["result"]["files_after"] <= out["result"]["files_before"]
