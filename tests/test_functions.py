@@ -64,6 +64,25 @@ class TestRowHash:
         h2 = df.select(row_hash(["b", "a"]).alias("h")).collect()[0]["h"]
         assert h1 == h2
 
+    def test_xxh64_mode_same_rendering_semantics(self, spark):
+        """algo='xxh64' keeps the N3 rendering (''/NULL → sentinel,
+        sorted columns) — only the digest differs. String-typed so merge
+        targets store it like the sha hash."""
+        df = spark.createDataFrame([("x", None), ("x", "")], schema=["a", "b"])
+        hx = [
+            r["h"]
+            for r in df.select(row_hash(["a", "b"], algo="xxh64").alias("h")).collect()
+        ]
+        assert hx[0] == hx[1]
+        assert isinstance(hx[0], str)
+        h1 = df.select(row_hash(["a", "b"], algo="xxh64").alias("h")).collect()[0]["h"]
+        h2 = df.select(row_hash(["b", "a"], algo="xxh64").alias("h")).collect()[0]["h"]
+        assert h1 == h2
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="algo"):
+            df.select(row_hash(["a"], algo="md5"))
+
 
 class TestNormalizeKey:
     def cases(self):

@@ -264,3 +264,39 @@ class TestCompactCli:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["result"]["kind"] == "parquet"
         assert out["result"]["files_after"] <= out["result"]["files_before"]
+
+
+class TestXxh64HashMode:
+    def test_merges_accept_precomputed_xxh64_hash(self, spark, tmp_path):
+        """The merges trust a precomputed row_hash column; hashing with
+        algo='xxh64' (16x cheaper than sha256 — the classify CPU floor)
+        gives the same CDC semantics end-to-end for deployments that
+        don't need reference sha parity."""
+        from presencia_etl_spark.functions.hashing import with_row_hash
+        from presencia_etl_spark.sinks.writers import merge_upsert_partitioned
+
+        target = str(tmp_path / "state")
+        src = _src(spark, 500)
+        hashed = with_row_hash(src, ["K", "V"], algo="xxh64")
+        r = merge_upsert_partitioned(spark, hashed, target, ["K"], num_buckets=8)
+        assert r["insert"] == 500
+
+        r = merge_upsert_partitioned(spark, hashed, target, ["K"], num_buckets=8)
+        assert (r["insert"], r["update"], r["skip"]) == (0, 0, 500)
+
+        mut = with_row_hash(
+            src.withColumn(
+                "V", F.when(F.col("K") == "7", F.lit("zz")).otherwise(F.col("V"))
+            ),
+            ["K", "V"],
+            algo="xxh64",
+        )
+        r = merge_upsert_partitioned(spark, mut, target, ["K"], num_buckets=8)
+        assert r["update"] == 1 and r["buckets_rewritten"] == 1
+
+        # Same through MOR.
+        mt = str(tmp_path / "mor")
+        mor.merge_upsert_mor(spark, hashed, mt, ["K"], num_buckets=8)
+        r = mor.merge_upsert_mor(spark, mut, mt, ["K"], num_buckets=8)
+        assert r["update"] == 1 and r["delta_files"] >= 1
+        assert _state(mor.read_mor(spark, mt))["7"] == "zz"
