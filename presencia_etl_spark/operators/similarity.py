@@ -368,15 +368,83 @@ def build_ivf_index(
     return assigned, centroids
 
 
-def save_ivf_index(assigned: DataFrame, path: str) -> None:
+def save_ivf_index(
+    assigned: DataFrame, path: str, centroids: "list[list[float]] | None" = None
+) -> None:
     """Materialize posting lists AS the partition layout: one ``cluster=``
     directory per posting list, so a probe of p clusters reads only p
-    directories (partition pruning on the cluster filter)."""
+    directories (partition pruning on the cluster filter). Pass the
+    centroid list to persist it alongside (``_ivf_meta.json``) — without
+    it a reloaded index can answer probes only if the caller kept the
+    centroids in memory; with it the index is fully self-describing, so
+    new sessions (and ``update_ivf_index``) assign without re-fitting."""
+    import json as _json
+    import os as _os
+
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    if centroids is not None:
+        with open(_os.path.join(path, "_ivf_meta.json"), "w") as fh:
+            _json.dump({"centroids": centroids}, fh)
 
 
 def load_ivf_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def load_ivf_centroids(path: str) -> "list[list[float]]":
+    """Centroids persisted by ``save_ivf_index(..., centroids=...)``."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_ivf_meta.json")) as fh:
+        return _json.load(fh)["centroids"]
+
+
+def update_ivf_index(
+    spark,
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to a persisted IVF index: assign against
+    the STORED centroids (one Arrow matmul — the corpus is never
+    re-labeled, mirroring ``dedup_index.update_minhash_index``) and append
+    to the ``cluster=`` posting-list partitions. Centroids are frozen —
+    standard IVF practice; re-fit + rebuild when the vector distribution
+    drifts enough that recall degrades. Returns rows added."""
+    centroids = load_ivf_centroids(path)
+    assigned = ivf_assign(
+        new_vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        centroids,
+        "cv",
+        out="cluster",
+    ).withColumn("cn", _norm("cv"))
+    assigned.write.mode("append").partitionBy("cluster").parquet(path)
+    return new_vecs.count()
+
+
+def query_ivf_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k against a persisted self-describing index: loads the
+    assignment (partition-pruned to the probed clusters by the join
+    filter) and the stored centroids; no re-fit, no corpus re-label."""
+    return ivf_topk(
+        None,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_probe=n_probe,
+        index=(load_ivf_index(spark, path), load_ivf_centroids(path)),
+    )
 
 
 def ivf_topk(

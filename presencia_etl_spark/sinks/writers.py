@@ -309,6 +309,12 @@ def compact_parquet(
         ).partitionBy(*part_cols).parquet(tmp)
     else:
         df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    # Root-level `_*.json` sidecars (e.g. an index's `_ivf_meta.json`
+    # centroid store — invisible to Spark scans, load-bearing for the
+    # index) must survive the swap.
+    for f in os.listdir(path):
+        if f.startswith("_") and f.endswith(".json"):
+            shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
     shutil.rmtree(path)
     os.replace(tmp, path)
     after = sum(

@@ -134,3 +134,53 @@ class TestIVF:
         }
         assert out[1][0] == 0 and out[2][0] == 1 and out[3][0] == 2
         assert all(len(v) == 2 and len(set(v)) == 2 for v in out.values())
+
+
+class TestIvfIncremental:
+    def test_self_describing_index_and_incremental_add(self, spark, sf_dir, tmp_path):
+        """Centroids persist with the index (_ivf_meta.json): a fresh
+        session queries without re-fitting, update_ivf_index appends new
+        vectors assigned against the STORED centroids, and the new
+        vectors are findable afterward."""
+        import os
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        history = emb.filter(F.col("vec_id") % 10 != 0)
+        newbies = emb.filter(F.col("vec_id") % 10 == 0)
+        assigned, centroids = similarity.build_ivf_index(history, n_clusters=8)
+        path = str(tmp_path / "ivf")
+        similarity.save_ivf_index(assigned, path, centroids=centroids)
+        assert os.path.exists(f"{path}/_ivf_meta.json")
+        assert similarity.load_ivf_centroids(path) == centroids
+
+        added = similarity.update_ivf_index(spark, newbies, path)
+        assert added == newbies.count()
+
+        # A query identical to an added vector must find it at rank 1.
+        probe_id = newbies.select("vec_id").first()["vec_id"]
+        q = emb.filter(F.col("vec_id") == probe_id).select(
+            (F.col("vec_id") + 10**6).alias("vec_id"), "embedding"
+        )
+        top = similarity.query_ivf_index(spark, q, path, k=1, n_probe=2)
+        assert top.collect()[0]["neighbor_id"] == probe_id
+
+    def test_compact_preserves_ivf_meta(self, spark, sf_dir, tmp_path):
+        """compact_parquet's staged swap must carry the _ivf_meta.json
+        sidecar (the centroid store) across the rewrite."""
+        import os
+
+        from presencia_etl_spark.sinks.writers import compact_parquet
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, centroids = similarity.build_ivf_index(emb, n_clusters=4)
+        path = str(tmp_path / "ivf")
+        similarity.save_ivf_index(assigned, path, centroids=centroids)
+        # Accrete files via a few incremental adds.
+        for i in range(3):
+            similarity.update_ivf_index(
+                spark, emb.filter(F.col("vec_id") % 7 == i), path
+            )
+        r = compact_parquet(spark, path, target_file_mb=64)
+        assert r["files_after"] < r["files_before"]
+        assert os.path.exists(f"{path}/_ivf_meta.json")
+        assert similarity.load_ivf_centroids(path) == centroids
