@@ -507,6 +507,53 @@ def ivf_topk(
     return ranked.filter(F.col("rk") <= k).select("query_id", "neighbor_id", "cosine", "rk")
 
 
+def _lsh_bucketed(
+    df: DataFrame,
+    vec: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed: int,
+    probe: bool,
+) -> DataFrame:
+    """(tbl, bucket) rows for every input row: all L table buckets in ONE
+    Arrow matmul per batch over ONE scan, then posexplode. ``probe=True``
+    additionally 1-bit-multiprobes each bucket (query side). Shared by
+    the one-shot ``lsh_topk`` and the persisted LSH index — both sides
+    must bucket identically or probes never collide."""
+    from pyspark.sql.functions import pandas_udf
+
+    # (L·b, d) plane matrix, captured by the UDF closure (small, shipped
+    # once per worker). Bit i of table t's bucket = sign of plane (t, i).
+    P = np.asarray(
+        [
+            plane
+            for t in range(n_tables)
+            for plane in hyperplanes(dim, n_planes, seed + 1000 * t)
+        ],
+        dtype=np.float64,
+    )
+    bit_weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
+
+    @pandas_udf("array<long>")
+    def all_table_buckets(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        bits = (M @ P.T >= 0).reshape(len(M), n_tables, n_planes)
+        vals = (bits * bit_weights).sum(axis=2)
+        return pd.Series([row.tolist() for row in vals])
+
+    out = df.withColumn("_bkts", all_table_buckets(F.col(vec))).select(
+        "*", F.posexplode("_bkts").alias("tbl", "bucket")
+    ).drop("_bkts")
+    if probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.expr(f"bucket ^ shiftleft(1L, {i})") for i in range(n_planes)],
+        )
+        out = out.withColumn("bucket", F.explode(probes))
+    return out
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -537,46 +584,15 @@ def lsh_topk(
     L·b literal-array ``aggregate``/``zip_with`` folds per row — was
     interpreter-bound and ~4× slower at sf0.1.
     """
-    from pyspark.sql.functions import pandas_udf
-
     c_base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
 
-    # (L·b, d) plane matrix, captured by the UDF closure (small, shipped
-    # once per worker). Bit i of table t's bucket = sign of plane (t, i).
-    P = np.asarray(
-        [
-            plane
-            for t in range(n_tables)
-            for plane in hyperplanes(dim, n_planes, seed + 1000 * t)
-        ],
-        dtype=np.float64,
-    )
-    bit_weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
-
-    @pandas_udf("array<long>")
-    def all_table_buckets(v: pd.Series) -> pd.Series:
-        M = np.vstack(v.to_numpy()).astype(np.float64)
-        bits = (M @ P.T >= 0).reshape(len(M), n_tables, n_planes)
-        vals = (bits * bit_weights).sum(axis=2)
-        return pd.Series([row.tolist() for row in vals])
-
-    def bucketed(df: DataFrame, vec: str, probe: bool) -> DataFrame:
-        # All L table buckets in ONE projection over ONE scan, then
-        # posexplode to (tbl, bucket) rows.
-        out = df.withColumn("_bkts", all_table_buckets(F.col(vec))).select(
-            "*", F.posexplode("_bkts").alias("tbl", "bucket")
-        ).drop("_bkts")
-        if probe and multiprobe:
-            probes = F.array(
-                F.col("bucket"),
-                *[F.expr(f"bucket ^ shiftleft(1L, {i})") for i in range(n_planes)],
-            )
-            out = out.withColumn("bucket", F.explode(probes))
-        return out
-
-    c = bucketed(c_base, "cv", probe=False).withColumn("cn", _norm("cv"))
-    q = bucketed(q_base, "qv", probe=True).withColumn("qn", _norm("qv"))
+    c = _lsh_bucketed(
+        c_base, "cv", n_planes, n_tables, dim, seed, probe=False
+    ).withColumn("cn", _norm("cv"))
+    q = _lsh_bucketed(
+        q_base, "qv", n_planes, n_tables, dim, seed, probe=multiprobe
+    ).withColumn("qn", _norm("qv"))
     joined = c.join(F.broadcast(q), ["tbl", "bucket"]).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -593,3 +609,128 @@ def lsh_topk(
         )
     )
     return ranked.filter(F.col("rk") <= k).select("query_id", "neighbor_id", "cosine", "rk")
+
+
+def save_lsh_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> None:
+    """Persist the multi-table LSH bucketing of a corpus: one ``tbl=``
+    hive partition per table, range-sorted on ``bucket`` within, so a
+    probe's (tbl, bucket) equi-join prunes partitions and file-skips on
+    bucket min/max. LSH parameters land in ``_lsh_meta.json`` — the index
+    is self-describing, like the IVF and MinHash indexes."""
+    import json as _json
+    import os as _os
+
+    c = _lsh_bucketed(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv",
+        n_planes,
+        n_tables,
+        dim,
+        seed,
+        probe=False,
+    ).withColumn("cn", _norm("cv"))
+    (
+        c.repartitionByRange(n_tables, "tbl", "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("tbl")
+        .parquet(path)
+    )
+    with open(_os.path.join(path, "_lsh_meta.json"), "w") as fh:
+        _json.dump(
+            {"n_planes": n_planes, "n_tables": n_tables, "dim": dim, "seed": seed},
+            fh,
+        )
+
+
+def _load_lsh_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_lsh_meta.json")) as fh:
+        return _json.load(fh)
+
+
+def update_lsh_index(
+    spark,
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append new vectors bucketed with the STORED parameters — the
+    existing index is never re-hashed (O(batch) per add, mirroring the
+    MinHash/IVF incremental paths). Returns rows added."""
+    m = _load_lsh_meta(path)
+    c = _lsh_bucketed(
+        new_vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv",
+        m["n_planes"],
+        m["n_tables"],
+        m["dim"],
+        m["seed"],
+        probe=False,
+    ).withColumn("cn", _norm("cv"))
+    (
+        c.repartitionByRange(max(2, m["n_tables"] // 2), "tbl", "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("append")
+        .partitionBy("tbl")
+        .parquet(path)
+    )
+    return new_vecs.count()
+
+
+def query_lsh_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Top-k against a persisted LSH index: queries are bucketed with the
+    stored parameters (broadcast), the (tbl, bucket) join streams the
+    index scan, exact cosine re-ranks only candidate pairs."""
+    m = _load_lsh_meta(path)
+    c = spark.read.parquet(path)
+    q = _lsh_bucketed(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv",
+        m["n_planes"],
+        m["n_tables"],
+        m["dim"],
+        m["seed"],
+        probe=multiprobe,
+    ).withColumn("qn", _norm("qv"))
+    joined = c.join(F.broadcast(q), ["tbl", "bucket"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
+    ranked = (
+        joined.select("query_id", "neighbor_id", "cv", "qv", "cn", "qn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("neighbor_id")
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= k).select(
+        "query_id", "neighbor_id", "cosine", "rk"
+    )

@@ -184,3 +184,36 @@ class TestIvfIncremental:
         assert r["files_after"] < r["files_before"]
         assert os.path.exists(f"{path}/_ivf_meta.json")
         assert similarity.load_ivf_centroids(path) == centroids
+
+
+class TestLshPersistedIndex:
+    def test_index_matches_one_shot_and_supports_adds(self, spark, sf_dir, tmp_path):
+        """The persisted LSH index (same planes, same bucketing) must
+        reproduce the one-shot lsh_topk exactly; incremental adds bucket
+        against the stored parameters and become findable."""
+        import os
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        history = emb.filter(F.col("vec_id") % 10 != 0)
+        queries = emb.filter(F.col("vec_id") < 5)
+        path = str(tmp_path / "lsh")
+        similarity.save_lsh_index(spark, history, path, n_planes=8, n_tables=8)
+        assert os.path.exists(f"{path}/_lsh_meta.json")
+        assert len([d for d in os.listdir(path) if d.startswith("tbl=")]) == 8
+
+        direct = similarity.lsh_topk(
+            history, queries, k=3, n_planes=8, n_tables=8, multiprobe=True
+        )
+        via_index = similarity.query_lsh_index(spark, queries, path, k=3)
+        d = {(r["query_id"], r["neighbor_id"], r["rk"]) for r in direct.collect()}
+        i = {(r["query_id"], r["neighbor_id"], r["rk"]) for r in via_index.collect()}
+        assert d == i
+
+        newbies = emb.filter(F.col("vec_id") % 10 == 0)
+        assert similarity.update_lsh_index(spark, newbies, path) == newbies.count()
+        probe_id = newbies.select("vec_id").first()["vec_id"]
+        q = emb.filter(F.col("vec_id") == probe_id).select(
+            (F.col("vec_id") + 10**6).alias("vec_id"), "embedding"
+        )
+        top = similarity.query_lsh_index(spark, q, path, k=1)
+        assert top.collect()[0]["neighbor_id"] == probe_id
