@@ -952,9 +952,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q19_stratified_sample": (
             # Same md5-threshold predicate as stratified_sample_hash: md5 of
-            # the decimal key string is bit-identical across engines.
+            # the decimal key string is bit-identical across engines. The
+            # COALESCE mirrors the operator's NULL-id sentinel (chr(0)||'null')
+            # so keep/drop agrees even on nullable keys.
             "SELECT lang, COUNT(*) AS n_sampled FROM documents "
-            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) "
+            "WHERE CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':42'), 1, 8)) "
             "AS BIGINT) % 1000000 < "
             "CASE lang WHEN 'en' THEN 250000 WHEN 'es' THEN 1000000 "
             "WHEN 'de' THEN 1000000 WHEN 'fr' THEN 1000000 "

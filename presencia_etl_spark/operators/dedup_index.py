@@ -37,6 +37,7 @@ from presencia_etl_spark.operators.dedup import band_rows, minhash_signatures
 SIG_DIR = "signatures"
 BAND_DIR = "bands"
 META_FILE = "_index_meta.json"
+COMPACT_JOURNAL = "_compact_journal.json"
 
 
 def _meta_path(index_path: str) -> str:
@@ -44,8 +45,52 @@ def _meta_path(index_path: str) -> str:
 
 
 def _read_meta(index_path: str) -> dict:
+    # Every index entry point (update/query/compact) funnels through here,
+    # so an interrupted compaction swap is healed before any read or write
+    # touches the artifacts — mirrors the COW sink's
+    # _recover_interrupted_swap discipline.
+    _recover_interrupted_compact(index_path)
     with open(_meta_path(index_path)) as f:
         return json.load(f)
+
+
+def _recover_interrupted_compact(index_path: str) -> bool:
+    """Repair a compaction swap that a hard crash interrupted mid-rename.
+
+    ``compact_minhash_index`` journals each artifact swap before the first
+    rename; the crash window is between parking the live dir (``__retired``)
+    and renaming the fully-written staged dir (``__compacting``) in — during
+    it the index has NO live dir. Completion is forward-first (the staged
+    copy was fully written before any rename began), falling back to the
+    parked old copy. Returns True if a journal was found and repaired."""
+    import shutil
+
+    journal = os.path.join(index_path, COMPACT_JOURNAL)
+    if not os.path.exists(journal):
+        return False
+    with open(journal) as fh:
+        sub = json.load(fh)["sub"]
+    live = os.path.join(index_path, sub)
+    staged = live + "__compacting"
+    retired = live + "__retired"
+    if not os.path.exists(live):
+        if os.path.exists(staged):
+            os.rename(staged, live)
+        elif os.path.exists(retired):
+            os.rename(retired, live)
+        else:
+            raise RuntimeError(
+                f"interrupted index compaction cannot be repaired: "
+                f"{live!r} is missing and neither the staged nor the "
+                "retired copy exists; restore from backup before using "
+                "this index"
+            )
+    # Live dir present → the swap either never started renaming or fully
+    # landed; leftover copies are stale either way.
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+    os.remove(journal)
+    return True
 
 
 def build_minhash_index(
@@ -188,9 +233,18 @@ def compact_minhash_index(
         write_fn(spark.read.parquet(live), staged, n_out)
         retired = live + "__retired"
         shutil.rmtree(retired, ignore_errors=True)
+        # Journal (tmp + atomic rename) before the first rename: a hard
+        # crash between the two renames leaves no live dir, and
+        # _recover_interrupted_compact (run by every _read_meta) completes
+        # the swap forward from the fully-written staged copy.
+        journal = os.path.join(index_path, COMPACT_JOURNAL)
+        with open(journal + ".tmp", "w") as fh:
+            json.dump({"sub": sub}, fh)
+        os.replace(journal + ".tmp", journal)
         os.rename(live, retired)
         os.rename(staged, live)
         shutil.rmtree(retired)
+        os.remove(journal)
         after = sum(
             1
             for root, _d, files in os.walk(live)

@@ -73,11 +73,17 @@ def stratified_sample_hash(
     decimal-string key is bit-identical in Spark and DuckDB, which makes
     the sample oracle-checkable, unlike ``sampleBy``'s engine-private
     RNG). Appends are stable: an existing row never flips in or out when
-    data arrives. Scan-local — no shuffle, no driver participation."""
+    data arrives. Scan-local — no shuffle, no driver participation.
+
+    A NULL id is coalesced to the ``'\\x00null'`` sentinel BEFORE hashing
+    (the row_hash NULL discipline) so Spark and a SQL oracle agree: raw
+    ``concat_ws`` would silently skip the NULL arg and hash just the seed,
+    while SQL ``||`` nulls out — divergent keep/drop decisions."""
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
     bucket = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                F.md5(F.concat_ws(":", key, F.lit(str(seed)))),
                 1,
                 8,
             ),

@@ -57,6 +57,7 @@ BASE_DIR = "base"
 DELTA_DIR = "deltas"
 META_FILE = "_mor_meta.json"
 SEQ_COL = "_delta_seq"
+STAGING_PREFIX = ".staging_"
 
 
 def _meta_path(path: str) -> str:
@@ -83,6 +84,31 @@ def _delta_seqs(path: str) -> list[int]:
         for d in os.listdir(droot)
         if d.startswith(f"{SEQ_COL}=")
     )
+
+
+def _gc_orphan_staging(path: str) -> None:
+    """Remove staging dirs left by a crash mid-delta-write.
+
+    A delta becomes visible ONLY via the atomic ``os.rename`` of its staging
+    dir into ``deltas/_delta_seq=N`` (the commit point) — so anything still
+    named ``.staging_*`` is a torn, uncommitted write and is safe to drop.
+    Called at the top of every merge/compact (mirrors the COW path's
+    ``_recover_interrupted_swap`` discipline)."""
+    droot = os.path.join(path, DELTA_DIR)
+    if not os.path.isdir(droot):
+        return
+    for d in os.listdir(droot):
+        if d.startswith(STAGING_PREFIX):
+            shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
+
+
+def _next_seq(path: str, meta: dict) -> int:
+    """Next delta sequence. Committed dirs are authoritative: a crash after
+    the rename-commit but before the meta bump leaves a live dir ahead of
+    ``meta['seq']`` — never reuse its number (the old behavior wedged on
+    mode('errorifexists') forever)."""
+    seqs = _delta_seqs(path)
+    return max(meta["seq"], seqs[-1] if seqs else 0) + 1
 
 
 def _read_deltas(spark: SparkSession, path: str) -> DataFrame | None:
@@ -134,9 +160,17 @@ def merge_upsert_mor(
         _write_meta(target_path, {"num_buckets": num_buckets, "seq": 0})
         return {**r, "delta_files": 0, "compacted": False}
 
+    if not os.path.exists(_meta_path(target_path)):
+        raise ValueError(
+            f"target {target_path!r} exists but is not a merge-on-read state "
+            f"(no {META_FILE}). It was likely written by full_sync or the "
+            "flat/bucketed COW writer — keep merging it with its original "
+            "writer, or rebuild it through merge_upsert_mor from scratch."
+        )
     meta = _read_meta(target_path)
     base_path = os.path.join(target_path, BASE_DIR)
     _recover_interrupted_swap(base_path)
+    _gc_orphan_staging(target_path)
     _warn_audit_collisions(src)
     src = _parallelize_scan(src)
     hashed = (
@@ -290,12 +324,22 @@ def merge_upsert_mor(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        seq = meta["seq"] + 1
+        seq = _next_seq(target_path, meta)
         ddir = os.path.join(target_path, DELTA_DIR, f"{SEQ_COL}={seq}")
+        staged = os.path.join(
+            target_path, DELTA_DIR, f"{STAGING_PREFIX}{seq}"
+        )
         # A delta is small by definition — land it in few files so read
         # amplification stays ~O(#outstanding merges), not O(#tasks).
         n_files = max(1, min(4, n_dirty // 100_000 + 1))
-        out.repartition(n_files).write.mode("errorifexists").parquet(ddir)
+        # Crash-safe commit: the parquet job lands in a hidden staging dir
+        # (invisible to _delta_seqs/_read_deltas), then a single atomic
+        # os.rename publishes it. A crash mid-write leaves only the staging
+        # dir, GC'd on the next merge; a crash after the rename but before
+        # the meta bump is healed by _next_seq treating live dirs as
+        # authoritative.
+        out.repartition(n_files).write.mode("overwrite").parquet(staged)
+        os.rename(staged, ddir)
         meta["seq"] = seq
         _write_meta(target_path, meta)
     finally:
@@ -344,6 +388,7 @@ def compact_mor(spark: SparkSession, target_path: str) -> dict[str, int]:
     overrides on the next compact/merge. Returns bucket/delta counts."""
     base_path = os.path.join(target_path, BASE_DIR)
     _recover_interrupted_swap(base_path)
+    _gc_orphan_staging(target_path)
     deltas = _read_deltas(spark, target_path)
     if deltas is None:
         return {"buckets_rewritten": 0, "deltas_folded": 0}

@@ -251,3 +251,67 @@ class TestCompaction:
             r"\1:  \+- Scan parquet",
             p,
         ), p
+
+
+class TestCompactionCrashRecovery:
+    """compact_minhash_index's two-rename swap is journaled; a hard crash
+    between the renames (no live dir at all) is healed forward by
+    _recover_interrupted_compact, which every _read_meta runs."""
+
+    def _plant_crash(self, idx, sub, keep_staged=True):
+        import json as _json
+        import shutil as _shutil
+
+        live = os.path.join(idx, sub)
+        if keep_staged:
+            _shutil.copytree(live, live + "__compacting")
+        with open(os.path.join(idx, dedup_index.COMPACT_JOURNAL), "w") as f:
+            _json.dump({"sub": sub}, f)
+        os.rename(live, live + "__retired")
+        if not keep_staged:
+            pass  # only the retired copy survives → rollback path
+        assert not os.path.exists(live)
+
+    def test_forward_completion_from_staged(self, spark, history, tmp_path):
+        idx = str(tmp_path / "idx_fwd")
+        dedup_index.build_minhash_index(spark, history, "doc_id", "text", idx)
+        self._plant_crash(idx, dedup_index.SIG_DIR, keep_staged=True)
+
+        batch = spark.createDataFrame(
+            [(100, BASE.replace("cat", "kitten"))], ["doc_id", "text"]
+        )
+        m = dedup_index.query_minhash_index(spark, batch, "doc_id", "text", idx)
+        assert (100, 0) in {(r["batch_id"], r["index_id"]) for r in m.collect()}
+        live = os.path.join(idx, dedup_index.SIG_DIR)
+        assert os.path.exists(live)
+        assert not os.path.exists(live + "__compacting")
+        assert not os.path.exists(live + "__retired")
+        assert not os.path.exists(os.path.join(idx, dedup_index.COMPACT_JOURNAL))
+
+    def test_rollback_from_retired_when_staged_missing(self, spark, history, tmp_path):
+        idx = str(tmp_path / "idx_back")
+        dedup_index.build_minhash_index(spark, history, "doc_id", "text", idx)
+        self._plant_crash(idx, dedup_index.BAND_DIR, keep_staged=False)
+
+        batch = spark.createDataFrame(
+            [(100, BASE.replace("cat", "kitten"))], ["doc_id", "text"]
+        )
+        m = dedup_index.query_minhash_index(spark, batch, "doc_id", "text", idx)
+        assert (100, 0) in {(r["batch_id"], r["index_id"]) for r in m.collect()}
+        assert os.path.exists(os.path.join(idx, dedup_index.BAND_DIR))
+        assert not os.path.exists(os.path.join(idx, dedup_index.COMPACT_JOURNAL))
+
+    def test_unrepairable_crash_refuses(self, spark, history, tmp_path):
+        import json as _json
+        import shutil as _shutil
+
+        import pytest as _pytest
+
+        idx = str(tmp_path / "idx_gone")
+        dedup_index.build_minhash_index(spark, history, "doc_id", "text", idx)
+        live = os.path.join(idx, dedup_index.SIG_DIR)
+        with open(os.path.join(idx, dedup_index.COMPACT_JOURNAL), "w") as f:
+            _json.dump({"sub": dedup_index.SIG_DIR}, f)
+        _shutil.rmtree(live)  # no live, no staged, no retired
+        with _pytest.raises(RuntimeError, match="cannot be repaired"):
+            dedup_index._read_meta(idx)

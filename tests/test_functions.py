@@ -208,3 +208,46 @@ class TestQuarantine:
         raw_bad = {r["NUMCOB"] for r in bad.collect()}
         assert raw_bad == {"3", "4"}          # quarantined rows stay raw strings
         assert dict(good.dtypes)["IMPX"] == "decimal(15,4)"
+
+
+class TestParallelizeScan:
+    """parallelize_scan must size the scan from file metadata only (no
+    .rdd conversion in the package — grep-pinned by the build rules) and
+    widen exactly when a big single-file scan would underuse the session."""
+
+    def test_single_large_file_widens(self, spark, tmp_path):
+        from presencia_etl_spark.functions.partitioning import parallelize_scan
+
+        p = str(tmp_path / "one_big")
+        # ~1 MB of text in ONE file: a single split, well below local[32].
+        spark.range(20_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("x" * 200), F.col("id").cast("string")).alias("text"),
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        df = spark.read.parquet(p)
+        out = parallelize_scan(df)
+        target = spark.sparkContext.defaultParallelism
+        assert out.rdd.getNumPartitions() == target  # test-side probe only
+
+    def test_tiny_file_left_alone(self, spark, tmp_path):
+        from presencia_etl_spark.functions.partitioning import parallelize_scan
+
+        p = str(tmp_path / "tiny")
+        spark.range(10).coalesce(1).write.mode("overwrite").parquet(p)
+        df = spark.read.parquet(p)
+        assert parallelize_scan(df) is df
+
+    def test_in_memory_frame_untouched(self, spark):
+        from presencia_etl_spark.functions.partitioning import parallelize_scan
+
+        df = spark.range(100).select(F.col("id"))
+        assert parallelize_scan(df) is df
+
+    def test_conf_size_parsing(self):
+        from presencia_etl_spark.functions.partitioning import _as_bytes
+
+        assert _as_bytes("134217728") == 128 << 20
+        assert _as_bytes("128m") == 128 << 20
+        assert _as_bytes("4MB") == 4 << 20
+        assert _as_bytes("1g") == 1 << 30
+        assert _as_bytes("512b") == 512

@@ -300,3 +300,72 @@ class TestXxh64HashMode:
         r = mor.merge_upsert_mor(spark, mut, mt, ["K"], num_buckets=8)
         assert r["update"] == 1 and r["delta_files"] >= 1
         assert _state(mor.read_mor(spark, mt))["7"] == "zz"
+
+
+class TestDeltaCrashSafety:
+    """The delta commit point is an atomic rename of a hidden staging dir
+    into ``deltas/`` — these pin the three crash windows the advisor
+    flagged: torn write, committed-dir-ahead-of-meta, and the non-MOR
+    target mis-merge."""
+
+    def _mut(self, src, key, val):
+        return src.withColumn(
+            "V", F.when(F.col("K") == key, F.lit(val)).otherwise(F.col("V"))
+        )
+
+    def test_torn_staging_invisible_to_readers_and_gcd(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        src = _src(spark, 500)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=8)
+        mor.merge_upsert_mor(spark, self._mut(src, "1", "x1"), target, ["K"], num_buckets=8)
+
+        # Crash mid-delta-write: a partial staging dir with garbage bytes.
+        torn = os.path.join(target, mor.DELTA_DIR, f"{mor.STAGING_PREFIX}99")
+        os.makedirs(torn)
+        with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+            f.write(b"\x00torn")
+
+        # Readers never see it (dot-prefixed = hidden to Spark's file index).
+        assert _state(mor.read_mor(spark, target))["1"] == "x1"
+        # The next merge garbage-collects it and proceeds normally.
+        r = mor.merge_upsert_mor(
+            spark,
+            self._mut(self._mut(src, "1", "x1"), "2", "x2"),
+            target,
+            ["K"],
+            num_buckets=8,
+        )
+        assert r["update"] == 1
+        assert not os.path.exists(torn)
+        st = _state(mor.read_mor(spark, target))
+        assert st["1"] == "x1" and st["2"] == "x2"
+
+    def test_committed_delta_ahead_of_meta_does_not_wedge(self, spark, tmp_path):
+        """Crash after the rename-commit but before the meta bump: the live
+        dir's seq is ahead of meta['seq']. The old code recomputed the same
+        seq and failed forever on mode('errorifexists'); _next_seq treats
+        live dirs as authoritative."""
+        target = str(tmp_path / "mor")
+        src = _src(spark, 500)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=8)
+        mor.merge_upsert_mor(spark, self._mut(src, "1", "x1"), target, ["K"], num_buckets=8)
+
+        meta = mor._read_meta(target)
+        meta["seq"] -= 1  # simulate the un-bumped meta
+        mor._write_meta(target, meta)
+
+        r = mor.merge_upsert_mor(spark, self._mut(src, "1", "x2"), target, ["K"], num_buckets=8)
+        assert r["update"] == 1
+        assert mor._read_meta(target)["seq"] == max(mor._delta_seqs(target))
+        # Latest-wins ordering survived the seq gapless renumbering.
+        assert _state(mor.read_mor(spark, target))["1"] == "x2"
+
+    def test_non_mor_target_raises_descriptive_error(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from presencia_etl_spark.sinks.writers import merge_upsert_partitioned
+
+        target = str(tmp_path / "cow")
+        merge_upsert_partitioned(spark, _src(spark, 100), target, ["K"], num_buckets=4)
+        with _pytest.raises(ValueError, match="not a merge-on-read"):
+            mor.merge_upsert_mor(spark, _src(spark, 100), target, ["K"], num_buckets=4)
