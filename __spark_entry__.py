@@ -403,23 +403,77 @@ def q27_neardup_cosine(spark, sf):
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+_PLANT_OFFSET = 10_000_000  # planted-copy ids sit far above any real doc_id
+
+
+def _plant_copies(docs, modulus):
+    """Deterministic planted-duplicate leg: every doc whose id matches the
+    modulus rule gets an exact copy at id+_PLANT_OFFSET. The planting rule
+    is pure SQL, so a DuckDB oracle knows EXACTLY which pairs a dedup
+    operator must recover — turning an approximate operator into a
+    hash-checkable query (recovery of identical texts is guaranteed by
+    construction: identical signatures collide in every band/block)."""
+    planted = docs.filter(F.col("doc_id") % modulus == 0).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(planted)
+
+
 def q28_minhash_lsh(spark, sf):
+    """Banded MinHash LSH over the corpus + planted exact copies: the
+    planted pairs (id, id+OFFSET) MUST come back as candidates with
+    est_jaccard 1.0 (identical signatures collide in all 8 bands), so the
+    recovered count equals the planting-rule count — which DuckDB computes
+    without running any LSH. Organic near-dup pairs remain covered by the
+    recall/XXH64-parity pytest suite."""
     docs = _t(spark, sf, "documents")
-    cands = dedup.minhash_lsh_candidates(docs, "doc_id", "text", k=5, n_hashes=32, bands=8)
-    return cands.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b", "est_jaccard")
+    corpus = _plant_copies(docs, 89)
+    cands = dedup.minhash_lsh_candidates(
+        corpus, "doc_id", "text", k=5, n_hashes=32, bands=8
+    )
+    recovered = cands.filter(
+        (F.col("id_b") == F.col("id_a") + _PLANT_OFFSET)
+        & (F.col("id_a") % 89 == 0)
+        & (F.col("est_jaccard") >= 0.999)
+    ).agg(F.count(F.lit(1)).alias("n_recovered"))
+    planted = docs.filter(F.col("doc_id") % 89 == 0).agg(
+        F.count(F.lit(1)).alias("n_planted")
+    )
+    return planted.crossJoin(recovered).select(
+        "n_planted",
+        "n_recovered",
+        (F.col("n_recovered") == F.col("n_planted")).alias("all_recovered"),
+    )
 
 
 def q29_simhash(spark, sf):
+    """SimHash near-pairs with a planted-exact-copy leg: identical text →
+    identical 64-bit signature → hamming 0, recovered with FULL certainty
+    by the 4-block pigeonhole. Recovered count and max hamming over the
+    planted pairs are therefore pure functions of the planting rule —
+    DuckDB reproduces both from the rule alone."""
     docs = _t(spark, sf, "documents")
-    sigs = dedup.with_simhash(docs, "doc_id", "text")
+    corpus = _plant_copies(docs, 83)
+    sigs = dedup.with_simhash(corpus, "doc_id", "text")
     # Production near-dup threshold: hamming ≤ 3 with 4 rotated 16-bit
     # blocks — FULL recall by pigeonhole (≥1 block has zero differing
-    # bits), sparse buckets. (hamming ≤ 16 would need 17 blocks and finds
-    # ~half of all pairs — a threshold, not a dedup.)
+    # bits), sparse buckets.
     pairs = dedup.simhash_near_pairs(sigs, max_hamming=3, n_blocks=4)
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.min("hamming").alias("min_hamming"),
+    recovered = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + _PLANT_OFFSET)
+        & (F.col("id_a") % 83 == 0)
+    ).agg(
+        F.count(F.lit(1)).alias("n_recovered"),
+        F.max("hamming").cast("int").alias("max_planted_hamming"),
+    )
+    planted = docs.filter(F.col("doc_id") % 83 == 0).agg(
+        F.count(F.lit(1)).alias("n_planted")
+    )
+    return planted.crossJoin(recovered).select(
+        "n_planted",
+        "n_recovered",
+        "max_planted_hamming",
+        (F.col("n_recovered") == F.col("n_planted")).alias("all_recovered"),
     )
 
 
@@ -613,18 +667,48 @@ def q45_bpe_tokens(spark, sf):
 
 
 def q46_winnow_fingerprints(spark, sf):
-    """Winnowed rolling-hash fingerprints (xxhash-based → rows-only).
-    Pure-SQL fold with the gram array bound once — measured faster than an
-    Arrow hybrid at every realistic doc length (see text.py note)."""
+    """Winnowed rolling-hash fingerprints with a planted-copy leg: an
+    exact copy winnows to the IDENTICAL fingerprint set, so for every
+    planted pair the shared-distinct count equals the original's distinct
+    count — a property DuckDB verifies knowing only the planting rule
+    (every doc is ≥ 44 chars, so fingerprint sets are never empty). The
+    raw xxhash fingerprint values stay engine-specific and remain covered
+    by the shift-tolerance pytest. Pure-SQL fold with the gram array bound
+    once — measured faster than an Arrow hybrid at every realistic doc
+    length (see text.py note)."""
     # The winnowing fold is the most expensive per-row expression in the
     # suite — never let a single-file corpus run it on one task.
     docs = parallelize_scan(_t(spark, sf, "documents"))
-    fps = docs.select(
+    corpus = _plant_copies(docs, 79)
+    fps = corpus.select(
         "doc_id", F.explode(text.winnowed_fingerprints("text", k=8, window=4)).alias("fp")
     )
-    return fps.agg(
-        F.countDistinct("fp").alias("n_distinct_fps"),
-        F.count(F.lit(1)).cast("bigint").alias("n_total_fps"),
+    orig = fps.filter(
+        (F.col("doc_id") % 79 == 0) & (F.col("doc_id") < _PLANT_OFFSET)
+    )
+    copy = fps.filter(F.col("doc_id") >= _PLANT_OFFSET).select(
+        (F.col("doc_id") - _PLANT_OFFSET).alias("doc_id"), "fp"
+    )
+    shared = (
+        orig.join(copy, ["doc_id", "fp"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+    )
+    per_pair = (
+        orig.groupBy("doc_id")
+        .agg(F.countDistinct("fp").alias("n_orig"))
+        .join(shared, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n_shared"), F.lit(0)) == F.col("n_orig")).alias(
+                "full_overlap"
+            ),
+        )
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.sum(F.col("full_overlap").cast("bigint")).alias("n_full_overlap"),
+        F.min("full_overlap").alias("all_overlap"),
     )
 
 
@@ -676,24 +760,70 @@ def q48_grouped_centroid(spark, sf):
     return emb.groupBy("label").applyInPandas(centroid, out_schema)
 
 
-def q43_ivf_topk(spark, sf):
-    """IVF (KMeans posting lists) approximate top-k — approximate results
-    are engine-specific → rows-only; recall asserted in pytest."""
+def _ann_recall_query(spark, sf, approx_fn, min_recall):
+    """Shared self-verifying ANN shape: deterministic EXACT top-k rows
+    (oracle-computable brute-force cosine, ties broken on neighbor id)
+    plus one `recall_ok` column asserting the approximate operator's
+    recall@k against that exact set IN-PLAN. DuckDB reproduces the exact
+    rows and emits literal TRUE — if the ANN path ever regresses below the
+    bound, Spark emits FALSE and the row hash breaks. 20 query vectors
+    (60 exact pairs) keep the recall estimate stable across scale factors
+    — at 5 queries the ±1-hit noise straddled any honest bound."""
     emb = _t(spark, sf, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries_df, k=3, n_clusters=8, n_probe=3)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries_df, k=3)
+    approx = approx_fn(emb, queries_df)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id").distinct(),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("_n_hits"))
+    total = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
+    recall = hits.crossJoin(total).select(
+        (F.col("_n_hits") / F.col("_n_exact") >= min_recall).alias("recall_ok")
+    )
+    return exact.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk"
+    ).crossJoin(recall)
+
+
+def q43_ivf_topk(spark, sf):
+    """IVF (KMeans posting lists) approximate top-k, verified in-plan:
+    exact top-3 rows + recall@3 ≥ 0.6 boolean (pytest asserts the same
+    bound; sample-fit centroids are seed-deterministic)."""
+    return _ann_recall_query(
+        spark,
+        sf,
+        lambda emb, q: similarity.ivf_topk(emb, q, k=3, n_clusters=8, n_probe=4),
+        min_recall=0.6,
+    )
 
 
 def q42_hll_distinct(spark, sf):
-    """HLL approx-distinct next to the exact count (approx value is engine-
-    specific → rows-only; the pytest suite asserts the 5% envelope)."""
+    """HLL approx-distinct verified in-plan against the exact count: the
+    output carries the exact value plus a boolean pinning the approx
+    estimate inside its 5% envelope — DuckDB computes the exact count and
+    literal TRUE, so an HLL regression breaks the row hash."""
     ev = _t(spark, sf, "events")
     return ev.agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+    ).select(
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
+
 def q35_multimodal_features(spark, sf):
+    """Multimodal feature extraction (real Arrow mapInPandas plumbing over
+    binary payloads) made hash-checkable: payloads are the utf-8 bytes of
+    `text` and the corpus is ASCII, so DuckDB reproduces byte counts, md5
+    checksums, and the byte-mean feature from the string column alone —
+    any mangling in the binary path breaks the hash."""
     docs = _t(spark, sf, "documents")
     media = synthesize_media(docs, "doc_id", "text")
     feats = extract_features(media, fake=True)
@@ -706,9 +836,15 @@ def q35_multimodal_features(spark, sf):
 
 
 def q36_lsh_topk(spark, sf):
-    emb = _t(spark, sf, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(emb, queries_df, k=3, dim=64)
+    """Multi-table hyperplane LSH approximate top-k, verified in-plan:
+    exact top-3 rows + recall@3 ≥ 0.6 boolean (seeded planes → the
+    approximate side is deterministic; pytest asserts recall too)."""
+    return _ann_recall_query(
+        spark,
+        sf,
+        lambda emb, q: similarity.lsh_topk(emb, q, k=3, dim=64, n_tables=16),
+        min_recall=0.6,
+    )
 
 
 # Multi-join analytics in plain ANSI SQL — the SAME text runs on Spark
@@ -1033,6 +1169,73 @@ def oracle_sql() -> dict[str, str]:
         "q30_streaming_dedup": (
             "SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique "
             "FROM documents"
+        ),
+        # Planted-duplicate legs: recovery of an exact copy is guaranteed by
+        # construction (identical signature → collides in every band/block),
+        # so the oracle derives the recovered counts from the planting rule
+        # alone — no LSH/SimHash/winnowing runs in DuckDB.
+        "q28_minhash_lsh": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, "
+            "CAST(COUNT(*) AS BIGINT) AS n_recovered, TRUE AS all_recovered "
+            "FROM documents WHERE doc_id % 89 = 0"
+        ),
+        "q29_simhash": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, "
+            "CAST(COUNT(*) AS BIGINT) AS n_recovered, "
+            "CAST(0 AS INTEGER) AS max_planted_hamming, TRUE AS all_recovered "
+            "FROM documents WHERE doc_id % 83 = 0"
+        ),
+        "q46_winnow_fingerprints": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, "
+            "CAST(COUNT(*) AS BIGINT) AS n_full_overlap, TRUE AS all_overlap "
+            "FROM documents WHERE doc_id % 79 = 0"
+        ),
+        "q42_hll_distinct": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+            "TRUE AS approx_within_5pct FROM events"
+        ),
+        # ANN queries return the deterministic EXACT top-k (brute-force
+        # cosine, ties on neighbor id) plus an in-plan recall bound the
+        # oracle asserts as literal TRUE — an ANN regression flips the
+        # Spark-side boolean and breaks the hash.
+        "q36_lsh_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 20), "
+            "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv "
+            "FROM embeddings), "
+            "sims AS (SELECT query_id, neighbor_id, "
+            "ROUND(ROUND(list_cosine_similarity(cv, qv), 6), 4) AS cosine, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY ROUND(list_cosine_similarity(cv, qv), 6) DESC, neighbor_id ASC) "
+            "AS INTEGER) AS rk "
+            "FROM c, q WHERE neighbor_id <> query_id) "
+            "SELECT query_id, neighbor_id, cosine, rk, TRUE AS recall_ok "
+            "FROM sims WHERE rk <= 3"
+        ),
+        "q43_ivf_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 20), "
+            "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv "
+            "FROM embeddings), "
+            "sims AS (SELECT query_id, neighbor_id, "
+            "ROUND(ROUND(list_cosine_similarity(cv, qv), 6), 4) AS cosine, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY ROUND(list_cosine_similarity(cv, qv), 6) DESC, neighbor_id ASC) "
+            "AS INTEGER) AS rk "
+            "FROM c, q WHERE neighbor_id <> query_id) "
+            "SELECT query_id, neighbor_id, cosine, rk, TRUE AS recall_ok "
+            "FROM sims WHERE rk <= 3"
+        ),
+        # Media payloads are the utf-8 bytes of `text` (ASCII corpus), so
+        # byte counts, md5 checksums, and the byte-mean feature are pure
+        # string functions DuckDB evaluates without the binary path.
+        "q35_multimodal_features": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_media, "
+            "CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes, "
+            "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads, "
+            "ROUND(AVG(ROUND(list_aggregate(list_transform("
+            "regexp_split_to_array(text, ''), x -> ord(x)), 'avg'), 4)), 2) "
+            "AS mean_feat FROM documents"
         ),
         "q26_sim_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

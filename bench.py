@@ -43,6 +43,23 @@ def main() -> None:
         pipeline = {"error": str(e)[:200]}
         print(f"# bench pipeline error: {e}", file=sys.stderr)
 
+    # Heavier one-shot scenarios — the reference's ACTUAL 10-table workload
+    # shape and a 10× synthetic scale point — only at the graded sf (quick
+    # sf0.001 iteration loops skip them; override with SPARK_GRAFT_HEAVY).
+    heavy_env = os.environ.get("SPARK_GRAFT_HEAVY")
+    heavy = (sf >= 0.1) if heavy_env is None else heavy_env == "1"
+    if heavy:
+        try:
+            pipeline["presencia"] = bench_presencia(spark)
+        except Exception as e:
+            pipeline["presencia"] = {"error": str(e)[:120]}
+            print(f"# bench presencia error: {e}", file=sys.stderr)
+        try:
+            pipeline["scale10"] = bench_scale_stress(spark, pipeline)
+        except Exception as e:
+            pipeline["scale10"] = {"error": str(e)[:120]}
+            print(f"# bench scale10 error: {e}", file=sys.stderr)
+
     # Median-of-3 per query: single-run timings at this scale swing ±40%
     # under sandbox load (round-4 postmortem: phantom 2-3× "regressions"
     # that vanished on re-run), so round-over-round comparison needs a
@@ -96,7 +113,29 @@ def main() -> None:
 
     # ONE short line for the driver: compact separators, 2-dp timings, no
     # rows_out. Both r1 and r2 bench lines were too long for the driver's
-    # tail capture (parsed: null) — keep this under ~2 KB.
+    # tail capture (parsed: null) — keep this under ~2 KB: the nested
+    # presencia/scale10 dicts are flattened to their headline numbers
+    # (full detail stays in BENCH_DETAIL.json).
+    short_pipeline = {
+        k: v for k, v in pipeline.items() if not isinstance(v, dict)
+    }
+    for prefix in ("presencia", "scale10"):
+        sub = pipeline.get(prefix)
+        if isinstance(sub, dict):
+            for k in (
+                "full_sec",
+                "full_rows_per_sec",
+                "incr_nochange_sec",
+                "incr_sparse_sec",
+                "linear_ratio",
+                "sparse_sec",
+                "sparse_mor_sec",
+                "sparse_buckets_rewritten",
+                "rows",
+                "error",
+            ):
+                if k in sub:
+                    short_pipeline[f"{prefix}_{k}"] = sub[k]
     short = {
         "metric": "total_query_median_sec",
         "value": total,
@@ -105,7 +144,7 @@ def main() -> None:
         "reps": REPS,
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "errors": errors,
-        "pipeline": pipeline,
+        "pipeline": short_pipeline,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(short, separators=(",", ":"))
@@ -239,25 +278,165 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         out["cdc_sparse_mor_updates"] = int(r["update"])
 
         # Steady-state corpus admit loop (what a 100 TB training pipeline
-        # runs per ingest batch): history indexed untimed, then one fixed
-        # 20% batch through gate→probe→admit→register.
+        # runs per ingest batch): history indexed untimed, then THREE
+        # consecutive batches through gate→probe→admit→register. Batch 1
+        # pays the Python-worker spin-up; the marginal per-batch cost
+        # (fastest of batches 2-3, load-robust) is the steady-state number
+        # comparable to the reference's incremental table (BASELINE.md
+        # rows 5-8).
         from presencia_etl_spark.operators.dedup_index import build_minhash_index
         from presencia_etl_spark.plans.corpus_prep import prepare_training_corpus
 
         docs = read_table(spark, sf_dir, "documents")
         history = docs.filter(F.col("doc_id") % 5 != 0)
-        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        pool = docs.filter(F.col("doc_id") % 5 == 0)
         idx = f"{work}/corpus_idx"
         build_minhash_index(spark, history, "doc_id", "text", idx)
-        t0 = time.perf_counter()
-        prep = prepare_training_corpus(
-            spark, batch, "doc_id", "text", idx, min_quality=0.05
-        )
-        n_packed = prep["packed"].count()
-        dt = time.perf_counter() - t0
-        out["admit_batch_sec"] = round(dt, 3)
-        out["admit_batch_rows"] = int(batch.count())
+        batch_secs = []
+        n_packed = 0
+        for i in range(3):
+            b = pool.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i)
+            t0 = time.perf_counter()
+            prep = prepare_training_corpus(
+                spark, b, "doc_id", "text", idx, min_quality=0.05
+            )
+            n_packed += prep["packed"].count()
+            batch_secs.append(time.perf_counter() - t0)
+        out["admit_batch_sec"] = round(batch_secs[0], 3)
+        out["admit_batch_marginal_sec"] = round(sorted(batch_secs[1:])[0], 3)
+        out["admit_batch_rows"] = int(pool.count())
         out["admit_packed_seqs"] = int(n_packed)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def bench_presencia(spark) -> dict:
+    """The reference's OWN workload shape, at its documented scale: all 10
+    registry tables (~102K rows, 88K-row Liquidaciones fact) of CSV-string
+    input through EP1 full load → EP2 no-change incremental → EP2 sparse
+    mutation → EP4 reconcile. Directly comparable to BASELINE.md's ~50-65 s
+    full load and ~8-12 s incrementals (reference: single-threaded Python
+    row loop over mysql-connector)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from presencia_etl_spark.plans.full_sync import full_sync
+    from presencia_etl_spark.plans.incremental_sync import incremental_sync
+    from presencia_etl_spark.plans.presencia_fixture import (
+        mutate_sparse,
+        synth_presencia_tables,
+    )
+    from presencia_etl_spark.plans.reconcile import reconcile_report
+    from presencia_etl_spark.sources.registry import PRESENCIA_REGISTRY
+
+    spark.catalog.clearCache()
+    tables = synth_presencia_tables(spark)
+    # Materialize inputs untimed: the sync should be billed for syncing,
+    # not for generating its synthetic source.
+    tables = {k: v.localCheckpoint(eager=True) for k, v in tables.items()}
+    work = tempfile.mkdtemp(prefix="bench_presencia_")
+    wh = f"{work}/warehouse"
+    out: dict = {}
+    try:
+        t0 = time.perf_counter()
+        counts = full_sync(spark, tables, PRESENCIA_REGISTRY, wh)
+        dt = time.perf_counter() - t0
+        n = sum(counts.values())
+        out["full_sec"] = round(dt, 3)
+        out["full_rows"] = int(n)
+        out["full_rows_per_sec"] = round(n / dt)
+
+        t0 = time.perf_counter()
+        r = incremental_sync(spark, tables, PRESENCIA_REGISTRY, wh)
+        out["incr_nochange_sec"] = round(time.perf_counter() - t0, 3)
+        anomaly = r["Liquidaciones"]["insert"] + r["Liquidaciones"]["update"]
+        if anomaly:
+            out["incr_nochange_anomaly"] = int(anomaly)
+
+        mutated = dict(tables)
+        mutated["Liquidaciones"] = mutate_sparse(tables["Liquidaciones"])
+        t0 = time.perf_counter()
+        r = incremental_sync(spark, mutated, PRESENCIA_REGISTRY, wh)
+        out["incr_sparse_sec"] = round(time.perf_counter() - t0, 3)
+        out["incr_sparse_updates"] = int(r["Liquidaciones"]["update"])
+
+        state = spark.read.parquet(f"{wh}/Liquidaciones")
+        t0 = time.perf_counter()
+        rep = reconcile_report(
+            state,
+            state,
+            "CUPLIQUIDA",
+            state_col="ESTLIQUIDA",
+            date_col="FECLIQUIDA",
+            amount_col="IMPLIQUIDA",
+        )
+        n_ok = sum(1 for row in rep.collect() if row["diff"] == "OK")
+        out["reconcile_sec"] = round(time.perf_counter() - t0, 3)
+        out["reconcile_ok_rows"] = int(n_ok)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def bench_scale_stress(spark, base_pipeline: dict) -> dict:
+    """Second scale point: a synthetic fact 10× the sf0.1 lineitem (~6M
+    rows) through the bucketed COW full load + sparse merges, so the round
+    record carries measured evidence that the headline pipeline scales
+    ~linearly and dirty-bucket counts stay O(changes), not O(rows). The
+    `linear_ratio` compares per-row full-load throughput at 10× vs the
+    sf0.1 run (≈1.0 → linear; >1 → the bigger run is FASTER per row, as
+    fixed overheads amortize)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from presencia_etl_spark.sinks.mor import merge_upsert_mor
+    from presencia_etl_spark.sinks.writers import merge_upsert_partitioned
+
+    spark.catalog.clearCache()
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "6000000"))
+    df = spark.range(n).select(
+        F.concat(F.lit("K"), F.col("id")).alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(97)).cast("string").alias("v1"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / 100.0).alias("v2"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100_000)).alias("v3"),
+    )
+    work = tempfile.mkdtemp(prefix="bench_scale_")
+    target = f"{work}/state"
+    mor_target = f"{work}/state_mor"
+    out: dict = {"rows": n}
+    try:
+        t0 = time.perf_counter()
+        merge_upsert_partitioned(spark, df, target, ["k"], num_buckets=256)
+        dt = time.perf_counter() - t0
+        out["full_sec"] = round(dt, 3)
+        out["full_rows_per_sec"] = round(n / dt)
+        base_rate = base_pipeline.get("full_load_rows_per_sec")
+        if base_rate:
+            out["linear_ratio"] = round(out["full_rows_per_sec"] / base_rate, 2)
+
+        # ~60 scattered changes in 6M rows: the write side must stay
+        # O(changes) — dirty buckets ≈ changed keys, never O(rows).
+        sparse = df.withColumn(
+            "v1",
+            F.when(F.col("v3") == 0, F.concat(F.col("v1"), F.lit("x"))).otherwise(
+                F.col("v1")
+            ),
+        )
+        t0 = time.perf_counter()
+        r = merge_upsert_partitioned(spark, sparse, target, ["k"], num_buckets=256)
+        out["sparse_sec"] = round(time.perf_counter() - t0, 3)
+        out["sparse_updates"] = int(r["update"])
+        out["sparse_buckets_rewritten"] = int(r.get("buckets_rewritten", -1))
+
+        merge_upsert_mor(spark, df, mor_target, ["k"], num_buckets=256)
+        t0 = time.perf_counter()
+        r = merge_upsert_mor(spark, sparse, mor_target, ["k"], num_buckets=256)
+        out["sparse_mor_sec"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -315,3 +315,62 @@ class TestCompactionCrashRecovery:
         _shutil.rmtree(live)  # no live, no staged, no retired
         with _pytest.raises(RuntimeError, match="cannot be repaired"):
             dedup_index._read_meta(idx)
+
+
+class TestRandomizedAppendCompactInterleaving:
+    """Seeded random sequence of index appends interleaved with explicit
+    compactions: the final probe must be bit-identical to a one-shot index
+    over the same corpus — compaction may only change layout, never the
+    candidate set or estimates."""
+
+    def test_probe_parity_after_random_interleaving(self, spark, sf_dir, tmp_path):
+        import random
+
+        rng = random.Random(20260814)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300).cache()
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        rng.shuffle(ids)
+        seed_ids, rest = ids[:100], ids[100:]
+
+        from pyspark.sql import functions as F
+
+        idx = str(tmp_path / "idx")
+        dedup_index.build_minhash_index(
+            spark, docs.filter(F.col("doc_id").isin(seed_ids)), "doc_id", "text", idx
+        )
+        registered = list(seed_ids)
+        while rest:
+            take = min(len(rest), rng.randint(20, 60))
+            batch_ids, rest = rest[:take], rest[take:]
+            dedup_index.update_minhash_index(
+                spark,
+                docs.filter(F.col("doc_id").isin(batch_ids)),
+                "doc_id",
+                "text",
+                idx,
+                compact_every=None,
+            )
+            registered.extend(batch_ids)
+            if rng.random() < 0.5:
+                dedup_index.compact_minhash_index(spark, idx)
+
+        one_shot_idx = str(tmp_path / "one_shot")
+        dedup_index.build_minhash_index(spark, docs, "doc_id", "text", one_shot_idx)
+
+        probe = docs.limit(40)
+        got = {
+            (r["batch_id"], r["index_id"], r["est_jaccard"])
+            for r in dedup_index.query_minhash_index(
+                spark, probe, "doc_id", "text", idx, max_bucket=1 << 30
+            ).collect()
+        }
+        want = {
+            (r["batch_id"], r["index_id"], r["est_jaccard"])
+            for r in dedup_index.query_minhash_index(
+                spark, probe, "doc_id", "text", one_shot_idx, max_bucket=1 << 30
+            ).collect()
+        }
+        docs.unpersist()
+        assert sorted(registered) == sorted(ids)
+        assert got == want
+        assert want, "expected at least one candidate pair in the probe"

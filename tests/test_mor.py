@@ -369,3 +369,78 @@ class TestDeltaCrashSafety:
         merge_upsert_partitioned(spark, _src(spark, 100), target, ["K"], num_buckets=4)
         with _pytest.raises(ValueError, match="not a merge-on-read"):
             mor.merge_upsert_mor(spark, _src(spark, 100), target, ["K"], num_buckets=4)
+
+
+class TestDriftCompactionInterleaving:
+    """Seeded property test interleaving schema drift (add AND drop
+    columns) with explicit compactions across a random merge sequence —
+    the interleavings the hand-written drift test can't reach (drift while
+    deltas are outstanding, compaction right after a drift fold, drop
+    followed by re-add). The Python model mirrors the engine's documented
+    hash discipline: a stored row is replaced iff the batch row's
+    (column-set, values) signature differs — row_hash covers the batch's
+    own value set, so add/drop reclassifies overlapping keys as UPDATE
+    once and settles to SKIP (idempotency)."""
+
+    def test_seeded_random_drift_and_compaction_sequence(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(20260814)
+        target = str(tmp_path / "mor")
+        keyspace = [f"k{i}" for i in range(150)]
+        all_extras = ["W1", "W2", "W3"]
+        active: list[str] = []
+        ever_active: set[str] = set()
+        # model[k] = signature dict of the last REPLACING batch row
+        model: dict[str, dict] = {}
+        last_batch = None
+
+        for step in range(8):
+            action = rng.random()
+            if action < 0.20 and len(active) < len(all_extras):
+                candidates = [c for c in all_extras if c not in active]
+                col = rng.choice(candidates)
+                active.append(col)
+                ever_active.add(col)
+            elif action < 0.30 and active:
+                active.remove(rng.choice(active))
+            elif action < 0.45 and step > 0:
+                mor.compact_mor(spark, target)
+
+            picked = rng.sample(keyspace, rng.randint(20, 80))
+            rows, cols = [], ["K", "V", *active]
+            for k in picked:
+                if k in model and rng.random() < 0.4 and set(model[k]) == set(cols):
+                    sig = dict(model[k])  # deliberate no-op replay
+                else:
+                    sig = {"V": f"v{step}_{rng.randint(0, 5)}"}
+                    for c in active:
+                        sig[c] = f"{c}_{step}_{rng.randint(0, 5)}"
+                    sig["K"] = k
+                if sig != model.get(k):
+                    model[k] = sig
+                rows.append(tuple(sig.get(c) for c in cols))
+            batch = spark.createDataFrame(rows, cols)
+            mor.merge_upsert_mor(
+                spark, batch, target, ["K"], num_buckets=8, compact_every=3
+            )
+            last_batch = batch
+
+        # Final state equals the model on every data column ever seen
+        # (absent-at-write columns read back NULL).
+        view = mor.read_mor(spark, target)
+        got = {
+            r["K"]: {c: r[c] for c in ("V", *sorted(ever_active)) if c in view.columns}
+            for r in view.collect()
+        }
+        assert set(got) == set(model)
+        for k, sig in model.items():
+            for c in ("V", *sorted(ever_active)):
+                if c in view.columns:
+                    assert got[k][c] == sig.get(c), (k, c, got[k], sig)
+
+        # Idempotency: replaying the final batch is all-SKIP.
+        r = mor.merge_upsert_mor(
+            spark, last_batch, target, ["K"], num_buckets=8, compact_every=None
+        )
+        assert r["insert"] == 0 and r["update"] == 0

@@ -146,3 +146,53 @@ class TestPresenciaLifecycle:
             amount_col="IMPLIQUIDA",
         )
         assert all(row["diff"] == "OK" for row in rep.collect())
+
+
+class TestSparkNativeFixture:
+    """The bench-scale Spark-native corpus generator (plans.presencia_fixture)
+    must be deterministic (a regenerated frame replays byte-for-byte, so a
+    no-change incremental really sees zero changes) and CSV-shaped (all
+    strings), and must flow through the same EP1/EP2 plans as the
+    hand-rolled test fixture."""
+
+    def test_deterministic_and_all_string(self, spark):
+        from presencia_etl_spark.plans.presencia_fixture import (
+            synth_presencia_tables,
+        )
+
+        sizes = {"Liquidaciones": 500, "Socios": 100, "TbComentariosSocios": 80}
+        t1 = synth_presencia_tables(spark, sizes)
+        t2 = synth_presencia_tables(spark, sizes)
+        assert set(t1) == set(t2) and len(t1) == 10
+        for name, df in t1.items():
+            assert all(dt == "string" for _, dt in df.dtypes), name
+            rows1 = sorted(map(tuple, df.collect()))
+            rows2 = sorted(map(tuple, t2[name].collect()))
+            assert rows1 == rows2, name
+
+    def test_full_then_nochange_then_sparse(self, spark, tmp_path):
+        from presencia_etl_spark.plans.presencia_fixture import (
+            mutate_sparse,
+            synth_presencia_tables,
+        )
+
+        sizes = {"Liquidaciones": 800, "Socios": 120, "TbComentariosSocios": 60}
+        tables = synth_presencia_tables(spark, sizes)
+        wh = str(tmp_path / "wh")
+        counts = full_sync(spark, tables, PRESENCIA_REGISTRY, wh)
+        assert counts["Liquidaciones"] > 0
+        liq = spark.read.parquet(f"{wh}/Liquidaciones")
+        dt = dict(liq.dtypes)
+        assert dt["FECLIQUIDA"] == "timestamp"
+        assert dt["IMPLIQUIDA"] == "decimal(15,4)"
+        assert liq.filter(F.col("FECLIQUIDA").isNull()).count() == 0
+
+        r = incremental_sync(spark, tables, PRESENCIA_REGISTRY, wh)
+        assert r["Liquidaciones"]["insert"] == 0
+        assert r["Liquidaciones"]["update"] == 0
+
+        mutated = dict(tables)
+        mutated["Liquidaciones"] = mutate_sparse(tables["Liquidaciones"], every=50)
+        r2 = incremental_sync(spark, mutated, PRESENCIA_REGISTRY, wh)
+        assert r2["Liquidaciones"]["insert"] == 0
+        assert 0 < r2["Liquidaciones"]["update"] < counts["Liquidaciones"]
