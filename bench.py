@@ -305,6 +305,14 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         out["admit_batch_sec"] = round(batch_secs[0], 3)
         out["admit_batch_marginal_sec"] = round(sorted(batch_secs[1:])[0], 3)
         out["admit_batch_rows"] = int(pool.count())
+        # The marginal cost at this scale is ~10 fixed Spark jobs, not data
+        # (333 docs/batch at sf0.1) — report per-doc throughput so the
+        # number reads correctly against the reference's per-row
+        # incremental table (the fixed overhead amortizes at real batch
+        # sizes; decomposition in docs/SCALE.md).
+        out["admit_marginal_docs_per_sec"] = round(
+            (out["admit_batch_rows"] / 3) / out["admit_batch_marginal_sec"], 1
+        )
         out["admit_packed_seqs"] = int(n_packed)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -163,21 +163,33 @@ def update_minhash_index(
         sig = minhash_signatures(
             new_docs, id_col, text_col, meta["k"], meta["n_hashes"]
         ).persist()
+    # Count BEFORE writing (the snapshot/persist makes it one cheap local
+    # job) so (a) an all-duplicates batch appends nothing at all — not even
+    # empty files, which would still bill a file open to every future probe
+    # — and (b) the append is sized to the batch: a trickle batch lands ONE
+    # file per artifact instead of ``num_files`` near-empty ones. At steady
+    # state file count grows with ROWS appended, not with batches admitted,
+    # which is what keeps read amplification bounded until compaction.
+    added = sig.count()
+    if added == 0:
+        if precomputed_sig is None:
+            sig.unpersist()
+        return {"added": 0, "docs": meta.get("docs", 0), "compacted": False}
+    n_out = max(1, min(num_files, added // 200_000 + 1))
     (
-        sig.repartitionByRange(num_files, "doc_id")
+        sig.repartitionByRange(n_out, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("append")
         .parquet(os.path.join(index_path, SIG_DIR))
     )
     (
         band_rows(sig, meta["n_hashes"], meta["bands"])
-        .repartitionByRange(num_files, "band_id", "band_hash")
+        .repartitionByRange(n_out, "band_id", "band_hash")
         .sortWithinPartitions("band_hash")
         .write.mode("append")
         .partitionBy("band_id")
         .parquet(os.path.join(index_path, BAND_DIR))
     )
-    added = sig.count()
     if precomputed_sig is None:
         sig.unpersist()
     meta["docs"] = meta.get("docs", 0) + added
@@ -283,6 +295,10 @@ def compact_minhash_index(
 
 PROBE_PUSHDOWN_LIMIT = 4096
 PROBE_BROADCAST_LIMIT = 5_000_000
+# Below this many indexed docs the signature store is a single small scan —
+# the matched-id In-pushdown's two extra driver round-trips cost more than
+# they save. (~1M docs ≈ 300 MB of signatures at n_hashes=32.)
+SIG_PUSHDOWN_MIN_DOCS = 1_000_000
 
 
 def query_minhash_index(
@@ -359,10 +375,19 @@ def query_minhash_index(
     )
 
     isig = spark.read.parquet(os.path.join(index_path, SIG_DIR))
-    if eager and n_keys <= PROBE_PUSHDOWN_LIMIT:
+    if (
+        eager
+        and n_keys <= PROBE_PUSHDOWN_LIMIT
+        and meta.get("docs", 0) >= SIG_PUSHDOWN_MIN_DOCS
+    ):
         # Materialize the (tiny) pair list once so the verification scan
         # can push In(doc_id, ...) — the doc_id-range-sorted signature
-        # store then file-skips to just the matched docs.
+        # store then file-skips to just the matched docs. This costs two
+        # extra driver round-trips (a checkpoint + a collect), which only
+        # repay themselves when the signature store is big enough for
+        # file-skipping to beat just scanning it — below the threshold the
+        # verification join reads the (small) store in the same job as the
+        # final result, and the probe is two jobs shorter per batch.
         pairs = pairs.localCheckpoint(eager=True)
         ids = [r["index_id"] for r in pairs.select("index_id").distinct().collect()]
         if len(ids) <= PROBE_PUSHDOWN_LIMIT:

@@ -364,13 +364,37 @@ def merge_upsert_mor(
     }
 
 
-def read_mor(spark: SparkSession, target_path: str) -> DataFrame:
+def read_mor(
+    spark: SparkSession, target_path: str, as_of_seq: int | None = None
+) -> DataFrame:
     """The current state: base rows without a delta override, union the
     per-key latest delta row. The anti-join side is the (small) delta key
     set, broadcast — the base scan stays pruned/streamed; columns come
-    back in the base layout (data + audit + _cdc_key + _kb)."""
+    back in the base layout (data + audit + _cdc_key + _kb).
+
+    ``as_of_seq`` gives snapshot / time-travel reads: the state as of
+    merge sequence N, reconstructed by ignoring deltas with a higher
+    sequence. Snapshots are retained back to the last compaction (which
+    folds deltas into the base irreversibly — the meta records that floor
+    as ``compacted_through``); asking for an older snapshot raises. This
+    is the Hudi/Iceberg incremental-query discipline on plain parquet:
+    retention is bounded by ``compact_every``, and a deployment wanting
+    longer history simply compacts less often (docs/SCALE.md)."""
     base = spark.read.parquet(os.path.join(target_path, BASE_DIR))
     deltas = _read_deltas(spark, target_path)
+    if as_of_seq is not None:
+        floor = _read_meta(target_path).get("compacted_through", 0)
+        if as_of_seq < floor:
+            raise ValueError(
+                f"snapshot as_of_seq={as_of_seq} predates the last "
+                f"compaction (compacted_through={floor}); older snapshots "
+                "were folded into the base. Compact less often "
+                "(compact_every) to retain a longer history."
+            )
+        if deltas is not None:
+            deltas = deltas.filter(F.col(SEQ_COL) <= as_of_seq)
+            if not deltas.limit(1).take(1):
+                deltas = None
     if deltas is None:
         return base
     latest = _delta_latest(deltas).select(*base.columns)
@@ -378,6 +402,21 @@ def read_mor(spark: SparkSession, target_path: str) -> DataFrame:
         F.broadcast(latest.select(cdc.KEY_COL)), cdc.KEY_COL, "left_anti"
     )
     return keep.unionByName(latest)
+
+
+def mor_history(target_path: str) -> dict:
+    """Bookkeeping view of a MOR state: current sequence, snapshot floor,
+    live (un-compacted) delta sequences, and bucket count — the driver-side
+    analog of a table format's snapshot log, derived purely from listing
+    (no Spark job)."""
+    meta = _read_meta(target_path)
+    seqs = _delta_seqs(target_path)
+    return {
+        "seq": meta["seq"],
+        "compacted_through": meta.get("compacted_through", 0),
+        "live_delta_seqs": seqs,
+        "num_buckets": meta["num_buckets"],
+    }
 
 
 def compact_mor(spark: SparkSession, target_path: str) -> dict[str, int]:
@@ -423,4 +462,11 @@ def compact_mor(spark: SparkSession, target_path: str) -> dict[str, int]:
             os.path.join(target_path, DELTA_DIR, f"{SEQ_COL}={s}"),
             ignore_errors=True,
         )
+    # Snapshot floor: seqs ≤ this are folded into the base and no longer
+    # individually reconstructable. Written AFTER delta removal so a crash
+    # in between leaves the floor conservative (reads degrade to the
+    # post-compaction base instead of raising — never a wrong snapshot).
+    meta = _read_meta(target_path)
+    meta["compacted_through"] = max(meta.get("compacted_through", 0), max(seqs))
+    _write_meta(target_path, meta)
     return {"buckets_rewritten": len(dirty), "deltas_folded": len(seqs)}

@@ -444,3 +444,58 @@ class TestDriftCompactionInterleaving:
             spark, last_batch, target, ["K"], num_buckets=8, compact_every=None
         )
         assert r["insert"] == 0 and r["update"] == 0
+
+
+class TestTimeTravel:
+    def test_snapshot_reads_reconstruct_each_merge(self, spark, tmp_path):
+        """as_of_seq=N reproduces the exact state after merge N; history
+        reflects the live delta set."""
+        target = str(tmp_path / "mor")
+        s1 = _src(spark, 500)
+        s2 = _src(spark, 600, salt="x")   # seq 1: 500 upd + 100 ins
+        s3 = _src(spark, 600, salt="y")   # seq 2: 600 upd
+        mor.merge_upsert_mor(spark, s1, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        mor.merge_upsert_mor(spark, s2, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        mor.merge_upsert_mor(spark, s3, target, ["K"], num_buckets=8,
+                             compact_every=None)
+
+        assert _state(mor.read_mor(spark, target, as_of_seq=0)) == _state(s1)
+        assert _state(mor.read_mor(spark, target, as_of_seq=1)) == _state(s2)
+        assert _state(mor.read_mor(spark, target, as_of_seq=2)) == _state(s3)
+        # as_of beyond the head is just the current state.
+        assert _state(mor.read_mor(spark, target, as_of_seq=99)) == _state(s3)
+
+        h = mor.mor_history(target)
+        assert h["seq"] == 2
+        assert h["compacted_through"] == 0
+        assert h["live_delta_seqs"] == [1, 2]
+        assert h["num_buckets"] == 8
+
+    def test_compaction_sets_floor_and_old_snapshots_raise(self, spark, tmp_path):
+        import pytest as _pytest
+
+        target = str(tmp_path / "mor")
+        s1 = _src(spark, 300)
+        s2 = _src(spark, 300, salt="x")
+        mor.merge_upsert_mor(spark, s1, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        mor.merge_upsert_mor(spark, s2, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        mor.compact_mor(spark, target)
+
+        h = mor.mor_history(target)
+        assert h["compacted_through"] == 1 and h["live_delta_seqs"] == []
+        # The floor itself (and anything newer) is readable: the base IS
+        # that snapshot. Anything older was folded away and raises.
+        assert _state(mor.read_mor(spark, target, as_of_seq=1)) == _state(s2)
+        with _pytest.raises(ValueError, match="compacted_through"):
+            mor.read_mor(spark, target, as_of_seq=0)
+
+        # Merges after compaction time-travel normally above the floor.
+        s3 = _src(spark, 300, salt="y")
+        mor.merge_upsert_mor(spark, s3, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        assert _state(mor.read_mor(spark, target, as_of_seq=1)) == _state(s2)
+        assert _state(mor.read_mor(spark, target, as_of_seq=2)) == _state(s3)
