@@ -3,7 +3,9 @@
 from presencia_etl_spark.sinks.mor import (
     compact_mor,
     merge_upsert_mor,
+    mor_history,
     read_mor,
+    read_mor_changes,
 )
 from presencia_etl_spark.sinks.writers import (
     append_parquet,
@@ -21,7 +23,9 @@ __all__ = [
     "append_parquet",
     "compact_mor",
     "merge_upsert_mor",
+    "mor_history",
     "read_mor",
+    "read_mor_changes",
     "drop_path",
     "merge_upsert_parquet",
     "merge_upsert_partitioned",

@@ -404,6 +404,46 @@ def read_mor(
     return keep.unionByName(latest)
 
 
+def read_mor_changes(
+    spark: SparkSession,
+    target_path: str,
+    since_seq: int,
+    as_of_seq: int | None = None,
+) -> DataFrame:
+    """Incremental pull: the rows changed AFTER snapshot ``since_seq``
+    (exclusive), up to ``as_of_seq`` (inclusive; default: everything). A
+    key touched by several merges in the range appears once, with its
+    latest version and the ``_delta_seq`` it landed in — exactly what a
+    downstream incremental consumer (a feature pipeline, a search-index
+    refresher) feeds on instead of re-diffing two full snapshots. This is
+    the Hudi incremental-query / Delta CDF read on the same plain-parquet
+    delta log; cost is O(deltas in range), the base is never scanned.
+    ``since_seq`` must be at or above the compaction floor — older change
+    history was folded into the base and can no longer be separated."""
+    meta = _read_meta(target_path)
+    floor = meta.get("compacted_through", 0)
+    if since_seq < floor:
+        raise ValueError(
+            f"changes since seq={since_seq} predate the last compaction "
+            f"(compacted_through={floor}); that history was folded into "
+            "the base. Compact less often (compact_every) to retain a "
+            "longer change log."
+        )
+    deltas = _read_deltas(spark, target_path)
+    if deltas is not None:
+        deltas = deltas.filter(F.col(SEQ_COL) > since_seq)
+        if as_of_seq is not None:
+            deltas = deltas.filter(F.col(SEQ_COL) <= as_of_seq)
+        if not deltas.limit(1).take(1):
+            deltas = None
+    if deltas is None:
+        base_schema = spark.read.parquet(
+            os.path.join(target_path, BASE_DIR)
+        ).schema
+        return spark.createDataFrame([], base_schema.add(SEQ_COL, "integer"))
+    return _delta_latest(deltas)
+
+
 def mor_history(target_path: str) -> dict:
     """Bookkeeping view of a MOR state: current sequence, snapshot floor,
     live (un-compacted) delta sequences, and bucket count — the driver-side

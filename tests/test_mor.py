@@ -499,3 +499,76 @@ class TestTimeTravel:
                              compact_every=None)
         assert _state(mor.read_mor(spark, target, as_of_seq=1)) == _state(s2)
         assert _state(mor.read_mor(spark, target, as_of_seq=2)) == _state(s3)
+
+
+class TestIncrementalChanges:
+    def test_changes_between_snapshots(self, spark, tmp_path):
+        """read_mor_changes(since) returns exactly the keys touched after
+        that snapshot, latest version per key, tagged with its seq."""
+        target = str(tmp_path / "mor")
+        s1 = _src(spark, 400)
+        mor.merge_upsert_mor(spark, s1, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        # seq 1: mutate keys 0-9; seq 2: mutate keys 5-14.
+        m1 = s1.withColumn(
+            "V", F.when(F.col("K").cast("int") < 10, F.lit("a")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m1, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        m2 = m1.withColumn(
+            "V",
+            F.when(
+                (F.col("K").cast("int") >= 5) & (F.col("K").cast("int") < 15),
+                F.lit("b"),
+            ).otherwise(F.col("V")),
+        )
+        mor.merge_upsert_mor(spark, m2, target, ["K"], num_buckets=8,
+                             compact_every=None)
+
+        all_changes = mor.read_mor_changes(spark, target, since_seq=0)
+        got = {r["K"]: (r["V"], r["_delta_seq"]) for r in
+               all_changes.select("K", "V", "_delta_seq").collect()}
+        # Keys 0-4 changed only in seq 1; 5-14 latest is seq 2.
+        assert len(got) == 15
+        for k in range(5):
+            assert got[str(k)] == ("a", 1)
+        for k in range(5, 15):
+            assert got[str(k)] == ("b", 2)
+
+        since1 = mor.read_mor_changes(spark, target, since_seq=1)
+        got1 = {r["K"] for r in since1.select("K").collect()}
+        assert got1 == {str(k) for k in range(5, 15)}
+
+        bounded = mor.read_mor_changes(spark, target, since_seq=0, as_of_seq=1)
+        gotb = {r["K"]: r["V"] for r in bounded.select("K", "V").collect()}
+        assert gotb == {str(k): "a" for k in range(10)}
+
+        # Nothing after the head: empty frame, schema intact.
+        empty = mor.read_mor_changes(spark, target, since_seq=2)
+        assert empty.count() == 0
+        assert "_delta_seq" in empty.columns and "V" in empty.columns
+
+    def test_changes_below_compaction_floor_raise(self, spark, tmp_path):
+        import pytest as _pytest
+
+        target = str(tmp_path / "mor")
+        s1 = _src(spark, 200)
+        mor.merge_upsert_mor(spark, s1, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        m1 = s1.withColumn(
+            "V", F.when(F.col("K") == "7", F.lit("x")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m1, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        mor.compact_mor(spark, target)
+        with _pytest.raises(ValueError, match="compacted_through"):
+            mor.read_mor_changes(spark, target, since_seq=0)
+        # At the floor: fine, and empty until the next merge.
+        assert mor.read_mor_changes(spark, target, since_seq=1).count() == 0
+        m2 = m1.withColumn(
+            "V", F.when(F.col("K") == "9", F.lit("y")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m2, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        ch = mor.read_mor_changes(spark, target, since_seq=1)
+        assert {r["K"] for r in ch.select("K").collect()} == {"9"}
