@@ -83,6 +83,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--file-mb", type=int, default=128, help="target file size for plain parquet"
     )
+    p.add_argument(
+        "--keep-last",
+        type=int,
+        default=0,
+        help="MOR only: retain the newest N deltas (snapshot/change-feed "
+        "history) instead of folding everything",
+    )
 
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
@@ -132,7 +139,10 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.exists(os.path.join(target, "_mor_meta.json")):
             from presencia_etl_spark.sinks.mor import compact_mor
 
-            out = {"kind": "mor", **compact_mor(spark, target)}
+            out = {
+                "kind": "mor",
+                **compact_mor(spark, target, keep_last=args.keep_last),
+            }
         elif os.path.exists(os.path.join(target, "_index_meta.json")):
             from presencia_etl_spark.operators.dedup_index import (
                 compact_minhash_index,

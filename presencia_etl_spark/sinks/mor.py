@@ -139,6 +139,7 @@ def merge_upsert_mor(
     hash_cols: list[str] | None = None,
     num_buckets: int = 256,
     compact_every: int | None = 16,
+    compact_keep_last: int = 0,
 ) -> dict[str, int]:
     """Upsert ``src`` writing ONLY the changed rows (a new delta dir).
 
@@ -146,7 +147,8 @@ def merge_upsert_mor(
     byte-compatible). Returns the usual {insert, update, skip} counts plus
     {'delta_files': n, 'compacted': bool}; a no-change merge writes
     nothing at all. Auto-compacts after ``compact_every`` outstanding
-    deltas (None = caller-managed)."""
+    deltas (None = caller-managed); ``compact_keep_last`` is passed
+    through so auto-compaction can retain recent snapshot history."""
     if not os.path.exists(target_path):
         os.makedirs(target_path)
         r = merge_upsert_partitioned(
@@ -353,7 +355,7 @@ def merge_upsert_mor(
 
     compacted = False
     if compact_every is not None and len(_delta_seqs(target_path)) >= compact_every:
-        compact_mor(spark, target_path)
+        compact_mor(spark, target_path, keep_last=compact_keep_last)
         compacted = True
     return {
         "insert": n_insert,
@@ -459,12 +461,21 @@ def mor_history(target_path: str) -> dict:
     }
 
 
-def compact_mor(spark: SparkSession, target_path: str) -> dict[str, int]:
+def compact_mor(
+    spark: SparkSession, target_path: str, keep_last: int = 0
+) -> dict[str, int]:
     """Fold outstanding deltas into the base, rewriting ONLY the buckets
     deltas touch — through the same journaled crash-safe bucket swap as the
     COW merge. Deltas are removed after the swap lands; a crash between
     swap and delta removal re-applies the (idempotent, latest-wins)
-    overrides on the next compact/merge. Returns bucket/delta counts."""
+    overrides on the next compact/merge. Returns bucket/delta counts.
+
+    ``keep_last=K`` folds only deltas OLDER than the newest K (Hudi-style
+    retention): read amplification stays bounded at ~K small files while
+    snapshot/change-feed history over the last K merges survives routine
+    compaction. Folding an old version of a key whose newer version lives
+    in a kept delta is safe — the read view's latest-wins reconciliation
+    still overrides the base with the kept delta."""
     base_path = os.path.join(target_path, BASE_DIR)
     _recover_interrupted_swap(base_path)
     _gc_orphan_staging(target_path)
@@ -472,6 +483,11 @@ def compact_mor(spark: SparkSession, target_path: str) -> dict[str, int]:
     if deltas is None:
         return {"buckets_rewritten": 0, "deltas_folded": 0}
     seqs = _delta_seqs(target_path)
+    if keep_last > 0:
+        seqs = seqs[:-keep_last] if len(seqs) > keep_last else []
+        if not seqs:
+            return {"buckets_rewritten": 0, "deltas_folded": 0}
+        deltas = deltas.filter(F.col(SEQ_COL).isin(seqs))
     base = spark.read.parquet(base_path)
     latest = _delta_latest(deltas).select(*base.columns).cache()
     try:

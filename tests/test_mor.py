@@ -572,3 +572,35 @@ class TestIncrementalChanges:
                              compact_every=None)
         ch = mor.read_mor_changes(spark, target, since_seq=1)
         assert {r["K"] for r in ch.select("K").collect()} == {"9"}
+
+
+class TestPartialCompaction:
+    def test_keep_last_retains_recent_history(self, spark, tmp_path):
+        """compact_mor(keep_last=1) folds only older deltas: the newest
+        merge stays time-travelable and in the change feed, the floor
+        advances to the folded head, and the read view is unchanged."""
+        target = str(tmp_path / "mor")
+        s1 = _src(spark, 300)
+        s2 = _src(spark, 300, salt="x")
+        s3 = _src(spark, 300, salt="y")
+        for s in (s1, s2, s3):
+            mor.merge_upsert_mor(spark, s, target, ["K"], num_buckets=8,
+                                 compact_every=None)
+
+        r = mor.compact_mor(spark, target, keep_last=1)
+        assert r["deltas_folded"] == 1  # only seq 1 folded (seq 2 kept)
+        h = mor.mor_history(target)
+        assert h["compacted_through"] == 1 and h["live_delta_seqs"] == [2]
+
+        # Read view unchanged; snapshots at and above the floor intact.
+        assert _state(mor.read_mor(spark, target)) == _state(s3)
+        assert _state(mor.read_mor(spark, target, as_of_seq=1)) == _state(s2)
+        assert _state(mor.read_mor(spark, target, as_of_seq=2)) == _state(s3)
+        # Change feed over the retained range still works.
+        ch = mor.read_mor_changes(spark, target, since_seq=1)
+        assert {r_["K"] for r_ in ch.select("K").collect()} == set(_state(s3))
+
+        # keep_last larger than the live set: a no-op.
+        assert mor.compact_mor(spark, target, keep_last=5) == {
+            "buckets_rewritten": 0, "deltas_folded": 0,
+        }
