@@ -91,6 +91,14 @@ def main(argv: list[str] | None = None) -> int:
         "history) instead of folding everything",
     )
 
+    p = sub.add_parser(
+        "rebucket",
+        help="rewrite a bucketed COW state (or MOR base) at a new bucket "
+        "count — the layout-evolution step when state outgrows its modulus",
+    )
+    p.add_argument("--target", required=True, help="state directory")
+    p.add_argument("--buckets", type=int, required=True, help="new bucket count")
+
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
@@ -157,6 +165,13 @@ def main(argv: list[str] | None = None) -> int:
                 **compact_parquet(spark, target, target_file_mb=args.file_mb),
             }
         print(json.dumps({"cmd": "compact", "result": out}))
+        return 0
+
+    if args.cmd == "rebucket":
+        from presencia_etl_spark.sinks.writers import rebucket
+
+        out = rebucket(spark, args.target, args.buckets)
+        print(json.dumps({"cmd": "rebucket", "result": out}))
         return 0
 
     from presencia_etl_spark.plans.reconcile import monthly_reconcile

@@ -13,6 +13,7 @@ from presencia_etl_spark.sinks.writers import (
     merge_upsert_parquet,
     merge_upsert_partitioned,
     overwrite_parquet,
+    rebucket,
     with_audit_columns,
     write_bucketed_table,
     write_jdbc_append,
@@ -30,6 +31,7 @@ __all__ = [
     "merge_upsert_parquet",
     "merge_upsert_partitioned",
     "overwrite_parquet",
+    "rebucket",
     "with_audit_columns",
     "write_bucketed_table",
     "write_jdbc_append",

@@ -36,6 +36,15 @@ from presencia_etl_spark.operators import cdc
 
 AUDIT_COLS = ("id", "row_hash", "created_at", "updated_at")
 BUCKET_COL = "_kb"
+# Bucket-count sidecar for the partitioned layout (underscore-prefixed →
+# invisible to Spark's parquet listing, like _mor_meta.json). The modulus
+# is a property of the STATE, not of the call: a merge run with a
+# different num_buckets than the state was written with would bucket new
+# rows under a different modulus than the existing dirs — the pruned
+# update scan then misses current rows and updated keys duplicate across
+# bucket dirs. With the sidecar, the stored value wins.
+BUCKET_META = "_bucket_meta.json"
+REBUCKET_JOURNAL_SUFFIX = ".rebucket_journal.json"
 # Swap journal for the partitioned merge: written under the target (the
 # leading underscore hides it from Spark's parquet listing) before any
 # bucket directory is renamed, removed only once every swap has landed.
@@ -86,6 +95,132 @@ def _recover_interrupted_swap(target_path: str) -> bool:
     os.remove(journal)
     shutil.rmtree(staged, ignore_errors=True)
     return True
+
+
+def _bucket_meta_path(target_path: str) -> str:
+    return os.path.join(target_path, BUCKET_META)
+
+
+def _resolve_num_buckets(target_path: str, requested: int) -> int:
+    """The state's stored bucket count wins over the call argument (see
+    BUCKET_META). Pre-sidecar states adopt the caller's value — written
+    out so the assumption is recorded for every later merge."""
+    mp = _bucket_meta_path(target_path)
+    if os.path.exists(mp):
+        with open(mp) as fh:
+            stored = int(json.load(fh)["num_buckets"])
+        if stored != requested:
+            warnings.warn(
+                f"merge called with num_buckets={requested} but the state "
+                f"at {target_path!r} was written with {stored}; using "
+                f"{stored} (run rebucket() to change the layout)",
+                stacklevel=3,
+            )
+        return stored
+    if any(d.startswith(f"{BUCKET_COL}=") for d in os.listdir(target_path)):
+        _write_bucket_meta(target_path, requested)
+    return requested
+
+
+def _write_bucket_meta(target_path: str, num_buckets: int) -> None:
+    mp = _bucket_meta_path(target_path)
+    with open(mp + ".tmp", "w") as fh:
+        json.dump({"num_buckets": num_buckets}, fh)
+    os.replace(mp + ".tmp", mp)
+
+
+def _recover_interrupted_rebucket(target_path: str) -> bool:
+    """Repair a ``rebucket`` whole-dir swap that a hard crash interrupted.
+
+    The journal (written in the PARENT dir, after the staged copy is fully
+    written) proves the staged layout is complete, so recovery rolls
+    FORWARD: whichever of (live, staged) still exists becomes/stays live,
+    leftovers are dropped. Runs at the top of rebucket() and of
+    merge_upsert_partitioned — without it, a crash that left the live dir
+    renamed away would make the next merge re-run the initial load."""
+    journal = target_path.rstrip("/") + REBUCKET_JOURNAL_SUFFIX
+    if not os.path.exists(journal):
+        return False
+    staged = target_path.rstrip("/") + "__rebucket_staged"
+    retired = target_path.rstrip("/") + "__rebucket_retired"
+    if os.path.exists(target_path) and os.path.exists(staged):
+        # Crash before the first rename: the staged copy is complete
+        # (journal ordering) — finish the swap forward.
+        os.rename(target_path, retired)
+        os.rename(staged, target_path)
+    elif not os.path.exists(target_path) and os.path.exists(staged):
+        os.rename(staged, target_path)
+    elif not os.path.exists(target_path):
+        raise RuntimeError(
+            f"interrupted rebucket cannot be repaired: {target_path!r} is "
+            "missing and no staged copy exists; restore from backup"
+        )
+    shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(staged, ignore_errors=True)
+    os.remove(journal)
+    return True
+
+
+def rebucket(
+    spark: SparkSession, target_path: str, new_buckets: int
+) -> dict[str, int]:
+    """Change the bucket count of a bucketed COW state (or a MOR state's
+    base) — the layout-evolution step a growing deployment eventually
+    needs: a modulus chosen at 1 TB is wrong at 100 TB (each bucket is a
+    rewrite unit AND a scan-pruning unit; too few buckets → huge dirty
+    rewrites, too many → small-file pressure). This is a full rewrite by
+    nature (every row's bucket changes), staged aside and swapped in with
+    a parent-dir journal so a crash at any point leaves old-or-new, never
+    a mix; readers see the old layout until the atomic rename. MOR states
+    are compacted first (folding deltas, which carry old bucket ids), then
+    the base is rebucketed and the meta updated. Returns row/bucket
+    counts."""
+    mor_meta = os.path.join(target_path, "_mor_meta.json")
+    if os.path.exists(mor_meta):
+        from presencia_etl_spark.sinks import mor as mor_mod
+
+        mor_mod.compact_mor(spark, target_path)
+        base = os.path.join(target_path, mor_mod.BASE_DIR)
+        result = rebucket(spark, base, new_buckets)
+        meta = mor_mod._read_meta(target_path)
+        meta["num_buckets"] = new_buckets
+        mor_mod._write_meta(target_path, meta)
+        return result
+
+    _recover_interrupted_rebucket(target_path)
+    _recover_interrupted_swap(target_path)
+    tgt = spark.read.parquet(target_path)
+    if BUCKET_COL not in tgt.columns or cdc.KEY_COL not in tgt.columns:
+        raise ValueError(
+            f"target {target_path!r} is not a bucketed state with a "
+            f"persisted {cdc.KEY_COL}; rebucket applies to "
+            "merge_upsert_partitioned / MOR layouts only"
+        )
+    out = tgt.drop(BUCKET_COL).withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(F.col(cdc.KEY_COL)), F.lit(new_buckets)).cast("int"),
+    )
+    staged = target_path.rstrip("/") + "__rebucket_staged"
+    retired = target_path.rstrip("/") + "__rebucket_retired"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+    (
+        out.repartition(new_buckets, F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(staged)
+    )
+    _write_bucket_meta(staged, new_buckets)
+    n = spark.read.parquet(staged).count()
+    journal = target_path.rstrip("/") + REBUCKET_JOURNAL_SUFFIX
+    with open(journal + ".tmp", "w") as fh:
+        json.dump({"new_buckets": new_buckets}, fh)
+    os.replace(journal + ".tmp", journal)
+    os.rename(target_path, retired)
+    os.rename(staged, target_path)
+    shutil.rmtree(retired, ignore_errors=True)
+    os.remove(journal)
+    return {"rows": n, "num_buckets": new_buckets}
 
 
 def swap_bucket_dirs(staged: str, target_path: str, buckets) -> None:
@@ -415,8 +550,11 @@ def merge_upsert_partitioned(
     # recomputing over typed values, and over the hash column itself, would
     # misclassify every row as UPDATE). Default hash scope excludes the
     # audit envelope for the same reason.
+    _recover_interrupted_rebucket(target_path)
     _warn_audit_collisions(src)
     src = _parallelize_scan(src)
+    if os.path.exists(target_path):
+        num_buckets = _resolve_num_buckets(target_path, num_buckets)
     if "row_hash" in src.columns:
         hashed = src
     else:
@@ -442,6 +580,7 @@ def merge_upsert_partitioned(
         # num_tasks × num_buckets small files that all later scans pay for.
         out = out.repartition(num_buckets, F.col(BUCKET_COL))
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        _write_bucket_meta(target_path, num_buckets)
         # Count the WRITTEN files (parquet footer metadata, no recompute) —
         # counting `out` would re-run the whole hash+normalize plan.
         n = spark.read.parquet(target_path).count()

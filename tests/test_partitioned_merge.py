@@ -473,3 +473,114 @@ class TestCompaction:
         ks = [row["K"] for row in state.select("K").collect()]
         assert len(ks) == len(set(ks))
         assert state.filter(F.col("K") == "7").collect()[0]["V"] == "CHANGED"
+
+
+class TestRebucket:
+    def _src(self, spark, n=2000):
+        return spark.range(0, n).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 7).cast("string").alias("V"),
+        )
+
+    def _state(self, spark, target):
+        return {
+            r["K"]: r["V"]
+            for r in spark.read.parquet(target).select("K", "V").collect()
+        }
+
+    def test_rebucket_preserves_state_and_later_merges_use_it(
+        self, spark, tmp_path
+    ):
+        from presencia_etl_spark.sinks.writers import rebucket
+
+        target = str(tmp_path / "state")
+        src = self._src(spark)
+        merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=8)
+        want = self._state(spark, target)
+
+        r = rebucket(spark, target, 32)
+        assert r == {"rows": 2000, "num_buckets": 32}
+        kb_dirs = [d for d in os.listdir(target) if d.startswith("_kb=")]
+        assert len(kb_dirs) == 32
+        assert self._state(spark, target) == want
+
+        # A later merge at the OLD modulus must follow the state's stored
+        # bucket count (32), not the argument — the mismatch that would
+        # otherwise duplicate updated keys across bucket dirs.
+        mut = src.withColumn(
+            "V", F.when(F.col("K") == "7", F.lit("NEW")).otherwise(F.col("V"))
+        )
+        with pytest.warns(UserWarning, match="was written with 32"):
+            r = merge_upsert_partitioned(spark, mut, target, ["K"], num_buckets=8)
+        assert r["update"] == 1 and r["buckets_rewritten"] == 1
+        got = self._state(spark, target)
+        assert got["7"] == "NEW" and len(got) == 2000
+
+    def test_rebucket_mor_state(self, spark, tmp_path):
+        from presencia_etl_spark.sinks import mor
+        from presencia_etl_spark.sinks.writers import rebucket
+
+        target = str(tmp_path / "mor")
+        src = self._src(spark, 1000)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        mut = src.withColumn(
+            "V", F.when(F.col("K") == "3", F.lit("x")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, mut, target, ["K"], num_buckets=8,
+                             compact_every=None)
+
+        r = rebucket(spark, target, 16)
+        assert r["rows"] == 1000 and r["num_buckets"] == 16
+        assert mor.mor_history(target)["num_buckets"] == 16
+        got = {r_["K"]: r_["V"] for r_ in
+               mor.read_mor(spark, target).select("K", "V").collect()}
+        assert got["3"] == "x" and len(got) == 1000
+        # Further merges run against the new modulus.
+        mut2 = mut.withColumn(
+            "V", F.when(F.col("K") == "5", F.lit("y")).otherwise(F.col("V"))
+        )
+        r = mor.merge_upsert_mor(spark, mut2, target, ["K"], num_buckets=16,
+                                 compact_every=None)
+        assert r["update"] == 1
+
+    def test_interrupted_rebucket_rolls_forward(self, spark, tmp_path):
+        """Journal present + staged copy complete (the crash window between
+        journal write and the renames) → recovery finishes the swap; a
+        subsequent merge sees the NEW layout, not an initial load."""
+        import json as _json
+
+        from presencia_etl_spark.sinks.writers import (
+            REBUCKET_JOURNAL_SUFFIX,
+            _recover_interrupted_rebucket,
+            rebucket,
+        )
+
+        target = str(tmp_path / "state")
+        src = self._src(spark, 500)
+        merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=4)
+        want = self._state(spark, target)
+
+        # Build the staged layout exactly as rebucket would, then "crash"
+        # after the journal lands but before any rename.
+        import shutil
+
+        staged = target + "__rebucket_staged"
+        rebucket(spark, target, 16)       # produces the 16-bucket layout
+        shutil.copytree(target, staged)   # staged copy of the new layout
+        with open(target + REBUCKET_JOURNAL_SUFFIX, "w") as fh:
+            _json.dump({"new_buckets": 16}, fh)
+
+        assert _recover_interrupted_rebucket(target)
+        assert not os.path.exists(staged)
+        assert not os.path.exists(target + REBUCKET_JOURNAL_SUFFIX)
+        assert self._state(spark, target) == want
+
+        # And the crash window after the first rename: live dir gone,
+        # staged still present → forward to staged.
+        shutil.copytree(target, staged)
+        with open(target + REBUCKET_JOURNAL_SUFFIX, "w") as fh:
+            _json.dump({"new_buckets": 16}, fh)
+        shutil.rmtree(target)
+        assert _recover_interrupted_rebucket(target)
+        assert self._state(spark, target) == want
