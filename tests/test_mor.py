@@ -385,7 +385,10 @@ class TestDriftCompactionInterleaving:
     def test_seeded_random_drift_and_compaction_sequence(self, spark, tmp_path):
         import random
 
-        rng = random.Random(20260814)
+        # Seed chosen so the 8-step sequence exercises every action at
+        # least once (add/drop column, compact, rebucket) — verified by
+        # replaying the rng sequence (it is Spark-independent).
+        rng = random.Random(20260815)
         target = str(tmp_path / "mor")
         keyspace = [f"k{i}" for i in range(150)]
         all_extras = ["W1", "W2", "W3"]
@@ -406,6 +409,14 @@ class TestDriftCompactionInterleaving:
                 active.remove(rng.choice(active))
             elif action < 0.45 and step > 0:
                 mor.compact_mor(spark, target)
+            elif action < 0.55 and step > 0:
+                # Layout evolution mid-sequence: rebucket folds deltas and
+                # rewrites the base at a new modulus; semantics must be
+                # invisible to the model (later merges follow the stored
+                # count regardless of the num_buckets argument below).
+                from presencia_etl_spark.sinks.writers import rebucket
+
+                rebucket(spark, target, rng.choice([4, 16]))
 
             picked = rng.sample(keyspace, rng.randint(20, 80))
             rows, cols = [], ["K", "V", *active]
