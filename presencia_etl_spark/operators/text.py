@@ -201,3 +201,133 @@ def winnowed_fingerprints(text_col: str, k: int = 8, window: int = 4) -> Column:
 # realistic document length. Unlike the simhash/minhash hybrids (whose
 # per-token work is n_families×|tokens|), winnowing does O(window) work
 # per gram, too little to amortize serialization.
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText repetition statistics (Rae et al. 2021, §A1.1):
+    repetitious documents (boilerplate, scraped nav bars, degenerate
+    generations) are the quality filter's biggest lever after length.
+
+    Attaches, all in one JVM projection (no shuffle, no UDF):
+    - ``dup_line_fraction``       duplicate occurrences / lines
+    - ``dup_line_char_fraction``  chars inside duplicate lines / chars
+    - ``dup_2gram_fraction``      duplicate word-2-gram occurrences
+    - ``dup_10gram_fraction``     duplicate word-10-gram occurrences
+    - ``repetition_ok``           Gopher-threshold boolean
+      (line-dup ≤ 0.30, line-char-dup ≤ 0.20, 2-gram ≤ 0.20,
+      10-gram ≤ 0.10 — the published MassiveText cutoffs)
+
+    The line-level stats use ``array_position`` to mark non-first
+    occurrences — O(lines²) per document, fine for real documents
+    (thousands of lines), and entirely data-parallel across docs. The
+    n-gram stats use occurrence-level duplication (1 − distinct/total),
+    the occurrence-count form of the paper's character-fraction rule —
+    same monotonicity, no per-gram frequency map needed."""
+    df = parallelize_scan(df)
+    lines = f"filter(split({text_col}, '\\n'), x -> length(trim(x)) > 0)"
+    # Non-first occurrences: array_position returns the FIRST 1-based index
+    # of the value, so occurrence i (1-based) is a duplicate iff
+    # array_position != i. Bound once via the single-element transform.
+    dup_flags = (
+        f"transform(array({lines}), ls -> "
+        f"transform(ls, (x, i) -> if(array_position(ls, x) != i + 1, length(x), -1)))[0]"
+    )
+    out = df.withColumn("_dup_lens", F.expr(dup_flags))
+    n_lines = F.greatest(F.size("_dup_lens"), F.lit(1)).cast("double")
+    n_dup = F.size(F.filter("_dup_lens", lambda x: x >= 0)).cast("double")
+    dup_chars = F.aggregate(
+        F.filter("_dup_lens", lambda x: x >= 0), F.lit(0), lambda a, x: a + x
+    ).cast("double")
+    tot_chars = F.greatest(F.length(text_col), F.lit(1)).cast("double")
+    out = (
+        out.withColumn("dup_line_fraction", F.round(n_dup / n_lines, 4))
+        .withColumn("dup_line_char_fraction", F.round(dup_chars / tot_chars, 4))
+        .drop("_dup_lens")
+    )
+    for n in (2, 10):
+        grams = _word_gram_hashes(text_col, n)
+        out = out.withColumn(
+            f"dup_{n}gram_fraction",
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams)).cast("double")
+                / F.greatest(F.size(grams), F.lit(1)).cast("double"),
+                4,
+            ),
+        )
+    return out.withColumn(
+        "repetition_ok",
+        (F.col("dup_line_fraction") <= 0.30)
+        & (F.col("dup_line_char_fraction") <= 0.20)
+        & (F.col("dup_2gram_fraction") <= 0.20)
+        & (F.col("dup_10gram_fraction") <= 0.10),
+    )
+
+
+def _word_gram_hashes(text_col: str, n: int = 13) -> Column:
+    """Array of xxhash64 hashes of lowercase word ``n``-grams. The token
+    array is bound ONCE as a lambda value (CLAUDE.md higher-order-function
+    rule) — inlining the split into the gram lambda would re-tokenize the
+    document per gram. Documents shorter than ``n`` tokens yield one hash
+    of the whole text — an exact short match still registers."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    return F.expr(
+        f"transform(array({toks}), t -> "
+        f"transform(sequence(1, greatest(size(t) - {n} + 1, 1)), "
+        f"i -> xxhash64(concat_ws(' ', slice(t, i, {n})))))[0]"
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 13-gram rule, Brown et al.
+    2020 §C): flag training documents sharing any word ``n``-gram with an
+    evaluation set, so test data never leaks into training.
+
+    Scale shape: the BENCHMARK side is small by nature (an eval suite is
+    thousands of items, not terabytes) — its distinct gram hashes are
+    broadcast; the corpus side is one narrow (id, gram-hash) explosion
+    joined against that broadcast, so the 100 TB scan never shuffles.
+    The per-doc hit counts (bounded by docs actually sharing grams with
+    the benchmark — a tiny set unless the corpus is pathologically
+    leaked) broadcast back onto the corpus for the same reason.
+    Returns ``docs`` + ``n_contaminated_grams`` (0 = clean)."""
+    bench_text_col = bench_text_col or text_col
+    bgrams = benchmark.select(
+        F.explode(_word_gram_hashes(bench_text_col, n)).alias("_gram")
+    ).distinct()
+    dgrams = docs.select(
+        F.col(id_col), F.explode(_word_gram_hashes(text_col, n)).alias("_gram")
+    )
+    hits = (
+        dgrams.join(F.broadcast(bgrams), "_gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_gram").alias("n_contaminated_grams"))
+    )
+    return docs.join(F.broadcast(hits), id_col, "left").withColumn(
+        "n_contaminated_grams",
+        F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).cast("int"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Drop documents whose benchmark n-gram overlap exceeds
+    ``max_overlap`` (default: any overlap). Original schema preserved."""
+    flagged = contamination(docs, benchmark, id_col, text_col, bench_text_col, n)
+    return flagged.filter(
+        F.col("n_contaminated_grams") <= max_overlap
+    ).select(*docs.columns)

@@ -537,3 +537,74 @@ class TestStratifiedSample:
             .count()
             == 0
         )
+
+
+class TestRepetitionFilters:
+    def test_known_fractions(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "aa\nbb\naa\ncc")], ["doc_id", "text"]
+        )
+        r = text.repetition_features(df, "text").collect()[0]
+        # 4 lines, one duplicate occurrence (the second "aa").
+        assert r["dup_line_fraction"] == 0.25
+        # 2 duplicate chars of 11 total (len includes newlines).
+        assert r["dup_line_char_fraction"] == round(2 / 11, 4)
+
+    def test_ngram_repetition_and_gate(self, spark):
+        loop = " ".join(["spam ham"] * 30)          # degenerate repetition
+        clean = " ".join(f"w{i}" for i in range(60))  # all-distinct tokens
+        df = spark.createDataFrame(
+            [(1, loop), (2, clean)], ["doc_id", "text"]
+        )
+        rows = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+        assert rows[1]["dup_2gram_fraction"] > 0.9
+        assert rows[1]["dup_10gram_fraction"] > 0.8
+        assert rows[1]["repetition_ok"] is False
+        assert rows[2]["dup_2gram_fraction"] == 0.0
+        assert rows[2]["repetition_ok"] is True
+
+
+class TestDecontamination:
+    BENCH_ITEM = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew quartz potions"
+    )  # 14 words → contains word-13-grams
+
+    def _frames(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, f"intro text then a leak: {self.BENCH_ITEM} and more"),
+                (2, " ".join(f"clean{i}" for i in range(40))),
+                (3, "short clean doc"),
+            ],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame([(self.BENCH_ITEM,)], ["text"])
+        return docs, bench
+
+    def test_contamination_flags_only_the_leak(self, spark):
+        docs, bench = self._frames(spark)
+        got = {
+            r["doc_id"]: r["n_contaminated_grams"]
+            for r in text.contamination(docs, bench, "doc_id").collect()
+        }
+        assert got[1] > 0 and got[2] == 0 and got[3] == 0
+
+    def test_decontaminate_drops_and_preserves_schema(self, spark):
+        docs, bench = self._frames(spark)
+        out = text.decontaminate(docs, bench, "doc_id")
+        assert out.columns == docs.columns
+        assert {r["doc_id"] for r in out.select("doc_id").collect()} == {2, 3}
+
+    def test_broadcast_and_no_shuffle_on_corpus_side(self, spark):
+        """The benchmark gram set must broadcast — the corpus side of the
+        join must not shuffle (the 100 TB contract of this operator)."""
+        docs, bench = self._frames(spark)
+        plan = (
+            text.contamination(docs, bench, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
