@@ -8,6 +8,8 @@ admit stage per micro-batch):
 
     raw docs
       → quality gate        (operators.text.quality_features — scan-local)
+      → repetition gate     (optional; Gopher thresholds — scan-local)
+      → decontamination     (optional; GPT-3 13-gram rule vs an eval set)
       → near-dedup vs ALL history   (operators.dedup_index — O(|batch|))
       → sliding-window chunking     (operators.chunking — shuffle-free)
       → token-budget packing        (operators.packing — sharded greedy)
@@ -39,6 +41,8 @@ def prepare_training_corpus(
     text_col: str,
     index_path: str,
     min_quality: float | None = 0.3,
+    filter_repetition: bool = False,
+    decontam_benchmark: DataFrame | None = None,
     est_threshold: float = 0.8,
     chunk_tokens: int = 512,
     overlap: int = 64,
@@ -54,13 +58,30 @@ def prepare_training_corpus(
     512/64) — both so the derived chunk sequence id packs into one bigint
     without collisions; violations raise at plan build (id type) or are
     impossible by construction (chunk count ≤ tokens).
+
+    Optional gates, both scan-local and applied BEFORE the index probe so
+    rejected docs never cost signature work: ``filter_repetition`` drops
+    docs failing the Gopher repetition thresholds
+    (``text.repetition_features``); ``decontam_benchmark`` drops docs
+    sharing any word 13-gram with the given eval set
+    (``text.decontaminate``).
     """
     gated = docs
     if min_quality is not None:
         gated = (
-            text.quality_features(docs, text_col)
+            text.quality_features(gated, text_col)
             .filter(F.col("quality_score") >= min_quality)
             .select(*docs.columns)
+        )
+    if filter_repetition:
+        gated = (
+            text.repetition_features(gated, text_col)
+            .filter(F.col("repetition_ok"))
+            .select(*docs.columns)
+        )
+    if decontam_benchmark is not None:
+        gated = text.decontaminate(
+            gated, decontam_benchmark, id_col, text_col
         )
 
     admitted = admit_batch(

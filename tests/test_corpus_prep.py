@@ -93,3 +93,41 @@ class TestCorpusPrep:
             update_index=False,
         )
         assert out["admitted"].count() == 1
+
+
+class TestOptionalGates:
+    def test_repetition_and_decontamination_gates(self, spark, tmp_path):
+        """Planted repetitive doc and benchmark leak are dropped BEFORE
+        the probe; clean docs flow through to the admitted corpus."""
+        idx = str(tmp_path / "idx")
+        history = spark.createDataFrame(
+            [(0, "seed history document about broadcast joins and plans")],
+            ["doc_id", "text"],
+        )
+        dedup_index.build_minhash_index(spark, history, "doc_id", "text", idx)
+
+        bench_item = (
+            "which of the following best describes the time complexity "
+            "of binary search over a sorted array of n elements"
+        )
+        clean = " ".join(f"distinct{i}" for i in range(90))
+        repetitive = " ".join(["spam ham"] * 40)
+        leaked = f"some intro then the leak {bench_item} trailing words"
+        batch = spark.createDataFrame(
+            [(200, clean), (201, repetitive), (202, leaked)],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame([(bench_item,)], ["text"])
+
+        out = prepare_training_corpus(
+            spark,
+            batch,
+            "doc_id",
+            "text",
+            idx,
+            min_quality=None,
+            filter_repetition=True,
+            decontam_benchmark=bench,
+        )
+        admitted = {r["doc_id"] for r in out["admitted"].select("doc_id").collect()}
+        assert admitted == {200}
