@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from presencia_etl_spark.operators.dedup import band_rows, minhash_signatures
+from presencia_etl_spark.sinks.locking import single_writer
 
 SIG_DIR = "signatures"
 BAND_DIR = "bands"
@@ -130,6 +131,7 @@ def build_minhash_index(
     return {"docs": n}
 
 
+@single_writer("index_path")
 def update_minhash_index(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -203,6 +205,7 @@ def update_minhash_index(
     return {"added": added, "docs": meta["docs"], "compacted": compacted}
 
 
+@single_writer("index_path")
 def compact_minhash_index(
     spark: SparkSession, index_path: str, num_files: int | None = None
 ) -> dict:

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presencia_etl_spark.operators import cdc
+from presencia_etl_spark.sinks.locking import single_writer
 from presencia_etl_spark.sinks.writers import (
     AUDIT_COLS,
     BUCKET_COL,
@@ -131,6 +132,7 @@ def _delta_latest(deltas: DataFrame) -> DataFrame:
     )
 
 
+@single_writer("target_path")
 def merge_upsert_mor(
     spark: SparkSession,
     src: DataFrame,
@@ -461,6 +463,7 @@ def mor_history(target_path: str) -> dict:
     }
 
 
+@single_writer("target_path")
 def compact_mor(
     spark: SparkSession, target_path: str, keep_last: int = 0
 ) -> dict[str, int]:

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presencia_etl_spark.functions.partitioning import parallelize_scan
+from presencia_etl_spark.sinks.locking import single_writer
 from presencia_etl_spark.operators import cdc
 
 AUDIT_COLS = ("id", "row_hash", "created_at", "updated_at")
@@ -161,6 +162,7 @@ def _recover_interrupted_rebucket(target_path: str) -> bool:
     return True
 
 
+@single_writer("target_path")
 def rebucket(
     spark: SparkSession, target_path: str, new_buckets: int
 ) -> dict[str, int]:
@@ -523,6 +525,7 @@ def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str,
     )
 
 
+@single_writer("target_path")
 def merge_upsert_partitioned(
     spark: SparkSession,
     src: DataFrame,
@@ -731,6 +734,7 @@ def merge_upsert_partitioned(
     }
 
 
+@single_writer("target_path")
 def merge_upsert_parquet(
     spark: SparkSession,
     src: DataFrame,
