@@ -1,0 +1,345 @@
+"""Incremental aggregate maintenance over a merge-on-read state.
+
+At 100 TB you do not recompute a ``GROUP BY`` dashboard from the full
+table after every merge — you fold the change feed into the previous
+result. The reference recomputes its reconcile aggregates from the full
+MySQL table on every sync (reconcile queries driven from sync_CONTROL.py;
+monthly totals re-scanned each run) — fine at 100K rows, a full-table
+scan per refresh at 100 TB. This plan is the Spark-first replacement:
+classic incremental view maintenance (Gupta & Mumick, "Maintenance of
+Materialized Views", IEEE Data Eng. Bull. 1995) restricted to the
+additive aggregates (COUNT / SUM, MEAN = SUM/COUNT derivable) that the
+reference's reconcile reports actually use.
+
+Algebra: for a refresh from snapshot sequence ``s`` to the current
+sequence ``c``,
+
+    agg_c(g) = agg_s(g) + Σ_{new versions}(+1 · x) + Σ_{old versions}(−1 · x)
+
+where *new versions* are exactly ``read_mor_changes(since_seq=s)`` (each
+changed key's latest row) and *old versions* are those keys' rows in the
+``as_of_seq=s`` snapshot (inserts have none). Both sides are O(changes):
+
+- the change feed never scans the base (``sinks/mor.py``);
+- the retraction read prunes the base scan to the DIRTY BUCKETS of the
+  changed keys (hive ``_kb=`` partition pruning) and semi-joins the
+  changed-key set (broadcast below the usual threshold);
+- the delta aggregate has at most |changes| groups and is merged into the
+  previous snapshot with two BROADCAST joins (left_outer + left_anti) —
+  the big snapshot never shuffles (a full_outer join would force a
+  sort-merge of the snapshot; the union-of-two-broadcast-joins shape is
+  equivalent and keeps it narrow).
+
+The refreshed snapshot is rewritten whole — it holds one row per GROUP,
+not per source row, so at 100 TB it is MBs, not TBs.
+
+Correctness boundaries (each raises or falls back, never silently wrong):
+- If compaction (or a schema-drift fold, or ``since`` predating the
+  retained history) moved the snapshot floor past our cursor, the change
+  history can no longer be separated from the base → full rebuild
+  (``mode="rebuild"``). The MOR drift path bumps ``compacted_through``
+  exactly so consumers like this one cannot miss folded changes.
+- Group keys may be NULL: grouping, retraction, and the merge joins all
+  use null-safe equality semantics.
+- SUM over floating columns is maintained in float64; retraction is
+  subtraction, so a long refresh chain can accumulate ulp-level drift
+  (documented limit of incremental float SUM — rebuild to wash it out;
+  integer sums are exact).
+
+State layout (self-describing, crash-safe):
+- ``<agg_path>/snapshot/`` parquet: group cols + ``n_rows`` +
+  ``sum_<col>``… plus ``_agg_meta.json`` INSIDE the dir (underscore
+  prefix → invisible to Spark) holding {as_of_seq, group_cols, sum_cols}.
+  Snapshot and cursor therefore swap atomically together — a torn swap
+  can never pair an old cursor with a new snapshot (which would
+  double-apply the next delta).
+- Swap = journal + park + rename (the ``dedup_index`` compaction
+  discipline); ``_recover_interrupted_refresh`` rolls forward or back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.operators import cdc
+from presencia_etl_spark.sinks.locking import single_writer
+from presencia_etl_spark.sinks.mor import (
+    mor_history,
+    read_mor,
+    read_mor_changes,
+)
+from presencia_etl_spark.sinks.writers import BUCKET_COL, _maybe_broadcast
+
+SNAPSHOT_DIR = "snapshot"
+META_FILE = "_agg_meta.json"
+REFRESH_JOURNAL = "_refresh_journal.json"
+COUNT_COL = "n_rows"
+
+
+def _snap_path(agg_path: str) -> str:
+    return os.path.join(agg_path, SNAPSHOT_DIR)
+
+
+def _read_meta(agg_path: str) -> dict:
+    with open(os.path.join(_snap_path(agg_path), META_FILE)) as fh:
+        return json.load(fh)
+
+
+def _sum_name(col: str) -> str:
+    return f"sum_{col}"
+
+
+def _nn_name(col: str) -> str:
+    return f"nn_{col}"
+
+
+def _agg_exprs(sum_cols: list[str]) -> list:
+    """COUNT(*), and per sum column: SUM (float64) + the NON-NULL count
+    that makes incremental SUM exact — SQL's SUM is NULL iff no non-null
+    value remains in the group, which plain add/subtract of sums cannot
+    represent (a group retracted down to only-NULL values must flip back
+    to NULL, not 0)."""
+    exprs = [F.count(F.lit(1)).alias(COUNT_COL)]
+    for c in sum_cols:
+        exprs.append(F.sum(F.col(c).cast("double")).alias(_sum_name(c)))
+        exprs.append(F.count(F.col(c)).alias(_nn_name(c)))
+    return exprs
+
+
+def _full_aggregate(
+    df: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    return df.groupBy(*group_cols).agg(*_agg_exprs(sum_cols))
+
+
+def _recover_interrupted_refresh(agg_path: str) -> bool:
+    """Complete a swap interrupted by a crash. The journal is written
+    before the first rename; with it present, a fully-written staged dir
+    rolls FORWARD, otherwise the parked dir rolls BACK. Orphan staged
+    dirs without a journal are torn writes — dropped."""
+    live = _snap_path(agg_path)
+    staged = live + "__staged"
+    retired = live + "__retired"
+    journal = os.path.join(agg_path, REFRESH_JOURNAL)
+    if not os.path.exists(journal):
+        shutil.rmtree(staged, ignore_errors=True)
+        return False
+    if not os.path.isdir(live):
+        if os.path.isdir(staged):
+            os.rename(staged, live)
+        elif os.path.isdir(retired):
+            os.rename(retired, live)
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+    os.remove(journal)
+    return True
+
+
+def _swap_in(agg_path: str, write_staged) -> None:
+    """Write a new snapshot via ``write_staged(staged_dir)`` then swap it
+    live: journal → park live → rename staged in → clean. Crash at any
+    point leaves old-or-new, never a mix, and the embedded meta travels
+    with the data."""
+    live = _snap_path(agg_path)
+    staged = live + "__staged"
+    retired = live + "__retired"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+    write_staged(staged)
+    journal = os.path.join(agg_path, REFRESH_JOURNAL)
+    with open(journal + ".tmp", "w") as fh:
+        json.dump({"swap": SNAPSHOT_DIR}, fh)
+    os.replace(journal + ".tmp", journal)
+    if os.path.isdir(live):
+        os.rename(live, retired)
+    os.rename(staged, live)
+    shutil.rmtree(retired, ignore_errors=True)
+    os.remove(journal)
+
+
+def _write_snapshot(
+    df: DataFrame, agg_path: str, meta: dict, n_files: int = 1
+) -> None:
+    def write_staged(staged: str) -> None:
+        df.repartition(n_files).write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, META_FILE + ".tmp"), "w") as fh:
+            json.dump(meta, fh)
+        os.replace(
+            os.path.join(staged, META_FILE + ".tmp"),
+            os.path.join(staged, META_FILE),
+        )
+
+    _swap_in(agg_path, write_staged)
+
+
+def read_agg_snapshot(spark: SparkSession, agg_path: str) -> DataFrame:
+    """The maintained aggregate: one row per group, ``n_rows`` +
+    ``sum_<col>`` columns."""
+    _recover_interrupted_refresh(agg_path)
+    return spark.read.parquet(_snap_path(agg_path))
+
+
+def agg_snapshot_info(agg_path: str) -> dict:
+    """Cursor + spec bookkeeping (no Spark job)."""
+    _recover_interrupted_refresh(agg_path)
+    return _read_meta(agg_path)
+
+
+@single_writer("agg_path")
+def build_agg_snapshot(
+    spark: SparkSession,
+    mor_path: str,
+    agg_path: str,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+) -> dict:
+    """Full compute of the aggregate from the MOR state's current
+    snapshot; records the state's sequence as the refresh cursor."""
+    sum_cols = list(sum_cols or [])
+    os.makedirs(agg_path, exist_ok=True)
+    _recover_interrupted_refresh(agg_path)
+    hist = mor_history(mor_path)
+    out = _full_aggregate(read_mor(spark, mor_path), group_cols, sum_cols)
+    meta = {
+        "as_of_seq": hist["seq"],
+        "group_cols": list(group_cols),
+        "sum_cols": sum_cols,
+    }
+    _write_snapshot(out, agg_path, meta)
+    return {"mode": "build", "as_of_seq": hist["seq"]}
+
+
+@single_writer("agg_path")
+def refresh_agg_snapshot(
+    spark: SparkSession, mor_path: str, agg_path: str
+) -> dict:
+    """Fold the MOR change feed since the snapshot's cursor into the
+    maintained aggregate — O(changes), the base is scanned only in the
+    changed keys' buckets. Falls back to a full rebuild when the change
+    history was compacted away (mode="rebuild")."""
+    _recover_interrupted_refresh(agg_path)
+    meta = _read_meta(agg_path)
+    since = meta["as_of_seq"]
+    group_cols, sum_cols = meta["group_cols"], meta["sum_cols"]
+    hist = mor_history(mor_path)
+    cur = hist["seq"]
+    if cur == since:
+        return {"mode": "noop", "as_of_seq": since}
+    if since < hist["compacted_through"]:
+        # Changes ≤ the floor were folded into the base (compaction or a
+        # schema-drift COW fold) — they can no longer be separated out.
+        r = build_agg_snapshot(spark, mor_path, agg_path, group_cols, sum_cols)
+        return {**r, "mode": "rebuild"}
+
+    # Bounded at BOTH ends: as_of_seq pins the feed to the sequence we
+    # record as the new cursor, so a merge landing mid-refresh is neither
+    # half-applied now nor skipped by the next refresh.
+    changes = read_mor_changes(
+        spark, mor_path, since_seq=since, as_of_seq=cur
+    ).cache()
+    try:
+        n_changes = changes.count()
+        if n_changes == 0:
+            # Merges happened but every row was a SKIP — move only the
+            # cursor. An in-place atomic meta write is safe EXACTLY when
+            # the contents are unchanged: either ordering of (old cursor,
+            # new cursor) with the same data is a consistent pair.
+            mpath = os.path.join(_snap_path(agg_path), META_FILE)
+            with open(mpath + ".tmp", "w") as fh:
+                json.dump({**meta, "as_of_seq": cur}, fh)
+            os.replace(mpath + ".tmp", mpath)
+            return {"mode": "incremental", "as_of_seq": cur, "changed_rows": 0}
+
+        keys = changes.select(cdc.KEY_COL, BUCKET_COL)
+        dirty = [
+            r[BUCKET_COL] for r in keys.select(BUCKET_COL).distinct().collect()
+        ]
+        old_state = read_mor(spark, mor_path, as_of_seq=since)
+        old_rows = old_state.filter(F.col(BUCKET_COL).isin(dirty)).join(
+            _maybe_broadcast(keys.select(cdc.KEY_COL).distinct(), n_changes),
+            cdc.KEY_COL,
+            "left_semi",
+        )
+
+        cols = list(group_cols) + list(sum_cols)
+        weighted = (
+            changes.select(*cols).withColumn("_w", F.lit(1))
+            .unionByName(old_rows.select(*cols).withColumn("_w", F.lit(-1)))
+        )
+        delta_exprs = [F.sum("_w").cast("bigint").alias(COUNT_COL)]
+        for c in sum_cols:
+            delta_exprs.append(
+                F.sum(F.col(c).cast("double") * F.col("_w")).alias(_sum_name(c))
+            )
+            delta_exprs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("_w")).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias(_nn_name(c))
+            )
+        delta = weighted.groupBy(*group_cols).agg(*delta_exprs)
+
+        prev = read_agg_snapshot(spark, agg_path)
+        d = _maybe_broadcast(delta, n_changes)
+        join_cond = None
+        for g in group_cols:
+            c = prev[g].eqNullSafe(d[g])
+            join_cond = c if join_cond is None else (join_cond & c)
+        # Null-safe equality throughout: a NULL group key is a real group
+        # and must match itself (plain `on=[names]` equality would split
+        # it into a phantom duplicate).
+        # Existing groups: previous values + (possibly NULL) delta. The
+        # SUM flips back to NULL exactly when the merged non-null count
+        # hits zero (retracted down to only-NULL values).
+        merged_cols = [prev[g].alias(g) for g in group_cols]
+        merged_cols.append(
+            (prev[COUNT_COL] + F.coalesce(d[COUNT_COL], F.lit(0))).alias(
+                COUNT_COL
+            )
+        )
+        for c in sum_cols:
+            nn = prev[_nn_name(c)] + F.coalesce(d[_nn_name(c)], F.lit(0))
+            s = F.coalesce(prev[_sum_name(c)], F.lit(0.0)) + F.coalesce(
+                d[_sum_name(c)], F.lit(0.0)
+            )
+            merged_cols.append(
+                F.when(nn > 0, s).otherwise(F.lit(None)).alias(_sum_name(c))
+            )
+            merged_cols.append(nn.alias(_nn_name(c)))
+        existing = prev.join(d, join_cond, "left_outer").select(*merged_cols)
+        # Brand-new groups: in the delta, absent from the snapshot (their
+        # delta rows are all +1 — retractions only hit groups the snapshot
+        # already holds). A direct `delta ANTI JOIN snapshot` cannot
+        # broadcast (anti joins build only the RIGHT side, and the
+        # snapshot is the big frame) — so first extract the ≤|delta|
+        # snapshot groups the delta touches via a broadcast SEMI join
+        # (narrow scan, no shuffle), then anti-join the delta against
+        # THAT small set, broadcast. The snapshot is never shuffled.
+        snap_cols = [COUNT_COL]
+        for c in sum_cols:
+            snap_cols += [_sum_name(c), _nn_name(c)]
+        touched = prev.join(d, join_cond, "left_semi").select(*group_cols)
+        dd, t = delta.alias("dd"), touched.alias("t")
+        anti_cond = None
+        for g in group_cols:
+            c = F.col(f"dd.{g}").eqNullSafe(F.col(f"t.{g}"))
+            anti_cond = c if anti_cond is None else (anti_cond & c)
+        fresh = dd.join(F.broadcast(t), anti_cond, "left_anti").select(
+            *group_cols, *snap_cols
+        )
+        out = existing.unionByName(fresh).filter(F.col(COUNT_COL) > 0)
+        _write_snapshot(out, agg_path, {**meta, "as_of_seq": cur})
+    finally:
+        changes.unpersist()
+    return {
+        "mode": "incremental",
+        "as_of_seq": cur,
+        "changed_rows": n_changes,
+        "dirty_buckets": len(dirty),
+    }

@@ -207,6 +207,18 @@ def merge_upsert_mor(
         result = merge_upsert_partitioned(
             spark, src, base_path, key_cols, hash_cols, meta["num_buckets"]
         )
+        # The COW fold mutated the base OUTSIDE the delta log: bump the
+        # sequence and raise the snapshot floor to it, so change-feed /
+        # snapshot consumers holding an older cursor get the explicit
+        # "history was folded, rebuild" error instead of silently missing
+        # the drift merge's rows (read_mor_changes would otherwise return
+        # empty for them). Unconditional: even an all-skip drift merge
+        # rewrote every bucket with the widened schema.
+        meta = _read_meta(target_path)
+        seq = _next_seq(target_path, meta)
+        meta["seq"] = seq
+        meta["compacted_through"] = seq
+        _write_meta(target_path, meta)
         return {**result, "delta_files": 0, "compacted": True}
 
     deltas = _read_deltas(spark, target_path)

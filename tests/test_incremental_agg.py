@@ -1,0 +1,253 @@
+"""Incremental aggregate maintenance (plans/incremental_agg) — every
+refresh is differential-tested against a full recompute from the MOR
+state, across randomized merge sequences, NULL group keys, NULL measure
+values, group emptying, compaction, and the schema-drift fold."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from presencia_etl_spark.plans import incremental_agg as ia
+from presencia_etl_spark.sinks import mor
+
+SCHEMA = StructType(
+    [
+        StructField("K", StringType()),
+        StructField("cat", StringType()),
+        StructField("amount", DoubleType()),
+        StructField("qty", LongType()),
+    ]
+)
+
+CATS = ["a", "b", "c", None]
+
+
+def _rows(rng, keys):
+    return [
+        (
+            str(k),
+            rng.choice(CATS),
+            None if rng.random() < 0.15 else round(rng.uniform(-50, 50), 2),
+            rng.randrange(0, 10),
+        )
+        for k in keys
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _expected(spark, mor_path, agg_path):
+    meta = ia.agg_snapshot_info(agg_path)
+    return ia._full_aggregate(
+        mor.read_mor(spark, mor_path), meta["group_cols"], meta["sum_cols"]
+    )
+
+
+def _canon(df):
+    out = []
+    for r in df.collect():
+        vals = []
+        for c in sorted(df.columns):
+            v = r[c]
+            vals.append(round(v, 6) if isinstance(v, float) else v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def _assert_matches_recompute(spark, mor_path, agg_path):
+    got = ia.read_agg_snapshot(spark, agg_path)
+    want = _expected(spark, mor_path, agg_path)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _canon(got.select(*want.columns)) == _canon(want)
+
+
+class TestIncrementalAgg:
+    def test_build_then_incremental_refresh(self, spark, tmp_path):
+        rng = random.Random(7)
+        mor_t = str(tmp_path / "mor")
+        agg_t = str(tmp_path / "agg")
+        mor.merge_upsert_mor(
+            spark, _df(spark, _rows(rng, range(500))), mor_t, ["K"],
+            num_buckets=16, compact_every=None,
+        )
+        r = ia.build_agg_snapshot(
+            spark, mor_t, agg_t, ["cat"], ["amount", "qty"]
+        )
+        assert r["mode"] == "build"
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+        # Sparse merge: a few updates + a few inserts.
+        upd = _rows(rng, rng.sample(range(500), 20))
+        ins = _rows(rng, range(500, 530))
+        mor.merge_upsert_mor(
+            spark, _df(spark, upd + ins), mor_t, ["K"],
+            num_buckets=16, compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        assert r["changed_rows"] <= 50
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_noop_refresh(self, spark, tmp_path):
+        rng = random.Random(11)
+        mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")
+        src = _df(spark, _rows(rng, range(100)))
+        mor.merge_upsert_mor(spark, src, mor_t, ["K"], num_buckets=8,
+                             compact_every=None)
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount"])
+        assert ia.refresh_agg_snapshot(spark, mor_t, agg_t)["mode"] == "noop"
+        # All-skip replay merge: still a noop cursor-wise (no delta lands).
+        mor.merge_upsert_mor(spark, src, mor_t, ["K"], num_buckets=8,
+                             compact_every=None)
+        assert ia.refresh_agg_snapshot(spark, mor_t, agg_t)["mode"] == "noop"
+
+    def test_group_emptied_by_update_disappears(self, spark, tmp_path):
+        mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")
+        rows = [("1", "solo", 5.0, 1), ("2", "big", 1.0, 1), ("3", "big", 2.0, 2)]
+        mor.merge_upsert_mor(spark, _df(spark, rows), mor_t, ["K"],
+                             num_buckets=4, compact_every=None)
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount", "qty"])
+        # The only 'solo' row moves to 'big': 'solo' must vanish.
+        mor.merge_upsert_mor(
+            spark, _df(spark, [("1", "big", 5.0, 1)]), mor_t, ["K"],
+            num_buckets=4, compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental" and r["changed_rows"] == 1
+        got = ia.read_agg_snapshot(spark, agg_t)
+        assert got.filter(F.col("cat") == "solo").count() == 0
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_sum_flips_back_to_null_when_only_nulls_remain(
+        self, spark, tmp_path
+    ):
+        mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")
+        rows = [("1", "g", 5.0, 1), ("2", "g", None, 1)]
+        mor.merge_upsert_mor(spark, _df(spark, rows), mor_t, ["K"],
+                             num_buckets=4, compact_every=None)
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount"])
+        # Retract the only non-NULL amount (value moves to NULL).
+        mor.merge_upsert_mor(
+            spark, _df(spark, [("1", "g", None, 1)]), mor_t, ["K"],
+            num_buckets=4, compact_every=None,
+        )
+        ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        row = ia.read_agg_snapshot(spark, agg_t).collect()[0]
+        assert row["sum_amount"] is None and row["n_rows"] == 2
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_compaction_past_cursor_forces_rebuild(self, spark, tmp_path):
+        rng = random.Random(13)
+        mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")
+        mor.merge_upsert_mor(spark, _df(spark, _rows(rng, range(200))),
+                             mor_t, ["K"], num_buckets=8, compact_every=None)
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount"])
+        mor.merge_upsert_mor(spark, _df(spark, _rows(rng, range(200, 220))),
+                             mor_t, ["K"], num_buckets=8, compact_every=None)
+        mor.compact_mor(spark, mor_t)  # floor now past the cursor
+        mor.merge_upsert_mor(spark, _df(spark, _rows(rng, range(220, 230))),
+                             mor_t, ["K"], num_buckets=8, compact_every=None)
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "rebuild"
+        _assert_matches_recompute(spark, mor_t, agg_t)
+        # And the rebuilt cursor supports incremental refreshes again.
+        mor.merge_upsert_mor(spark, _df(spark, _rows(rng, range(230, 235))),
+                             mor_t, ["K"], num_buckets=8, compact_every=None)
+        assert ia.refresh_agg_snapshot(spark, mor_t, agg_t)["mode"] == "incremental"
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_drift_fold_bumps_floor_and_forces_rebuild(self, spark, tmp_path):
+        """The MOR schema-drift path folds changes into the base outside
+        the delta log; it must advance seq + floor so change-feed
+        consumers rebuild instead of silently missing those rows."""
+        rng = random.Random(17)
+        mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")
+        mor.merge_upsert_mor(spark, _df(spark, _rows(rng, range(100))),
+                             mor_t, ["K"], num_buckets=8, compact_every=None)
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount"])
+        drifted = _df(spark, _rows(rng, range(90, 120))).withColumn(
+            "extra", F.lit("x")
+        )
+        mor.merge_upsert_mor(spark, drifted, mor_t, ["K"], num_buckets=8,
+                             compact_every=None)
+        h = mor.mor_history(mor_t)
+        assert h["compacted_through"] == h["seq"] > 0
+        with pytest.raises(ValueError, match="compact"):
+            mor.read_mor_changes(spark, mor_t, since_seq=0)
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "rebuild"
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_randomized_merge_sequence_stays_exact(self, spark, tmp_path):
+        """Seeded property test: 6 random merges (inserts/updates/no-ops,
+        NULL keys and NULL measures), refresh after each, snapshot must
+        equal a full recompute every time."""
+        rng = random.Random(42)
+        mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")
+        live = list(range(300))
+        mor.merge_upsert_mor(spark, _df(spark, _rows(rng, live)), mor_t,
+                             ["K"], num_buckets=16, compact_every=None)
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount", "qty"])
+        nxt = 300
+        for _ in range(6):
+            batch = []
+            if rng.random() < 0.8:  # updates
+                batch += _rows(rng, rng.sample(live, rng.randrange(1, 30)))
+            if rng.random() < 0.6:  # inserts
+                new = list(range(nxt, nxt + rng.randrange(1, 20)))
+                nxt = new[-1] + 1
+                live += new
+                batch += _rows(rng, new)
+            if not batch:
+                batch = _rows(rng, rng.sample(live, 3))
+            mor.merge_upsert_mor(spark, _df(spark, batch), mor_t, ["K"],
+                                 num_buckets=16, compact_every=None)
+            r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+            assert r["mode"] in ("incremental", "noop")
+            _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_refresh_crash_recovery_rolls_forward_or_back(self, spark, tmp_path):
+        """A journal + staged dir (crash between the parquet job and the
+        swap completing) must recover to a consistent snapshot whose
+        embedded cursor matches its contents."""
+        rng = random.Random(23)
+        mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")
+        mor.merge_upsert_mor(spark, _df(spark, _rows(rng, range(50))), mor_t,
+                             ["K"], num_buckets=4, compact_every=None)
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount"])
+
+        live = ia._snap_path(agg_t)
+        staged, retired = live + "__staged", live + "__retired"
+        journal = os.path.join(agg_t, ia.REFRESH_JOURNAL)
+
+        # Simulate: staged fully written, live parked, crash before final
+        # rename → recovery must roll FORWARD to staged.
+        import shutil
+
+        shutil.copytree(live, staged)
+        with open(journal, "w") as fh:
+            fh.write("{}")
+        os.rename(live, retired)
+        assert ia._recover_interrupted_refresh(agg_t)
+        assert os.path.isdir(live) and not os.path.exists(journal)
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+        # Simulate: crash right after the journal, staged torn (absent),
+        # live still in place → journal cleaned, snapshot untouched.
+        with open(journal, "w") as fh:
+            fh.write("{}")
+        assert ia._recover_interrupted_refresh(agg_t)
+        _assert_matches_recompute(spark, mor_t, agg_t)
