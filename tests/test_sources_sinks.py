@@ -282,6 +282,110 @@ class TestRangeSortedWrite:
         assert back.agg(F.sum("v")).collect()[0][0] == sum(range(10_000))
 
 
+class TestZorderWrite:
+    @staticmethod
+    def _file_stats(path, col_names):
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+            stats = {}
+            for c in col_names:
+                ci = schema_names.index(c)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                stats[c] = (min(mins), max(maxs))
+            out.append(stats)
+        return out
+
+    @staticmethod
+    def _overlapping(stats, box):
+        n = 0
+        for s in stats:
+            if all(s[c][0] <= hi and s[c][1] >= lo for c, (lo, hi) in box.items()):
+                n += 1
+        return n
+
+    def test_box_predicates_skip_files_on_both_columns(self, spark, tmp_path):
+        """A 100×100 grid written z-ordered on (x, y): a quarter-plane box
+        must overlap only a few files' min/max envelopes, where a plain
+        x-sorted layout overlaps EVERY file for any y predicate."""
+        from presencia_etl_spark.sinks.zorder import write_zordered
+
+        df = spark.range(0, 10_000).select(
+            (F.col("id") % 100).alias("x"),
+            (F.col("id") / 100).cast("long").alias("y"),
+            F.col("id").alias("v"),
+        )
+        zpath = str(tmp_path / "z")
+        write_zordered(df, zpath, ["x", "y"], num_files=16)
+
+        stats = self._file_stats(zpath, ["x", "y"])
+        assert len(stats) == 16
+        box = {"x": (0, 24), "y": (0, 24)}  # 1/16 of the plane
+        z_hits = self._overlapping(stats, box)
+        # The curve keeps the box local: a handful of files, not all 16.
+        assert z_hits <= 4, stats
+
+        # Baseline: linear sort on x alone — every file spans all of y,
+        # so the same box touches every file whose x range intersects.
+        from presencia_etl_spark.sinks.writers import write_range_sorted
+
+        lpath = str(tmp_path / "linear")
+        write_range_sorted(df.orderBy("x"), lpath, "x", num_files=16)
+        lstats = self._file_stats(lpath, ["x", "y"])
+        l_hits = self._overlapping(lstats, {"y": (0, 24)})
+        assert l_hits == len(lstats)  # y predicate prunes nothing
+        assert z_hits < self._overlapping(stats, {"y": (0, 24)}) or z_hits <= 4
+
+        # Content survives the reorder.
+        back = spark.read.parquet(zpath)
+        assert back.count() == 10_000
+        assert back.agg(F.sum("v")).collect()[0][0] == sum(range(10_000))
+
+    def test_zorder_key_validation(self, spark):
+        from presencia_etl_spark.sinks.zorder import zorder_key
+
+        df = spark.range(3).select(F.col("id").alias("a"))
+        try:
+            zorder_key(df, [])
+            assert False, "empty cols must raise"
+        except ValueError:
+            pass
+        try:
+            zorder_key(df, ["a"] * 9, bits=8)
+            assert False, "bit overflow must raise"
+        except ValueError:
+            pass
+
+    def test_skewed_column_still_spreads(self, spark, tmp_path):
+        """Equi-depth rank buckets: 95% of x mass at one value must not
+        collapse the curve — files still carve y into disjoint-ish bands
+        (a value-scaled bucketing would put ~all rows in one z range)."""
+        from presencia_etl_spark.sinks.zorder import write_zordered
+
+        df = spark.range(0, 10_000).select(
+            F.when(F.col("id") % 20 != 0, 7).otherwise(F.col("id") % 100)
+            .cast("long").alias("x"),
+            (F.col("id") % 500).alias("y"),
+            F.col("id").alias("v"),
+        )
+        path = str(tmp_path / "skew")
+        write_zordered(df, path, ["x", "y"], num_files=8)
+        stats = self._file_stats(path, ["y"])
+        # y stats must differentiate files (not every file spanning the
+        # full 0..499 range).
+        full_span = sum(1 for s in stats if s["y"][0] == 0 and s["y"][1] == 499)
+        assert full_span < len(stats)
+
+
 class TestCsvUnionAndDrift:
     def test_column_union_across_files(self, spark, tmp_path):
         from presencia_etl_spark.sources.readers import read_csv_union
