@@ -277,6 +277,36 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         out["cdc_sparse_mor_sec"] = round(dt, 3)
         out["cdc_sparse_mor_updates"] = int(r["update"])
 
+        # Incremental aggregate maintenance riding the same MOR change
+        # feed: refresh a group-by snapshot from the sparse merge's delta
+        # (O(changes)) vs recomputing the aggregate from the full state —
+        # the reference recomputes its reconcile aggregates per sync.
+        from presencia_etl_spark.plans.incremental_agg import (
+            build_agg_snapshot,
+            refresh_agg_snapshot,
+        )
+        from presencia_etl_spark.sinks.mor import read_mor
+
+        agg_t = f"{work}/lineitem_agg"
+        build_agg_snapshot(
+            spark, mtarget, agg_t, ["l_returnflag"], ["l_quantity"]
+        )
+        mutated2 = li.withColumn(
+            "l_quantity",
+            F.when(F.col("l_orderkey") < 40, F.col("l_quantity") + 7).otherwise(
+                F.col("l_quantity")
+            ),
+        )
+        merge_upsert_mor(spark, mutated2, mtarget, ["l_key"], num_buckets=256)
+        t0 = time.perf_counter()
+        refresh_agg_snapshot(spark, mtarget, agg_t)
+        out["agg_refresh_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        read_mor(spark, mtarget).groupBy("l_returnflag").agg(
+            F.count(F.lit(1)), F.sum("l_quantity")
+        ).collect()
+        out["agg_recompute_sec"] = round(time.perf_counter() - t0, 3)
+
         # Steady-state corpus admit loop (what a 100 TB training pipeline
         # runs per ingest batch): history indexed untimed, then THREE
         # consecutive batches through gate→probe→admit→register. Batch 1
