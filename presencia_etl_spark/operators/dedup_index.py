@@ -178,16 +178,25 @@ def update_minhash_index(
             sig.unpersist()
         return {"added": 0, "docs": meta.get("docs", 0), "compacted": False}
     n_out = max(1, min(num_files, added // 200_000 + 1))
+
+    # A single-file append needs no range partitioning — and skipping it
+    # matters: repartitionByRange runs a separate range-boundary SAMPLING
+    # job per write, so a trickle batch (n_out=1, the steady-state admit
+    # loop) would pay two extra Spark jobs for a partitioner with nothing
+    # to decide. coalesce(1) + sortWithinPartitions yields the identical
+    # file layout (one file, sorted — min/max skipping intact).
+    def _ranged(df: DataFrame, *cols: str):
+        if n_out == 1:
+            return df.coalesce(1).sortWithinPartitions(cols[-1])
+        return df.repartitionByRange(n_out, *cols).sortWithinPartitions(cols[-1])
+
     (
-        sig.repartitionByRange(n_out, "doc_id")
-        .sortWithinPartitions("doc_id")
+        _ranged(sig, "doc_id")
         .write.mode("append")
         .parquet(os.path.join(index_path, SIG_DIR))
     )
     (
-        band_rows(sig, meta["n_hashes"], meta["bands"])
-        .repartitionByRange(n_out, "band_id", "band_hash")
-        .sortWithinPartitions("band_hash")
+        _ranged(band_rows(sig, meta["n_hashes"], meta["bands"]), "band_id", "band_hash")
         .write.mode("append")
         .partitionBy("band_id")
         .parquet(os.path.join(index_path, BAND_DIR))
@@ -356,13 +365,30 @@ def query_minhash_index(
     )
     if eager and owns_sig:
         bsig = bsig.persist()
-    n_keys = bsig.count() * meta["bands"]
     bband = band_rows(bsig, meta["n_hashes"], meta["bands"])
 
+    # ONE bounded job decides the probe strategy AND (for the common
+    # trickle-batch case) yields the pushdown keys: collect at most
+    # LIMIT+1 distinct band hashes. The distinct is a full shuffle over
+    # the batch signatures, so this same job materializes the persisted
+    # signature cache for every later step — previously a separate
+    # count() job paid that bill. Driver memory stays bounded by the
+    # limit; only when the batch overflows it (corpus-sized ingest) do we
+    # pay a count() to size the broadcast decision.
     iband = spark.read.parquet(os.path.join(index_path, BAND_DIR))
-    if n_keys <= PROBE_PUSHDOWN_LIMIT:
-        keys = [r["band_hash"] for r in bband.select("band_hash").distinct().collect()]
+    keys = [
+        r["band_hash"]
+        for r in bband.select("band_hash")
+        .distinct()
+        .limit(PROBE_PUSHDOWN_LIMIT + 1)
+        .collect()
+    ]
+    pushdown = len(keys) <= PROBE_PUSHDOWN_LIMIT
+    if pushdown:
         iband = iband.filter(F.col("band_hash").isin(keys))
+        n_keys = len(keys)
+    else:
+        n_keys = bsig.count() * meta["bands"]
     probe = bband.select("band_id", "band_hash", F.col("doc_id").alias("batch_id"))
     if n_keys <= PROBE_BROADCAST_LIMIT:
         probe = F.broadcast(probe)
@@ -378,11 +404,7 @@ def query_minhash_index(
     )
 
     isig = spark.read.parquet(os.path.join(index_path, SIG_DIR))
-    if (
-        eager
-        and n_keys <= PROBE_PUSHDOWN_LIMIT
-        and meta.get("docs", 0) >= SIG_PUSHDOWN_MIN_DOCS
-    ):
+    if eager and pushdown and meta.get("docs", 0) >= SIG_PUSHDOWN_MIN_DOCS:
         # Materialize the (tiny) pair list once so the verification scan
         # can push In(doc_id, ...) — the doc_id-range-sorted signature
         # store then file-skips to just the matched docs. This costs two
@@ -442,7 +464,10 @@ def admit_batch(
     seen = spark.read.parquet(os.path.join(index_path, SIG_DIR)).select(
         F.col("doc_id").alias(id_col)
     )
-    fresh = batch.join(seen, id_col, "left_anti")
+    # Persisted: the signature pass AND the admitted-checkpoint job both
+    # read `fresh` — uncached, the checkpoint would re-run the caller's
+    # whole gate chain (quality scan, anti-join) a second time per batch.
+    fresh = batch.join(seen, id_col, "left_anti").persist()
     # ONE signature pass serves both the probe and the registration —
     # shingling+hashing is the dominant per-batch CPU cost; computing it
     # twice would double the steady-state ingest bill.
@@ -451,8 +476,15 @@ def admit_batch(
         fresh, id_col, text_col, meta["k"], meta["n_hashes"]
     ).persist()
     try:
+        # eager=False: the probe plan (band In-pushdown + broadcast probe
+        # included — the keys collect is unconditional) is consumed exactly
+        # once, by the `admitted` checkpoint below, so materializing it in
+        # its own localCheckpoint would only add a Spark action to the
+        # steady-state loop. Everything the lazy plan re-reads (`fresh`,
+        # the signatures) is cached above — nothing recomputes twice.
         matches = query_minhash_index(
-            spark, fresh, id_col, text_col, index_path, precomputed_sig=fsig
+            spark, fresh, id_col, text_col, index_path,
+            precomputed_sig=fsig, eager=False,
         )
         dupes = (
             matches.filter(F.col("est_jaccard") >= est_threshold)
@@ -469,4 +501,5 @@ def admit_batch(
             )
     finally:
         fsig.unpersist()
+        fresh.unpersist()
     return admitted
