@@ -99,6 +99,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target", required=True, help="state directory")
     p.add_argument("--buckets", type=int, required=True, help="new bucket count")
 
+    p = sub.add_parser(
+        "delete",
+        help="row-level DELETE from a state dir (GDPR erasure / TTL "
+        "retention): MOR targets write an O(matches) tombstone delta, "
+        "bucketed COW targets rewrite only dirty buckets, flat targets "
+        "rewrite atomically",
+    )
+    p.add_argument("--target", required=True, help="state directory")
+    p.add_argument(
+        "--where", required=True, help="SQL predicate; rows where TRUE are deleted"
+    )
+
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
@@ -172,6 +184,33 @@ def main(argv: list[str] | None = None) -> int:
 
         out = rebucket(spark, args.target, args.buckets)
         print(json.dumps({"cmd": "rebucket", "result": out}))
+        return 0
+
+    if args.cmd == "delete":
+        import os
+
+        from presencia_etl_spark.sinks.writers import BUCKET_COL
+
+        target = args.target
+        if os.path.exists(os.path.join(target, "_mor_meta.json")):
+            from presencia_etl_spark.sinks.mor import delete_where_mor
+
+            out = {"kind": "mor", **delete_where_mor(spark, target, args.where)}
+        elif BUCKET_COL in spark.read.parquet(target).columns:
+            from presencia_etl_spark.sinks.writers import delete_where_partitioned
+
+            out = {
+                "kind": "bucketed",
+                **delete_where_partitioned(spark, target, args.where),
+            }
+        else:
+            from presencia_etl_spark.sinks.writers import delete_where_parquet
+
+            out = {
+                "kind": "parquet",
+                **delete_where_parquet(spark, target, args.where),
+            }
+        print(json.dumps({"cmd": "delete", "result": out}))
         return 0
 
     from presencia_etl_spark.plans.reconcile import monthly_reconcile

@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 from presencia_etl_spark.operators import cdc
 from presencia_etl_spark.sinks.locking import single_writer
 from presencia_etl_spark.sinks.mor import (
+    DELETED_COL,
     mor_history,
     read_mor,
     read_mor_changes,
@@ -267,8 +268,14 @@ def refresh_agg_snapshot(
         )
 
         cols = list(group_cols) + list(sum_cols)
+        # Tombstoned keys (row-level deletes) contribute NO +1 row — their
+        # change-feed entry is the pre-delete image flagged `_deleted`, and
+        # the only arithmetic effect of a delete is the retraction of the
+        # old version below (whose key set intentionally includes them).
         weighted = (
-            changes.select(*cols).withColumn("_w", F.lit(1))
+            changes.filter(~F.col(DELETED_COL))
+            .select(*cols)
+            .withColumn("_w", F.lit(1))
             .unionByName(old_rows.select(*cols).withColumn("_w", F.lit(-1)))
         )
         delta_exprs = [F.sum("_w").cast("bigint").alias(COUNT_COL)]

@@ -2,6 +2,8 @@
 
 from presencia_etl_spark.sinks.mor import (
     compact_mor,
+    delete_keys_mor,
+    delete_where_mor,
     merge_upsert_mor,
     mor_history,
     read_mor,
@@ -9,6 +11,8 @@ from presencia_etl_spark.sinks.mor import (
 )
 from presencia_etl_spark.sinks.writers import (
     append_parquet,
+    delete_where_parquet,
+    delete_where_partitioned,
     drop_path,
     merge_upsert_parquet,
     merge_upsert_partitioned,
@@ -23,6 +27,10 @@ from presencia_etl_spark.sinks.writers import (
 __all__ = [
     "append_parquet",
     "compact_mor",
+    "delete_keys_mor",
+    "delete_where_mor",
+    "delete_where_parquet",
+    "delete_where_partitioned",
     "merge_upsert_mor",
     "mor_history",
     "read_mor",

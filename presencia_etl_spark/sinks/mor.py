@@ -27,7 +27,19 @@ read amplification at ``compact_every`` small files per scan.
 
 Reference semantics preserved (sync_INCREMENTAL.py:169-204): INSERT new
 keys, UPDATE changed hashes (created_at/id preserved, updated_at
-refreshed), SKIP identical, never delete.
+refreshed), SKIP identical — the reference itself never deletes (its trap
+N6), so no MERGE path ever removes a row.
+
+Deletes exist as an EXPLICIT extension operation (``delete_where_mor`` /
+``delete_keys_mor``), the 100 TB data-lifecycle need the reference never
+had (GDPR erasure, retention). A delete writes a TOMBSTONE delta: the
+victim's full last row image plus ``_deleted = true`` — O(matches), no
+base churn, exactly the upsert write path. Readers drop keys whose latest
+version is a tombstone; the change feed surfaces tombstones with the
+pre-delete image (Delta CDF's delete preimage); compaction physically
+removes the rows (a fully-emptied bucket swaps in as an EMPTY partition
+dir); snapshot reads before the delete's sequence still see the row;
+re-inserting a deleted key classifies as INSERT with a fresh identity.
 """
 
 from __future__ import annotations
@@ -49,6 +61,7 @@ from presencia_etl_spark.sinks.writers import (
     _maybe_broadcast,
     _parallelize_scan,
     _recover_interrupted_swap,
+    _reseed_empty_layout,
     _warn_audit_collisions,
     merge_upsert_partitioned,
     swap_bucket_dirs,
@@ -59,6 +72,12 @@ DELTA_DIR = "deltas"
 META_FILE = "_mor_meta.json"
 SEQ_COL = "_delta_seq"
 STAGING_PREFIX = ".staging_"
+# Tombstone marker on delta rows. Upsert deltas never write the column
+# (their schema stays byte-identical to pre-delete states); _read_deltas
+# normalizes it in with mergeSchema + coalesce(false), so every consumer
+# sees one uniform boolean. The BASE never carries it — compaction folds
+# tombstones by physically removing rows.
+DELETED_COL = "_deleted"
 
 
 def _meta_path(path: str) -> str:
@@ -113,12 +132,24 @@ def _next_seq(path: str, meta: dict) -> int:
 
 
 def _read_deltas(spark: SparkSession, path: str) -> DataFrame | None:
-    """All live delta rows with their sequence number (from the hive dir)."""
+    """All live delta rows with their sequence number (from the hive dir)
+    and a normalized boolean ``_deleted`` (tombstone dirs carry it, upsert
+    dirs don't — mergeSchema unions the footers, which is cheap here: the
+    outstanding delta set is bounded by ``compact_every`` small files)."""
     if not _delta_seqs(path):
         return None
-    return spark.read.option("basePath", os.path.join(path, DELTA_DIR)).parquet(
-        os.path.join(path, DELTA_DIR)
+    df = (
+        spark.read.option("basePath", os.path.join(path, DELTA_DIR))
+        .option("mergeSchema", "true")
+        .parquet(os.path.join(path, DELTA_DIR))
     )
+    if DELETED_COL in df.columns:
+        df = df.withColumn(
+            DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
+    else:
+        df = df.withColumn(DELETED_COL, F.lit(False))
+    return df
 
 
 def _delta_latest(deltas: DataFrame) -> DataFrame:
@@ -130,6 +161,29 @@ def _delta_latest(deltas: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def _commit_delta(
+    target_path: str, meta: dict, out: DataFrame, n_rows: int
+) -> int:
+    """Land one delta dir crash-safely; returns the file count.
+
+    A delta is small by definition — it lands in few files so read
+    amplification stays ~O(#outstanding merges), not O(#tasks). The
+    parquet job writes a hidden staging dir (invisible to
+    ``_delta_seqs``/``_read_deltas``), then a single atomic ``os.rename``
+    publishes it. A crash mid-write leaves only the staging dir, GC'd on
+    the next merge; a crash after the rename but before the meta bump is
+    healed by ``_next_seq`` treating live dirs as authoritative."""
+    seq = _next_seq(target_path, meta)
+    ddir = os.path.join(target_path, DELTA_DIR, f"{SEQ_COL}={seq}")
+    staged = os.path.join(target_path, DELTA_DIR, f"{STAGING_PREFIX}{seq}")
+    n_files = max(1, min(4, n_rows // 100_000 + 1))
+    out.repartition(n_files).write.mode("overwrite").parquet(staged)
+    os.rename(staged, ddir)
+    meta["seq"] = seq
+    _write_meta(target_path, meta)
+    return n_files
 
 
 @single_writer("target_path")
@@ -222,14 +276,19 @@ def merge_upsert_mor(
         return {**result, "delta_files": 0, "compacted": True}
 
     deltas = _read_deltas(spark, target_path)
-    # Current (key → hash) view: base overridden by the latest delta.
+    # Current (key → hash) view: base overridden by the latest delta. A
+    # key whose latest version is a TOMBSTONE is absent from the view —
+    # its base row is still anti-joined away, and it contributes no hash —
+    # so a re-submitted deleted key classifies as INSERT (fresh identity),
+    # never as an UPDATE of the erased row.
     base_kh = base.select(cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash"))
     if deltas is not None:
-        dl = _delta_latest(deltas).select(
+        dlatest = _delta_latest(deltas)
+        dl = dlatest.filter(~F.col(DELETED_COL)).select(
             cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash")
         )
         base_kh = base_kh.join(
-            F.broadcast(dl.select(cdc.KEY_COL)), cdc.KEY_COL, "left_anti"
+            F.broadcast(dlatest.select(cdc.KEY_COL)), cdc.KEY_COL, "left_anti"
         ).unionByName(dl)
 
     joined = keyed.select(*key_cols, cdc.KEY_COL, BUCKET_COL, "row_hash").join(
@@ -340,24 +399,7 @@ def merge_upsert_mor(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        seq = _next_seq(target_path, meta)
-        ddir = os.path.join(target_path, DELTA_DIR, f"{SEQ_COL}={seq}")
-        staged = os.path.join(
-            target_path, DELTA_DIR, f"{STAGING_PREFIX}{seq}"
-        )
-        # A delta is small by definition — land it in few files so read
-        # amplification stays ~O(#outstanding merges), not O(#tasks).
-        n_files = max(1, min(4, n_dirty // 100_000 + 1))
-        # Crash-safe commit: the parquet job lands in a hidden staging dir
-        # (invisible to _delta_seqs/_read_deltas), then a single atomic
-        # os.rename publishes it. A crash mid-write leaves only the staging
-        # dir, GC'd on the next merge; a crash after the rename but before
-        # the meta bump is healed by _next_seq treating live dirs as
-        # authoritative.
-        out.repartition(n_files).write.mode("overwrite").parquet(staged)
-        os.rename(staged, ddir)
-        meta["seq"] = seq
-        _write_meta(target_path, meta)
+        n_files = _commit_delta(target_path, meta, out, n_dirty)
     finally:
         # Caches release on failure too — a failed merge must not leak
         # persisted frames for the session lifetime.
@@ -378,6 +420,137 @@ def merge_upsert_mor(
         "delta_files": n_files,
         "compacted": compacted,
     }
+
+
+def _tombstone_commit(
+    spark: SparkSession,
+    target_path: str,
+    victims: DataFrame,
+    compact_every: int | None,
+    compact_keep_last: int,
+) -> dict[str, int]:
+    """Shared tail of the delete operations: count the victims, land one
+    tombstone delta carrying their full last row image + ``_deleted``,
+    honor the auto-compaction hook. ``victims`` must be live rows in the
+    base layout (data + audit + ``_cdc_key`` + ``_kb``)."""
+    meta = _read_meta(target_path)
+    victims = victims.cache()
+    try:
+        n = victims.count()
+        if n == 0:
+            # No matches → nothing written (the no-op merge discipline).
+            return {"delete": 0, "delta_files": 0, "compacted": False}
+        out = victims.withColumn(DELETED_COL, F.lit(True)).withColumn(
+            "updated_at", F.current_timestamp()
+        )
+        n_files = _commit_delta(target_path, meta, out, n)
+    finally:
+        victims.unpersist()
+    compacted = False
+    if compact_every is not None and len(_delta_seqs(target_path)) >= compact_every:
+        compact_mor(spark, target_path, keep_last=compact_keep_last)
+        compacted = True
+    return {"delete": n, "delta_files": n_files, "compacted": compacted}
+
+
+@single_writer("target_path")
+def delete_where_mor(
+    spark: SparkSession,
+    target_path: str,
+    predicate,
+    compact_every: int | None = 16,
+    compact_keep_last: int = 0,
+) -> dict[str, int]:
+    """Row-level DELETE by predicate — a tombstone delta, O(matches).
+
+    ``predicate`` is a Column or SQL string evaluated against the CURRENT
+    state (base + delta overrides); rows where it is TRUE are deleted
+    (NULL keeps the row, SQL DELETE semantics — the write path only ever
+    sees the TRUE set). The base is never rewritten: the matching rows'
+    last images land in one small delta dir flagged ``_deleted``. Readers
+    drop them immediately; ``compact_mor`` removes them physically;
+    ``read_mor(as_of_seq=<pre-delete>)`` still sees them; the change feed
+    surfaces them with their pre-delete image. The predicate scan pushes
+    down into the bucketed base like any ``read_mor`` filter.
+
+    The lifecycle op the reference never had (its sync never deletes —
+    trap N6); at 100 TB this is GDPR erasure / TTL retention:
+    ``delete_where_mor(spark, path, F.col('event_date') < cutoff)``."""
+    if not os.path.exists(_meta_path(target_path)):
+        raise ValueError(
+            f"target {target_path!r} is not a merge-on-read state (no "
+            f"{META_FILE}); delete_where_mor applies to MOR layouts only. "
+            "For the bucketed COW layout use delete_where_partitioned."
+        )
+    _recover_interrupted_swap(os.path.join(target_path, BASE_DIR))
+    _gc_orphan_staging(target_path)
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    victims = read_mor(spark, target_path).filter(predicate)
+    return _tombstone_commit(
+        spark, target_path, victims, compact_every, compact_keep_last
+    )
+
+
+@single_writer("target_path")
+def delete_keys_mor(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    compact_every: int | None = 16,
+    compact_keep_last: int = 0,
+) -> dict[str, int]:
+    """Row-level DELETE by key set (the GDPR 'erase these subjects' shape).
+
+    Unlike the predicate variant, the scan is BUCKET-PRUNED: the key
+    frame's normalized ``_cdc_key`` hashes to its bucket, only those
+    ``_kb=`` dirs are read (hive partition pruning), and the live view is
+    semi-joined against the (broadcast) key set — at 100 TB a thousand
+    erasure requests touch a handful of buckets, not the table. Keys are
+    normalized exactly like the merge path, so a key that round-tripped
+    through any writer matches verbatim."""
+    if not os.path.exists(_meta_path(target_path)):
+        raise ValueError(
+            f"target {target_path!r} is not a merge-on-read state (no "
+            f"{META_FILE}); delete_keys_mor applies to MOR layouts only."
+        )
+    _recover_interrupted_swap(os.path.join(target_path, BASE_DIR))
+    _gc_orphan_staging(target_path)
+    meta = _read_meta(target_path)
+    keyed = (
+        cdc.with_cdc_key(keys, key_cols)
+        .select(cdc.KEY_COL)
+        .distinct()
+        .withColumn(
+            BUCKET_COL,
+            F.pmod(
+                F.xxhash64(F.col(cdc.KEY_COL)), F.lit(meta["num_buckets"])
+            ).cast("int"),
+        )
+        .cache()
+    )
+    try:
+        dirty = [
+            r[BUCKET_COL] for r in keyed.select(BUCKET_COL).distinct().collect()
+        ]
+        if not dirty:
+            return {"delete": 0, "delta_files": 0, "compacted": False}
+        n_keys = keyed.count()
+        victims = (
+            read_mor(spark, target_path)
+            .filter(F.col(BUCKET_COL).isin(dirty))
+            .join(
+                _maybe_broadcast(keyed.select(cdc.KEY_COL), n_keys),
+                cdc.KEY_COL,
+                "left_semi",
+            )
+        )
+        return _tombstone_commit(
+            spark, target_path, victims, compact_every, compact_keep_last
+        )
+    finally:
+        keyed.unpersist()
 
 
 def read_mor(
@@ -413,11 +586,15 @@ def read_mor(
                 deltas = None
     if deltas is None:
         return base
-    latest = _delta_latest(deltas).select(*base.columns)
+    latest = _delta_latest(deltas).select(*base.columns, DELETED_COL)
     keep = base.join(
         F.broadcast(latest.select(cdc.KEY_COL)), cdc.KEY_COL, "left_anti"
     )
-    return keep.unionByName(latest)
+    # A key whose latest version is a tombstone is gone: its base row was
+    # anti-joined away above, and the tombstone itself is dropped here —
+    # the returned schema stays exactly the base layout.
+    live = latest.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+    return keep.unionByName(live)
 
 
 def read_mor_changes(
@@ -434,6 +611,9 @@ def read_mor_changes(
     refresher) feeds on instead of re-diffing two full snapshots. This is
     the Hudi incremental-query / Delta CDF read on the same plain-parquet
     delta log; cost is O(deltas in range), the base is never scanned.
+    Rows deleted in the range come back with ``_deleted = true`` and the
+    full pre-delete image (CDF delete-preimage semantics) — consumers
+    MUST honor the flag (upsert rows carry ``_deleted = false``).
     ``since_seq`` must be at or above the compaction floor — older change
     history was folded into the base and can no longer be separated."""
     meta = _read_meta(target_path)
@@ -456,7 +636,9 @@ def read_mor_changes(
         base_schema = spark.read.parquet(
             os.path.join(target_path, BASE_DIR)
         ).schema
-        return spark.createDataFrame([], base_schema.add(SEQ_COL, "integer"))
+        return spark.createDataFrame(
+            [], base_schema.add(SEQ_COL, "integer").add(DELETED_COL, "boolean")
+        )
     return _delta_latest(deltas)
 
 
@@ -504,7 +686,7 @@ def compact_mor(
             return {"buckets_rewritten": 0, "deltas_folded": 0}
         deltas = deltas.filter(F.col(SEQ_COL).isin(seqs))
     base = spark.read.parquet(base_path)
-    latest = _delta_latest(deltas).select(*base.columns).cache()
+    latest = _delta_latest(deltas).select(*base.columns, DELETED_COL).cache()
     try:
         dirty = [
             r[BUCKET_COL] for r in latest.select(BUCKET_COL).distinct().collect()
@@ -515,7 +697,11 @@ def compact_mor(
             cdc.KEY_COL,
             "left_anti",
         )
-        new_parts = keep.unionByName(latest)
+        # Tombstones fold by OMISSION: their base row is anti-joined away
+        # with every other overridden key, and only live latest versions
+        # are written back — the erased rows leave the physical state here.
+        live = latest.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        new_parts = keep.unionByName(live)
         staged = tempfile.mkdtemp(
             prefix="mor_compact_", dir=os.path.dirname(base_path) or "."
         )
@@ -523,7 +709,23 @@ def compact_mor(
             new_parts.repartition(max(len(dirty), 1), F.col(BUCKET_COL)).write.mode(
                 "overwrite"
             ).partitionBy(BUCKET_COL).parquet(staged)
+            # A bucket whose every row was deleted produces NO staged dir
+            # (dynamic partitionBy writes only non-empty partitions) — and
+            # swap_bucket_dirs deliberately skips missing staged buckets
+            # (the upsert writers' safety default). Stage an explicit
+            # EMPTY dir so the swap replaces the live bucket with
+            # emptiness instead of leaving the deleted rows behind.
+            for b in dirty:
+                os.makedirs(
+                    os.path.join(staged, f"{BUCKET_COL}={b}"), exist_ok=True
+                )
             swap_bucket_dirs(staged, base_path, dirty)
+            # If tombstones emptied the ENTIRE base, reseed a schema-
+            # bearing empty file so the layout stays readable (see
+            # writers._reseed_empty_layout).
+            _reseed_empty_layout(
+                spark, base_path, base.drop(BUCKET_COL).schema, dirty[0]
+            )
         finally:
             shutil.rmtree(staged, ignore_errors=True)
     finally:

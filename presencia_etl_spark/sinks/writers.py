@@ -225,6 +225,131 @@ def rebucket(
     return {"rows": n, "num_buckets": new_buckets}
 
 
+def _reseed_empty_layout(spark, target_path: str, schema, bucket: int) -> None:
+    """A delete that emptied EVERY bucket leaves zero parquet files — and a
+    fileless layout can't even be read for schema (UNABLE_TO_INFER_SCHEMA
+    wedges the next merge). Seed one empty, schema-bearing parquet file
+    into one bucket dir so the table stays a valid, readable, mergeable
+    zero-row state. ``schema`` must EXCLUDE the bucket column (it lives in
+    the dir name)."""
+    for _root, _d, files in os.walk(target_path):
+        if any(f.endswith(".parquet") for f in files):
+            return
+    tmp = tempfile.mkdtemp(
+        prefix="empty_seed_", dir=os.path.dirname(target_path) or "."
+    )
+    try:
+        spark.createDataFrame([], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(target_path, f"{BUCKET_COL}={bucket}")
+        os.makedirs(dst, exist_ok=True)
+        os.replace(os.path.join(tmp, part), os.path.join(dst, part))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@single_writer("target_path")
+def delete_where_partitioned(
+    spark: SparkSession, target_path: str, predicate
+) -> dict[str, int]:
+    """Row-level DELETE from a bucketed COW state: rewrite ONLY the
+    buckets holding matching rows (hive ``_kb=`` pruning + the journaled
+    crash-safe swap the merge uses). ``predicate`` is a Column or SQL
+    string; rows where it is TRUE are deleted — NULL keeps the row (SQL
+    DELETE semantics, hence the explicit ``coalesce`` on the keep side).
+    A bucket whose every row matches swaps in as an EMPTY partition dir.
+    The data-lifecycle extension (GDPR erasure / TTL) the reference never
+    had — its sync never deletes (trap N6). MOR states take the O(changes)
+    tombstone path instead (``sinks.mor.delete_where_mor``)."""
+    _recover_interrupted_rebucket(target_path)
+    _recover_interrupted_swap(target_path)
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    tgt = spark.read.parquet(target_path)
+    if BUCKET_COL not in tgt.columns:
+        raise ValueError(
+            f"target {target_path!r} is not bucketed ({BUCKET_COL} absent): "
+            "use delete_where_parquet for the flat layout."
+        )
+    victims = tgt.filter(predicate).cache()
+    try:
+        n_victims = victims.count()
+        if n_victims == 0:
+            return {"delete": 0, "buckets_rewritten": 0}
+        dirty = [
+            r[BUCKET_COL]
+            for r in victims.select(BUCKET_COL).distinct().collect()
+        ]
+        keep = tgt.filter(F.col(BUCKET_COL).isin(dirty)).filter(
+            ~F.coalesce(predicate, F.lit(False))
+        )
+        staged = tempfile.mkdtemp(
+            prefix="delete_staged_", dir=os.path.dirname(target_path) or "."
+        )
+        try:
+            keep.repartition(len(dirty), F.col(BUCKET_COL)).write.mode(
+                "overwrite"
+            ).partitionBy(BUCKET_COL).parquet(staged)
+            # Fully-emptied buckets produce no staged dir (dynamic
+            # partitionBy writes only non-empty partitions) and
+            # swap_bucket_dirs skips missing staged buckets — stage
+            # explicit EMPTY dirs so the swap replaces those live buckets
+            # with emptiness.
+            for b in dirty:
+                os.makedirs(
+                    os.path.join(staged, f"{BUCKET_COL}={b}"), exist_ok=True
+                )
+            swap_bucket_dirs(staged, target_path, dirty)
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+    finally:
+        victims.unpersist()
+    _reseed_empty_layout(
+        spark, target_path, tgt.drop(BUCKET_COL).schema, dirty[0]
+    )
+    return {"delete": n_victims, "buckets_rewritten": len(dirty)}
+
+
+@single_writer("target_path")
+def delete_where_parquet(
+    spark: SparkSession, target_path: str, predicate
+) -> dict[str, int]:
+    """Row-level DELETE from a FLAT parquet state: full staged rewrite
+    (the flat layout has no pruning unit), swapped in atomically via the
+    rebucket journal machinery so a crash leaves old-or-new, never a mix.
+    Fine for the small-table states the flat writer serves; bucketed and
+    MOR states have pruned/O(changes) variants."""
+    _recover_interrupted_rebucket(target_path)
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    tgt = spark.read.parquet(target_path)
+    if BUCKET_COL in tgt.columns:
+        raise ValueError(
+            f"target {target_path!r} is bucketed: use "
+            "delete_where_partitioned to keep the pruned layout."
+        )
+    n_victims = tgt.filter(predicate).count()
+    if n_victims == 0:
+        return {"delete": 0}
+    keep = tgt.filter(~F.coalesce(predicate, F.lit(False)))
+    staged = target_path.rstrip("/") + "__rebucket_staged"
+    retired = target_path.rstrip("/") + "__rebucket_retired"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+    keep.write.mode("overwrite").parquet(staged)
+    journal = target_path.rstrip("/") + REBUCKET_JOURNAL_SUFFIX
+    with open(journal + ".tmp", "w") as fh:
+        json.dump({"delete": True}, fh)
+    os.replace(journal + ".tmp", journal)
+    os.rename(target_path, retired)
+    os.rename(staged, target_path)
+    shutil.rmtree(retired, ignore_errors=True)
+    os.remove(journal)
+    return {"delete": n_victims}
+
+
 def swap_bucket_dirs(staged: str, target_path: str, buckets) -> None:
     """Swap fully-staged ``_kb=`` bucket dirs into a live target, crash-
     safely. A journal is written (atomically: tmp + rename) under the

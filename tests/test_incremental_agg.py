@@ -251,3 +251,72 @@ class TestIncrementalAgg:
             fh.write("{}")
         assert ia._recover_interrupted_refresh(agg_t)
         _assert_matches_recompute(spark, mor_t, agg_t)
+
+
+class TestIncrementalAggDeletes:
+    """Row-level deletes flow through the change feed as tombstones: the
+    refresh must apply them as pure retractions (no +1 side)."""
+
+    def test_refresh_after_deletes_matches_recompute(self, spark, tmp_path):
+        rng = random.Random(23)
+        mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")
+        src = _df(spark, _rows(rng, range(120)))
+        mor.merge_upsert_mor(spark, src, mor_t, ["K"], num_buckets=8,
+                             compact_every=None)
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount", "qty"])
+
+        # Interleave an update batch, a predicate delete and a key delete
+        # before one refresh — the feed then mixes upserts and tombstones.
+        mor.merge_upsert_mor(
+            spark, _df(spark, _rows(rng, range(30, 60))), mor_t, ["K"],
+            num_buckets=8, compact_every=None,
+        )
+        mor.delete_where_mor(spark, mor_t, F.col("qty") >= 7,
+                             compact_every=None)
+        mor.delete_keys_mor(
+            spark, mor_t,
+            spark.createDataFrame([("5",), ("77",)], ["K"]), ["K"],
+            compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental" and r["changed_rows"] > 0
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_insert_then_delete_within_refresh_window_nets_zero(
+        self, spark, tmp_path
+    ):
+        """A key born AND erased between two refreshes must contribute
+        nothing: its feed entry is a tombstone, and it has no old version
+        in the cursor snapshot to retract."""
+        mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")
+        rows = [("1", "g", 5.0, 1)]
+        mor.merge_upsert_mor(spark, _df(spark, rows), mor_t, ["K"],
+                             num_buckets=4, compact_every=None)
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount"])
+        before = _canon(ia.read_agg_snapshot(spark, agg_t))
+
+        mor.merge_upsert_mor(
+            spark, _df(spark, [("ephemeral", "g", 100.0, 9)]), mor_t, ["K"],
+            num_buckets=4, compact_every=None,
+        )
+        mor.delete_keys_mor(
+            spark, mor_t, spark.createDataFrame([("ephemeral",)], ["K"]),
+            ["K"], compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        assert _canon(ia.read_agg_snapshot(spark, agg_t)) == before
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_group_fully_deleted_disappears(self, spark, tmp_path):
+        mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")
+        rows = [("1", "solo", 5.0, 1), ("2", "big", 1.0, 1)]
+        mor.merge_upsert_mor(spark, _df(spark, rows), mor_t, ["K"],
+                             num_buckets=4, compact_every=None)
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount"])
+        mor.delete_where_mor(spark, mor_t, F.col("cat") == "solo",
+                             compact_every=None)
+        ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        got = ia.read_agg_snapshot(spark, agg_t)
+        assert got.filter(F.col("cat") == "solo").count() == 0
+        _assert_matches_recompute(spark, mor_t, agg_t)

@@ -373,22 +373,23 @@ class TestDeltaCrashSafety:
 
 class TestDriftCompactionInterleaving:
     """Seeded property test interleaving schema drift (add AND drop
-    columns) with explicit compactions across a random merge sequence —
-    the interleavings the hand-written drift test can't reach (drift while
-    deltas are outstanding, compaction right after a drift fold, drop
-    followed by re-add). The Python model mirrors the engine's documented
-    hash discipline: a stored row is replaced iff the batch row's
-    (column-set, values) signature differs — row_hash covers the batch's
-    own value set, so add/drop reclassifies overlapping keys as UPDATE
-    once and settles to SKIP (idempotency)."""
+    columns), explicit compactions, rebuckets AND row-level deletes across
+    a random merge sequence — the interleavings the hand-written tests
+    can't reach (drift while tombstones are outstanding, compaction right
+    after a drift fold, delete then re-insert across a rebucket). The
+    Python model mirrors the engine's documented hash discipline: a stored
+    row is replaced iff the batch row's (column-set, values) signature
+    differs — row_hash covers the batch's own value set, so add/drop
+    reclassifies overlapping keys as UPDATE once and settles to SKIP
+    (idempotency); deleted keys leave the model entirely."""
 
     def test_seeded_random_drift_and_compaction_sequence(self, spark, tmp_path):
         import random
 
-        # Seed chosen so the 8-step sequence exercises every action at
-        # least once (add/drop column, compact, rebucket) — verified by
-        # replaying the rng sequence (it is Spark-independent).
-        rng = random.Random(20260815)
+        # Seed chosen so the 10-step sequence exercises every action at
+        # least once (add/drop column, compact, rebucket, delete) —
+        # verified by replaying the rng sequence (it is Spark-independent).
+        rng = random.Random(20260825)
         target = str(tmp_path / "mor")
         keyspace = [f"k{i}" for i in range(150)]
         all_extras = ["W1", "W2", "W3"]
@@ -398,7 +399,7 @@ class TestDriftCompactionInterleaving:
         model: dict[str, dict] = {}
         last_batch = None
 
-        for step in range(8):
+        for step in range(10):
             action = rng.random()
             if action < 0.20 and len(active) < len(all_extras):
                 candidates = [c for c in all_extras if c not in active]
@@ -417,6 +418,22 @@ class TestDriftCompactionInterleaving:
                 from presencia_etl_spark.sinks.writers import rebucket
 
                 rebucket(spark, target, rng.choice([4, 16]))
+            elif action < 0.68 and model and step > 0:
+                # Row-level deletes mid-sequence: tombstone deltas must
+                # survive drift folds, compactions and rebuckets, and a
+                # later merge of a deleted key must re-insert it.
+                doomed = rng.sample(
+                    sorted(model), rng.randint(1, min(15, len(model)))
+                )
+                mor.delete_keys_mor(
+                    spark,
+                    target,
+                    spark.createDataFrame([(k,) for k in doomed], ["K"]),
+                    ["K"],
+                    compact_every=None,
+                )
+                for k in doomed:
+                    model.pop(k)
 
             picked = rng.sample(keyspace, rng.randint(20, 80))
             rows, cols = [], ["K", "V", *active]
@@ -615,3 +632,187 @@ class TestPartialCompaction:
         assert mor.compact_mor(spark, target, keep_last=5) == {
             "buckets_rewritten": 0, "deltas_folded": 0,
         }
+
+
+class TestMorDeletes:
+    """Row-level deletes via tombstone deltas — the data-lifecycle
+    extension (GDPR erasure / TTL) the reference never had (its sync
+    never deletes, trap N6)."""
+
+    def test_delete_where_is_o_changes_and_filters_reads(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        src = _src(spark, 500)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=8)
+        before = _base_files(target)
+
+        r = mor.delete_where_mor(spark, target, F.col("K").isin("3", "77", "401"))
+        assert r["delete"] == 3 and r["delta_files"] == 1
+        # O(changes): the base is untouched — only a delta dir appeared.
+        assert _base_files(target) == before
+        view = mor.read_mor(spark, target)
+        assert view.count() == 497
+        assert view.filter(F.col("K").isin("3", "77", "401")).count() == 0
+        # Schema unchanged for readers (no _deleted leakage).
+        assert mor.DELETED_COL not in view.columns
+
+    def test_delete_predicate_null_keeps_row(self, spark, tmp_path):
+        """SQL DELETE semantics: predicate NULL keeps the row."""
+        target = str(tmp_path / "mor")
+        rows = [("a", "1"), ("b", None), ("c", "3")]
+        df = spark.createDataFrame(rows, ["K", "V"])
+        mor.merge_upsert_mor(spark, df, target, ["K"], num_buckets=4)
+        r = mor.delete_where_mor(spark, target, F.col("V") > "1")
+        assert r["delete"] == 1  # only 'c'; b's NULL comparison keeps it
+        assert {x["K"] for x in mor.read_mor(spark, target).collect()} == {"a", "b"}
+
+    def test_delete_keys_prunes_buckets(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        mor.merge_upsert_mor(spark, _src(spark, 500), target, ["K"], num_buckets=8)
+        keys = spark.createDataFrame([("42",), ("notthere",)], ["K"])
+        r = mor.delete_keys_mor(spark, target, keys, ["K"])
+        assert r["delete"] == 1
+        assert mor.read_mor(spark, target).filter(F.col("K") == "42").count() == 0
+        # Missing keys are a clean no-op delete (idempotent erasure).
+        r = mor.delete_keys_mor(spark, target, keys, ["K"])
+        assert r["delete"] == 0 and mor._delta_seqs(target)[-1:] == [1]
+
+    def test_snapshot_and_change_feed_semantics(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        src = _src(spark, 300)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=8)
+        m = src.withColumn(
+            "V", F.when(F.col("K") == "7", F.lit("m")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m, target, ["K"], num_buckets=8)   # seq 1
+        mor.delete_where_mor(spark, target, F.col("K") == "7")          # seq 2
+
+        # Time travel: pre-delete snapshots still see the row.
+        assert mor.read_mor(spark, target, as_of_seq=1).filter(
+            F.col("K") == "7"
+        ).collect()[0]["V"] == "m"
+        assert mor.read_mor(spark, target).filter(F.col("K") == "7").count() == 0
+
+        # Change feed: tombstone with full pre-delete image (CDF preimage).
+        ch = mor.read_mor_changes(spark, target, since_seq=1).collect()
+        assert len(ch) == 1
+        assert ch[0]["K"] == "7" and ch[0][mor.DELETED_COL] and ch[0]["V"] == "m"
+
+        # Delete → re-insert: latest feed row is the live re-insert, and
+        # the merge classifies it as INSERT with a FRESH surrogate id.
+        old_id = ch[0]["id"]
+        re_ins = spark.createDataFrame([("7", "reborn")], ["K", "V"])
+        r = mor.merge_upsert_mor(spark, re_ins, target, ["K"], num_buckets=8)
+        assert (r["insert"], r["update"]) == (1, 0)
+        latest = mor.read_mor_changes(spark, target, since_seq=2).collect()
+        assert len(latest) == 1 and not latest[0][mor.DELETED_COL]
+        assert latest[0]["V"] == "reborn" and latest[0]["id"] != old_id
+
+    def test_compaction_physically_removes_and_empties_buckets(
+        self, spark, tmp_path
+    ):
+        target = str(tmp_path / "mor")
+        mor.merge_upsert_mor(spark, _src(spark, 400), target, ["K"], num_buckets=4)
+        mor.delete_where_mor(spark, target, F.lit(True), compact_every=None)
+        assert mor.read_mor(spark, target).count() == 0
+        r = mor.compact_mor(spark, target)
+        assert r["buckets_rewritten"] == 4
+        # All rows physically gone, layout still readable and mergeable.
+        assert mor.read_mor(spark, target).count() == 0
+        assert mor._delta_seqs(target) == []
+        r = mor.merge_upsert_mor(spark, _src(spark, 50), target, ["K"], num_buckets=4)
+        assert r["insert"] == 50
+        assert mor.read_mor(spark, target).count() == 50
+
+    def test_randomized_upsert_delete_sequence_matches_model(
+        self, spark, tmp_path
+    ):
+        """Seeded random interleaving of merges, predicate deletes, key
+        deletes and compactions against a driver-side dict model — the
+        delete analog of the COW differential."""
+        import random
+
+        rng = random.Random(20260814)
+        target = str(tmp_path / "mor")
+        keyspace = [f"k{i}" for i in range(200)]
+        model: dict[str, str] = {}
+        for step in range(8):
+            op = rng.random()
+            if op < 0.5 or not model:
+                picked = rng.sample(keyspace, rng.randint(20, 80))
+                rows = [(k, f"v{step}_{rng.randint(0, 4)}") for k in picked]
+                model.update(rows)
+                mor.merge_upsert_mor(
+                    spark,
+                    spark.createDataFrame(rows, ["K", "V"]),
+                    target,
+                    ["K"],
+                    num_buckets=8,
+                    compact_every=None,
+                )
+            elif op < 0.75:
+                doomed = rng.sample(sorted(model), rng.randint(1, len(model)))
+                mor.delete_keys_mor(
+                    spark,
+                    target,
+                    spark.createDataFrame([(k,) for k in doomed], ["K"]),
+                    ["K"],
+                    compact_every=None,
+                )
+                for k in doomed:
+                    model.pop(k)
+            else:
+                suffix = str(rng.randint(0, 4))
+                mor.delete_where_mor(
+                    spark,
+                    target,
+                    F.col("V").endswith(suffix),
+                    compact_every=None,
+                )
+                model = {k: v for k, v in model.items() if not v.endswith(suffix)}
+            if rng.random() < 0.3:
+                mor.compact_mor(spark, target, keep_last=rng.choice([0, 1]))
+            assert _state(mor.read_mor(spark, target)) == model, f"step {step}"
+        mor.compact_mor(spark, target)
+        assert _state(mor.read_mor(spark, target)) == model
+
+    def test_delete_on_non_mor_target_raises(self, spark, tmp_path):
+        target = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, _src(spark, 50), target, ["K"])
+        import pytest
+
+        with pytest.raises(ValueError, match="not a merge-on-read state"):
+            mor.delete_where_mor(spark, target, F.lit(True))
+
+
+class TestDeleteCli:
+    def test_delete_subcommand_routes_by_state_kind(
+        self, spark, tmp_path, capsys
+    ):
+        """`delete --target DIR --where PRED` routes like compact: MOR →
+        tombstone delta, bucketed COW → pruned rewrite, flat → atomic
+        rewrite."""
+        import json
+
+        from presencia_etl_spark.__main__ import main
+        from presencia_etl_spark.sinks.writers import merge_upsert_partitioned
+
+        src = _src(spark, 100)
+
+        mor_t = str(tmp_path / "mor")
+        mor.merge_upsert_mor(spark, src, mor_t, ["K"], num_buckets=4)
+        assert main(["delete", "--target", mor_t, "--where", "V = '01'"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["kind"] == "mor" and out["result"]["delete"] > 0
+        assert mor.read_mor(spark, mor_t).filter(F.col("V") == "01").count() == 0
+
+        cow_t = str(tmp_path / "cow")
+        merge_upsert_partitioned(spark, src, cow_t, ["K"], num_buckets=4)
+        assert main(["delete", "--target", cow_t, "--where", "V = '01'"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["kind"] == "bucketed" and out["result"]["delete"] > 0
+
+        flat = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, src, flat, ["K"])
+        assert main(["delete", "--target", flat, "--where", "V = '01'"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["kind"] == "parquet" and out["result"]["delete"] > 0

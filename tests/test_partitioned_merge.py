@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from presencia_etl_spark.sinks.writers import (
     compact_parquet,
+    delete_where_parquet,
+    delete_where_partitioned,
     merge_upsert_parquet,
     merge_upsert_partitioned,
 )
@@ -584,3 +586,74 @@ class TestRebucket:
         shutil.rmtree(target)
         assert _recover_interrupted_rebucket(target)
         assert self._state(spark, target) == want
+
+
+class TestCowDeletes:
+    """Row-level DELETE on the COW layouts: bucket-pruned rewrite for the
+    bucketed state, atomic staged rewrite for the flat state. The
+    reference's sync never deletes (trap N6) — this is the data-lifecycle
+    extension (GDPR erasure / TTL retention)."""
+
+    def _src(self, spark, n=400):
+        return spark.range(0, n).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 10).cast("string").alias("V"),
+        )
+
+    def test_partitioned_delete_prunes_clean_buckets(self, spark, tmp_path):
+        target = str(tmp_path / "cow")
+        merge_upsert_partitioned(spark, self._src(spark), target, ["K"], num_buckets=16)
+        before = _bucket_mtimes(target)
+        r = delete_where_partitioned(spark, target, F.col("K").isin("5", "250"))
+        assert r["delete"] == 2
+        after = _bucket_mtimes(target)
+        untouched = [d for d in before if before[d] == after.get(d)]
+        # Only the victims' buckets rewrote.
+        assert len(before) - len(untouched) == r["buckets_rewritten"] <= 2
+        got = spark.read.parquet(target)
+        assert got.count() == 398
+        assert got.filter(F.col("K").isin("5", "250")).count() == 0
+
+    def test_partitioned_delete_null_predicate_keeps_row(self, spark, tmp_path):
+        target = str(tmp_path / "cow")
+        df = spark.createDataFrame(
+            [("a", "1"), ("b", None), ("c", "3")], ["K", "V"]
+        )
+        merge_upsert_partitioned(spark, df, target, ["K"], num_buckets=4)
+        r = delete_where_partitioned(spark, target, F.col("V") > "1")
+        assert r["delete"] == 1
+        assert {x["K"] for x in spark.read.parquet(target).collect()} == {"a", "b"}
+
+    def test_partitioned_full_delete_stays_readable_and_mergeable(
+        self, spark, tmp_path
+    ):
+        target = str(tmp_path / "cow")
+        merge_upsert_partitioned(spark, self._src(spark, 100), target, ["K"], num_buckets=4)
+        r = delete_where_partitioned(spark, target, "K >= '0'")
+        assert r["delete"] == 100 and r["buckets_rewritten"] == 4
+        # Zero rows, but the layout still reads and re-merges (the empty
+        # reseed guard) — without it the next merge dies on
+        # UNABLE_TO_INFER_SCHEMA.
+        assert spark.read.parquet(target).count() == 0
+        r = merge_upsert_partitioned(spark, self._src(spark, 50), target, ["K"], num_buckets=4)
+        assert r["insert"] == 50
+        assert spark.read.parquet(target).count() == 50
+
+    def test_flat_delete_and_layout_guards(self, spark, tmp_path):
+        flat = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, self._src(spark, 100), flat, ["K"])
+        r = delete_where_parquet(spark, flat, F.col("V") == "3")
+        assert r["delete"] == 10
+        assert spark.read.parquet(flat).count() == 90
+        # No-match delete: no rewrite at all.
+        mtimes = sorted(os.listdir(flat))
+        assert delete_where_parquet(spark, flat, F.col("V") == "zz") == {"delete": 0}
+        assert sorted(os.listdir(flat)) == mtimes
+
+        # Cross-layout misuse raises descriptively both ways.
+        bucketed = str(tmp_path / "cow")
+        merge_upsert_partitioned(spark, self._src(spark, 50), bucketed, ["K"], num_buckets=4)
+        with pytest.raises(ValueError, match="bucketed"):
+            delete_where_parquet(spark, bucketed, F.lit(True))
+        with pytest.raises(ValueError, match="not bucketed"):
+            delete_where_partitioned(spark, flat, F.lit(True))
