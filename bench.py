@@ -307,6 +307,22 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         ).collect()
         out["agg_recompute_sec"] = round(time.perf_counter() - t0, 3)
 
+        # Sparse row-level delete (the GDPR-erasure / TTL shape): key-set
+        # tombstone delete through the MOR path — O(matches) write, zero
+        # base churn — vs the bucket-rewrite COW delete on the same keys.
+        from presencia_etl_spark.sinks.mor import delete_keys_mor
+        from presencia_etl_spark.sinks.writers import delete_where_partitioned
+
+        doomed = li.filter(F.col("l_orderkey") < 10).select("l_key")
+        t0 = time.perf_counter()
+        r = delete_keys_mor(spark, mtarget, doomed, ["l_key"], compact_every=None)
+        out["delete_sparse_mor_sec"] = round(time.perf_counter() - t0, 3)
+        out["delete_sparse_mor_rows"] = int(r["delete"])
+        t0 = time.perf_counter()
+        r = delete_where_partitioned(spark, ptarget, F.col("l_orderkey") < 10)
+        out["delete_sparse_cow_sec"] = round(time.perf_counter() - t0, 3)
+        out["delete_sparse_cow_buckets"] = int(r["buckets_rewritten"])
+
         # Steady-state corpus admit loop (what a 100 TB training pipeline
         # runs per ingest batch): history indexed untimed, then THREE
         # consecutive batches through gate→probe→admit→register. Batch 1

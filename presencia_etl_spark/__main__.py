@@ -108,7 +108,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--target", required=True, help="state directory")
     p.add_argument(
-        "--where", required=True, help="SQL predicate; rows where TRUE are deleted"
+        "--where", default=None, help="SQL predicate; rows where TRUE are deleted"
+    )
+    p.add_argument(
+        "--retain-days",
+        type=int,
+        default=None,
+        help="TTL form: delete rows with --date-col older than N days "
+        "(instead of --where)",
+    )
+    p.add_argument(
+        "--date-col", default=None, help="date column for --retain-days"
     )
 
     p = sub.add_parser("reconcile")
@@ -187,29 +197,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "delete":
-        import os
+        from presencia_etl_spark.sinks.lifecycle import apply_retention, delete_rows
 
-        from presencia_etl_spark.sinks.writers import BUCKET_COL
-
-        target = args.target
-        if os.path.exists(os.path.join(target, "_mor_meta.json")):
-            from presencia_etl_spark.sinks.mor import delete_where_mor
-
-            out = {"kind": "mor", **delete_where_mor(spark, target, args.where)}
-        elif BUCKET_COL in spark.read.parquet(target).columns:
-            from presencia_etl_spark.sinks.writers import delete_where_partitioned
-
-            out = {
-                "kind": "bucketed",
-                **delete_where_partitioned(spark, target, args.where),
-            }
+        if args.retain_days is not None and not args.date_col:
+            ap.error("--retain-days requires --date-col")
+        if args.retain_days is None and not args.where:
+            ap.error("give --where PRED or --retain-days N --date-col COL")
+        if args.retain_days is not None:
+            out = apply_retention(
+                spark, args.target, args.date_col, keep_days=args.retain_days
+            )
         else:
-            from presencia_etl_spark.sinks.writers import delete_where_parquet
-
-            out = {
-                "kind": "parquet",
-                **delete_where_parquet(spark, target, args.where),
-            }
+            out = delete_rows(spark, args.target, args.where)
         print(json.dumps({"cmd": "delete", "result": out}))
         return 0
 

@@ -1,5 +1,10 @@
 """Sinks: overwrite / append / merge-upsert writers (SURVEY §2.1 S5–S8)."""
 
+from presencia_etl_spark.sinks.lifecycle import (
+    apply_retention,
+    delete_rows,
+    state_kind,
+)
 from presencia_etl_spark.sinks.mor import (
     compact_mor,
     delete_keys_mor,
@@ -26,6 +31,9 @@ from presencia_etl_spark.sinks.writers import (
 
 __all__ = [
     "append_parquet",
+    "apply_retention",
+    "delete_rows",
+    "state_kind",
     "compact_mor",
     "delete_keys_mor",
     "delete_where_mor",

@@ -72,6 +72,11 @@ DELTA_DIR = "deltas"
 META_FILE = "_mor_meta.json"
 SEQ_COL = "_delta_seq"
 STAGING_PREFIX = ".staging_"
+# Bounded In(key) pushdown: below this many update/delete keys, the key
+# list is collected (bounded driver bookkeeping, same discipline as the
+# dedup-index probe) and pushed into the base/delta parquet scans, where
+# the key-sorted file layout turns it into row-group skipping.
+KEY_PUSHDOWN_LIMIT = 4096
 # Tombstone marker on delta rows. Upsert deltas never write the column
 # (their schema stays byte-identical to pre-delete states); _read_deltas
 # normalizes it in with mergeSchema + coalesce(false), so every consumer
@@ -179,7 +184,11 @@ def _commit_delta(
     ddir = os.path.join(target_path, DELTA_DIR, f"{SEQ_COL}={seq}")
     staged = os.path.join(target_path, DELTA_DIR, f"{STAGING_PREFIX}{seq}")
     n_files = max(1, min(4, n_rows // 100_000 + 1))
-    out.repartition(n_files).write.mode("overwrite").parquet(staged)
+    # Key-sorted like the bucket files: delta scans under an In(key)
+    # pushdown (the identity fetch, key deletes) row-group-skip too.
+    out.repartition(n_files).sortWithinPartitions(cdc.KEY_COL).write.mode(
+        "overwrite"
+    ).parquet(staged)
     os.rename(staged, ddir)
     meta["seq"] = seq
     _write_meta(target_path, meta)
@@ -355,12 +364,31 @@ def merge_upsert_mor(
             upd_buckets = [
                 r[BUCKET_COL] for r in upd_keys.select(BUCKET_COL).distinct().collect()
             ]
-            cur = base.filter(F.col(BUCKET_COL).isin(upd_buckets)).select(
+            base_cur = base.filter(F.col(BUCKET_COL).isin(upd_buckets))
+            delta_cur = deltas
+            if n_update <= KEY_PUSHDOWN_LIMIT:
+                # Second pruning level under the _kb= dir pruning: the
+                # (bounded) update keys push into the parquet scans as an
+                # In(_cdc_key) filter — the bucket files are KEY-SORTED
+                # precisely so their row-group min/max ranges are disjoint
+                # and this skips row groups WITHIN a dirty bucket. For a
+                # sparse merge at 100 TB the identity fetch then reads a
+                # few row groups, not a few hundred-MB buckets.
+                pushed = [
+                    r[cdc.KEY_COL]
+                    for r in upd_keys.select(cdc.KEY_COL).distinct().collect()
+                ]
+                base_cur = base_cur.filter(F.col(cdc.KEY_COL).isin(pushed))
+                if delta_cur is not None:
+                    delta_cur = delta_cur.filter(
+                        F.col(cdc.KEY_COL).isin(pushed)
+                    )
+            cur = base_cur.select(
                 cdc.KEY_COL, "id", "created_at", F.lit(-1).alias(SEQ_COL)
             )
-            if deltas is not None:
+            if delta_cur is not None:
                 cur = cur.unionByName(
-                    deltas.select(cdc.KEY_COL, "id", "created_at", SEQ_COL)
+                    delta_cur.select(cdc.KEY_COL, "id", "created_at", SEQ_COL)
                 )
             w = Window.partitionBy(cdc.KEY_COL).orderBy(F.col(SEQ_COL).desc())
             cur = (
@@ -537,15 +565,21 @@ def delete_keys_mor(
         if not dirty:
             return {"delete": 0, "delta_files": 0, "compacted": False}
         n_keys = keyed.count()
-        victims = (
-            read_mor(spark, target_path)
-            .filter(F.col(BUCKET_COL).isin(dirty))
-            .join(
+        victims = read_mor(spark, target_path).filter(
+            F.col(BUCKET_COL).isin(dirty)
+        )
+        if n_keys <= KEY_PUSHDOWN_LIMIT:
+            # Row-group-level pruning inside the dirty buckets (see
+            # KEY_PUSHDOWN_LIMIT): the erasure scan reads a few row
+            # groups, not whole buckets.
+            pushed = [r[cdc.KEY_COL] for r in keyed.select(cdc.KEY_COL).collect()]
+            victims = victims.filter(F.col(cdc.KEY_COL).isin(pushed))
+        else:
+            victims = victims.join(
                 _maybe_broadcast(keyed.select(cdc.KEY_COL), n_keys),
                 cdc.KEY_COL,
                 "left_semi",
             )
-        )
         return _tombstone_commit(
             spark, target_path, victims, compact_every, compact_keep_last
         )
@@ -706,9 +740,11 @@ def compact_mor(
             prefix="mor_compact_", dir=os.path.dirname(base_path) or "."
         )
         try:
-            new_parts.repartition(max(len(dirty), 1), F.col(BUCKET_COL)).write.mode(
-                "overwrite"
-            ).partitionBy(BUCKET_COL).parquet(staged)
+            new_parts.repartition(
+                max(len(dirty), 1), F.col(BUCKET_COL)
+            ).sortWithinPartitions(BUCKET_COL, cdc.KEY_COL).write.mode("overwrite").partitionBy(
+                BUCKET_COL
+            ).parquet(staged)
             # A bucket whose every row was deleted produces NO staged dir
             # (dynamic partitionBy writes only non-empty partitions) — and
             # swap_bucket_dirs deliberately skips missing staged buckets

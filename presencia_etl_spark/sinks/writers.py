@@ -208,6 +208,7 @@ def rebucket(
     shutil.rmtree(retired, ignore_errors=True)
     (
         out.repartition(new_buckets, F.col(BUCKET_COL))
+        .sortWithinPartitions(BUCKET_COL, cdc.KEY_COL)
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
         .parquet(staged)
@@ -289,9 +290,12 @@ def delete_where_partitioned(
             prefix="delete_staged_", dir=os.path.dirname(target_path) or "."
         )
         try:
-            keep.repartition(len(dirty), F.col(BUCKET_COL)).write.mode(
-                "overwrite"
-            ).partitionBy(BUCKET_COL).parquet(staged)
+            staged_keep = keep.repartition(len(dirty), F.col(BUCKET_COL))
+            if cdc.KEY_COL in tgt.columns:  # pre-key-backfill states lack it
+                staged_keep = staged_keep.sortWithinPartitions(BUCKET_COL, cdc.KEY_COL)
+            staged_keep.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                staged
+            )
             # Fully-emptied buckets produce no staged dir (dynamic
             # partitionBy writes only non-empty partitions) and
             # swap_bucket_dirs skips missing staged buckets — stage
@@ -706,7 +710,14 @@ def merge_upsert_partitioned(
         # one file per bucket dir. Without this, every writing task spills
         # a file into every bucket it touches and the target accretes
         # num_tasks × num_buckets small files that all later scans pay for.
-        out = out.repartition(num_buckets, F.col(BUCKET_COL))
+        # Each bucket file is KEY-SORTED: parquet row-group min/max stats
+        # on _cdc_key then become disjoint ranges, so any later In(key)
+        # pushdown (the MOR identity fetch, key deletes) skips row groups
+        # inside a bucket — the second pruning level under the _kb= dir
+        # pruning, and the one that matters when a bucket is 100s of MB.
+        out = out.repartition(num_buckets, F.col(BUCKET_COL)).sortWithinPartitions(
+            BUCKET_COL, cdc.KEY_COL
+        )
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
         _write_bucket_meta(target_path, num_buckets)
         # Count the WRITTEN files (parquet footer metadata, no recompute) —
@@ -841,8 +852,11 @@ def merge_upsert_partitioned(
     try:
         # One task per dirty bucket → one file per rebuilt bucket dir (see
         # the initial-load comment; keeps target file count == bucket count
-        # across arbitrarily many merges).
-        new_parts = new_parts.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
+        # across arbitrarily many merges), key-sorted like the initial load
+        # so rewrites preserve the row-group-skipping layout.
+        new_parts = new_parts.repartition(
+            max(len(dirty), 1), F.col(BUCKET_COL)
+        ).sortWithinPartitions(BUCKET_COL, cdc.KEY_COL)
         new_parts.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged)
         swap_bucket_dirs(staged, target_path, dirty)
     finally:

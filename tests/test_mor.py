@@ -816,3 +816,58 @@ class TestDeleteCli:
         assert main(["delete", "--target", flat, "--where", "V = '01'"]) == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["result"]["kind"] == "parquet" and out["result"]["delete"] > 0
+
+
+class TestLifecycle:
+    """Kind-routed delete_rows + TTL apply_retention (sinks/lifecycle)."""
+
+    def test_apply_retention_ttl_on_mor_state(self, spark, tmp_path):
+        from presencia_etl_spark.sinks.lifecycle import apply_retention, delete_rows
+
+        target = str(tmp_path / "mor")
+        rows = [
+            ("a", "2026-01-01"), ("b", "2026-06-01"),
+            ("c", "2026-08-01"), ("d", None),  # NULL age → retained
+        ]
+        df = spark.createDataFrame(rows, ["K", "day"]).withColumn(
+            "day", F.to_date("day")
+        )
+        mor.merge_upsert_mor(spark, df, target, ["K"], num_buckets=4)
+        r = apply_retention(spark, target, "day", cutoff="2026-07-01")
+        assert r["kind"] == "mor" and r["delete"] == 2
+        kept = {x["K"] for x in mor.read_mor(spark, target).collect()}
+        assert kept == {"c", "d"}
+
+        # keep_days form runs (cutoff = engine-side current_date − N; with
+        # a huge window nothing else expires).
+        r = apply_retention(spark, target, "day", keep_days=100_000)
+        assert r["delete"] == 0
+        import pytest
+
+        with pytest.raises(ValueError, match="exactly one"):
+            apply_retention(spark, target, "day")
+
+        # delete_rows routes flat states too.
+        flat = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, _src(spark, 30), flat, ["K"])
+        r = delete_rows(spark, flat, "V = '01'")
+        assert r["kind"] == "parquet" and r["delete"] > 0
+
+    def test_delete_cli_ttl_form(self, spark, tmp_path, capsys):
+        import json
+
+        from presencia_etl_spark.__main__ import main
+
+        target = str(tmp_path / "mor")
+        df = spark.createDataFrame(
+            [("a", "2000-01-01"), ("b", "2099-01-01")], ["K", "day"]
+        ).withColumn("day", F.to_date("day"))
+        mor.merge_upsert_mor(spark, df, target, ["K"], num_buckets=4)
+        rc = main([
+            "delete", "--target", target,
+            "--retain-days", "3650", "--date-col", "day",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["delete"] == 1
+        assert {x["K"] for x in mor.read_mor(spark, target).collect()} == {"b"}

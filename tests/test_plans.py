@@ -212,3 +212,62 @@ class TestMorReadPlan:
         p = plan_of(mor.read_mor(spark, target))
         assert "BroadcastHashJoin LeftAnti BuildRight" in p, p
         assert "SortMergeJoin" not in p, p
+
+
+class TestKeySortedBucketLayout:
+    def test_bucket_files_are_key_sorted_for_rowgroup_skipping(
+        self, spark, tmp_path
+    ):
+        """Every bucketed write (COW initial load, dirty-bucket rewrite,
+        MOR compaction) must land KEY-SORTED files: parquet row-group
+        min/max stats on _cdc_key are then disjoint ranges, so the
+        In(_cdc_key) pushdown used by the MOR identity fetch and key
+        deletes skips row groups WITHIN a bucket — the pruning level
+        below the _kb= dir pruning."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.operators import cdc
+        from presencia_etl_spark.sinks import mor
+        from presencia_etl_spark.sinks.writers import merge_upsert_partitioned
+
+        def assert_sorted(state_dir):
+            import glob
+
+            files = glob.glob(f"{state_dir}/_kb=*/*.parquet")
+            assert files
+            for f in files:
+                keys = pq.read_table(f, columns=[cdc.KEY_COL])[
+                    cdc.KEY_COL
+                ].to_pylist()
+                assert keys == sorted(keys), f
+
+        src = spark.range(0, 3000).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 7).cast("string").alias("V"),
+        )
+
+        cow = str(tmp_path / "cow")
+        merge_upsert_partitioned(spark, src, cow, ["K"], num_buckets=4)
+        assert_sorted(cow)
+        # Dirty-bucket rewrite preserves the property.
+        m = src.withColumn(
+            "V", F.when(F.col("K") == "42", F.lit("x")).otherwise(F.col("V"))
+        )
+        merge_upsert_partitioned(spark, m, cow, ["K"], num_buckets=4)
+        assert_sorted(cow)
+
+        mor_t = str(tmp_path / "mor")
+        mor.merge_upsert_mor(spark, src, mor_t, ["K"], num_buckets=4)
+        mor.merge_upsert_mor(spark, m, mor_t, ["K"], num_buckets=4)
+        mor.compact_mor(spark, mor_t)
+        assert_sorted(f"{mor_t}/base")
+
+        # And the pushdown the layout serves: an In(_cdc_key) predicate
+        # reaches the parquet scan as a pushed filter.
+        plan = plan_of(
+            spark.read.parquet(cow).filter(
+                F.col(cdc.KEY_COL).isin("k1", "k2")
+            )
+        )
+        assert f"In({cdc.KEY_COL}" in plan, plan
