@@ -166,3 +166,64 @@ class TestDedupAdmitStream:
         ids = sorted(r["doc_id"] for r in state.collect())
         assert ids == [101, 201]  # 200 gated by 101's index entry; 101 not duplicated
         assert state.select("doc_id").distinct().count() == 2
+
+
+class TestChangeFeedStream:
+    def test_feed_streams_changes_exactly_once_with_tombstones(
+        self, spark, tmp_path
+    ):
+        """The MOR delta log consumed as a Structured Streaming source:
+        run 1 delivers the existing delta; run 2 (same checkpoint)
+        delivers ONLY the new merge + delete events — no re-delivery —
+        and a key updated-then-deleted in the window folds to one
+        tombstone row carrying its pre-delete image."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.sinks import mor
+        from presencia_etl_spark.streaming.change_feed import mirror_mor_changes
+
+        target = str(tmp_path / "mor")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        src = spark.range(0, 200).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 5).cast("string").alias("V"),
+        )
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=4)
+        m1 = src.withColumn(
+            "V", F.when(F.col("K") == "7", F.lit("m1")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m1, target, ["K"], num_buckets=4)  # seq 1
+
+        q = mirror_mor_changes(spark, target, sink, ckpt)
+        q.awaitTermination(120)
+        got = spark.read.parquet(sink).collect()
+        assert len(got) == 1
+        assert got[0]["K"] == "7" and got[0]["_delta_seq"] == 1
+        assert not got[0]["_deleted"]
+
+        # New window: update K=9 (seq 2) then delete K=9 AND K=7 (seq 3).
+        m2 = m1.withColumn(
+            "V", F.when(F.col("K") == "9", F.lit("m2")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m2, target, ["K"], num_buckets=4)  # seq 2
+        mor.delete_keys_mor(
+            spark, target,
+            spark.createDataFrame([("9",), ("7",)], ["K"]), ["K"],
+            compact_every=None,
+        )  # seq 3
+
+        q = mirror_mor_changes(spark, target, sink, ckpt)
+        q.awaitTermination(120)
+        rows = {
+            (r["K"], r["_delta_seq"]): r for r in spark.read.parquet(sink).collect()
+        }
+        # Exactly-once: seq-1 event still singular.
+        assert sum(1 for (k, s) in rows if s == 1) == 1
+        # Latest-wins fold within the new micro-batch: K=9 arrives once,
+        # as the seq-3 tombstone with its last value (the seq-2 update).
+        assert ("9", 2) not in rows
+        k9 = rows[("9", 3)]
+        assert k9["_deleted"] and k9["V"] == "m2"
+        k7 = rows[("7", 3)]
+        assert k7["_deleted"] and k7["V"] == "m1"
