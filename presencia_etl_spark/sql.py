@@ -1,0 +1,84 @@
+"""SQL surface over a synced warehouse.
+
+The reference's warehouse is MySQL — its consumers just ``SELECT`` from
+the synced tables (reconcile queries, the Flask endpoints, ad-hoc BI).
+Our warehouse is a directory of parquet states in three layouts (flat
+COW, bucketed COW, merge-on-read); this module gives SQL consumers the
+same experience: one call registers every state as a temp view with the
+CORRECT reader for its layout, so ``spark.sql("SELECT ... FROM socios")``
+works no matter how the table is stored — a MOR table's view applies the
+latest-wins delta reconciliation and tombstone filtering transparently.
+
+Views are metadata-only (no job, no copy) — but they SNAPSHOT the file
+listing (and, for MOR, the delta-dir set) at registration: a merge that
+lands after ``register_state_views`` is not visible to the existing view
+(verified by test). That is consistent-read behavior, not staleness —
+re-register after syncs (cheap: footer reads only) to advance the
+snapshot, the same move as a table format's REFRESH. Register under a
+fixed prefix for multi-warehouse sessions.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from presencia_etl_spark.operators import cdc
+from presencia_etl_spark.sinks.lifecycle import state_kind
+from presencia_etl_spark.sinks.mor import read_mor
+from presencia_etl_spark.sinks.writers import BUCKET_COL
+
+# Engine-internal columns SQL consumers shouldn't see by default; the
+# audit envelope (id, row_hash, created_at, updated_at) IS part of the
+# reference's warehouse tables and stays visible.
+INTERNAL_COLS = (BUCKET_COL, cdc.KEY_COL)
+
+
+def _view_name(dirname: str) -> str:
+    name = re.sub(r"\W", "_", dirname).strip("_").lower()
+    if not name or name[0].isdigit():
+        name = f"t_{name}"
+    return name
+
+
+def read_state(spark: SparkSession, path: str) -> DataFrame:
+    """The current contents of one state dir, layout-aware."""
+    if state_kind(spark, path) == "mor":
+        return read_mor(spark, path)
+    return spark.read.parquet(path)
+
+
+def register_state_views(
+    spark: SparkSession,
+    warehouse_root: str,
+    include_internal: bool = False,
+    prefix: str = "",
+) -> dict[str, str]:
+    """CREATE OR REPLACE a temp view per state dir under ``warehouse_root``.
+
+    Returns {view_name: state_path}. A dir is a state if it is a MOR
+    root, holds ``_kb=`` bucket dirs, or holds parquet files directly;
+    other dirs are skipped silently (checkpoints, indexes)."""
+    out: dict[str, str] = {}
+    for d in sorted(os.listdir(warehouse_root)):
+        path = os.path.join(warehouse_root, d)
+        if not os.path.isdir(path) or d.startswith((".", "_")):
+            continue
+        is_state = (
+            os.path.exists(os.path.join(path, "_mor_meta.json"))
+            or any(
+                c.startswith(f"{BUCKET_COL}=") or c.endswith(".parquet")
+                for c in os.listdir(path)
+            )
+        )
+        if not is_state:
+            continue
+        df = read_state(spark, path)
+        if not include_internal:
+            df = df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
+        name = f"{prefix}{_view_name(d)}"
+        df.createOrReplaceTempView(name)
+        out[name] = path
+    return out

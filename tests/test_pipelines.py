@@ -254,3 +254,60 @@ class TestSociosDocsVariant:
         )
         out = prepare_table(df, SOCIOS_DOCS_VARIANT, typed=False)
         assert {r["NUMSOCIO"] for r in out.collect()} == {"1", "2"}
+
+
+class TestSqlSurface:
+    def test_register_state_views_layout_aware(self, spark, tmp_path):
+        """One call registers every warehouse state as a SQL view with the
+        correct reader per layout: a MOR table's view applies latest-wins
+        + tombstone filtering; internal columns (_kb, _cdc_key) are hidden
+        while the audit envelope (part of the reference's warehouse
+        schema) stays. Views snapshot at registration — re-registering
+        advances them past later merges (the documented REFRESH move)."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.sinks import mor
+        from presencia_etl_spark.sinks.writers import (
+            merge_upsert_parquet,
+            merge_upsert_partitioned,
+        )
+        from presencia_etl_spark.sql import register_state_views
+
+        wh = str(tmp_path / "wh")
+        import os
+
+        os.makedirs(wh)
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(40)], ["k", "name"]
+        )
+        mor.merge_upsert_mor(spark, df, f"{wh}/Socios", ["k"], num_buckets=4)
+        merge_upsert_partitioned(
+            spark, df, f"{wh}/Liquidaciones", ["k"], num_buckets=4
+        )
+        merge_upsert_parquet(spark, df, f"{wh}/Cobradores", ["k"])
+
+        views = register_state_views(spark, wh)
+        assert set(views) == {"socios", "liquidaciones", "cobradores"}
+        assert spark.sql("SELECT count(*) c FROM socios").collect()[0]["c"] == 40
+        cols = spark.table("liquidaciones").columns
+        assert "_kb" not in cols and "_cdc_key" not in cols
+        assert "row_hash" in cols and "id" in cols  # audit stays
+
+        # MOR view reflects deletes/upserts after RE-registration.
+        mor.delete_keys_mor(
+            spark, f"{wh}/Socios",
+            spark.createDataFrame([(7,)], ["k"]), ["k"],
+        )
+        register_state_views(spark, wh)
+        got = spark.sql("SELECT k FROM socios WHERE k = 7").collect()
+        assert got == []
+
+        # include_internal exposes the layout columns for operators.
+        register_state_views(spark, wh, include_internal=True, prefix="raw_")
+        assert "_kb" in spark.table("raw_liquidaciones").columns
+
+        # Joining across layouts through plain SQL.
+        n = spark.sql(
+            "SELECT count(*) c FROM socios s JOIN liquidaciones l ON s.k = l.k"
+        ).collect()[0]["c"]
+        assert n == 39
