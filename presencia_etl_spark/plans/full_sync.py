@@ -70,9 +70,11 @@ def full_sync(
     tables: dict[str, DataFrame],
     configs: dict[str, TableConfig],
     target_root: str,
+    record_gen: bool = True,
 ) -> dict[str, int]:
     """Run the EP1 full load for every configured table; returns row counts
-    (the reference's final summary report, sync_ALL.py:358-368)."""
+    (the reference's final summary report, sync_ALL.py:358-368). Each
+    completed run records a warehouse generation (``plans.generations``)."""
     counts: dict[str, int] = {}
     for name, cfg in configs.items():
         if name not in tables:
@@ -88,4 +90,8 @@ def full_sync(
         out = with_audit_columns(prepared, key_cols)
         overwrite_parquet(out, f"{target_root}/{name}")
         counts[name] = spark.read.parquet(f"{target_root}/{name}").count()
+    if record_gen and counts:
+        from presencia_etl_spark.plans.generations import record_generation
+
+        record_generation(spark, target_root)
     return counts

@@ -80,8 +80,11 @@ def incremental_sync(
     tables: dict[str, DataFrame],
     configs: dict[str, TableConfig],
     target_root: str,
+    record_gen: bool = True,
 ) -> dict[str, dict[str, int]]:
-    """EP2 over the whole registry."""
+    """EP2 over the whole registry. Each completed run records a warehouse
+    GENERATION (``plans.generations``) pinning every MOR table's sequence,
+    so consumers can read the run's cross-table consistent snapshot."""
     from presencia_etl_spark.operators.filters import apply_filters
 
     results: dict[str, dict[str, int]] = {}
@@ -97,4 +100,8 @@ def incremental_sync(
         results[name] = incremental_sync_table(
             spark, tables[name], cfg, target_root, semi_source=semi_src
         )
+    if record_gen and results:
+        from presencia_etl_spark.plans.generations import record_generation
+
+        record_generation(spark, target_root)
     return results

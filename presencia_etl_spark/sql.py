@@ -43,10 +43,13 @@ def _view_name(dirname: str) -> str:
     return name
 
 
-def read_state(spark: SparkSession, path: str) -> DataFrame:
-    """The current contents of one state dir, layout-aware."""
+def read_state(
+    spark: SparkSession, path: str, as_of_seq: int | None = None
+) -> DataFrame:
+    """The contents of one state dir, layout-aware; ``as_of_seq`` gives a
+    snapshot read on MOR states (ignored for COW — they hold no history)."""
     if state_kind(spark, path) == "mor":
-        return read_mor(spark, path)
+        return read_mor(spark, path, as_of_seq=as_of_seq)
     return spark.read.parquet(path)
 
 
@@ -55,12 +58,33 @@ def register_state_views(
     warehouse_root: str,
     include_internal: bool = False,
     prefix: str = "",
+    generation: int | None = None,
 ) -> dict[str, str]:
     """CREATE OR REPLACE a temp view per state dir under ``warehouse_root``.
 
     Returns {view_name: state_path}. A dir is a state if it is a MOR
     root, holds ``_kb=`` bucket dirs, or holds parquet files directly;
-    other dirs are skipped silently (checkpoints, indexes)."""
+    other dirs are skipped silently (checkpoints, indexes).
+
+    ``generation=N`` (or -1 for the latest recorded) pins every MOR view
+    at the delta sequence the warehouse manifest recorded for sync run N
+    (``plans.generations``) — a cross-table CONSISTENT snapshot: queries
+    joining several MOR tables see exactly run N's state even while newer
+    syncs land. COW tables can't time-travel and resolve to their current
+    state (all-MOR warehouses get the full guarantee); a generation older
+    than a table's compaction floor raises, like any expired snapshot."""
+    seqs: dict[str, int] = {}
+    if generation is not None:
+        from presencia_etl_spark.plans.generations import generation_entry
+
+        entry = generation_entry(
+            warehouse_root, None if generation == -1 else generation
+        )
+        seqs = {
+            d: t["seq"]
+            for d, t in entry["tables"].items()
+            if t["kind"] == "mor"
+        }
     out: dict[str, str] = {}
     for d in sorted(os.listdir(warehouse_root)):
         path = os.path.join(warehouse_root, d)
@@ -75,7 +99,7 @@ def register_state_views(
         )
         if not is_state:
             continue
-        df = read_state(spark, path)
+        df = read_state(spark, path, as_of_seq=seqs.get(d))
         if not include_internal:
             df = df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
         name = f"{prefix}{_view_name(d)}"

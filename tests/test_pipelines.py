@@ -311,3 +311,67 @@ class TestSqlSurface:
             "SELECT count(*) c FROM socios s JOIN liquidaciones l ON s.k = l.k"
         ).collect()[0]["c"]
         assert n == 39
+
+
+class TestWarehouseGenerations:
+    def test_generation_reads_are_cross_table_consistent(self, spark, tmp_path):
+        """Each sync run records a generation pinning every MOR table's
+        sequence; register_state_views(generation=N) reconstructs run N's
+        warehouse — joins across tables see one run's state even after
+        newer syncs landed."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.plans.generations import (
+            generation_entry,
+            record_generation,
+        )
+        from presencia_etl_spark.sinks import mor
+        from presencia_etl_spark.sql import register_state_views
+
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+
+        def sync(step):
+            a = spark.createDataFrame(
+                [(i, f"a{step}_{i}") for i in range(20)], ["k", "va"]
+            )
+            b = spark.createDataFrame(
+                [(i, f"b{step}_{i}") for i in range(20)], ["k", "vb"]
+            )
+            mor.merge_upsert_mor(spark, a, f"{wh}/ta", ["k"], num_buckets=4,
+                                 compact_every=None)
+            mor.merge_upsert_mor(spark, b, f"{wh}/tb", ["k"], num_buckets=4,
+                                 compact_every=None)
+            return record_generation(spark, wh)
+
+        g1 = sync(1)
+        g2 = sync(2)
+        assert (g1["gen"], g2["gen"]) == (1, 2)
+        assert g1["tables"]["ta"]["seq"] == 0  # initial load, no deltas
+        assert g2["tables"]["ta"]["seq"] == 1
+
+        # Generation 1: both tables show run-1 values, consistently.
+        register_state_views(spark, wh, generation=1)
+        row = spark.sql(
+            "SELECT va, vb FROM ta JOIN tb USING (k) WHERE k = 3"
+        ).collect()[0]
+        assert (row["va"], row["vb"]) == ("a1_3", "b1_3")
+
+        # Latest (-1) resolves to generation 2.
+        register_state_views(spark, wh, generation=-1)
+        row = spark.sql("SELECT va FROM ta WHERE k = 3").collect()[0]
+        assert row["va"] == "a2_3"
+
+        # Unknown generation raises with the available list.
+        import pytest
+
+        with pytest.raises(ValueError, match="generation 9 not found"):
+            register_state_views(spark, wh, generation=9)
+
+        # Retention: compacting past gen-1's sequences expires it.
+        mor.compact_mor(spark, f"{wh}/ta")
+        with pytest.raises(ValueError, match="predates the last compaction"):
+            register_state_views(spark, wh, generation=1)
+        assert generation_entry(wh)["gen"] == 2
