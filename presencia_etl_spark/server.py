@@ -40,6 +40,8 @@ CATALOG = {
         "/run/full-sync": "full synchronization (first load)",
         "/run/incremental": "incremental synchronization (daily)",
         "/run/clean": "drop warehouse tables",
+        "/run/delete": "row-level delete (where=PRED or retain_days=N&date_col=C)",
+        "/state/history": "state bookkeeping: MOR snapshot log / warehouse generations",
         "/health": "liveness",
     },
 }
@@ -137,6 +139,64 @@ class _Handler(BaseHTTPRequestHandler):
                     return
                 shutil.rmtree(resolved, ignore_errors=True)
                 self._reply(200, {"status": "ok", "result": {"dropped": resolved}})
+            elif url.path == "/run/delete":
+                # Destructive like /run/clean → same warehouse-root fence.
+                target = params.get("target")
+                if not target:
+                    self._reply(400, {"status": "error", "error": "target param required"})
+                    return
+                try:
+                    resolved = self._clean_target(target)
+                except PermissionError as e:
+                    self._reply(403, {"status": "error", "error": str(e)})
+                    return
+                from presencia_etl_spark.sinks.lifecycle import (
+                    apply_retention,
+                    delete_rows,
+                )
+
+                if "retain_days" in params:
+                    if "date_col" not in params:
+                        self._reply(
+                            400,
+                            {"status": "error", "error": "retain_days requires date_col"},
+                        )
+                        return
+                    out = apply_retention(
+                        self.spark,
+                        resolved,
+                        params["date_col"],
+                        keep_days=int(params["retain_days"]),
+                    )
+                elif "where" in params:
+                    out = delete_rows(self.spark, resolved, params["where"])
+                else:
+                    self._reply(
+                        400,
+                        {"status": "error", "error": "give where=PRED or retain_days=N&date_col=C"},
+                    )
+                    return
+                self._reply(200, {"status": "ok", "result": out})
+            elif url.path == "/state/history":
+                target = params.get("target")
+                if not target:
+                    self._reply(400, {"status": "error", "error": "target param required"})
+                    return
+                try:
+                    resolved = self._clean_target(target)
+                except PermissionError as e:
+                    self._reply(403, {"status": "error", "error": str(e)})
+                    return
+                from presencia_etl_spark.plans.generations import load_manifest
+                from presencia_etl_spark.sinks.mor import META_FILE, mor_history
+
+                out = {}
+                if os.path.exists(os.path.join(resolved, META_FILE)):
+                    out["mor"] = mor_history(resolved)
+                gens = load_manifest(resolved)["generations"]
+                if gens:
+                    out["generations"] = gens
+                self._reply(200, {"status": "ok", "result": out})
             else:
                 self._reply(404, {"status": "error", "error": f"unknown path {url.path}"})
         except Exception as e:  # mirror the reference's 500 JSON envelope

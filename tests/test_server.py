@@ -124,3 +124,45 @@ class TestControlPlane:
         code, body = _get(f"{unfenced_server}/run/clean?target={victim}")
         assert code == 403 and "disabled" in body["error"]
         assert victim.exists()
+
+
+class TestDeleteAndHistoryEndpoints:
+    def test_run_delete_fenced_and_routed(self, spark, server, tmp_path):
+        from presencia_etl_spark.sinks import mor
+
+        target = str(tmp_path / "mor")
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(30)], ["k", "name"]
+        )
+        mor.merge_upsert_mor(spark, df, target, ["k"], num_buckets=4)
+
+        code, out = _get(f"{server}/run/delete?target={target}&where=k%20%3C%205")
+        assert code == 200 and out["result"]["kind"] == "mor"
+        assert out["result"]["delete"] == 5
+        assert mor.read_mor(spark, target).count() == 25
+
+        # TTL form needs date_col.
+        code, out = _get(f"{server}/run/delete?target={target}&retain_days=30")
+        assert code == 400
+        # Outside the fence → 403, nothing deleted.
+        code, out = _get(f"{server}/run/delete?target=/etc&where=1%3D1")
+        assert code == 403
+
+    def test_state_history_endpoint(self, spark, server, tmp_path):
+        import os
+
+        from presencia_etl_spark.plans.generations import record_generation
+        from presencia_etl_spark.sinks import mor
+
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+        df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        mor.merge_upsert_mor(spark, df, f"{wh}/t", ["k"], num_buckets=2)
+        record_generation(spark, wh)
+
+        code, out = _get(f"{server}/state/history?target={wh}/t")
+        assert code == 200 and out["result"]["mor"]["seq"] == 0
+
+        code, out = _get(f"{server}/state/history?target={wh}")
+        assert code == 200
+        assert out["result"]["generations"][0]["tables"]["t"]["kind"] == "mor"
