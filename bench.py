@@ -218,15 +218,29 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
     target = f"{work}/lineitem_state"
     out: dict = {"rows": n_rows}
     try:
-        t0 = time.perf_counter()
-        merge_upsert_parquet(spark, li, target, ["l_key"])
-        dt = time.perf_counter() - t0
+        # Median-of-3 for the two noise-prone headline numbers (the ratio
+        # rows like scale10_linear_ratio divide by them, so a single slow
+        # run used to distort every derived metric). The full load runs
+        # against fresh dirs; the no-change pass is idempotent (identical
+        # rows classify SKIP, nothing written) so it can repeat in place.
+        load_secs = []
+        for i in range(3):
+            tgt_i = target if i == 0 else f"{target}_rep{i}"
+            t0 = time.perf_counter()
+            merge_upsert_parquet(spark, li, tgt_i, ["l_key"])
+            load_secs.append(time.perf_counter() - t0)
+            if i > 0:
+                shutil.rmtree(tgt_i, ignore_errors=True)
+        dt = sorted(load_secs)[1]
         out["full_load_sec"] = round(dt, 3)
         out["full_load_rows_per_sec"] = round(n_rows / dt)
 
-        t0 = time.perf_counter()
-        r = merge_upsert_parquet(spark, li, target, ["l_key"])
-        dt = time.perf_counter() - t0
+        nc_secs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = merge_upsert_parquet(spark, li, target, ["l_key"])
+            nc_secs.append(time.perf_counter() - t0)
+        dt = sorted(nc_secs)[1]
         if r["insert"] or r["update"]:  # data quirk — report, don't die
             out["cdc_nochange_anomaly"] = {"insert": int(r["insert"]), "update": int(r["update"])}
         out["cdc_nochange_sec"] = round(dt, 3)
