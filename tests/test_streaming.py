@@ -227,3 +227,62 @@ class TestChangeFeedStream:
         assert k9["_deleted"] and k9["V"] == "m2"
         k7 = rows[("7", 3)]
         assert k7["_deleted"] and k7["V"] == "m1"
+
+
+class TestChangeFeedRetentionContract:
+    def test_compaction_of_unprocessed_deltas_loses_them_keep_last_protects(
+        self, spark, tmp_path
+    ):
+        """The documented retention contract, demonstrated both ways: a
+        compaction that folds deltas a consumer hasn't processed loses
+        those events to the stream (file gone before discovery), while
+        keep_last retention holds the unprocessed window open — the CDF
+        retention-hours / Kafka-retention analog the operator must size
+        against consumer lag."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.sinks import mor
+        from presencia_etl_spark.streaming.change_feed import mirror_mor_changes
+
+        src = spark.range(0, 100).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 5).cast("string").alias("V"),
+        )
+
+        def mutate(base, key, val):
+            return base.withColumn(
+                "V", F.when(F.col("K") == key, F.lit(val)).otherwise(F.col("V"))
+            )
+
+        # Case 1: compact-all BEFORE the consumer ever runs → the seq-1
+        # event is folded into the base and never streams.
+        t1 = str(tmp_path / "lossy")
+        mor.merge_upsert_mor(spark, src, t1, ["K"], num_buckets=4)
+        mor.merge_upsert_mor(spark, mutate(src, "3", "lost"), t1, ["K"],
+                             num_buckets=4, compact_every=None)
+        mor.compact_mor(spark, t1)  # folds seq 1, consumer hasn't run
+        q = mirror_mor_changes(
+            spark, t1, str(tmp_path / "s1"), str(tmp_path / "c1")
+        )
+        q.awaitTermination(120)
+        import os
+
+        sink1 = str(tmp_path / "s1")
+        streamed = (
+            spark.read.parquet(sink1).count() if os.path.isdir(sink1) and os.listdir(sink1) else 0
+        )
+        assert streamed == 0  # the event is gone from the log — documented loss
+
+        # Case 2: keep_last=1 compaction retains the unprocessed delta;
+        # the late consumer still receives it.
+        t2 = str(tmp_path / "protected")
+        mor.merge_upsert_mor(spark, src, t2, ["K"], num_buckets=4)
+        mor.merge_upsert_mor(spark, mutate(src, "3", "kept"), t2, ["K"],
+                             num_buckets=4, compact_every=None)
+        mor.compact_mor(spark, t2, keep_last=1)
+        q = mirror_mor_changes(
+            spark, t2, str(tmp_path / "s2"), str(tmp_path / "c2")
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(tmp_path / "s2")).collect()
+        assert len(got) == 1 and got[0]["K"] == "3" and got[0]["V"] == "kept"
