@@ -62,6 +62,13 @@ def main(argv: list[str] | None = None) -> int:
             "its O(changes) delta (read back via sinks.mor.read_mor; "
             "compaction folds deltas into the bucketed base)",
         )
+        p.add_argument(
+            "--sync-deletes",
+            action="store_true",
+            help="snapshot-diff sync (requires --mor): tombstone live keys "
+            "the source snapshot no longer contains — only for sources "
+            "that export FULL snapshots per run",
+        )
 
     p = sub.add_parser("serve", help="HTTP control plane (reference server.py analog)")
     p.add_argument("--host", default="127.0.0.1")
@@ -148,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
                 key_cols=list(args.key) or [df.columns[0]],
                 num_buckets=args.buckets,
                 merge_mode="mor" if getattr(args, "mor", False) else "cow",
+                sync_deletes=getattr(args, "sync_deletes", False),
             )
             for n, df in tables.items()
         }

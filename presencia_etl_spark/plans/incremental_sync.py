@@ -50,6 +50,12 @@ def incremental_sync_table(
     # change the rendering and misclassify every row as updated after a
     # full_sync-created state.
     prepared = prepare_table(df, cfg, semi_source=semi_source, typed=True)
+    if cfg.sync_deletes and cfg.merge_mode != "mor":
+        raise ValueError(
+            f"table {cfg.name!r}: sync_deletes requires merge_mode='mor' "
+            "(the COW writers preserve the reference's never-delete "
+            "semantics; use explicit delete_where_* for COW states)"
+        )
     if cfg.merge_mode == "mor":
         # Merge-on-read: each sync writes only its O(changes) delta; use
         # for high-frequency syncs of large state where even dirty-bucket
@@ -59,6 +65,7 @@ def incremental_sync_table(
         result = merge_upsert_mor(
             spark, prepared, target_path, key_cols,
             num_buckets=cfg.num_buckets or 256,
+            delete_missing=cfg.sync_deletes,
         )
         result["mode"] = "incremental_mor"
         return result

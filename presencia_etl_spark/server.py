@@ -56,13 +56,14 @@ def _run_pipeline(spark, cmd: str, params: dict) -> dict:
     keys = [k for k in params.get("key", "").split(",") if k]
     buckets = int(params.get("buckets", "0"))
     mode = "mor" if params.get("mor", "0") in ("1", "true") else "cow"
+    sync_deletes = params.get("sync_deletes", "0") in ("1", "true")
     tables = _load_tables(spark, source, names)
     if not tables:
         raise ValueError(f"no <table>.parquet inputs found under {source!r}")
     configs = {
         n: TableConfig(
             n, key_cols=keys or [df.columns[0]], num_buckets=buckets,
-            merge_mode=mode,
+            merge_mode=mode, sync_deletes=sync_deletes,
         )
         for n, df in tables.items()
     }

@@ -205,6 +205,7 @@ def merge_upsert_mor(
     num_buckets: int = 256,
     compact_every: int | None = 16,
     compact_keep_last: int = 0,
+    delete_missing: bool = False,
 ) -> dict[str, int]:
     """Upsert ``src`` writing ONLY the changed rows (a new delta dir).
 
@@ -213,7 +214,18 @@ def merge_upsert_mor(
     {'delta_files': n, 'compacted': bool}; a no-change merge writes
     nothing at all. Auto-compacts after ``compact_every`` outstanding
     deltas (None = caller-managed); ``compact_keep_last`` is passed
-    through so auto-compaction can retain recent snapshot history."""
+    through so auto-compaction can retain recent snapshot history.
+
+    ``delete_missing=True`` is snapshot-diff sync — ``MERGE ... WHEN NOT
+    MATCHED BY SOURCE THEN DELETE``: live target keys absent from ``src``
+    are tombstoned IN THE SAME delta dir as the upserts, so one source
+    snapshot commits as one atomic sequence (a crash can't apply the
+    upserts without the deletes). ONLY meaningful when ``src`` is a FULL
+    snapshot of the source table — on an incremental batch it would erase
+    every row the batch didn't mention. The default (False) preserves the
+    reference's never-delete semantics (trap N6). Idempotent like the
+    upserts: replaying the same snapshot finds the erased keys already
+    tombstoned (absent from the live view) and writes nothing."""
     if not os.path.exists(target_path):
         os.makedirs(target_path)
         r = merge_upsert_partitioned(
@@ -225,7 +237,7 @@ def merge_upsert_mor(
             num_buckets,
         )
         _write_meta(target_path, {"num_buckets": num_buckets, "seq": 0})
-        return {**r, "delta_files": 0, "compacted": False}
+        return {**r, "delete": 0, "delta_files": 0, "compacted": False}
 
     if not os.path.exists(_meta_path(target_path)):
         raise ValueError(
@@ -282,7 +294,24 @@ def merge_upsert_mor(
         meta["seq"] = seq
         meta["compacted_through"] = seq
         _write_meta(target_path, meta)
-        return {**result, "delta_files": 0, "compacted": True}
+        n_delete = 0
+        if delete_missing:
+            # The COW fold upserted but never deletes; tombstone the
+            # vanished keys as a follow-up delta. Not atomic with the
+            # fold (two sequence numbers) — acceptable for the rare
+            # drift event, and replays converge either way.
+            post = spark.read.parquet(base_path)
+            gone = post.select(cdc.KEY_COL).join(
+                cdc.with_cdc_key(src, key_cols).select(cdc.KEY_COL).distinct(),
+                cdc.KEY_COL,
+                "left_anti",
+            )
+            victims = post.join(gone, cdc.KEY_COL, "left_semi")  # AQE sizes it
+            r = _tombstone_commit(spark, target_path, victims, None, 0)
+            n_delete = r["delete"]
+        return {
+            **result, "delete": n_delete, "delta_files": 0, "compacted": True,
+        }
 
     deltas = _read_deltas(spark, target_path)
     # Current (key → hash) view: base overridden by the latest delta. A
@@ -315,6 +344,7 @@ def merge_upsert_mor(
     )
     src_dirty = None
     upd_keys = None
+    missing = None
     try:
         counts = {
             r["op"]: r["cnt"]
@@ -325,13 +355,24 @@ def merge_upsert_mor(
         n_insert = counts.get(cdc.INSERT, 0)
         n_update = counts.get(cdc.UPDATE, 0)
         n_skip = counts.get(cdc.SKIP, 0)
-        if n_insert == 0 and n_update == 0:
+        n_delete = 0
+        if delete_missing:
+            # Live keys the snapshot no longer contains. base_kh is the
+            # CURRENT key view (tombstone-latest keys already excluded),
+            # so replays converge: once tombstoned, a key isn't live and
+            # can't go "missing" again.
+            missing = base_kh.select(cdc.KEY_COL).join(
+                keyed.select(cdc.KEY_COL).distinct(), cdc.KEY_COL, "left_anti"
+            ).cache()
+            n_delete = missing.count()
+        if n_insert == 0 and n_update == 0 and n_delete == 0:
             # Idempotent replay / no-op: NOTHING is written — not even an
             # empty delta dir (which would still cost a file open per scan).
             return {
                 "insert": 0,
                 "update": 0,
                 "skip": n_skip,
+                "delete": 0,
                 "delta_files": 0,
                 "compacted": False,
             }
@@ -424,10 +465,27 @@ def merge_upsert_mor(
             )
             parts.append(inserted.select(*data_cols, *audit))
 
+        if n_delete > 0:
+            # Snapshot-diff tombstones: the vanished keys' full current
+            # images flagged deleted, committed in the SAME delta as the
+            # upserts (one snapshot = one atomic sequence number). The
+            # upsert parts gain an explicit false flag so the dir stays
+            # single-schema.
+            victims = read_mor(spark, target_path).join(
+                _maybe_broadcast(missing, n_delete), cdc.KEY_COL, "left_semi"
+            )
+            tomb = victims.withColumn("updated_at", F.current_timestamp())
+            parts = [p.withColumn(DELETED_COL, F.lit(False)) for p in parts]
+            parts.append(
+                tomb.select(*data_cols, *audit).withColumn(
+                    DELETED_COL, F.lit(True)
+                )
+            )
+
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        n_files = _commit_delta(target_path, meta, out, n_dirty)
+        n_files = _commit_delta(target_path, meta, out, n_dirty + n_delete)
     finally:
         # Caches release on failure too — a failed merge must not leak
         # persisted frames for the session lifetime.
@@ -436,6 +494,8 @@ def merge_upsert_mor(
             src_dirty.unpersist()
         if upd_keys is not None:
             upd_keys.unpersist()
+        if missing is not None:
+            missing.unpersist()
 
     compacted = False
     if compact_every is not None and len(_delta_seqs(target_path)) >= compact_every:
@@ -445,6 +505,7 @@ def merge_upsert_mor(
         "insert": n_insert,
         "update": n_update,
         "skip": n_skip,
+        "delete": n_delete,
         "delta_files": n_files,
         "compacted": compacted,
     }

@@ -24,6 +24,11 @@ class TableConfig:
     semi_join: tuple[str, str] | None = None  # (other_table, key_col)
     num_buckets: int = 0  # >0 → bucket-pruned partitioned merge state
     merge_mode: str = "cow"  # cow | mor (merge-on-read delta state, sinks/mor.py)
+    # Snapshot-diff sync (WHEN NOT MATCHED BY SOURCE THEN DELETE): tombstone
+    # live keys the source snapshot no longer contains. Requires
+    # merge_mode="mor" and a source that is a FULL snapshot per run (the
+    # reference's shape — it re-exports whole Access tables each sync).
+    sync_deletes: bool = False
 
 
 # The docs describe an earlier/alternate Socios filter shape —

@@ -871,3 +871,116 @@ class TestLifecycle:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["result"]["delete"] == 1
         assert {x["K"] for x in mor.read_mor(spark, target).collect()} == {"b"}
+
+
+class TestSnapshotDiffDeletes:
+    """delete_missing=True — MERGE ... WHEN NOT MATCHED BY SOURCE THEN
+    DELETE: full-snapshot syncs tombstone vanished keys atomically with
+    the run's upserts."""
+
+    def test_vanished_keys_tombstone_in_same_delta(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        src = _src(spark, 300)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=8)
+
+        # Snapshot 2: rows 0-249 survive (10 mutated), 250-299 vanish.
+        snap2 = _src(spark, 250).withColumn(
+            "V",
+            F.when(F.col("K").cast("int") < 10, F.lit("m")).otherwise(F.col("V")),
+        )
+        r = mor.merge_upsert_mor(
+            spark, snap2, target, ["K"], num_buckets=8, delete_missing=True
+        )
+        assert (r["insert"], r["update"], r["delete"]) == (0, 10, 50)
+        # ONE delta dir: upserts and tombstones committed atomically.
+        assert mor._delta_seqs(target) == [1]
+        assert _state(mor.read_mor(spark, target)) == _state(snap2)
+
+        # Replay the same snapshot: fully idempotent, nothing written.
+        r = mor.merge_upsert_mor(
+            spark, snap2, target, ["K"], num_buckets=8, delete_missing=True
+        )
+        assert (r["insert"], r["update"], r["delete"]) == (0, 0, 0)
+        assert mor._delta_seqs(target) == [1]
+
+        # The change feed shows both event kinds from the one sequence.
+        ch = mor.read_mor_changes(spark, target, since_seq=0)
+        by_kind = {
+            bool(r_[mor.DELETED_COL]) for r_ in ch.select(mor.DELETED_COL).collect()
+        }
+        assert by_kind == {True, False}
+        assert ch.filter(F.col(mor.DELETED_COL)).count() == 50
+
+        # A vanished key returning in snapshot 3 re-inserts fresh.
+        snap3 = _src(spark, 251).withColumn(
+            "V",
+            F.when(F.col("K").cast("int") < 10, F.lit("m")).otherwise(F.col("V")),
+        )
+        r = mor.merge_upsert_mor(
+            spark, snap3, target, ["K"], num_buckets=8, delete_missing=True
+        )
+        assert (r["insert"], r["delete"]) == (1, 0)
+        assert _state(mor.read_mor(spark, target)) == _state(snap3)
+
+    def test_delete_only_snapshot_and_default_never_deletes(
+        self, spark, tmp_path
+    ):
+        target = str(tmp_path / "mor")
+        src = _src(spark, 100)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=4)
+        shrunk = _src(spark, 80)
+
+        # Default (reference semantics): absence is NOT deletion.
+        r = mor.merge_upsert_mor(spark, shrunk, target, ["K"], num_buckets=4)
+        assert r["delete"] == 0 and r["skip"] == 80
+        assert mor.read_mor(spark, target).count() == 100
+
+        # Opt-in: a delete-only diff still commits (no upserts at all).
+        r = mor.merge_upsert_mor(
+            spark, shrunk, target, ["K"], num_buckets=4, delete_missing=True
+        )
+        assert (r["insert"], r["update"], r["delete"]) == (0, 0, 20)
+        assert mor.read_mor(spark, target).count() == 80
+
+    def test_snapshot_diff_through_drift_merge(self, spark, tmp_path):
+        """A snapshot that simultaneously drifts the schema AND drops keys:
+        the COW fold widens, then vanished keys tombstone (follow-up
+        sequence; replays converge)."""
+        target = str(tmp_path / "mor")
+        src = _src(spark, 120)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=4)
+        grown = _src(spark, 100).withColumn("W", F.concat(F.lit("w"), F.col("K")))
+        r = mor.merge_upsert_mor(
+            spark, grown, target, ["K"], num_buckets=4, delete_missing=True
+        )
+        assert r["delete"] == 20
+        view = mor.read_mor(spark, target)
+        assert view.count() == 100 and "W" in view.columns
+        # Replay converges.
+        r = mor.merge_upsert_mor(
+            spark, grown, target, ["K"], num_buckets=4, delete_missing=True
+        )
+        assert r["delete"] == 0 and r["insert"] == 0 and r["update"] == 0
+
+    def test_sync_plan_wires_sync_deletes(self, spark, tmp_path):
+        import pytest
+
+        from presencia_etl_spark.plans.incremental_sync import (
+            incremental_sync_table,
+        )
+        from presencia_etl_spark.sources.registry import TableConfig
+
+        df = spark.createDataFrame(
+            [(str(i), f"v{i}") for i in range(50)], ["K", "V"]
+        )
+        cfg = TableConfig("t", key_cols=["K"], merge_mode="mor",
+                          num_buckets=4, sync_deletes=True)
+        incremental_sync_table(spark, df, cfg, str(tmp_path))
+        shrunk = df.filter(F.col("K").cast("int") < 40)
+        r = incremental_sync_table(spark, shrunk, cfg, str(tmp_path))
+        assert r["delete"] == 10
+        assert mor.read_mor(spark, str(tmp_path / "t")).count() == 40
+
+        bad = TableConfig("t2", key_cols=["K"], sync_deletes=True)
+        with pytest.raises(ValueError, match="requires merge_mode='mor'"):
+            incremental_sync_table(spark, df, bad, str(tmp_path))
