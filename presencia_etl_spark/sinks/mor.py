@@ -365,6 +365,19 @@ def merge_upsert_mor(
                 keyed.select(cdc.KEY_COL).distinct(), cdc.KEY_COL, "left_anti"
             ).cache()
             n_delete = missing.count()
+            if n_delete > 0 and (n_insert + n_update + n_skip) == 0:
+                # The classic snapshot-sync disaster: an EMPTY source (a
+                # failed export, a bad glob) diffed against a live table
+                # would erase every row. Absence of data is not evidence
+                # of deletion — refuse; a true table truncation must be
+                # an explicit delete_where_mor(F.lit(True)).
+                raise ValueError(
+                    "delete_missing refused: the source snapshot is EMPTY "
+                    f"but the target holds {n_delete} live keys — syncing "
+                    "it would erase the entire table. If that is really "
+                    "intended, run delete_where_mor(spark, target, "
+                    "F.lit(True)) explicitly."
+                )
         if n_insert == 0 and n_update == 0 and n_delete == 0:
             # Idempotent replay / no-op: NOTHING is written — not even an
             # empty delta dir (which would still cost a file open per scan).

@@ -984,3 +984,26 @@ class TestSnapshotDiffDeletes:
         bad = TableConfig("t2", key_cols=["K"], sync_deletes=True)
         with pytest.raises(ValueError, match="requires merge_mode='mor'"):
             incremental_sync_table(spark, df, bad, str(tmp_path))
+
+
+class TestEmptySnapshotGuard:
+    def test_empty_source_snapshot_refused(self, spark, tmp_path):
+        """The classic snapshot-sync disaster guard: an empty source with
+        delete_missing must refuse rather than erase the table; truncation
+        must be an explicit delete."""
+        import pytest
+
+        target = str(tmp_path / "mor")
+        src = _src(spark, 100)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=4)
+        empty = src.filter(F.lit(False))
+        with pytest.raises(ValueError, match="source snapshot is EMPTY"):
+            mor.merge_upsert_mor(
+                spark, empty, target, ["K"], num_buckets=4, delete_missing=True
+            )
+        # Nothing was written; state intact.
+        assert mor._delta_seqs(target) == []
+        assert mor.read_mor(spark, target).count() == 100
+        # The explicit form still works.
+        r = mor.delete_where_mor(spark, target, F.lit(True))
+        assert r["delete"] == 100
