@@ -31,7 +31,6 @@ import time
 from pyspark.sql import SparkSession
 
 from presencia_etl_spark.sinks import mor as mor_mod
-from presencia_etl_spark.sinks.lifecycle import state_kind
 
 MANIFEST = "_warehouse_manifest.json"
 
@@ -63,14 +62,20 @@ def record_generation(spark: SparkSession, root: str) -> dict:
         path = os.path.join(root, d)
         if not os.path.isdir(path) or d.startswith((".", "_")):
             continue
-        try:
-            kind = state_kind(spark, path)
-        except Exception:
-            continue  # not a readable state (index dir, checkpoint, ...)
-        t: dict = {"kind": kind}
-        if kind == "mor":
-            t["seq"] = mor_mod.mor_history(path)["seq"]
-        entry["tables"][d] = t
+        # Metadata-only kind probe — NO parquet footer reads: only MOR
+        # states carry a pinnable sequence, so the bucketed/flat
+        # distinction (which would cost a schema read per table per sync)
+        # is irrelevant here; both record as non-snapshot 'cow'.
+        if os.path.exists(os.path.join(path, mor_mod.META_FILE)):
+            entry["tables"][d] = {
+                "kind": "mor",
+                "seq": mor_mod.mor_history(path)["seq"],
+            }
+        elif any(
+            c.endswith(".parquet") or c.startswith("_kb=")
+            for c in os.listdir(path)
+        ):
+            entry["tables"][d] = {"kind": "cow"}
     gens.append(entry)
     with open(_manifest_path(root) + ".tmp", "w") as fh:
         json.dump(manifest, fh)
