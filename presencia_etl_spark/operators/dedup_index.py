@@ -369,28 +369,33 @@ def query_minhash_index(
 
     # ONE bounded job decides the probe strategy AND (for the common
     # trickle-batch case) yields the pushdown keys: collect at most
-    # LIMIT+1 distinct band hashes. The distinct is a full shuffle over
-    # the batch signatures, so this same job materializes the persisted
-    # signature cache for every later step — previously a separate
-    # count() job paid that bill. Driver memory stays bounded by the
-    # limit; only when the batch overflows it (corpus-sized ingest) do we
-    # pay a count() to size the broadcast decision.
+    # LIMIT+1 (distinct band hash, occurrence count) pairs. The groupBy is
+    # the same shuffle a distinct would be, so this job also materializes
+    # the persisted signature cache for every later step — previously a
+    # separate count() job paid that bill. Driver memory stays bounded by
+    # the limit; only when the batch overflows it (corpus-sized ingest) do
+    # we pay a count() to size the broadcast decision. Carrying the counts
+    # (not just the keys) matters for the broadcast decision below: a
+    # duplicate-heavy batch can hit few distinct hashes yet carry millions
+    # of probe ROWS, and broadcast must be sized on rows, not keys.
     iband = spark.read.parquet(os.path.join(index_path, BAND_DIR))
-    keys = [
-        r["band_hash"]
-        for r in bband.select("band_hash")
-        .distinct()
+    key_counts = (
+        bband.groupBy("band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
         .limit(PROBE_PUSHDOWN_LIMIT + 1)
         .collect()
-    ]
+    )
+    keys = [r["band_hash"] for r in key_counts]
     pushdown = len(keys) <= PROBE_PUSHDOWN_LIMIT
     if pushdown:
         iband = iband.filter(F.col("band_hash").isin(keys))
-        n_keys = len(keys)
+        # Exact probe row count: the limit did not truncate, so the
+        # per-hash counts sum to |batch docs| × bands.
+        n_probe_rows = sum(r["_n"] for r in key_counts)
     else:
-        n_keys = bsig.count() * meta["bands"]
+        n_probe_rows = bsig.count() * meta["bands"]
     probe = bband.select("band_id", "band_hash", F.col("doc_id").alias("batch_id"))
-    if n_keys <= PROBE_BROADCAST_LIMIT:
+    if n_probe_rows <= PROBE_BROADCAST_LIMIT:
         probe = F.broadcast(probe)
     matched = iband.join(probe, ["band_id", "band_hash"]).filter(
         F.col("doc_id") != F.col("batch_id")

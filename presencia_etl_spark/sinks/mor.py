@@ -127,6 +127,46 @@ def _gc_orphan_staging(path: str) -> None:
             shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
 
 
+def _has_parquet_files(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _delta_row_schema(spark: SparkSession, target_path: str):
+    """The base-layout row schema recovered from the live delta footers
+    (delta rows carry every base column plus ``_delta_seq``/``_deleted``),
+    or None when no deltas exist."""
+    deltas = _read_deltas(spark, target_path)
+    if deltas is None:
+        return None
+    return deltas.drop(SEQ_COL, DELETED_COL).schema
+
+
+def _recover_empty_base(spark: SparkSession, target_path: str) -> None:
+    """Heal a base left FILELESS by a crash inside ``compact_mor`` between
+    ``swap_bucket_dirs`` and ``_reseed_empty_layout`` (tombstones emptied
+    every bucket): a zero-file layout can't even be read for schema, so
+    every later merge/compact/read would wedge on UNABLE_TO_INFER_SCHEMA.
+    The crash window precedes delta removal, so at least one delta
+    survives it — recover the row schema from a delta footer and seed the
+    schema-bearing empty file the interrupted compact owed. A base with
+    files (the normal case: one os.walk, no job) or a base with no deltas
+    to recover from is left untouched. Runs under the caller's writer
+    lock at the top of every mutating path."""
+    base_path = os.path.join(target_path, BASE_DIR)
+    if not os.path.isdir(base_path) or _has_parquet_files(base_path):
+        return
+    schema = _delta_row_schema(spark, target_path)
+    if schema is None:
+        return
+    fields = [f for f in schema.fields if f.name != BUCKET_COL]
+    from pyspark.sql.types import StructType
+
+    _reseed_empty_layout(spark, base_path, StructType(fields), 0)
+
+
 def _next_seq(path: str, meta: dict) -> int:
     """Next delta sequence. Committed dirs are authoritative: a crash after
     the rename-commit but before the meta bump leaves a live dir ahead of
@@ -250,6 +290,7 @@ def merge_upsert_mor(
     base_path = os.path.join(target_path, BASE_DIR)
     _recover_interrupted_swap(base_path)
     _gc_orphan_staging(target_path)
+    _recover_empty_base(spark, target_path)
     _warn_audit_collisions(src)
     src = _parallelize_scan(src)
     hashed = (
@@ -586,6 +627,7 @@ def delete_where_mor(
         )
     _recover_interrupted_swap(os.path.join(target_path, BASE_DIR))
     _gc_orphan_staging(target_path)
+    _recover_empty_base(spark, target_path)
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
     victims = read_mor(spark, target_path).filter(predicate)
@@ -619,6 +661,7 @@ def delete_keys_mor(
         )
     _recover_interrupted_swap(os.path.join(target_path, BASE_DIR))
     _gc_orphan_staging(target_path)
+    _recover_empty_base(spark, target_path)
     meta = _read_meta(target_path)
     keyed = (
         cdc.with_cdc_key(keys, key_cols)
@@ -677,7 +720,20 @@ def read_mor(
     is the Hudi/Iceberg incremental-query discipline on plain parquet:
     retention is bounded by ``compact_every``, and a deployment wanting
     longer history simply compacts less often (docs/SCALE.md)."""
-    base = spark.read.parquet(os.path.join(target_path, BASE_DIR))
+    base_path = os.path.join(target_path, BASE_DIR)
+    if _has_parquet_files(base_path):
+        base = spark.read.parquet(base_path)
+    else:
+        # Crash window healed read-only: a compact interrupted between the
+        # bucket swap and the empty-layout reseed leaves zero base files
+        # (see _recover_empty_base, which repairs it under the writer lock
+        # on the next mutation). Readers hold no lock, so substitute an
+        # empty base with the delta-recovered schema instead of writing.
+        schema = _delta_row_schema(spark, target_path)
+        if schema is None:
+            base = spark.read.parquet(base_path)  # raise Spark's own error
+        else:
+            base = spark.createDataFrame([], schema)
     deltas = _read_deltas(spark, target_path)
     if as_of_seq is not None:
         floor = _read_meta(target_path).get("compacted_through", 0)
@@ -741,9 +797,14 @@ def read_mor_changes(
         if not deltas.limit(1).take(1):
             deltas = None
     if deltas is None:
-        base_schema = spark.read.parquet(
-            os.path.join(target_path, BASE_DIR)
-        ).schema
+        base_path = os.path.join(target_path, BASE_DIR)
+        base_schema = (
+            spark.read.parquet(base_path).schema
+            if _has_parquet_files(base_path)
+            else _delta_row_schema(spark, target_path)
+        )
+        if base_schema is None:
+            base_schema = spark.read.parquet(base_path).schema
         return spark.createDataFrame(
             [], base_schema.add(SEQ_COL, "integer").add(DELETED_COL, "boolean")
         )
@@ -784,6 +845,7 @@ def compact_mor(
     base_path = os.path.join(target_path, BASE_DIR)
     _recover_interrupted_swap(base_path)
     _gc_orphan_staging(target_path)
+    _recover_empty_base(spark, target_path)
     deltas = _read_deltas(spark, target_path)
     if deltas is None:
         return {"buckets_rewritten": 0, "deltas_folded": 0}

@@ -71,9 +71,18 @@ def register_state_views(
     (``plans.generations``) — a cross-table CONSISTENT snapshot: queries
     joining several MOR tables see exactly run N's state even while newer
     syncs land. COW tables can't time-travel and resolve to their current
-    state (all-MOR warehouses get the full guarantee); a generation older
-    than a table's compaction floor raises, like any expired snapshot."""
+    state (all-MOR warehouses get the full guarantee); a MOR table
+    created AFTER run N is EXCLUDED from the pinned view set (it did not
+    exist in that snapshot — querying it is a loud table-not-found, never
+    a silent current-state read); ``plans.generations.
+    non_snapshot_tables`` reports both sets. A generation older than a
+    table's compaction floor raises, like any expired snapshot.
+
+    Two distinct state dirs can normalize to one view name ('Socios' and
+    'socios', 'a-b' and 'a_b') — that registration raises instead of
+    silently overwriting the earlier view."""
     seqs: dict[str, int] = {}
+    pinned_mor: set[str] | None = None
     if generation is not None:
         from presencia_etl_spark.plans.generations import generation_entry
 
@@ -85,24 +94,33 @@ def register_state_views(
             for d, t in entry["tables"].items()
             if t["kind"] == "mor"
         }
+        pinned_mor = set(seqs)
     out: dict[str, str] = {}
     for d in sorted(os.listdir(warehouse_root)):
         path = os.path.join(warehouse_root, d)
         if not os.path.isdir(path) or d.startswith((".", "_")):
             continue
-        is_state = (
-            os.path.exists(os.path.join(path, "_mor_meta.json"))
-            or any(
-                c.startswith(f"{BUCKET_COL}=") or c.endswith(".parquet")
-                for c in os.listdir(path)
-            )
+        is_mor = os.path.exists(os.path.join(path, "_mor_meta.json"))
+        is_state = is_mor or any(
+            c.startswith(f"{BUCKET_COL}=") or c.endswith(".parquet")
+            for c in os.listdir(path)
         )
         if not is_state:
             continue
+        if is_mor and pinned_mor is not None and d not in pinned_mor:
+            # Created after the pinned generation: not part of that
+            # snapshot. Excluding beats silently serving current state.
+            continue
+        name = f"{prefix}{_view_name(d)}"
+        if name in out:
+            raise ValueError(
+                f"state dirs {os.path.basename(out[name])!r} and {d!r} "
+                f"both normalize to view name {name!r}; rename one dir "
+                "or register them under different prefixes."
+            )
         df = read_state(spark, path, as_of_seq=seqs.get(d))
         if not include_internal:
             df = df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
-        name = f"{prefix}{_view_name(d)}"
         df.createOrReplaceTempView(name)
         out[name] = path
     return out

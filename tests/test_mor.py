@@ -1007,3 +1007,67 @@ class TestEmptySnapshotGuard:
         # The explicit form still works.
         r = mor.delete_where_mor(spark, target, F.lit(True))
         assert r["delete"] == 100
+
+
+class TestEmptyBaseCrashRecovery:
+    """A crash inside compact_mor between the bucket swap and the
+    empty-layout reseed (tombstones emptied EVERY bucket) leaves zero base
+    parquet files. Every path must heal or tolerate that, not wedge on
+    UNABLE_TO_INFER_SCHEMA."""
+
+    def _crashed_empty_base(self, spark, tmp_path, monkeypatch):
+        target = str(tmp_path / "mor")
+        mor.merge_upsert_mor(
+            spark, _src(spark, 40), target, ["K"], num_buckets=4,
+            compact_every=None,
+        )
+        mor.delete_where_mor(
+            spark, target, F.lit(True), compact_every=None
+        )
+        # Simulate the crash: the swap lands (all buckets empty), then the
+        # process dies before the reseed runs.
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash before reseed")
+
+        monkeypatch.setattr(mor, "_reseed_empty_layout", boom)
+        try:
+            mor.compact_mor(spark, target)
+        except RuntimeError:
+            pass
+        monkeypatch.undo()
+        assert not mor._has_parquet_files(os.path.join(target, "base"))
+        # The crash window precedes delta removal: deltas survive.
+        assert mor._delta_seqs(target)
+        return target
+
+    def test_read_paths_tolerate_fileless_base(self, spark, tmp_path, monkeypatch):
+        target = self._crashed_empty_base(spark, tmp_path, monkeypatch)
+        # Readers hold no lock: they substitute an empty base (schema from
+        # the delta footers) WITHOUT writing anything.
+        view = mor.read_mor(spark, target)
+        assert view.count() == 0
+        assert "K" in view.columns and "V" in view.columns
+        assert not mor._has_parquet_files(os.path.join(target, "base"))
+
+    def test_write_paths_heal_fileless_base(self, spark, tmp_path, monkeypatch):
+        target = self._crashed_empty_base(spark, tmp_path, monkeypatch)
+        # The next merge heals the layout under its writer lock, then
+        # proceeds normally (the surviving tombstone deltas re-apply —
+        # idempotent — and the new rows land as a fresh delta).
+        r = mor.merge_upsert_mor(
+            spark, _src(spark, 10, salt="x"), target, ["K"], num_buckets=4,
+            compact_every=None,
+        )
+        assert r["insert"] == 10
+        assert mor._has_parquet_files(os.path.join(target, "base"))
+        assert mor.read_mor(spark, target).count() == 10
+        # And a retried compaction completes what the crash interrupted.
+        mor.compact_mor(spark, target)
+        assert mor.read_mor(spark, target).count() == 10
+
+    def test_compact_retry_alone_recovers(self, spark, tmp_path, monkeypatch):
+        target = self._crashed_empty_base(spark, tmp_path, monkeypatch)
+        mor.compact_mor(spark, target)
+        assert mor._has_parquet_files(os.path.join(target, "base"))
+        assert mor.read_mor(spark, target).count() == 0
+        assert not mor._delta_seqs(target)

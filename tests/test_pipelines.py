@@ -375,3 +375,121 @@ class TestWarehouseGenerations:
         with pytest.raises(ValueError, match="predates the last compaction"):
             register_state_views(spark, wh, generation=1)
         assert generation_entry(wh)["gen"] == 2
+
+
+class TestGenerationHygiene:
+    """Manifest locking, the non-snapshot report, pinned-view exclusion,
+    view-name collisions, and dead-generation pruning."""
+
+    def _wh(self, spark, tmp_path, n_runs=1):
+        import os
+
+        from presencia_etl_spark.plans.generations import record_generation
+        from presencia_etl_spark.sinks import mor
+
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+        for step in range(1, n_runs + 1):
+            df = spark.createDataFrame(
+                [(i, f"v{step}_{i}") for i in range(20)], ["k", "v"]
+            )
+            mor.merge_upsert_mor(spark, df, f"{wh}/ta", ["k"], num_buckets=4,
+                                 compact_every=None)
+            record_generation(spark, wh)
+        return wh
+
+    def test_record_generation_respects_writer_lock(self, spark, tmp_path):
+        from presencia_etl_spark.plans.generations import record_generation
+        from presencia_etl_spark.sinks.locking import StateLockedError, state_lock
+
+        wh = self._wh(spark, tmp_path)
+        import threading
+
+        # A concurrent holder of the manifest lock (another sync run's
+        # record step) forces the second writer to fail loudly instead of
+        # interleaving load→append→replace and losing an entry.
+        errs = []
+        import os
+
+        hold = threading.Event()
+        release = threading.Event()
+
+        def holder():
+            with state_lock(os.path.join(wh, "_warehouse_manifest")):
+                hold.set()
+                release.wait(10)
+
+        t = threading.Thread(target=holder)
+        t.start()
+        hold.wait(10)
+        try:
+            with pytest.raises(StateLockedError):
+                record_generation(spark, wh)
+        finally:
+            release.set()
+            t.join(10)
+        # Lock released → records fine.
+        assert record_generation(spark, wh)["gen"] == 2
+
+    def test_non_snapshot_report_and_pinned_exclusion(self, spark, tmp_path):
+        from presencia_etl_spark.plans.generations import (
+            non_snapshot_tables,
+            record_generation,
+        )
+        from presencia_etl_spark.sinks import mor
+        from presencia_etl_spark.sinks.writers import merge_upsert_parquet
+        from presencia_etl_spark.sql import register_state_views
+
+        wh = self._wh(spark, tmp_path)  # gen 1 pins only 'ta'
+        df = spark.createDataFrame([(1, "x")], ["k", "v"])
+        merge_upsert_parquet(spark, df, f"{wh}/cowt", ["k"])
+        mor.merge_upsert_mor(spark, df, f"{wh}/late_mor", ["k"], num_buckets=2,
+                             compact_every=None)
+        # COW tables and the MOR table created after gen 1 are reported.
+        assert non_snapshot_tables(wh, 1) == ["cowt", "late_mor"]
+        # The pinned registration EXCLUDES the late MOR table (it did not
+        # exist at gen 1) but still serves COW at current state.
+        views = register_state_views(spark, wh, generation=1)
+        assert "late_mor" not in views and "ta" in views and "cowt" in views
+        # After recording gen 2 the late table is pinned and visible.
+        record_generation(spark, wh)
+        assert non_snapshot_tables(wh, 2) == ["cowt"]
+        views = register_state_views(spark, wh, generation=2)
+        assert "late_mor" in views
+
+    def test_view_name_collision_raises(self, spark, tmp_path):
+        from presencia_etl_spark.sinks.writers import merge_upsert_parquet
+        from presencia_etl_spark.sql import register_state_views
+
+        import os
+
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+        df = spark.createDataFrame([(1, "x")], ["k", "v"])
+        merge_upsert_parquet(spark, df, f"{wh}/a-b", ["k"])
+        merge_upsert_parquet(spark, df, f"{wh}/a_b", ["k"])
+        with pytest.raises(ValueError, match="normalize to view name"):
+            register_state_views(spark, wh)
+
+    def test_prune_generations_drops_exactly_expired(self, spark, tmp_path):
+        from presencia_etl_spark.plans.generations import (
+            generation_entry,
+            load_manifest,
+            prune_generations,
+        )
+        from presencia_etl_spark.sinks import mor
+
+        wh = self._wh(spark, tmp_path, n_runs=3)  # gens 1(seq0) 2(seq1) 3(seq2)
+        # Nothing compacted: nothing prunable.
+        assert prune_generations(wh) == {"pruned": 0, "kept": 3}
+        # Fold all but the newest delta: floor = seq 1, so gen 1 (seq 0)
+        # becomes unreadable and is pruned; gens 2 and 3 survive.
+        mor.compact_mor(spark, f"{wh}/ta", keep_last=1)
+        assert mor.mor_history(f"{wh}/ta")["compacted_through"] == 1
+        assert prune_generations(wh) == {"pruned": 1, "kept": 2}
+        assert [e["gen"] for e in load_manifest(wh)["generations"]] == [2, 3]
+        # Gen numbering continues from the kept tail.
+        from presencia_etl_spark.plans.generations import record_generation
+
+        assert record_generation(spark, wh)["gen"] == 4
+        assert generation_entry(wh)["gen"] == 4

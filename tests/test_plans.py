@@ -163,6 +163,48 @@ class TestDedupIndexProbePlan:
             p,
         ), p
 
+    def test_duplicate_heavy_batch_sizes_broadcast_on_probe_rows(
+        self, spark, sf_dir, tmp_path, monkeypatch
+    ):
+        """The broadcast decision must be sized on probe ROWS, not distinct
+        band hashes: a duplicate-heavy batch (many docs, near-identical
+        text) hits few distinct hashes — qualifying for the In-pushdown —
+        while its probe frame carries |docs|x bands rows. Forcing that
+        frame into a broadcast would ship it to every executor."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.operators import dedup_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx = str(tmp_path / "idx2")
+        dedup_index.build_minhash_index(spark, docs, "doc_id", "text", idx)
+        # 6 copies of one text: 8 distinct band hashes, 48 probe rows.
+        batch = spark.createDataFrame(
+            [(10**9 + i, "the quick brown fox jumps over a sleepy dog")
+             for i in range(6)],
+            ["doc_id", "text"],
+        )
+
+        def hints(df):
+            return df._jdf.queryExecution().analyzed().toString().count(
+                "strategy=broadcast"
+            )
+
+        # Probe rows (48) above the broadcast limit: pushdown still fires,
+        # but the probe joins WITHOUT a broadcast hint.
+        monkeypatch.setattr(dedup_index, "PROBE_BROADCAST_LIMIT", 10)
+        lazy = dedup_index.query_minhash_index(
+            spark, batch, "doc_id", "text", idx, eager=False
+        )
+        assert "In(band_hash, [" in plan_of(lazy)
+        assert hints(lazy) == 0, "48-row probe must not be force-broadcast"
+        # Same batch under the real limit: the hint is present (control).
+        monkeypatch.setattr(dedup_index, "PROBE_BROADCAST_LIMIT", 5_000_000)
+        hinted = dedup_index.query_minhash_index(
+            spark, batch, "doc_id", "text", idx, eager=False
+        )
+        assert hints(hinted) >= 1
+
 
 class TestTimeJoinPlans:
     """As-of and range joins (operators/joins.py) must never degenerate into
