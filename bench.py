@@ -33,6 +33,13 @@ def main() -> None:
     spark = get_spark(app_name="presencia-etl-bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "16")))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Fixed CPU reference: a pinned single-thread integer-hash loop, timed
+    # before any Spark work. Identical work every round, so the ratio of
+    # two rounds' calibration_sec isolates VM/CPU drift from real code
+    # regressions (round-6 postmortem: a ~15% per-core VM slowdown read as
+    # a 27% bench "regression" until SCALE.md untangled it by hand).
+    calibration = _calibration_sec()
+
     # Warm the JVM + parquet footers so fixed startup cost isn't billed to q01.
     spark.range(1000).selectExpr("sum(id)").collect()
 
@@ -101,6 +108,7 @@ def main() -> None:
         "unit": "sec",
         "reps": REPS,
         "wall_sec": wall,
+        "calibration_sec": calibration,
         "queries": timings,
         "spread": spread,
         "rows_out": rows_out,
@@ -131,27 +139,55 @@ def main() -> None:
                 "sparse_sec",
                 "sparse_mor_sec",
                 "sparse_buckets_rewritten",
+                "agg_refresh_sec",
+                "agg_recompute_sec",
                 "rows",
                 "error",
             ):
                 if k in sub:
                     short_pipeline[f"{prefix}_{k}"] = sub[k]
+    # Per-query medians keyed by the SHORT name (q01..q50, unambiguous —
+    # full names in the detail file): the full-name map blew the 2 KB line
+    # budget at sf0.1 and the trim guard silently dropped it in round 6.
+    short_queries = {k.split("_", 1)[0]: round(v, 2) for k, v in timings.items()}
     short = {
         "metric": "total_query_median_sec",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "reps": REPS,
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "calibration_sec": calibration,
+        "queries": short_queries,
         "errors": errors,
         "pipeline": short_pipeline,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(short, separators=(",", ":"))
-    if len(line) > 2000:  # last-resort trim: totals + pipeline only
+    if len(line) > 2000:  # trim ladder: derived-rate keys first, then queries
+        short["pipeline"] = {
+            k: v
+            for k, v in short_pipeline.items()
+            if not k.endswith("rows_per_sec")
+        }
+        line = json.dumps(short, separators=(",", ":"))
+    if len(line) > 2000:
         short.pop("queries", None)
         line = json.dumps(short, separators=(",", ":"))
     print(line)
+
+
+def _calibration_sec() -> float:
+    """Median-of-3 of a fixed 2M-step integer-hash loop on one Python
+    thread. Not a benchmark of anything we built — a ruler for the VM."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x = (x * 1103515245 + i) & 0xFFFFFFFF
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return round(runs[1], 3)
 
 
 def _one_line_err(e: Exception) -> str:
@@ -505,6 +541,34 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
         t0 = time.perf_counter()
         r = merge_upsert_mor(spark, sparse, mor_target, ["k"], num_buckets=256)
         out["sparse_mor_sec"] = round(time.perf_counter() - t0, 3)
+
+        # The incremental-agg crossover AT SCALE: at sf0.1 the O(changes)+
+        # fixed refresh loses to a one-job recompute of 600K cached rows;
+        # at 6M rows the recompute pays a real scan while the refresh cost
+        # is unchanged (~60 changed keys). Same sparse-mutation shape as
+        # the sf0.1 pipeline stage, so the two rows read side-by-side.
+        from presencia_etl_spark.plans.incremental_agg import (
+            build_agg_snapshot,
+            refresh_agg_snapshot,
+        )
+        from presencia_etl_spark.sinks.mor import read_mor
+
+        agg_t = f"{work}/agg"
+        build_agg_snapshot(spark, mor_target, agg_t, ["v1"], ["v2"])
+        sparse2 = df.withColumn(
+            "v2",
+            F.when(F.col("v3") == 1, F.col("v2") + 0.5).otherwise(F.col("v2")),
+        )
+        merge_upsert_mor(spark, sparse2, mor_target, ["k"], num_buckets=256)
+        t0 = time.perf_counter()
+        r = refresh_agg_snapshot(spark, mor_target, agg_t)
+        out["agg_refresh_sec"] = round(time.perf_counter() - t0, 3)
+        out["agg_refresh_changed_rows"] = int(r.get("changed_rows", -1))
+        t0 = time.perf_counter()
+        read_mor(spark, mor_target).groupBy("v1").agg(
+            F.count(F.lit(1)), F.sum("v2")
+        ).collect()
+        out["agg_recompute_sec"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

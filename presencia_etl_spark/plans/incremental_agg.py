@@ -70,6 +70,7 @@ from presencia_etl_spark.operators import cdc
 from presencia_etl_spark.sinks.locking import single_writer
 from presencia_etl_spark.sinks.mor import (
     DELETED_COL,
+    KEY_PUSHDOWN_LIMIT,
     mor_history,
     read_mor,
     read_mor_changes,
@@ -244,7 +245,30 @@ def refresh_agg_snapshot(
         spark, mor_path, since_seq=since, as_of_seq=cur
     ).cache()
     try:
-        n_changes = changes.count()
+        # ONE bounded job sizes the refresh, yields the dirty-bucket list,
+        # and (below the pushdown bound) the changed-key list — a NARROW
+        # limit+collect, no shuffle — while materializing the cache every
+        # later step reuses. The feed has one row per changed key, so the
+        # collected keys are distinct by construction. Past the bound
+        # (corpus-sized refresh) fall back to one bucket-count job.
+        sample = (
+            changes.select(cdc.KEY_COL, BUCKET_COL)
+            .limit(KEY_PUSHDOWN_LIMIT + 1)
+            .collect()
+        )
+        if len(sample) <= KEY_PUSHDOWN_LIMIT:
+            n_changes = len(sample)
+            dirty = sorted({r[BUCKET_COL] for r in sample})
+            pushed_keys = [r[cdc.KEY_COL] for r in sample]
+        else:
+            bucket_counts = (
+                changes.groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            n_changes = sum(r["_n"] for r in bucket_counts)
+            dirty = [r[BUCKET_COL] for r in bucket_counts]
+            pushed_keys = None
         if n_changes == 0:
             # Merges happened but every row was a SKIP — move only the
             # cursor. An in-place atomic meta write is safe EXACTLY when
@@ -256,16 +280,22 @@ def refresh_agg_snapshot(
             os.replace(mpath + ".tmp", mpath)
             return {"mode": "incremental", "as_of_seq": cur, "changed_rows": 0}
 
-        keys = changes.select(cdc.KEY_COL, BUCKET_COL)
-        dirty = [
-            r[BUCKET_COL] for r in keys.select(BUCKET_COL).distinct().collect()
-        ]
-        old_state = read_mor(spark, mor_path, as_of_seq=since)
-        old_rows = old_state.filter(F.col(BUCKET_COL).isin(dirty)).join(
-            _maybe_broadcast(keys.select(cdc.KEY_COL).distinct(), n_changes),
-            cdc.KEY_COL,
-            "left_semi",
-        )
+        # buckets= prunes the retraction read at the file LISTING — only
+        # the dirty buckets' dirs are even enumerated (read_mor docstring).
+        old_state = read_mor(spark, mor_path, as_of_seq=since, buckets=dirty)
+        if pushed_keys is not None:
+            # In(key) pushes into the key-sorted base files: row-group
+            # skipping inside the dirty buckets (the delete_keys_mor
+            # discipline), and one fewer join in the plan.
+            old_rows = old_state.filter(F.col(cdc.KEY_COL).isin(pushed_keys))
+        else:
+            old_rows = old_state.join(
+                _maybe_broadcast(
+                    changes.select(cdc.KEY_COL).distinct(), n_changes
+                ),
+                cdc.KEY_COL,
+                "left_semi",
+            )
 
         cols = list(group_cols) + list(sum_cols)
         # Tombstoned keys (row-level deletes) contribute NO +1 row — their
@@ -290,7 +320,17 @@ def refresh_agg_snapshot(
                 .cast("bigint")
                 .alias(_nn_name(c))
             )
-        delta = weighted.groupBy(*group_cols).agg(*delta_exprs)
+        # The delta feeds THREE plan branches (the broadcast merge join,
+        # the touched-groups semi probe, and the fresh-groups anti probe
+        # side). The broadcast exchange is reused across the first two,
+        # but the probe side would RE-RUN the retraction scan — snapshot
+        # the (at most |changes|-group) delta eagerly so the scan runs
+        # ONCE, fully parallel, and the snapshot write below degenerates
+        # to a trivial tiny-frame job.
+        delta = (
+            weighted.groupBy(*group_cols).agg(*delta_exprs)
+            .localCheckpoint(eager=True)
+        )
 
         prev = read_agg_snapshot(spark, agg_path)
         d = _maybe_broadcast(delta, n_changes)
@@ -342,6 +382,7 @@ def refresh_agg_snapshot(
         )
         out = existing.unionByName(fresh).filter(F.col(COUNT_COL) > 0)
         _write_snapshot(out, agg_path, {**meta, "as_of_seq": cur})
+        delta.unpersist()
     finally:
         changes.unpersist()
     return {

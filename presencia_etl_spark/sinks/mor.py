@@ -682,9 +682,7 @@ def delete_keys_mor(
         if not dirty:
             return {"delete": 0, "delta_files": 0, "compacted": False}
         n_keys = keyed.count()
-        victims = read_mor(spark, target_path).filter(
-            F.col(BUCKET_COL).isin(dirty)
-        )
+        victims = read_mor(spark, target_path, buckets=dirty)
         if n_keys <= KEY_PUSHDOWN_LIMIT:
             # Row-group-level pruning inside the dirty buckets (see
             # KEY_PUSHDOWN_LIMIT): the erasure scan reads a few row
@@ -705,7 +703,10 @@ def delete_keys_mor(
 
 
 def read_mor(
-    spark: SparkSession, target_path: str, as_of_seq: int | None = None
+    spark: SparkSession,
+    target_path: str,
+    as_of_seq: int | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """The current state: base rows without a delta override, union the
     per-key latest delta row. The anti-join side is the (small) delta key
@@ -719,9 +720,34 @@ def read_mor(
     as ``compacted_through``); asking for an older snapshot raises. This
     is the Hudi/Iceberg incremental-query discipline on plain parquet:
     retention is bounded by ``compact_every``, and a deployment wanting
-    longer history simply compacts less often (docs/SCALE.md)."""
+    longer history simply compacts less often (docs/SCALE.md).
+
+    ``buckets`` restricts the read to those ``_kb=`` buckets — equivalent
+    to ``.filter(_kb.isin(buckets))`` but pruned at the file LISTING, not
+    just the scan: only the named dirs are enumerated. Catalyst's
+    partition pruning skips reading the other buckets' DATA either way;
+    what this saves is the driver-side InMemoryFileIndex walk over every
+    bucket dir, which at 100 TB (10⁵–10⁶ files) dominates a sparse read
+    (the incremental-agg retraction, a keyed erasure) that touches a
+    handful of buckets."""
     base_path = os.path.join(target_path, BASE_DIR)
-    if _has_parquet_files(base_path):
+    if buckets is not None:
+        dirs = [
+            os.path.join(base_path, f"{BUCKET_COL}={b}")
+            for b in buckets
+            if os.path.isdir(os.path.join(base_path, f"{BUCKET_COL}={b}"))
+        ]
+        dirs = [d for d in dirs if _has_parquet_files(d)]
+        if dirs:
+            base = spark.read.option("basePath", base_path).parquet(*dirs)
+        else:
+            schema = _delta_row_schema(spark, target_path)
+            base = (
+                spark.createDataFrame([], schema)
+                if schema is not None
+                else spark.read.parquet(base_path).filter(F.lit(False))
+            )
+    elif _has_parquet_files(base_path):
         base = spark.read.parquet(base_path)
     else:
         # Crash window healed read-only: a compact interrupted between the
@@ -734,7 +760,6 @@ def read_mor(
             base = spark.read.parquet(base_path)  # raise Spark's own error
         else:
             base = spark.createDataFrame([], schema)
-    deltas = _read_deltas(spark, target_path)
     if as_of_seq is not None:
         floor = _read_meta(target_path).get("compacted_through", 0)
         if as_of_seq < floor:
@@ -744,12 +769,24 @@ def read_mor(
                 "were folded into the base. Compact less often "
                 "(compact_every) to retain a longer history."
             )
+        # The live sequence set is the delta DIR NAMES — whether any delta
+        # falls inside the snapshot is pure fs metadata. Skipping the read
+        # when none do (the common 'cursor at a compaction boundary' case)
+        # saves both the mergeSchema footer read and the limit(1) probe
+        # job the old emptiness check ran.
+        if not any(s <= as_of_seq for s in _delta_seqs(target_path)):
+            return base
+        deltas = _read_deltas(spark, target_path)
         if deltas is not None:
             deltas = deltas.filter(F.col(SEQ_COL) <= as_of_seq)
-            if not deltas.limit(1).take(1):
-                deltas = None
+    else:
+        deltas = _read_deltas(spark, target_path)
     if deltas is None:
         return base
+    if buckets is not None:
+        # Keep the bucket restriction an exact filter-equivalent: delta
+        # overrides from other buckets must not leak into the union.
+        deltas = deltas.filter(F.col(BUCKET_COL).isin(list(buckets)))
     latest = _delta_latest(deltas).select(*base.columns, DELETED_COL)
     keep = base.join(
         F.broadcast(latest.select(cdc.KEY_COL)), cdc.KEY_COL, "left_anti"
@@ -789,13 +826,18 @@ def read_mor_changes(
             "the base. Compact less often (compact_every) to retain a "
             "longer change log."
         )
-    deltas = _read_deltas(spark, target_path)
+    # fs-metadata emptiness check (delta dir names ARE the sequence set):
+    # no probe job, no footer read when the range holds nothing.
+    in_range = [
+        s
+        for s in _delta_seqs(target_path)
+        if s > since_seq and (as_of_seq is None or s <= as_of_seq)
+    ]
+    deltas = _read_deltas(spark, target_path) if in_range else None
     if deltas is not None:
         deltas = deltas.filter(F.col(SEQ_COL) > since_seq)
         if as_of_seq is not None:
             deltas = deltas.filter(F.col(SEQ_COL) <= as_of_seq)
-        if not deltas.limit(1).take(1):
-            deltas = None
     if deltas is None:
         base_path = os.path.join(target_path, BASE_DIR)
         base_schema = (

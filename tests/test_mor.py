@@ -1071,3 +1071,40 @@ class TestEmptyBaseCrashRecovery:
         assert mor._has_parquet_files(os.path.join(target, "base"))
         assert mor.read_mor(spark, target).count() == 0
         assert not mor._delta_seqs(target)
+
+
+class TestBucketPrunedRead:
+    """read_mor(buckets=...) prunes the base read at the file LISTING —
+    and must stay an exact filter-equivalent (delta overrides and
+    tombstones from other buckets must not leak in, ones inside must)."""
+
+    def test_buckets_read_equals_filtered_read(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        src = _src(spark, 400)
+        mor.merge_upsert_mor(spark, src, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        m = src.withColumn(
+            "V", F.when(F.col("K").isin("5", "9"), F.lit("mut")).otherwise(F.col("V"))
+        )
+        mor.merge_upsert_mor(spark, m, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        mor.delete_where_mor(spark, target, F.col("K") == "17",
+                             compact_every=None)
+        full = mor.read_mor(spark, target)
+        for b in range(8):
+            pruned = mor.read_mor(spark, target, buckets=[b])
+            want = _state(full.filter(F.col(mor.BUCKET_COL) == b))
+            assert _state(pruned) == want
+        # Missing bucket numbers are an empty (not erroring) read.
+        assert mor.read_mor(spark, target, buckets=[999]).count() == 0
+
+    def test_buckets_read_lists_only_named_dirs(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        mor.merge_upsert_mor(spark, _src(spark, 400), target, ["K"],
+                             num_buckets=8)
+        df = mor.read_mor(spark, target, buckets=[3])
+        files = df.inputFiles()
+        assert files and all("_kb=3" in f for f in files), files
+        # And the listing itself was pruned: one root, not num_buckets.
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryFileIndex(1 paths)" in plan, plan
