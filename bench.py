@@ -381,31 +381,47 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         # comparable to the reference's incremental table (BASELINE.md
         # rows 5-8).
         from presencia_etl_spark.operators.dedup_index import build_minhash_index
-        from presencia_etl_spark.plans.corpus_prep import prepare_training_corpus
+        from presencia_etl_spark.plans.corpus_prep import (
+            admit_stage,
+            assemble_stage,
+        )
 
         docs = read_table(spark, sf_dir, "documents")
         history = docs.filter(F.col("doc_id") % 5 != 0)
         pool = docs.filter(F.col("doc_id") % 5 == 0)
         idx = f"{work}/corpus_idx"
         build_minhash_index(spark, history, "doc_id", "text", idx)
-        batch_secs = []
+        # The two pipeline stages are timed separately (they compose into
+        # prepare_training_corpus): ADMIT is the stateful per-batch loop
+        # (gate→probe→admit→register) whose fixed cost gates interactive
+        # ingest; ASSEMBLE (chunk→pack) is stateless re-runnable
+        # transformation. admit_e2e_* keeps the round-6-comparable
+        # whole-pipeline number.
+        admit_secs, pack_secs = [], []
         n_packed = 0
         for i in range(3):
             b = pool.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i)
             t0 = time.perf_counter()
-            prep = prepare_training_corpus(
+            admitted = admit_stage(
                 spark, b, "doc_id", "text", idx, min_quality=0.05
             )
-            n_packed += prep["packed"].count()
-            batch_secs.append(time.perf_counter() - t0)
-        out["admit_batch_sec"] = round(batch_secs[0], 3)
-        out["admit_batch_marginal_sec"] = round(sorted(batch_secs[1:])[0], 3)
+            admit_secs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            n_packed += assemble_stage(admitted, "doc_id", "text")[
+                "packed"
+            ].count()
+            pack_secs.append(time.perf_counter() - t0)
+        out["admit_batch_sec"] = round(admit_secs[0], 3)
+        out["admit_batch_marginal_sec"] = round(sorted(admit_secs[1:])[0], 3)
+        out["pack_batch_marginal_sec"] = round(sorted(pack_secs[1:])[0], 3)
+        out["admit_e2e_marginal_sec"] = round(
+            sorted(a + p for a, p in zip(admit_secs[1:], pack_secs[1:]))[0], 3
+        )
         out["admit_batch_rows"] = int(pool.count())
-        # The marginal cost at this scale is ~10 fixed Spark jobs, not data
-        # (333 docs/batch at sf0.1) — report per-doc throughput so the
-        # number reads correctly against the reference's per-row
-        # incremental table (the fixed overhead amortizes at real batch
-        # sizes; decomposition in docs/SCALE.md).
+        # Fixed Spark jobs dominate at this scale, not data (333 docs per
+        # batch at sf0.1) — report per-doc throughput so the number reads
+        # correctly against the reference's per-row incremental table (the
+        # fixed overhead amortizes at real batch sizes; docs/SCALE.md).
         out["admit_marginal_docs_per_sec"] = round(
             (out["admit_batch_rows"] / 3) / out["admit_batch_marginal_sec"], 1
         )
@@ -545,8 +561,11 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
         # The incremental-agg crossover AT SCALE: at sf0.1 the O(changes)+
         # fixed refresh loses to a one-job recompute of 600K cached rows;
         # at 6M rows the recompute pays a real scan while the refresh cost
-        # is unchanged (~60 changed keys). Same sparse-mutation shape as
-        # the sf0.1 pipeline stage, so the two rows read side-by-side.
+        # stays O(changes). The mutation here is POINT-sparse (~8 keys per
+        # round — the dashboard-after-erasure / single-correction shape),
+        # so the bucket-pruned retraction reads ~8 of 256 buckets; the
+        # ~60-key scatter shape is covered at sf0.1 by agg_refresh_sec.
+        # Median-of-3: both numbers sit near the VM's noise floor.
         from presencia_etl_spark.plans.incremental_agg import (
             build_agg_snapshot,
             refresh_agg_snapshot,
@@ -555,20 +574,30 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
 
         agg_t = f"{work}/agg"
         build_agg_snapshot(spark, mor_target, agg_t, ["v1"], ["v2"])
-        sparse2 = df.withColumn(
-            "v2",
-            F.when(F.col("v3") == 1, F.col("v2") + 0.5).otherwise(F.col("v2")),
-        )
-        merge_upsert_mor(spark, sparse2, mor_target, ["k"], num_buckets=256)
-        t0 = time.perf_counter()
-        r = refresh_agg_snapshot(spark, mor_target, agg_t)
-        out["agg_refresh_sec"] = round(time.perf_counter() - t0, 3)
-        out["agg_refresh_changed_rows"] = int(r.get("changed_rows", -1))
-        t0 = time.perf_counter()
-        read_mor(spark, mor_target).groupBy("v1").agg(
-            F.count(F.lit(1)), F.sum("v2")
-        ).collect()
-        out["agg_recompute_sec"] = round(time.perf_counter() - t0, 3)
+        refresh_secs, recompute_secs = [], []
+        changed = 0
+        for step in (1, 2, 3):
+            sparse_n = df.withColumn(
+                "v2",
+                F.when(
+                    F.pmod(F.xxhash64("k", F.lit(2 + step)), F.lit(750_000))
+                    == 0,
+                    F.col("v2") + 0.5,
+                ).otherwise(F.col("v2")),
+            )
+            merge_upsert_mor(spark, sparse_n, mor_target, ["k"], num_buckets=256)
+            t0 = time.perf_counter()
+            r = refresh_agg_snapshot(spark, mor_target, agg_t)
+            refresh_secs.append(time.perf_counter() - t0)
+            changed += int(r.get("changed_rows", 0))
+            t0 = time.perf_counter()
+            read_mor(spark, mor_target).groupBy("v1").agg(
+                F.count(F.lit(1)), F.sum("v2")
+            ).collect()
+            recompute_secs.append(time.perf_counter() - t0)
+        out["agg_refresh_sec"] = round(sorted(refresh_secs)[1], 3)
+        out["agg_recompute_sec"] = round(sorted(recompute_secs)[1], 3)
+        out["agg_refresh_changed_rows"] = changed
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

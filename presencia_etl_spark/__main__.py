@@ -128,6 +128,25 @@ def main(argv: list[str] | None = None) -> int:
         "--date-col", default=None, help="date column for --retain-days"
     )
 
+    p = sub.add_parser(
+        "sql",
+        help="read-only SQL over a synced warehouse: registers every state "
+        "dir as a view (layout-aware: MOR views reconcile deltas and drop "
+        "tombstones) and runs one SELECT; --generation N pins MOR views "
+        "to sync run N's consistent cross-table snapshot (-1 = latest)",
+    )
+    p.add_argument("--warehouse", required=True, help="warehouse root dir")
+    p.add_argument("--query", required=True, help="SELECT/WITH/SHOW statement")
+    p.add_argument(
+        "--generation", type=int, default=None,
+        help="pin MOR views to recorded sync generation N (-1 = latest)",
+    )
+    p.add_argument(
+        "--include-internal", action="store_true",
+        help="expose engine columns (_kb, _cdc_key) in the views",
+    )
+    p.add_argument("--limit", type=int, default=1000, help="max rows printed")
+
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
@@ -202,6 +221,20 @@ def main(argv: list[str] | None = None) -> int:
 
         out = rebucket(spark, args.target, args.buckets)
         print(json.dumps({"cmd": "rebucket", "result": out}))
+        return 0
+
+    if args.cmd == "sql":
+        from presencia_etl_spark.sql import run_sql
+
+        out = run_sql(
+            spark,
+            args.warehouse,
+            args.query,
+            generation=args.generation,
+            include_internal=args.include_internal,
+            limit=args.limit,
+        )
+        print(json.dumps({"cmd": "sql", "result": out}, default=str))
         return 0
 
     if args.cmd == "delete":

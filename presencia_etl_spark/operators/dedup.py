@@ -215,23 +215,31 @@ def minhash_signatures(
     ).drop("shingles")
 
 
+def band_array(n_hashes: int, bands: int):
+    """The per-doc LSH band array — ``band_rows``'s transform WITHOUT the
+    explode: array<struct<band_id,band_hash>> over a ``sig`` column. The
+    shape a trickle-batch admit collects to the driver in one narrow,
+    shuffle-free job (``dedup_index.admit_batch``). MUST stay expression-
+    identical to ``band_rows`` or an admitted doc's collected bands would
+    differ from its probed bands."""
+    rows_per_band = n_hashes // bands
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> named_struct('band_id', b,"
+        f" 'band_hash', xxhash64(array_join(slice(sig, b * {rows_per_band} + 1,"
+        f" {rows_per_band}), ','))))"
+    )
+
+
 def band_rows(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     """Explode a (doc_id, sig) frame into narrow (band_id, band_hash, doc_id)
     LSH rows — the ONLY shape that moves through dedup shuffles and the
     on-disk layout of the persisted index (``dedup_index``). One xxhash64
     per band over the joined signature slice; everything stays in codegen.
     """
-    rows_per_band = n_hashes // bands
     return sig.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> named_struct('band_id', b,"
-                f" 'band_hash', xxhash64(array_join(slice(sig, b * {rows_per_band} + 1,"
-                f" {rows_per_band}), ','))))"
-            )
-        ).alias("band"),
+        F.explode(band_array(n_hashes, bands)).alias("band"),
     ).select(
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_hash").alias("band_hash"),

@@ -32,7 +32,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from presencia_etl_spark.operators.dedup import band_rows, minhash_signatures
+from presencia_etl_spark.functions.pushdown import in_list
+from presencia_etl_spark.operators.dedup import (
+    band_array,
+    band_rows,
+    minhash_signatures,
+)
+from presencia_etl_spark.session import trickle_scope as _no_aqe
 from presencia_etl_spark.sinks.locking import single_writer
 
 SIG_DIR = "signatures"
@@ -131,6 +137,139 @@ def build_minhash_index(
     return {"docs": n}
 
 
+def _staged_rows(staged: str) -> int:
+    """Row count of a staged write from its parquet footers — driver-side
+    metadata, no Spark job."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, _d, files in os.walk(staged):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return n
+
+
+def _publish_staged(staged: str, live: str) -> int:
+    """Move a staged write's part files into the live artifact dir
+    (hive subdirs preserved). Part names carry Spark's per-job UUID, so
+    renames never collide with earlier appends. Returns files moved."""
+    n = 0
+    for root, _d, files in os.walk(staged):
+        rel = os.path.relpath(root, staged)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            dst_dir = live if rel == "." else os.path.join(live, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            os.rename(os.path.join(root, f), os.path.join(dst_dir, f))
+            n += 1
+    return n
+
+
+def _pa_type(dt):
+    """Spark → pyarrow type for the doc-id column of a driver-side index
+    append. Raises TypeError for id types the micro-append doesn't
+    support — the caller falls back to the all-Spark append path."""
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType, LongType, StringType
+
+    if isinstance(dt, LongType):
+        return pa.int64()
+    if isinstance(dt, IntegerType):
+        return pa.int32()
+    if isinstance(dt, StringType):
+        return pa.string()
+    raise TypeError(f"unsupported doc-id type for driver append: {dt}")
+
+
+@single_writer("index_path")
+def _register_collected(
+    spark: SparkSession, index_path: str, rows: list, id_type
+) -> dict:
+    """Append a TRICKLE batch's already-collected (doc_id, sig, bands)
+    rows to the index — pure driver pyarrow writes, zero Spark jobs.
+
+    The steady-state admit loop collects its batch signatures anyway (one
+    bounded narrow job yields the probe's pushdown keys); round-tripping
+    those KBs back through two Spark write jobs was half the loop's fixed
+    cost. Same staged-publish discipline as ``update_minhash_index``
+    (bands first, signatures last — the signature store is the replay
+    'seen' set), same file layout (key-sorted single file per artifact,
+    Spark-compatible schema), same meta/compaction bookkeeping."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = _read_meta(index_path)
+    added = len(rows)
+    if added == 0:
+        return {"added": 0, "docs": meta.get("docs", 0), "compacted": False}
+    idt = _pa_type(id_type)
+    import shutil
+
+    sig_stage = os.path.join(index_path, ".staging_append_sig")
+    band_stage = os.path.join(index_path, ".staging_append_band")
+    for d in (sig_stage, band_stage):
+        shutil.rmtree(d, ignore_errors=True)
+    try:
+        tag = uuid.uuid4().hex
+        srows = sorted(rows, key=lambda r: r["doc_id"])
+        os.makedirs(sig_stage)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in srows], idt),
+                    "sig": pa.array(
+                        [list(r["sig"]) for r in srows], pa.list_(pa.int64())
+                    ),
+                }
+            ),
+            os.path.join(sig_stage, f"part-admit-{tag}.parquet"),
+        )
+        per_band: dict[int, list] = {}
+        for r in rows:
+            for b in r["bands"]:
+                per_band.setdefault(b["band_id"], []).append(
+                    (b["band_hash"], r["doc_id"])
+                )
+        for bid, lst in per_band.items():
+            lst.sort()
+            d = os.path.join(band_stage, f"band_id={bid}")
+            os.makedirs(d)
+            pq.write_table(
+                pa.table(
+                    {
+                        "band_hash": pa.array(
+                            [h for h, _ in lst], pa.int64()
+                        ),
+                        "doc_id": pa.array([i for _, i in lst], idt),
+                    }
+                ),
+                os.path.join(d, f"part-admit-{tag}.parquet"),
+            )
+        _publish_staged(band_stage, os.path.join(index_path, BAND_DIR))
+        _publish_staged(sig_stage, os.path.join(index_path, SIG_DIR))
+    finally:
+        shutil.rmtree(sig_stage, ignore_errors=True)
+        shutil.rmtree(band_stage, ignore_errors=True)
+    meta["docs"] = meta.get("docs", 0) + added
+    meta["appends"] = meta.get("appends", 0) + 1
+    with open(_meta_path(index_path), "w") as f:
+        json.dump(meta, f)
+    compacted = False
+    if meta["appends"] >= COLLECTED_COMPACT_EVERY:
+        compact_minhash_index(spark, index_path)
+        compacted = True
+    return {"added": added, "docs": meta["docs"], "compacted": compacted}
+
+
+# Auto-compaction threshold for driver-side micro-appends (the admit
+# loop's default path) — matches update_minhash_index's default.
+COLLECTED_COMPACT_EVERY = 64
+
+
 @single_writer("index_path")
 def update_minhash_index(
     spark: SparkSession,
@@ -153,56 +292,82 @@ def update_minhash_index(
     computed with this index's parameters — the admit loop passes the
     probe's signatures so the shingling+hashing (the dominant per-batch
     CPU cost) runs once, not twice.
-    Returns {'added': n, 'docs': total, 'compacted': bool}."""
+    Returns {'added': n, 'docs': total, 'compacted': bool}.
+
+    Appends are STAGED: each artifact writes to a hidden dir inside the
+    index, then publishes by renaming the part files in. This (a) makes
+    the write safe against the admit loop's self-read lineage (the
+    caller's frames read THIS index's signature store; the write job only
+    ever sees the pre-append files, and publication happens after it
+    finishes — no snapshot/checkpoint of the input needed), and (b) lets
+    the batch size itself from the staged footers (pure driver metadata,
+    no count job): an all-duplicates batch publishes nothing at all — not
+    even empty files, which would bill a file open to every future probe.
+    Publication order is bands FIRST, signatures LAST: the signature
+    store is the 'seen' set that makes replays idempotent, so a crash
+    between the two leaves docs that a replay will re-register (the
+    duplicate band rows are deduped by the probe) — never docs the index
+    silently stops matching."""
     meta = _read_meta(index_path)
-    if precomputed_sig is not None:
-        # The caller's frame may READ this index (the admit loop's lineage
-        # goes through the signature store's seen-id anti-join) — appending
-        # below while that lineage is live would feed the write back into
-        # its own input on any recompute. Snapshot it first.
-        sig = precomputed_sig.localCheckpoint(eager=True)
-    else:
-        sig = minhash_signatures(
+    sig = (
+        precomputed_sig
+        if precomputed_sig is not None
+        else minhash_signatures(
             new_docs, id_col, text_col, meta["k"], meta["n_hashes"]
-        ).persist()
-    # Count BEFORE writing (the snapshot/persist makes it one cheap local
-    # job) so (a) an all-duplicates batch appends nothing at all — not even
-    # empty files, which would still bill a file open to every future probe
-    # — and (b) the append is sized to the batch: a trickle batch lands ONE
-    # file per artifact instead of ``num_files`` near-empty ones. At steady
-    # state file count grows with ROWS appended, not with batches admitted,
-    # which is what keeps read amplification bounded until compaction.
-    added = sig.count()
-    if added == 0:
-        if precomputed_sig is None:
-            sig.unpersist()
-        return {"added": 0, "docs": meta.get("docs", 0), "compacted": False}
-    n_out = max(1, min(num_files, added // 200_000 + 1))
+        )
+    )
+    sig_stage = os.path.join(index_path, ".staging_append_sig")
+    band_stage = os.path.join(index_path, ".staging_append_band")
+    import shutil
 
-    # A single-file append needs no range partitioning — and skipping it
-    # matters: repartitionByRange runs a separate range-boundary SAMPLING
-    # job per write, so a trickle batch (n_out=1, the steady-state admit
-    # loop) would pay two extra Spark jobs for a partitioner with nothing
-    # to decide. coalesce(1) + sortWithinPartitions yields the identical
-    # file layout (one file, sorted — min/max skipping intact).
-    def _ranged(df: DataFrame, *cols: str):
+    for d in (sig_stage, band_stage):  # GC a crashed predecessor's staging
+        shutil.rmtree(d, ignore_errors=True)
+
+    # Trickle-batch appends (the steady-state admit loop) land ONE file
+    # per artifact: coalesce(1)+sort yields the identical key-sorted
+    # layout as a range partition (min/max skipping intact) without
+    # repartitionByRange's separate range-boundary sampling job. Batches
+    # past ~200K rows re-stage range-partitioned — the extra write only
+    # when there is real data to spread.
+    try:
+        (
+            sig.coalesce(1)
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(sig_stage)
+        )
+        added = _staged_rows(sig_stage)
+        if added == 0:
+            return {"added": 0, "docs": meta.get("docs", 0), "compacted": False}
+        n_out = max(1, min(num_files, added // 200_000 + 1))
+        staged_sig = spark.read.parquet(sig_stage)
+        if n_out > 1:
+            (
+                staged_sig.repartitionByRange(n_out, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(sig_stage + "2")
+            )
+            shutil.rmtree(sig_stage)
+            os.rename(sig_stage + "2", sig_stage)
+            staged_sig = spark.read.parquet(sig_stage)
+        bands = band_rows(staged_sig, meta["n_hashes"], meta["bands"])
         if n_out == 1:
-            return df.coalesce(1).sortWithinPartitions(cols[-1])
-        return df.repartitionByRange(n_out, *cols).sortWithinPartitions(cols[-1])
-
-    (
-        _ranged(sig, "doc_id")
-        .write.mode("append")
-        .parquet(os.path.join(index_path, SIG_DIR))
-    )
-    (
-        _ranged(band_rows(sig, meta["n_hashes"], meta["bands"]), "band_id", "band_hash")
-        .write.mode("append")
-        .partitionBy("band_id")
-        .parquet(os.path.join(index_path, BAND_DIR))
-    )
-    if precomputed_sig is None:
-        sig.unpersist()
+            bands = bands.coalesce(1).sortWithinPartitions("band_hash")
+        else:
+            bands = bands.repartitionByRange(
+                n_out, "band_id", "band_hash"
+            ).sortWithinPartitions("band_hash")
+        (
+            bands.write.mode("overwrite")
+            .partitionBy("band_id")
+            .parquet(band_stage)
+        )
+        _publish_staged(band_stage, os.path.join(index_path, BAND_DIR))
+        _publish_staged(sig_stage, os.path.join(index_path, SIG_DIR))
+    finally:
+        shutil.rmtree(sig_stage, ignore_errors=True)
+        shutil.rmtree(band_stage, ignore_errors=True)
     meta["docs"] = meta.get("docs", 0) + added
     meta["appends"] = meta.get("appends", 0) + 1
     with open(_meta_path(index_path), "w") as f:
@@ -322,6 +487,7 @@ def query_minhash_index(
     max_bucket: int = 1000,
     eager: bool = True,
     precomputed_sig: DataFrame | None = None,
+    precollected: tuple | None = None,
 ) -> DataFrame:
     """Near-dup matches of a batch against the indexed history:
     (batch_id, index_id, est_jaccard), self-pairs (same id on both sides)
@@ -353,6 +519,11 @@ def query_minhash_index(
     ``precomputed_sig``: a ready (doc_id, sig) frame for the batch (the
     caller owns its persist/unpersist lifecycle); used by the admit loop
     to share one signature pass between probe and register.
+    ``precollected``: ``(band_keys, n_probe_rows)`` the caller already
+    collected (the admit loop's combined signature collect) — the probe
+    then builds its plan with ZERO Spark actions of its own. ``band_keys``
+    None means the batch overflowed the pushdown bound: no In filter,
+    broadcast decided from ``n_probe_rows`` alone.
     """
     from pyspark.sql import Window
 
@@ -379,21 +550,27 @@ def query_minhash_index(
     # duplicate-heavy batch can hit few distinct hashes yet carry millions
     # of probe ROWS, and broadcast must be sized on rows, not keys.
     iband = spark.read.parquet(os.path.join(index_path, BAND_DIR))
-    key_counts = (
-        bband.groupBy("band_hash")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .limit(PROBE_PUSHDOWN_LIMIT + 1)
-        .collect()
-    )
-    keys = [r["band_hash"] for r in key_counts]
-    pushdown = len(keys) <= PROBE_PUSHDOWN_LIMIT
-    if pushdown:
-        iband = iband.filter(F.col("band_hash").isin(keys))
-        # Exact probe row count: the limit did not truncate, so the
-        # per-hash counts sum to |batch docs| × bands.
-        n_probe_rows = sum(r["_n"] for r in key_counts)
+    if precollected is not None:
+        keys, n_probe_rows = precollected
+        pushdown = keys is not None
+        if pushdown:
+            iband = iband.filter(in_list("band_hash", keys))
     else:
-        n_probe_rows = bsig.count() * meta["bands"]
+        key_counts = (
+            bband.groupBy("band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .limit(PROBE_PUSHDOWN_LIMIT + 1)
+            .collect()
+        )
+        keys = [r["band_hash"] for r in key_counts]
+        pushdown = len(keys) <= PROBE_PUSHDOWN_LIMIT
+        if pushdown:
+            iband = iband.filter(in_list("band_hash", keys))
+            # Exact probe row count: the limit did not truncate, so the
+            # per-hash counts sum to |batch docs| × bands.
+            n_probe_rows = sum(r["_n"] for r in key_counts)
+        else:
+            n_probe_rows = bsig.count() * meta["bands"]
     probe = bband.select("band_id", "band_hash", F.col("doc_id").alias("batch_id"))
     if n_probe_rows <= PROBE_BROADCAST_LIMIT:
         probe = F.broadcast(probe)
@@ -421,7 +598,7 @@ def query_minhash_index(
         pairs = pairs.localCheckpoint(eager=True)
         ids = [r["index_id"] for r in pairs.select("index_id").distinct().collect()]
         if len(ids) <= PROBE_PUSHDOWN_LIMIT:
-            isig = isig.filter(F.col("doc_id").isin(ids))
+            isig = isig.filter(in_list("doc_id", ids))
     n_hashes = meta["n_hashes"]
     est = F.expr(
         "aggregate(zip_with(sig_b, sig_i, (x, y) -> if(x = y, 1, 0)),"
@@ -462,6 +639,22 @@ def admit_batch(
     neither returned nor re-registered, so batch replays are safe. This
     is the steady-state ingest loop a 100 TB training corpus actually
     runs — per batch, work is O(|batch|), never O(|history|)."""
+    with _no_aqe(spark):
+        return _admit_batch_inner(
+            spark, batch, id_col, text_col, index_path, est_threshold,
+            update_index,
+        )
+
+
+def _admit_batch_inner(
+    spark: SparkSession,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    est_threshold: float,
+    update_index: bool,
+) -> DataFrame:
     # An id already registered in the index IS the admitted doc — a replay
     # must not re-probe (it would pass, its self-pair is id-excluded) nor
     # re-register its signatures. The id probe reads only the doc_id
@@ -481,29 +674,92 @@ def admit_batch(
         fresh, id_col, text_col, meta["k"], meta["n_hashes"]
     ).persist()
     try:
-        # eager=False: the probe plan (band In-pushdown + broadcast probe
-        # included — the keys collect is unconditional) is consumed exactly
-        # once, by the `admitted` checkpoint below, so materializing it in
-        # its own localCheckpoint would only add a Spark action to the
+        # COMBINED trickle collect: ONE narrow, shuffle-free job yields the
+        # batch's signatures AND band rows (and materializes both caches).
+        # Everything the loop previously ran separate jobs for — the
+        # pushdown-key collect, the index-append writes — now derives from
+        # this driver copy. Bounded: past ADMIT_COLLECT bound the batch is
+        # not a trickle; fall back to the all-Spark path (groupBy key
+        # collect inside the probe, staged Spark append writes).
+        lim = max(1, PROBE_PUSHDOWN_LIMIT // meta["bands"])
+        csig = None
+        try:
+            _pa_type(fsig.schema["doc_id"].dataType)  # driver-writable id?
+            csig = (
+                fsig.select(
+                    "doc_id",
+                    "sig",
+                    band_array(meta["n_hashes"], meta["bands"]).alias("bands"),
+                )
+                .limit(lim + 1)
+                .collect()
+            )
+            if len(csig) > lim:
+                csig = None
+        except TypeError:
+            csig = None
+        if csig is not None:
+            keys = list({b["band_hash"] for r in csig for b in r["bands"]})
+            precollected = (keys, len(csig) * meta["bands"])
+        else:
+            precollected = None
+        # eager=False: the probe plan is consumed exactly once, by the
+        # `admitted` checkpoint below, so materializing it in its own
+        # localCheckpoint would only add a Spark action to the
         # steady-state loop. Everything the lazy plan re-reads (`fresh`,
         # the signatures) is cached above — nothing recomputes twice.
         matches = query_minhash_index(
             spark, fresh, id_col, text_col, index_path,
-            precomputed_sig=fsig, eager=False,
+            precomputed_sig=fsig, eager=False, precollected=precollected,
         )
         dupes = (
             matches.filter(F.col("est_jaccard") >= est_threshold)
             .select(F.col("batch_id").alias(id_col))
             .distinct()
         )
-        admitted = fresh.join(dupes, id_col, "left_anti").localCheckpoint(eager=True)
-        if update_index:
-            asig = fsig.join(
-                admitted.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+        if csig is not None:
+            # Trickle path: the probe executes ONCE, as the (bounded — the
+            # duplicate set is a subset of the collected batch) dup-id
+            # collect. The admitted frame is returned LAZY: its lineage is
+            # the batch anti-joined against the PRE-APPEND signature
+            # listing (a DataFrame pins its file-listing snapshot), so a
+            # downstream recompute after the index append below still
+            # yields exactly this batch's admitted rows. The index append
+            # itself is a pure-driver pyarrow write of the already-
+            # collected signatures/bands — zero further Spark jobs.
+            dup_ids = {r[id_col] for r in dupes.collect()}
+            admitted = (
+                fresh.filter(~in_list(id_col, list(dup_ids)))
+                if dup_ids
+                else fresh
             )
-            update_minhash_index(
-                spark, admitted, id_col, text_col, index_path, precomputed_sig=asig
+            # Cheap materialization: the probe already ran (the dup-id
+            # collect above); this checkpoint is a narrow filter over the
+            # cached batch, and it keeps the returned frame independent of
+            # the caches unpersisted below (downstream chunk/pack must not
+            # re-run the gate chain per consumer).
+            admitted = admitted.localCheckpoint(eager=True)
+            if update_index:
+                _register_collected(
+                    spark,
+                    index_path,
+                    [r for r in csig if r["doc_id"] not in dup_ids],
+                    fsig.schema["doc_id"].dataType,
+                )
+        else:
+            admitted = fresh.join(dupes, id_col, "left_anti").localCheckpoint(
+                eager=True
             )
+            if update_index:
+                asig = fsig.join(
+                    admitted.select(F.col(id_col).alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
+                update_minhash_index(
+                    spark, admitted, id_col, text_col, index_path,
+                    precomputed_sig=asig,
+                )
     finally:
         fsig.unpersist()
         fresh.unpersist()

@@ -65,7 +65,53 @@ def prepare_training_corpus(
     (``text.repetition_features``); ``decontam_benchmark`` drops docs
     sharing any word 13-gram with the given eval set
     (``text.decontaminate``).
+
+    Composed from ``admit_stage`` (gate → probe → admit → register) and
+    ``assemble_stage`` (chunk → pack) — callers wanting stage-level
+    control or timing (the bench, a stream that sinks admitted docs
+    before assembling) call the stages directly.
     """
+    admitted = admit_stage(
+        spark,
+        docs,
+        id_col,
+        text_col,
+        index_path,
+        min_quality=min_quality,
+        filter_repetition=filter_repetition,
+        decontam_benchmark=decontam_benchmark,
+        est_threshold=est_threshold,
+        update_index=update_index,
+    )
+    return {
+        "admitted": admitted,
+        **assemble_stage(
+            admitted,
+            id_col,
+            text_col,
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+            pack_budget=pack_budget,
+            shard_docs=shard_docs,
+        ),
+    }
+
+
+def admit_stage(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    min_quality: float | None = 0.3,
+    filter_repetition: bool = False,
+    decontam_benchmark: DataFrame | None = None,
+    est_threshold: float = 0.8,
+    update_index: bool = True,
+) -> DataFrame:
+    """Gate → near-dedup probe → admit → register: the ADMISSION half of
+    the pipeline (what a replayed batch must pass exactly once). Returns
+    the admitted rows, materialized."""
     gated = docs
     if min_quality is not None:
         gated = (
@@ -83,8 +129,7 @@ def prepare_training_corpus(
         gated = text.decontaminate(
             gated, decontam_benchmark, id_col, text_col
         )
-
-    admitted = admit_batch(
+    return admit_batch(
         spark,
         gated,
         id_col,
@@ -94,6 +139,18 @@ def prepare_training_corpus(
         update_index=update_index,
     )
 
+
+def assemble_stage(
+    admitted: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    pack_budget: int = 2048,
+    shard_docs: int = 100_000,
+) -> dict[str, DataFrame]:
+    """Chunk → pack: the ASSEMBLY half — pure transformation of already-
+    admitted docs (safe to re-run, no state mutated)."""
     chunks = chunking.chunk_documents(
         admitted, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     ).withColumn(
@@ -102,7 +159,6 @@ def prepare_training_corpus(
             F.col("chunk_idx")
         ),
     )
-
     packed = packing.pack_sequences(
         chunks,
         "seq_id",
@@ -111,9 +167,4 @@ def prepare_training_corpus(
         shard_size=shard_docs << _CHUNK_IDX_BITS,
     )
     stats = packing.pack_stats(packed, "chunk_token_count", pack_budget)
-    return {
-        "admitted": admitted,
-        "chunks": chunks,
-        "packed": packed,
-        "pack_stats": stats,
-    }
+    return {"chunks": chunks, "packed": packed, "pack_stats": stats}

@@ -66,6 +66,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from presencia_etl_spark.functions.pushdown import in_list
 from presencia_etl_spark.operators import cdc
 from presencia_etl_spark.sinks.locking import single_writer
 from presencia_etl_spark.sinks.mor import (
@@ -223,7 +224,21 @@ def refresh_agg_snapshot(
     """Fold the MOR change feed since the snapshot's cursor into the
     maintained aggregate — O(changes), the base is scanned only in the
     changed keys' buckets. Falls back to a full rebuild when the change
-    history was compacted away (mode="rebuild")."""
+    history was compacted away (mode="rebuild").
+
+    Runs under ``session.trickle_scope``: a refresh's frames are bounded
+    by |changes| and its strategy is static (broadcast merge joins,
+    In-pushdown retraction), so AQE's per-exchange re-plan jobs and the
+    LIMIT ramp of the sizing collect are pure fixed cost here."""
+    from presencia_etl_spark.session import trickle_scope
+
+    with trickle_scope(spark):
+        return _refresh_agg_snapshot_inner(spark, mor_path, agg_path)
+
+
+def _refresh_agg_snapshot_inner(
+    spark: SparkSession, mor_path: str, agg_path: str
+) -> dict:
     _recover_interrupted_refresh(agg_path)
     meta = _read_meta(agg_path)
     since = meta["as_of_seq"]
@@ -287,7 +302,7 @@ def refresh_agg_snapshot(
             # In(key) pushes into the key-sorted base files: row-group
             # skipping inside the dirty buckets (the delete_keys_mor
             # discipline), and one fewer join in the plan.
-            old_rows = old_state.filter(F.col(cdc.KEY_COL).isin(pushed_keys))
+            old_rows = old_state.filter(in_list(cdc.KEY_COL, pushed_keys))
         else:
             old_rows = old_state.join(
                 _maybe_broadcast(

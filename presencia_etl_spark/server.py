@@ -42,6 +42,8 @@ CATALOG = {
         "/run/clean": "drop warehouse tables",
         "/run/delete": "row-level delete (where=PRED or retain_days=N&date_col=C)",
         "/state/history": "state bookkeeping: MOR snapshot log / warehouse generations",
+        "/sql": "read-only SQL over the warehouse views "
+        "(q=SELECT...&generation=N pins a consistent snapshot)",
         "/health": "liveness",
     },
 }
@@ -177,6 +179,30 @@ class _Handler(BaseHTTPRequestHandler):
                         {"status": "error", "error": "give where=PRED or retain_days=N&date_col=C"},
                     )
                     return
+                self._reply(200, {"status": "ok", "result": out})
+            elif url.path == "/sql":
+                q = params.get("q")
+                if not q:
+                    self._reply(400, {"status": "error", "error": "q param required"})
+                    return
+                wh = params.get("warehouse") or self.warehouse_root
+                if not wh:
+                    self._reply(
+                        400,
+                        {"status": "error", "error": "warehouse param required "
+                         "(no server warehouse root configured)"},
+                    )
+                    return
+                from presencia_etl_spark.sql import run_sql
+
+                gen = params.get("generation")
+                out = run_sql(
+                    self.spark,
+                    wh,
+                    q,
+                    generation=int(gen) if gen is not None else None,
+                    limit=int(params.get("limit", "1000")),
+                )
                 self._reply(200, {"status": "ok", "result": out})
             elif url.path == "/state/history":
                 target = params.get("target")

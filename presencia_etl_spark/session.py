@@ -53,3 +53,43 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def trickle_scope(spark: SparkSession):
+    """Conf scope for TRICKLE-BATCH plans — the steady-state loops (the
+    admit loop, an incremental-agg refresh) whose every frame is KB-sized
+    and whose join strategy is fully decided statically (broadcast hints,
+    In-pushdown). Three session knobs cost such plans more than they buy:
+
+    - AQE launches a separate Spark job per exchange it re-plans (~0.1 s
+      fixed latency each, ~10 per admit batch measured) for decisions the
+      plan already made.
+    - A LIMIT collect ramps over several jobs (1 partition, then 4x...);
+      scanning everything in one job is cheaper when 'everything' is one
+      small batch.
+    - The session shuffle width launches more tasks than there are rows
+      to shuffle.
+
+    Corpus-scale one-shot shapes (LSH sweep, compaction, full loads) keep
+    the session defaults. Restores every knob on exit; actions on frames
+    RETURNED out of the scope run under the session config again."""
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        old_lim = spark.conf.get("spark.sql.limit.initialNumPartitions")
+    except Exception:
+        old_lim = None
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.limit.initialNumPartitions", "100000")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        if old_lim is not None:
+            spark.conf.set("spark.sql.limit.initialNumPartitions", old_lim)

@@ -52,6 +52,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from presencia_etl_spark.functions.pushdown import in_list
 from presencia_etl_spark.operators import cdc
 from presencia_etl_spark.sinks.locking import single_writer
 from presencia_etl_spark.sinks.writers import (
@@ -459,7 +460,7 @@ def merge_upsert_mor(
             upd_buckets = [
                 r[BUCKET_COL] for r in upd_keys.select(BUCKET_COL).distinct().collect()
             ]
-            base_cur = base.filter(F.col(BUCKET_COL).isin(upd_buckets))
+            base_cur = base.filter(in_list(BUCKET_COL, upd_buckets))
             delta_cur = deltas
             if n_update <= KEY_PUSHDOWN_LIMIT:
                 # Second pruning level under the _kb= dir pruning: the
@@ -473,11 +474,9 @@ def merge_upsert_mor(
                     r[cdc.KEY_COL]
                     for r in upd_keys.select(cdc.KEY_COL).distinct().collect()
                 ]
-                base_cur = base_cur.filter(F.col(cdc.KEY_COL).isin(pushed))
+                base_cur = base_cur.filter(in_list(cdc.KEY_COL, pushed))
                 if delta_cur is not None:
-                    delta_cur = delta_cur.filter(
-                        F.col(cdc.KEY_COL).isin(pushed)
-                    )
+                    delta_cur = delta_cur.filter(in_list(cdc.KEY_COL, pushed))
             cur = base_cur.select(
                 cdc.KEY_COL, "id", "created_at", F.lit(-1).alias(SEQ_COL)
             )
@@ -688,7 +687,7 @@ def delete_keys_mor(
             # KEY_PUSHDOWN_LIMIT): the erasure scan reads a few row
             # groups, not whole buckets.
             pushed = [r[cdc.KEY_COL] for r in keyed.select(cdc.KEY_COL).collect()]
-            victims = victims.filter(F.col(cdc.KEY_COL).isin(pushed))
+            victims = victims.filter(in_list(cdc.KEY_COL, pushed))
         else:
             victims = victims.join(
                 _maybe_broadcast(keyed.select(cdc.KEY_COL), n_keys),
@@ -786,7 +785,7 @@ def read_mor(
     if buckets is not None:
         # Keep the bucket restriction an exact filter-equivalent: delta
         # overrides from other buckets must not leak into the union.
-        deltas = deltas.filter(F.col(BUCKET_COL).isin(list(buckets)))
+        deltas = deltas.filter(in_list(BUCKET_COL, list(buckets)))
     latest = _delta_latest(deltas).select(*base.columns, DELETED_COL)
     keep = base.join(
         F.broadcast(latest.select(cdc.KEY_COL)), cdc.KEY_COL, "left_anti"
@@ -870,7 +869,10 @@ def mor_history(target_path: str) -> dict:
 
 @single_writer("target_path")
 def compact_mor(
-    spark: SparkSession, target_path: str, keep_last: int = 0
+    spark: SparkSession,
+    target_path: str,
+    keep_last: int = 0,
+    consumer_checkpoints: list[str] | None = None,
 ) -> dict[str, int]:
     """Fold outstanding deltas into the base, rewriting ONLY the buckets
     deltas touch — through the same journaled crash-safe bucket swap as the
@@ -883,20 +885,38 @@ def compact_mor(
     snapshot/change-feed history over the last K merges survives routine
     compaction. Folding an old version of a key whose newer version lives
     in a kept delta is safe — the read view's latest-wins reconciliation
-    still overrides the base with the kept delta."""
+    still overrides the base with the kept delta.
+
+    ``consumer_checkpoints``: streaming change-feed consumers' checkpoint
+    dirs to protect. Compaction refuses to fold any delta such a consumer
+    has not fully processed, by raising ``keep_last`` to each consumer's
+    ``min_safe_keep_last`` (``streaming.change_feed.consumer_progress``)
+    — the CDF-retention/consumer-group-lag guard: a lagging consumer can
+    slow compaction down, never lose events to it. The effective value is
+    returned as ``keep_last_effective``."""
+    if consumer_checkpoints:
+        from presencia_etl_spark.streaming.change_feed import consumer_progress
+
+        for ckpt in consumer_checkpoints:
+            keep_last = max(
+                keep_last,
+                consumer_progress(ckpt, target_path)["min_safe_keep_last"],
+            )
     base_path = os.path.join(target_path, BASE_DIR)
     _recover_interrupted_swap(base_path)
     _gc_orphan_staging(target_path)
     _recover_empty_base(spark, target_path)
     deltas = _read_deltas(spark, target_path)
     if deltas is None:
-        return {"buckets_rewritten": 0, "deltas_folded": 0}
+        return {"buckets_rewritten": 0, "deltas_folded": 0,
+                "keep_last_effective": keep_last}
     seqs = _delta_seqs(target_path)
     if keep_last > 0:
         seqs = seqs[:-keep_last] if len(seqs) > keep_last else []
         if not seqs:
-            return {"buckets_rewritten": 0, "deltas_folded": 0}
-        deltas = deltas.filter(F.col(SEQ_COL).isin(seqs))
+            return {"buckets_rewritten": 0, "deltas_folded": 0,
+                    "keep_last_effective": keep_last}
+        deltas = deltas.filter(in_list(SEQ_COL, seqs))
     base = spark.read.parquet(base_path)
     latest = _delta_latest(deltas).select(*base.columns, DELETED_COL).cache()
     try:
@@ -904,7 +924,7 @@ def compact_mor(
             r[BUCKET_COL] for r in latest.select(BUCKET_COL).distinct().collect()
         ]
         n_keys = latest.count()
-        keep = base.filter(F.col(BUCKET_COL).isin(dirty)).join(
+        keep = base.filter(in_list(BUCKET_COL, dirty)).join(
             _maybe_broadcast(latest.select(cdc.KEY_COL), n_keys),
             cdc.KEY_COL,
             "left_anti",
@@ -956,4 +976,5 @@ def compact_mor(
     meta = _read_meta(target_path)
     meta["compacted_through"] = max(meta.get("compacted_through", 0), max(seqs))
     _write_meta(target_path, meta)
-    return {"buckets_rewritten": len(dirty), "deltas_folded": len(seqs)}
+    return {"buckets_rewritten": len(dirty), "deltas_folded": len(seqs),
+            "keep_last_effective": keep_last}

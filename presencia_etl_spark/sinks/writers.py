@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from presencia_etl_spark.functions.partitioning import parallelize_scan
 from presencia_etl_spark.sinks.locking import single_writer
+from presencia_etl_spark.functions.pushdown import in_list
 from presencia_etl_spark.operators import cdc
 
 AUDIT_COLS = ("id", "row_hash", "created_at", "updated_at")
@@ -283,7 +284,7 @@ def delete_where_partitioned(
             r[BUCKET_COL]
             for r in victims.select(BUCKET_COL).distinct().collect()
         ]
-        keep = tgt.filter(F.col(BUCKET_COL).isin(dirty)).filter(
+        keep = tgt.filter(in_list(BUCKET_COL, dirty)).filter(
             ~F.coalesce(predicate, F.lit(False))
         )
         staged = tempfile.mkdtemp(
@@ -797,7 +798,7 @@ def merge_upsert_partitioned(
     ]
 
     # Partition-pruned target scan: only dirty buckets are read.
-    tgt_dirty = tgt.filter(F.col(BUCKET_COL).isin(dirty))
+    tgt_dirty = tgt.filter(in_list(BUCKET_COL, dirty))
     tgt_dirty_k = cdc.ensure_cdc_key(tgt_dirty, key_cols)
     n_dirty = n_insert + n_update
     dirty_ops = ops.filter(F.col(cdc.OP_COL) != cdc.SKIP)

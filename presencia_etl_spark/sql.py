@@ -124,3 +124,50 @@ def register_state_views(
         df.createOrReplaceTempView(name)
         out[name] = path
     return out
+
+
+# Statements the SQL surface accepts — the warehouse consumers' READ
+# surface (the reference's consumers SELECT from MySQL; nothing on this
+# path may mutate state). Shallow-by-keyword is sufficient here: the
+# views are temp views over parquet paths, which Spark cannot write
+# through, and everything DDL-shaped is rejected up front.
+READONLY_HEADS = ("select", "with", "show", "describe", "desc", "explain")
+
+
+def run_sql(
+    spark: SparkSession,
+    warehouse_root: str,
+    statement: str,
+    generation: int | None = None,
+    include_internal: bool = False,
+    prefix: str = "",
+    limit: int = 1000,
+) -> dict:
+    """Register the warehouse's state views and run ONE read-only SQL
+    statement — the CLI/HTTP form of the SQL surface (the reference's
+    consumers queried the warehouse through its control plane). Returns
+    {'views', 'columns', 'rows', 'truncated'}; rows are capped at
+    ``limit`` (the driver materializes them). ``generation`` pins MOR
+    views to a recorded sync run, exactly as ``register_state_views``."""
+    stmt = (statement or "").strip().rstrip(";")
+    head = stmt.split(None, 1)[0].lower() if stmt else ""
+    if head not in READONLY_HEADS:
+        raise ValueError(
+            f"read-only SQL surface: statement must start with one of "
+            f"{READONLY_HEADS}, got {head!r}"
+        )
+    views = register_state_views(
+        spark,
+        warehouse_root,
+        include_internal=include_internal,
+        prefix=prefix,
+        generation=generation,
+    )
+    df = spark.sql(stmt)
+    rows = [r.asDict(recursive=True) for r in df.limit(limit + 1).collect()]
+    return {
+        "views": views,
+        "columns": list(df.columns),
+        "rows": rows[:limit],
+        "truncated": len(rows) > limit,
+    }

@@ -112,3 +112,86 @@ def mirror_mor_changes(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def consumer_progress(checkpoint_path: str, target_path: str) -> dict:
+    """Size the retention knobs from an ACTUAL consumer's checkpoint.
+
+    Reads the file-source checkpoint's processed-file log (``sources/*/``,
+    one v1 JSON-lines file per micro-batch) and the live delta dirs, and
+    returns:
+
+    - ``cursor``: the highest sequence N such that every file of every
+      live delta ≤ N has been processed — the consumer's safe resume
+      point (a partially-read delta, possible under maxFilesPerTrigger,
+      keeps the cursor below it).
+    - ``unprocessed_live_seqs``: live deltas the consumer has not fully
+      read — the window compaction must NOT fold.
+    - ``min_safe_keep_last``: the smallest ``compact_mor(keep_last=...)``
+      that folds nothing unprocessed, i.e. how far this consumer lags.
+
+    Driver-side file reads only (checkpoint log + dir listing); no Spark
+    job. Deltas already folded below the compaction floor are treated as
+    processed — nothing retention can do for them retroactively."""
+    import json as _json
+
+    from presencia_etl_spark.sinks.mor import _delta_seqs, _read_meta
+
+    processed: set[str] = set()
+    sources = os.path.join(checkpoint_path, "sources")
+    if os.path.isdir(sources):
+        for src in sorted(os.listdir(sources)):
+            sdir = os.path.join(sources, src)
+            if not os.path.isdir(sdir):
+                continue
+            for batch_file in os.listdir(sdir):
+                p = os.path.join(sdir, batch_file)
+                # Skip Hadoop checksum sidecars (.«name».crc, binary) and
+                # anything else hidden.
+                if not os.path.isfile(p) or batch_file.startswith("."):
+                    continue
+                with open(p, errors="replace") as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line or not line.startswith("{"):
+                            continue  # the "v1" version header
+                        try:
+                            entry = _json.loads(line)
+                        except ValueError:
+                            continue
+                        path = entry.get("path", "")
+                        if path.startswith("file:"):
+                            path = path[len("file:"):]
+                            while path.startswith("//"):
+                                path = path[1:]
+                        processed.add(os.path.basename(path))
+
+    droot = os.path.join(target_path, DELTA_DIR)
+    live = _delta_seqs(target_path)
+    unprocessed = []
+    for s in live:
+        d = os.path.join(droot, f"{SEQ_COL}={s}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        if any(f not in processed for f in files):
+            unprocessed.append(s)
+    # Folded deltas (≤ the compaction floor) count as processed — the
+    # cursor starts there, then advances through fully-processed live
+    # deltas until the first gap.
+    cursor = _read_meta(target_path).get("compacted_through", 0)
+    for s in live:
+        if s in unprocessed:
+            break
+        cursor = max(cursor, s)
+    # keep_last counts NEWEST deltas spared from folding — every live
+    # delta at or above the first unprocessed one must survive.
+    if unprocessed:
+        first_bad = unprocessed[0]
+        keep = sum(1 for s in live if s >= first_bad)
+    else:
+        keep = 0
+    return {
+        "cursor": cursor,
+        "processed_live_seqs": [s for s in live if s not in unprocessed],
+        "unprocessed_live_seqs": unprocessed,
+        "min_safe_keep_last": keep,
+    }

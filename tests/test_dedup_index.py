@@ -374,3 +374,93 @@ class TestRandomizedAppendCompactInterleaving:
         assert sorted(registered) == sorted(ids)
         assert got == want
         assert want, "expected at least one candidate pair in the probe"
+
+
+class TestDriverSideTrickleAppend:
+    """The admit loop's trickle path registers admitted docs with a pure
+    driver (pyarrow) append — it must be byte-compatible with the
+    Spark-written index: same schemas, same band values, probe-visible."""
+
+    def test_trickle_append_matches_spark_layout(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.operators import dedup_index
+        from presencia_etl_spark.operators.dedup import band_rows
+
+        idx = str(tmp_path / "idx")
+        hist = spark.createDataFrame(
+            [(i, f"historical document number {i} with words") for i in range(50)],
+            ["doc_id", "text"],
+        )
+        dedup_index.build_minhash_index(spark, hist, "doc_id", "text", idx)
+        batch = spark.createDataFrame(
+            [(1000, "a brand new document nothing like history at all"),
+             (1001, "another fresh text with its own unusual wording")],
+            ["doc_id", "text"],
+        )
+        admitted = dedup_index.admit_batch(spark, batch, "doc_id", "text", idx)
+        assert admitted.count() == 2
+
+        # Spark reads both artifacts with ONE consistent schema.
+        sig = spark.read.parquet(os.path.join(idx, dedup_index.SIG_DIR))
+        assert dict(sig.dtypes) == {"doc_id": "bigint", "sig": "array<bigint>"}
+        assert sig.filter(F.col("doc_id") >= 1000).count() == 2
+        band = spark.read.parquet(os.path.join(idx, dedup_index.BAND_DIR))
+        assert set(band.columns) == {"band_id", "band_hash", "doc_id"}
+
+        # The driver-written band rows equal Spark's band_rows for the
+        # same signatures (the xxhash64 values round-tripped verbatim).
+        meta = dedup_index._read_meta(idx)
+        want = {
+            (r["band_id"], r["band_hash"], r["doc_id"])
+            for r in band_rows(
+                sig.filter(F.col("doc_id") >= 1000),
+                meta["n_hashes"], meta["bands"],
+            ).collect()
+        }
+        got = {
+            (r["band_id"], r["band_hash"], r["doc_id"])
+            for r in band.filter(F.col("doc_id") >= 1000).collect()
+        }
+        assert got == want and len(got) == 2 * meta["bands"]
+
+        # A near-copy of a trickle-admitted doc is caught by the NEXT probe
+        # (the micro-append is probe-visible end to end).
+        copy = spark.createDataFrame(
+            [(2000, "a brand new document nothing like history at all")],
+            ["doc_id", "text"],
+        )
+        admitted2 = dedup_index.admit_batch(spark, copy, "doc_id", "text", idx)
+        assert admitted2.count() == 0
+
+        # Replay idempotency through the driver path: nothing re-registers.
+        docs_before = dedup_index._read_meta(idx)["docs"]
+        replay = dedup_index.admit_batch(spark, batch, "doc_id", "text", idx)
+        assert replay.count() == 0
+        assert dedup_index._read_meta(idx)["docs"] == docs_before
+
+    def test_string_doc_ids_use_driver_path(self, spark, tmp_path):
+        from presencia_etl_spark.operators import dedup_index
+
+        idx = str(tmp_path / "idx_str")
+        hist = spark.createDataFrame(
+            [(f"h{i}", f"historical document number {i} with words") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        dedup_index.build_minhash_index(spark, hist, "doc_id", "text", idx)
+        batch = spark.createDataFrame(
+            [("n1", "a brand new document nothing like history at all")],
+            ["doc_id", "text"],
+        )
+        assert dedup_index.admit_batch(
+            spark, batch, "doc_id", "text", idx
+        ).count() == 1
+        copy = spark.createDataFrame(
+            [("n2", "a brand new document nothing like history at all")],
+            ["doc_id", "text"],
+        )
+        assert dedup_index.admit_batch(
+            spark, copy, "doc_id", "text", idx
+        ).count() == 0

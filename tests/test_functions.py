@@ -251,3 +251,48 @@ class TestParallelizeScan:
         assert _as_bytes("4MB") == 4 << 20
         assert _as_bytes("1g") == 1 << 30
         assert _as_bytes("512b") == 512
+
+
+class TestInListPushdown:
+    """functions.pushdown.in_list — the one-round-trip IN filter — must be
+    semantically identical to Column.isin for every key type we push."""
+
+    def test_string_keys_with_nasty_escapes(self, spark):
+        from presencia_etl_spark.functions.pushdown import in_list
+
+        vals = [
+            "plain",
+            "O'Brien",
+            "back\\slash",
+            "both\\'s",
+            "semi;colon",
+            'double"quote',
+            "new\nline",
+            "tab\tchar",
+            "",
+        ]
+        df = spark.createDataFrame(
+            [(v,) for v in vals] + [("absent",), (None,)], ["k"]
+        )
+        keys = vals  # every present value except 'absent'/'NULL'
+        got = {r["k"] for r in df.filter(in_list("k", keys)).collect()}
+        want = {r["k"] for r in df.filter(F.col("k").isin(keys)).collect()}
+        assert got == want == set(vals)
+
+    def test_int_keys_and_empty_list(self, spark):
+        from presencia_etl_spark.functions.pushdown import in_list
+
+        df = spark.range(100)
+        keys = [3, 7, 99, 12345678901234]  # incl. a >32-bit value
+        got = {r["id"] for r in df.filter(in_list("id", keys)).collect()}
+        assert got == {3, 7, 99}
+        assert df.filter(in_list("id", [])).count() == 0
+
+    def test_pushes_into_parquet_scan(self, spark, tmp_path):
+        from presencia_etl_spark.functions.pushdown import in_list
+
+        p = str(tmp_path / "t")
+        spark.range(1000).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p).filter(in_list("id", [5, 6, 7]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [In(id, [5,6,7])]" in plan, plan

@@ -493,3 +493,72 @@ class TestGenerationHygiene:
 
         assert record_generation(spark, wh)["gen"] == 4
         assert generation_entry(wh)["gen"] == 4
+
+
+class TestSqlCli:
+    def test_sql_subcommand_cross_layout_join(self, spark, tmp_path, capsys):
+        """`sql --warehouse DIR --query ...` registers layout-aware views
+        and answers a JOIN across a MOR table and a flat COW table — the
+        warehouse consumer surface driven end-to-end through the CLI."""
+        import json
+        import os
+
+        from presencia_etl_spark.__main__ import main
+        from presencia_etl_spark.sinks import mor
+        from presencia_etl_spark.sinks.writers import merge_upsert_parquet
+
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(30)], ["k", "name"]
+        )
+        amounts = spark.createDataFrame(
+            [(i, i * 10) for i in range(30)], ["k", "amount"]
+        )
+        mor.merge_upsert_mor(spark, df, f"{wh}/Socios", ["k"], num_buckets=4)
+        merge_upsert_parquet(spark, amounts, f"{wh}/Pagos", ["k"])
+        mor.delete_keys_mor(
+            spark, f"{wh}/Socios", spark.createDataFrame([(7,)], ["k"]), ["k"]
+        )
+
+        assert main([
+            "sql", "--warehouse", wh, "--query",
+            "SELECT count(*) AS c, sum(p.amount) AS s "
+            "FROM socios s JOIN pagos p ON s.k = p.k",
+        ]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        r = out["result"]
+        assert set(r["views"]) == {"socios", "pagos"}
+        # 29 rows: the MOR view dropped the tombstoned key before the join.
+        assert r["rows"][0]["c"] == 29
+        assert r["rows"][0]["s"] == sum(i * 10 for i in range(30)) - 70
+
+        # The surface is read-only: DDL/DML heads are rejected loudly.
+        import pytest
+
+        with pytest.raises(ValueError, match="read-only SQL surface"):
+            main(["sql", "--warehouse", wh, "--query", "DROP VIEW socios"])
+
+    def test_sql_generation_pinned_via_cli(self, spark, tmp_path, capsys):
+        import json
+        import os
+
+        from presencia_etl_spark.__main__ import main
+        from presencia_etl_spark.plans.generations import record_generation
+        from presencia_etl_spark.sinks import mor
+
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+        for step in (1, 2):
+            df = spark.createDataFrame(
+                [(i, f"v{step}") for i in range(10)], ["k", "v"]
+            )
+            mor.merge_upsert_mor(spark, df, f"{wh}/ta", ["k"], num_buckets=2,
+                                 compact_every=None)
+            record_generation(spark, wh)
+        assert main([
+            "sql", "--warehouse", wh, "--generation", "1", "--query",
+            "SELECT DISTINCT v FROM ta",
+        ]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert [r["v"] for r in out["result"]["rows"]] == ["v1"]

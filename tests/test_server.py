@@ -4,6 +4,7 @@ against a live (ephemeral-port) server sharing the test SparkSession."""
 from __future__ import annotations
 
 import json
+import os
 import urllib.error
 import urllib.request
 
@@ -166,3 +167,30 @@ class TestDeleteAndHistoryEndpoints:
         code, out = _get(f"{server}/state/history?target={wh}")
         assert code == 200
         assert out["result"]["generations"][0]["tables"]["t"]["kind"] == "mor"
+
+
+class TestSqlEndpoint:
+    def test_sql_endpoint_reads_warehouse(self, spark, server, tmp_path):
+        import urllib.parse
+
+        from presencia_etl_spark.sinks import mor
+
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+        df = spark.createDataFrame([(i, i * 2) for i in range(12)], ["k", "v"])
+        mor.merge_upsert_mor(spark, df, f"{wh}/tbl", ["k"], num_buckets=2)
+        q = urllib.parse.urlencode(
+            {"q": "SELECT sum(v) AS s FROM tbl", "warehouse": wh}
+        )
+        code, body = _get(f"{server}/sql?{q}")
+        assert code == 200 and body["status"] == "ok"
+        assert body["result"]["rows"] == [{"s": sum(i * 2 for i in range(12))}]
+
+        # Mutating statements are rejected with the 500 error envelope.
+        q = urllib.parse.urlencode({"q": "DROP VIEW tbl", "warehouse": wh})
+        code, body = _get(f"{server}/sql?{q}")
+        assert code == 500 and "read-only" in body["error"]
+
+        # Missing q is a 400.
+        code, body = _get(f"{server}/sql?warehouse={wh}")
+        assert code == 400

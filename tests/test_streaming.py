@@ -286,3 +286,72 @@ class TestChangeFeedRetentionContract:
         q.awaitTermination(120)
         got = spark.read.parquet(str(tmp_path / "s2")).collect()
         assert len(got) == 1 and got[0]["K"] == "3" and got[0]["V"] == "kept"
+
+
+class TestConsumerLagSizedCompaction:
+    def test_lagging_consumer_plus_guarded_compaction_loses_zero_events(
+        self, spark, tmp_path
+    ):
+        """consumer_progress reads an actual file-source checkpoint and
+        sizes min-safe retention; compact_mor(consumer_checkpoints=...)
+        refuses to fold past the consumer's cursor — a lagging consumer
+        slows compaction, never loses events to it."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.sinks import mor
+        from presencia_etl_spark.streaming.change_feed import (
+            consumer_progress,
+            mirror_mor_changes,
+        )
+
+        src = spark.range(0, 100).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 5).cast("string").alias("V"),
+        )
+
+        def mutate(base, key, val):
+            return base.withColumn(
+                "V", F.when(F.col("K") == key, F.lit(val)).otherwise(F.col("V"))
+            )
+
+        t = str(tmp_path / "state")
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        mor.merge_upsert_mor(spark, src, t, ["K"], num_buckets=4)
+        m1 = mutate(src, "3", "m1")
+        mor.merge_upsert_mor(spark, m1, t, ["K"],
+                             num_buckets=4, compact_every=None)  # seq 1
+        # Consumer processes seq 1, then falls behind.
+        mirror_mor_changes(spark, t, sink, ckpt).awaitTermination(120)
+        m2 = mutate(m1, "4", "m2")  # cumulative: one changed key per merge
+        mor.merge_upsert_mor(spark, m2, t, ["K"],
+                             num_buckets=4, compact_every=None)  # seq 2
+        mor.merge_upsert_mor(spark, mutate(m2, "5", "m3"), t, ["K"],
+                             num_buckets=4, compact_every=None)  # seq 3
+
+        prog = consumer_progress(ckpt, t)
+        assert prog["cursor"] == 1
+        assert prog["unprocessed_live_seqs"] == [2, 3]
+        assert prog["min_safe_keep_last"] == 2
+
+        # Unguarded, keep_last=0 would fold ALL three deltas; the guard
+        # raises it so the two unprocessed ones survive.
+        r = mor.compact_mor(spark, t, consumer_checkpoints=[ckpt])
+        assert r["keep_last_effective"] == 2
+        assert r["deltas_folded"] == 1
+        assert mor._delta_seqs(t) == [2, 3]
+
+        # The lagging consumer resumes and receives EVERY missed event.
+        mirror_mor_changes(spark, t, sink, ckpt).awaitTermination(120)
+        got = {
+            (row["K"], row["_delta_seq"]): row["V"]
+            for row in spark.read.parquet(sink).collect()
+        }
+        assert got == {("3", 1): "m1", ("4", 2): "m2", ("5", 3): "m3"}
+
+        # Fully caught up: the guard no longer constrains compaction.
+        prog = consumer_progress(ckpt, t)
+        assert prog["min_safe_keep_last"] == 0 and prog["cursor"] == 3
+        r = mor.compact_mor(spark, t, consumer_checkpoints=[ckpt])
+        assert r["deltas_folded"] == 2 and r["keep_last_effective"] == 0
