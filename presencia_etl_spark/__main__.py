@@ -200,6 +200,16 @@ def main(argv: list[str] | None = None) -> int:
                 "kind": "mor",
                 **compact_mor(spark, target, keep_last=args.keep_last),
             }
+            # Folding deltas raises this table's snapshot floor; if the
+            # state lives in a generation-tracked warehouse, drop the
+            # manifest entries the fold just expired.
+            wh_root = os.path.dirname(os.path.abspath(target))
+            if os.path.exists(os.path.join(wh_root, "_warehouse_manifest.json")):
+                from presencia_etl_spark.plans.generations import (
+                    prune_generations,
+                )
+
+                out["generations_pruned"] = prune_generations(wh_root)["pruned"]
         elif os.path.exists(os.path.join(target, "_index_meta.json")):
             from presencia_etl_spark.operators.dedup_index import (
                 compact_minhash_index,

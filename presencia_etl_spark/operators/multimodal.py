@@ -90,18 +90,24 @@ PIL_IMAGE = _try_import_pil()
 def decode_real(payload: bytes) -> "tuple[bytes, int, int]":
     """Real decode path: image bytes → (raw RGB bytes, width, height).
 
-    Uses PIL when importable; otherwise raises NotImplementedError (the
-    deterministic ``fake=True`` stub is the supported path in codec-less
-    environments)."""
-    if PIL_IMAGE is None:
-        raise NotImplementedError(
-            "media decoding requires PIL/ffmpeg, not present in this "
-            "container; use fake=True for the deterministic stub"
-        )
-    import io
+    Uses PIL when importable (any format); PNG payloads decode through
+    the dependency-free pure-Python codec (``operators.png_codec``) so
+    the real branch executes even in this codec-less container; anything
+    else raises NotImplementedError (the deterministic ``fake=True`` stub
+    is the supported bulk path without codecs)."""
+    if PIL_IMAGE is not None:
+        import io
 
-    img = PIL_IMAGE.open(io.BytesIO(payload)).convert("RGB")
-    return img.tobytes(), img.width, img.height
+        img = PIL_IMAGE.open(io.BytesIO(payload)).convert("RGB")
+        return img.tobytes(), img.width, img.height
+    from presencia_etl_spark.operators import png_codec
+
+    if png_codec.is_png(payload):
+        return png_codec.decode_png(payload)
+    raise NotImplementedError(
+        "media decoding beyond PNG requires PIL/ffmpeg, not present in "
+        "this container; use fake=True for the deterministic stub"
+    )
 
 
 def _fake_features(payload: bytes) -> tuple[float, float]:
@@ -187,13 +193,25 @@ def resize_media(
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 raw = bytes(payload or b"")
                 if not fake:
-                    if PIL_IMAGE is None:
-                        decode_real(raw)  # canonical NotImplementedError
-                    # Real branch: decode → PIL resize → raw RGB out.
-                    import io
+                    if PIL_IMAGE is not None:
+                        # Real branch: decode → PIL resize → raw RGB out.
+                        import io
 
-                    img = PIL_IMAGE.open(io.BytesIO(raw)).convert("RGB")
-                    shrunk = img.resize((target_width, target_height)).tobytes()
+                        img = PIL_IMAGE.open(io.BytesIO(raw)).convert("RGB")
+                        shrunk = img.resize(
+                            (target_width, target_height)
+                        ).tobytes()
+                    else:
+                        # Same contract without PIL: PNG via the pure-
+                        # Python codec + nearest-neighbor resample (other
+                        # formats raise the canonical NotImplementedError
+                        # inside decode_real).
+                        from presencia_etl_spark.operators import png_codec
+
+                        rgb, w, h = decode_real(raw)
+                        shrunk = png_codec.resize_rgb_nearest(
+                            rgb, w, h, target_width, target_height
+                        )
                     fmt_suffix = ";resized-rgb"
                 else:
                     stride = max(1, len(raw) // target_bytes) if raw else 1

@@ -108,7 +108,14 @@ def incremental_sync(
             spark, tables[name], cfg, target_root, semi_source=semi_src
         )
     if record_gen and results:
-        from presencia_etl_spark.plans.generations import record_generation
+        from presencia_etl_spark.plans.generations import (
+            prune_generations,
+            record_generation,
+        )
 
         record_generation(spark, target_root)
+        # Auto-compaction during the merges above may have raised MOR
+        # floors past old generations — drop the now-unreadable entries so
+        # the manifest stays O(live history), not O(all syncs ever).
+        prune_generations(target_root)
     return results

@@ -297,27 +297,6 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|media decoding"):
             multimodal.extract_features(media, fake=False).collect()
 
-    @pytest.mark.skipif(
-        multimodal.PIL_IMAGE is None, reason="PIL not installed: stub branch only"
-    )
-    def test_real_decode_with_codec(self, spark):
-        """When PIL IS importable the same fake=False call decodes real
-        image bytes (tiny generated PNG) instead of raising."""
-        import io
-
-        img = multimodal.PIL_IMAGE.new("RGB", (8, 6), color=(10, 20, 30))
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        png = buf.getvalue()
-        media = spark.createDataFrame(
-            [(1, png, ("image/png", 8, 6, len(png)))],
-            multimodal.MEDIA_SCHEMA,
-        )
-        feats = {r["media_id"]: r for r in multimodal.extract_features(media, fake=False).collect()}
-        assert feats[1]["feat_mean"] == 20.0  # mean of (10,20,30) per pixel
-        resized = multimodal.resize_media(media, 4, 3, fake=False).collect()[0]
-        assert resized["meta"]["n_bytes"] == 4 * 3 * 3  # RGB out
-
     def test_frame_sample(self, corpus):
         media = multimodal.synthesize_media(corpus, "doc_id", "text")
         frames = multimodal.frame_sample(media, every_n_bytes=16, max_frames=4).collect()
@@ -608,3 +587,118 @@ class TestDecontamination:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestPurePythonPngCodec:
+    """The dependency-free PNG fallback (operators/png_codec): the REAL
+    decode branch must execute in this codec-less container, not skip."""
+
+    def test_roundtrip_identity(self):
+        from presencia_etl_spark.operators import png_codec
+
+        rgb = bytes(range(256)) * 3  # 16x16 RGB gradient-ish
+        png = png_codec.encode_png(rgb, 16, 16)
+        assert png_codec.is_png(png)
+        back, w, h = png_codec.decode_png(png)
+        assert (back, w, h) == (rgb, 16, 16)
+
+    def test_all_scanline_filters_decode(self):
+        """Hand-assemble PNGs using each filter type (Sub/Up/Average/
+        Paeth) and check the decoder recovers the same pixels filter-0
+        encodes — spec conformance for the defilter loop."""
+        import struct
+        import zlib
+
+        from presencia_etl_spark.operators import png_codec
+
+        w, h, ch = 5, 4, 3
+        rgb = bytes((x * 37 + 11) % 256 for x in range(w * h * ch))
+
+        def filt(ftype):
+            stride = w * ch
+            prev = bytearray(stride)
+            out = bytearray()
+            for y in range(h):
+                line = bytearray(rgb[y * stride : (y + 1) * stride])
+                enc = bytearray(line)
+                for x in range(stride):
+                    left = line[x - ch] if x >= ch else 0
+                    up = prev[x]
+                    upleft = prev[x - ch] if x >= ch else 0
+                    if ftype == 1:
+                        enc[x] = (line[x] - left) & 0xFF
+                    elif ftype == 2:
+                        enc[x] = (line[x] - up) & 0xFF
+                    elif ftype == 3:
+                        enc[x] = (line[x] - ((left + up) >> 1)) & 0xFF
+                    elif ftype == 4:
+                        enc[x] = (line[x] - png_codec._paeth(left, up, upleft)) & 0xFF
+                out.append(ftype)
+                out.extend(enc)
+                prev = line
+            return bytes(out)
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        for ftype in (1, 2, 3, 4):
+            png = (
+                png_codec.PNG_SIGNATURE
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(filt(ftype)))
+                + chunk(b"IEND", b"")
+            )
+            back, bw, bh = png_codec.decode_png(png)
+            assert (back, bw, bh) == (rgb, w, h), f"filter {ftype}"
+
+    def test_gray_and_rgba_normalize_to_rgb(self):
+        import struct
+        import zlib
+
+        from presencia_etl_spark.operators import png_codec
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        def png(color_type, scanlines):
+            return (
+                png_codec.PNG_SIGNATURE
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, color_type, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(scanlines))
+                + chunk(b"IEND", b"")
+            )
+
+        gray, w, h = png_codec.decode_png(png(0, bytes([0, 9, 200])))
+        assert (gray, w, h) == (bytes([9, 9, 9, 200, 200, 200]), 2, 1)
+        rgba = png(6, bytes([0, 1, 2, 3, 255, 4, 5, 6, 128]))
+        assert png_codec.decode_png(rgba)[0] == bytes([1, 2, 3, 4, 5, 6])
+
+    def test_resize_nearest(self):
+        from presencia_etl_spark.operators import png_codec
+
+        rgb = bytes([10, 20, 30]) * 8 * 6
+        out = png_codec.resize_rgb_nearest(rgb, 8, 6, 4, 3)
+        assert out == bytes([10, 20, 30]) * 4 * 3
+
+    def test_real_branch_executes_through_spark(self, spark):
+        """extract_features/resize_media with fake=False decode REAL
+        pixels in this container (PIL or the fallback — same contract),
+        so the real branch is CI-executed, not environment-skipped."""
+        from presencia_etl_spark.operators import multimodal, png_codec
+
+        png = png_codec.encode_png(bytes([10, 20, 30]) * 8 * 6, 8, 6)
+        media = spark.createDataFrame(
+            [(1, png, ("image/png", 8, 6, len(png)))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        feats = multimodal.extract_features(media, fake=False).collect()[0]
+        assert feats["feat_mean"] == 20.0  # mean of (10,20,30) per pixel
+        resized = multimodal.resize_media(media, 4, 3, fake=False).collect()[0]
+        assert resized["meta"]["n_bytes"] == 4 * 3 * 3  # raw RGB out
+        assert bytes(resized["payload"]) == bytes([10, 20, 30]) * 4 * 3
