@@ -88,25 +88,28 @@ def incremental_sync(
     configs: dict[str, TableConfig],
     target_root: str,
     record_gen: bool = True,
+    max_parallel: int = 4,
 ) -> dict[str, dict[str, int]]:
-    """EP2 over the whole registry. Each completed run records a warehouse
+    """EP2 over the whole registry, syncing up to ``max_parallel`` tables
+    concurrently (``full_sync.run_per_table`` — distinct targets, each
+    under its own writer lock). Each completed run records a warehouse
     GENERATION (``plans.generations``) pinning every MOR table's sequence,
     so consumers can read the run's cross-table consistent snapshot."""
     from presencia_etl_spark.operators.filters import apply_filters
+    from presencia_etl_spark.plans.full_sync import run_per_table
 
-    results: dict[str, dict[str, int]] = {}
-    for name, cfg in configs.items():
-        if name not in tables:
-            continue
+    def sync_one(name: str, cfg: TableConfig) -> dict[str, int]:
         semi_src = None
         if cfg.semi_join is not None:
             other, _ = cfg.semi_join
             other_cfg = configs.get(other)
             if other_cfg is not None and other in tables:
                 semi_src = apply_filters(tables[other], other_cfg.filters)
-        results[name] = incremental_sync_table(
+        return incremental_sync_table(
             spark, tables[name], cfg, target_root, semi_source=semi_src
         )
+
+    results = run_per_table(configs, tables, sync_one, max_parallel)
     if record_gen and results:
         from presencia_etl_spark.plans.generations import (
             prune_generations,

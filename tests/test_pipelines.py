@@ -562,3 +562,47 @@ class TestSqlCli:
         ]) == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert [r["v"] for r in out["result"]["rows"]] == ["v1"]
+
+
+class TestParallelTableSync:
+    def test_parallel_equals_sequential(self, spark, tmp_path):
+        """Concurrent table syncs (max_parallel=4) must land byte-for-byte
+        the same warehouse as the sequential loop — distinct targets,
+        per-target writer locks, no cross-table coupling."""
+        from presencia_etl_spark.plans.full_sync import full_sync
+        from presencia_etl_spark.plans.incremental_sync import incremental_sync
+        from presencia_etl_spark.sources.registry import TableConfig
+
+        tables = {
+            f"t{i}": spark.createDataFrame(
+                [(str(j), f"v{i}_{j % 3}") for j in range(50)], ["K", "V"]
+            )
+            for i in range(6)
+        }
+        configs = {n: TableConfig(n, key_cols=["K"]) for n in tables}
+
+        whs = {}
+        for mode, par in (("seq", 1), ("par", 4)):
+            wh = str(tmp_path / mode)
+            c = full_sync(spark, tables, configs, wh, max_parallel=par)
+            assert sum(c.values()) == 300
+            mutated = dict(tables)
+            mutated["t2"] = tables["t2"].withColumn(
+                "V",
+                F.when(F.col("K") == "7", F.lit("mut")).otherwise(F.col("V")),
+            )
+            r = incremental_sync(spark, mutated, configs, wh, max_parallel=par)
+            assert r["t2"]["update"] == 1
+            assert sum(v["insert"] + v["update"] for k, v in r.items() if k != "t2") == 0
+            whs[mode] = wh
+
+        for n in tables:
+            a = {
+                (row["K"], row["V"], row["row_hash"])
+                for row in spark.read.parquet(f"{whs['seq']}/{n}").collect()
+            }
+            b = {
+                (row["K"], row["V"], row["row_hash"])
+                for row in spark.read.parquet(f"{whs['par']}/{n}").collect()
+            }
+            assert a == b
