@@ -388,12 +388,16 @@ def merge_upsert_mor(
     upd_keys = None
     missing = None
     try:
-        counts = {
-            r["op"]: r["cnt"]
-            for r in ops.groupBy(F.col(cdc.OP_COL).alias("op"))
+        # ONE bounded collect (≤ 3·num_buckets rows) yields op counts AND
+        # the per-op dirty buckets while materializing the classify cache.
+        op_buckets = (
+            ops.groupBy(cdc.OP_COL, BUCKET_COL)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
-        }
+        )
+        counts: dict[str, int] = {}
+        for r in op_buckets:
+            counts[r[cdc.OP_COL]] = counts.get(r[cdc.OP_COL], 0) + r["cnt"]
         n_insert = counts.get(cdc.INSERT, 0)
         n_update = counts.get(cdc.UPDATE, 0)
         n_skip = counts.get(cdc.SKIP, 0)
@@ -457,9 +461,13 @@ def merge_upsert_mor(
         )
         parts: list[DataFrame] = []
         if n_update > 0:
-            upd_buckets = [
-                r[BUCKET_COL] for r in upd_keys.select(BUCKET_COL).distinct().collect()
-            ]
+            upd_buckets = sorted(
+                {
+                    r[BUCKET_COL]
+                    for r in op_buckets
+                    if r[cdc.OP_COL] == cdc.UPDATE
+                }
+            )
             base_cur = base.filter(in_list(BUCKET_COL, upd_buckets))
             delta_cur = deltas
             if n_update <= KEY_PUSHDOWN_LIMIT:
@@ -504,11 +512,18 @@ def merge_upsert_mor(
         if n_insert > 0:
             from presencia_etl_spark.sinks.writers import with_audit_columns
 
-            max_id = base.agg(F.max("id")).collect()[0][0] or 0
+            from presencia_etl_spark.sinks.writers import _max_id_stat
+
+            # Footer-stats max over base AND live deltas (one walk each);
+            # falls back to the scans only when stats are absent.
+            max_id = _max_id_stat(base_path)
+            d_max = _max_id_stat(os.path.join(target_path, DELTA_DIR))
+            if max_id is None:
+                max_id = base.agg(F.max("id")).collect()[0][0] or 0
             if deltas is not None:
-                max_id = max(
-                    max_id, deltas.agg(F.max("id")).collect()[0][0] or 0
-                )
+                if d_max is None:
+                    d_max = deltas.agg(F.max("id")).collect()[0][0] or 0
+                max_id = max(max_id, d_max)
             inserted = with_audit_columns(
                 src_dirty.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(
                     *data_cols, "row_hash", cdc.KEY_COL, BUCKET_COL

@@ -430,6 +430,38 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     return parallelize_scan(df)
 
 
+
+def _max_id_stat(path: str):
+    """max(id) from parquet footer column statistics — a driver-side
+    metadata walk instead of the full single-column table scan every
+    insert-bearing merge used to pay (at 100 TB, scanning a column of
+    the whole state to allocate surrogate ids is the difference between
+    a metadata op and a table read). Returns None when any row group
+    lacks id min/max stats (caller falls back to the Spark agg); files
+    without an id column (none in practice) are skipped."""
+    import pyarrow.parquet as pq
+
+    best = None
+    for root, _d, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = None
+            for i in range(md.num_columns):
+                if md.schema.column(i).name == "id":
+                    idx = i
+                    break
+            if idx is None:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                best = st.max if best is None else max(best, st.max)
+    return best
+
+
 def _fetch_dirty_rows(
     src_wide: DataFrame,
     dirty_ops: DataFrame,
@@ -764,25 +796,26 @@ def merge_upsert_partitioned(
         .select(*key_cols, cdc.KEY_COL, BUCKET_COL, cdc.OP_COL, "row_hash")
         .cache()
     )
-    counts = {
-        r["op"]: r["cnt"]
-        for r in ops.groupBy(F.col(cdc.OP_COL).alias("op"))
+    # ONE bounded collect (≤ 3·num_buckets rows) yields the op counts AND
+    # the dirty-bucket list, and materializes the classify cache every
+    # later step reuses — previously two jobs each re-entered the cache.
+    op_buckets = (
+        ops.groupBy(cdc.OP_COL, BUCKET_COL)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
-    }
+    )
+    counts: dict[str, int] = {}
+    for r in op_buckets:
+        counts[r[cdc.OP_COL]] = counts.get(r[cdc.OP_COL], 0) + r["cnt"]
     n_insert, n_update = counts.get(cdc.INSERT, 0), counts.get(cdc.UPDATE, 0)
     n_skip = counts.get(cdc.SKIP, 0)
     if n_insert == 0 and n_update == 0:
         ops.unpersist()
         return {"insert": 0, "update": 0, "skip": n_skip, "buckets_rewritten": 0}
 
-    dirty = [
-        r[BUCKET_COL]
-        for r in ops.filter(F.col(cdc.OP_COL) != cdc.SKIP)
-        .select(BUCKET_COL)
-        .distinct()
-        .collect()
-    ]
+    dirty = sorted(
+        {r[BUCKET_COL] for r in op_buckets if r[cdc.OP_COL] != cdc.SKIP}
+    )
     if drifted or key_migration:
         # Schema drift (and the one-time _cdc_key backfill) must reach
         # EVERY bucket — pruning would leave clean buckets with the old
@@ -827,7 +860,9 @@ def merge_upsert_partitioned(
     )
     if n_insert > 0:
         # max(id) is a full-target scan — only pay it when inserting.
-        max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
+        max_id = _max_id_stat(target_path)
+        if max_id is None:
+            max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
         inserted = with_audit_columns(
             src_dirty.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(
                 *data_cols, "row_hash", cdc.KEY_COL, BUCKET_COL
@@ -959,7 +994,9 @@ def merge_upsert_parquet(
         # drift: appended files would carry the widened schema while old
         # files keep the narrow one.
         ins_ops = ops.filter(F.col(cdc.OP_COL) == cdc.INSERT)
-        max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
+        max_id = _max_id_stat(target_path)
+        if max_id is None:
+            max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
         inserted = with_audit_columns(
             _fetch_dirty_rows(
                 src_h, ins_ops, key_cols, n_insert,
@@ -1006,7 +1043,9 @@ def merge_upsert_parquet(
     new_state = untouched.select(*out_cols).unionByName(updated.select(*out_cols))
 
     if n_insert > 0:
-        max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
+        max_id = _max_id_stat(target_path)
+        if max_id is None:
+            max_id = tgt.agg(F.max("id")).collect()[0][0] or 0
         inserted = with_audit_columns(
             src_dirty.filter(F.col(cdc.OP_COL) == cdc.INSERT).select(
                 *data_cols, "row_hash", cdc.KEY_COL

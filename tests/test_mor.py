@@ -631,6 +631,7 @@ class TestPartialCompaction:
         # keep_last larger than the live set: a no-op.
         assert mor.compact_mor(spark, target, keep_last=5) == {
             "buckets_rewritten": 0, "deltas_folded": 0,
+            "keep_last_effective": 5,
         }
 
 

@@ -657,3 +657,49 @@ class TestCowDeletes:
             delete_where_parquet(spark, bucketed, F.lit(True))
         with pytest.raises(ValueError, match="not bucketed"):
             delete_where_partitioned(spark, flat, F.lit(True))
+
+
+class TestFooterMaxId:
+    def test_footer_stats_match_scan(self, spark, tmp_path):
+        """_max_id_stat must equal the Spark agg on every layout it serves
+        (flat, hive-bucketed, multi-file) — id allocation correctness
+        rides on it for insert-bearing merges."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.sinks.writers import (
+            _max_id_stat,
+            merge_upsert_parquet,
+            merge_upsert_partitioned,
+        )
+
+        flat = str(tmp_path / "flat")
+        df = spark.range(100).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 3).cast("string").alias("V"),
+        )
+        merge_upsert_parquet(spark, df, flat, ["K"])
+        want = spark.read.parquet(flat).agg(F.max("id")).collect()[0][0]
+        assert _max_id_stat(flat) == want
+
+        bucketed = str(tmp_path / "bucketed")
+        merge_upsert_partitioned(spark, df, bucketed, ["K"], num_buckets=8)
+        want = spark.read.parquet(bucketed).agg(F.max("id")).collect()[0][0]
+        assert _max_id_stat(bucketed) == want
+
+        # Insert-bearing merge allocates ABOVE the footer max: ids stay
+        # unique after an append that used the stats path.
+        grown = df.unionByName(
+            spark.createDataFrame([("newk1", "x"), ("newk2", "y")], ["K", "V"])
+        )
+        r = merge_upsert_parquet(spark, grown, flat, ["K"])
+        assert r["insert"] == 2
+        out = spark.read.parquet(flat)
+        assert out.count() == 102
+        assert out.select("id").distinct().count() == 102
+
+    def test_no_id_column_returns_none(self, spark, tmp_path):
+        from presencia_etl_spark.sinks.writers import _max_id_stat
+
+        p = str(tmp_path / "noid")
+        spark.range(10).select(F.col("id").alias("x")).write.parquet(p)
+        assert _max_id_stat(p) is None
