@@ -51,6 +51,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from presencia_etl_spark.functions.pushdown import in_list
 from presencia_etl_spark.operators import cdc
@@ -163,8 +164,6 @@ def _recover_empty_base(spark: SparkSession, target_path: str) -> None:
     if schema is None:
         return
     fields = [f for f in schema.fields if f.name != BUCKET_COL]
-    from pyspark.sql.types import StructType
-
     _reseed_empty_layout(spark, base_path, StructType(fields), 0)
 
 
@@ -932,14 +931,50 @@ def compact_mor(
             return {"buckets_rewritten": 0, "deltas_folded": 0,
                     "keep_last_effective": keep_last}
         deltas = deltas.filter(in_list(SEQ_COL, seqs))
-    base = spark.read.parquet(base_path)
-    latest = _delta_latest(deltas).select(*base.columns, DELETED_COL).cache()
+    # Schema probe via ONE bucket dir (basePath keeps the partition col):
+    # a compact touching 3 dirty buckets must not pay the full listing of
+    # a 100 TB base just to learn its columns — and the keep-scan below
+    # enumerates ONLY the dirty dirs, same discipline as
+    # read_mor(buckets=...).
+    probe = next(
+        (
+            d
+            for d in sorted(os.listdir(base_path))
+            if d.startswith(f"{BUCKET_COL}=")
+            and _has_parquet_files(os.path.join(base_path, d))
+        ),
+        None,
+    )
+    base_schema = (
+        spark.read.option("basePath", base_path)
+        .parquet(os.path.join(base_path, probe))
+        .schema
+        if probe is not None
+        else spark.read.parquet(base_path).schema
+    )
+    base_cols = [f.name for f in base_schema.fields]
+    latest = _delta_latest(deltas).select(*base_cols, DELETED_COL).cache()
     try:
-        dirty = [
-            r[BUCKET_COL] for r in latest.select(BUCKET_COL).distinct().collect()
+        # ONE bounded collect yields the dirty buckets AND the override
+        # count while materializing the cache (the fused-collect pattern).
+        bucket_counts = (
+            latest.groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        dirty = sorted(r[BUCKET_COL] for r in bucket_counts)
+        n_keys = sum(r["_n"] for r in bucket_counts)
+        dirs = [
+            os.path.join(base_path, f"{BUCKET_COL}={b}")
+            for b in dirty
+            if _has_parquet_files(os.path.join(base_path, f"{BUCKET_COL}={b}"))
         ]
-        n_keys = latest.count()
-        keep = base.filter(in_list(BUCKET_COL, dirty)).join(
+        keep_base = (
+            spark.read.option("basePath", base_path).parquet(*dirs)
+            if dirs
+            else spark.createDataFrame([], base_schema)
+        )
+        keep = keep_base.join(
             _maybe_broadcast(latest.select(cdc.KEY_COL), n_keys),
             cdc.KEY_COL,
             "left_anti",
@@ -973,7 +1008,12 @@ def compact_mor(
             # bearing empty file so the layout stays readable (see
             # writers._reseed_empty_layout).
             _reseed_empty_layout(
-                spark, base_path, base.drop(BUCKET_COL).schema, dirty[0]
+                spark,
+                base_path,
+                StructType(
+                    [f for f in base_schema.fields if f.name != BUCKET_COL]
+                ),
+                dirty[0],
             )
         finally:
             shutil.rmtree(staged, ignore_errors=True)
