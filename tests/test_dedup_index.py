@@ -464,3 +464,41 @@ class TestDriverSideTrickleAppend:
         assert dedup_index.admit_batch(
             spark, copy, "doc_id", "text", idx
         ).count() == 0
+
+
+class TestTrickleJobBudget:
+    def test_trickle_admit_spark_job_budget(self, spark, tmp_path):
+        """Regression guard on the admit loop's fixed cost: a trickle
+        batch must stay within a bounded number of Spark jobs (the
+        round-7 redesign runs ~9-10: one combined collect, the probe's
+        dup-id collect + its broadcast sub-jobs, one cheap checkpoint —
+        index registration is driver-side and adds ZERO jobs). A loose
+        ceiling so Spark-internal sub-job accounting has headroom; a
+        return to per-batch Spark write jobs or AQE re-planning would
+        blow well past it."""
+        from presencia_etl_spark.operators import dedup_index
+
+        idx = str(tmp_path / "idx")
+        hist = spark.createDataFrame(
+            [(i, f"historical document number {i} some words") for i in range(60)],
+            ["doc_id", "text"],
+        )
+        dedup_index.build_minhash_index(spark, hist, "doc_id", "text", idx)
+        # Warm batch (Python worker spin-up, code paths JIT).
+        warm = spark.createDataFrame(
+            [(500, "a warm up document with plain wording")], ["doc_id", "text"]
+        )
+        dedup_index.admit_batch(spark, warm, "doc_id", "text", idx)
+
+        tracker = spark.sparkContext.statusTracker()
+        batch = spark.createDataFrame(
+            [(600 + i, f"fresh text number {i} that matches nothing else")
+             for i in range(5)],
+            ["doc_id", "text"],
+        )
+        j0 = max(tracker.getJobIdsForGroup() or [0])
+        admitted = dedup_index.admit_batch(spark, batch, "doc_id", "text", idx)
+        assert admitted.count() == 5
+        j1 = max(tracker.getJobIdsForGroup() or [0])
+        jobs = j1 - j0 - 1  # the count() above is ours, not the loop's
+        assert jobs <= 14, f"trickle admit used {jobs} Spark jobs"

@@ -296,3 +296,33 @@ class TestInListPushdown:
         df = spark.read.parquet(p).filter(in_list("id", [5, 6, 7]))
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [In(id, [5,6,7])]" in plan, plan
+
+    def test_property_string_escaping_matches_isin(self, spark):
+        """Property: for arbitrary printable strings, in_list == isin.
+        Guards the SQL-literal escaping against parser semantics drift."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from presencia_etl_spark.functions.pushdown import in_list
+
+        # One shared frame: per-example Spark jobs would be seconds each.
+        alphabet = st.characters(
+            whitelist_categories=("L", "N", "P", "S", "Z"),
+            whitelist_characters="'\\\"\n\t;`$%_",
+        )
+
+        @settings(max_examples=20, deadline=None)
+        @given(st.lists(st.text(alphabet, max_size=12), min_size=1, max_size=8))
+        def check(vals):
+            df = spark.createDataFrame(
+                [(v,) for v in vals] + [("__absent__",)], ["k"]
+            )
+            got = sorted(
+                r["k"] for r in df.filter(in_list("k", vals)).collect()
+            )
+            want = sorted(
+                r["k"] for r in df.filter(F.col("k").isin(vals)).collect()
+            )
+            assert got == want
+
+        check()
