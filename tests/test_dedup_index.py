@@ -502,3 +502,113 @@ class TestTrickleJobBudget:
         j1 = max(tracker.getJobIdsForGroup() or [0])
         jobs = j1 - j0 - 1  # the count() above is ours, not the loop's
         assert jobs <= 14, f"trickle admit used {jobs} Spark jobs"
+
+
+class TestTrickleAppendDurability:
+    def test_compaction_after_driver_appends(self, spark, tmp_path):
+        """compact_minhash_index must fold Spark-written build files and
+        pyarrow-written trickle appends into one layout with probe parity
+        before/after."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.operators import dedup_index
+
+        idx = str(tmp_path / "idx")
+        hist = spark.createDataFrame(
+            [(i, f"historical document number {i} about topic {i % 7}")
+             for i in range(60)],
+            ["doc_id", "text"],
+        )
+        dedup_index.build_minhash_index(spark, hist, "doc_id", "text", idx)
+        for b in range(3):  # three driver-side micro-appends
+            batch = spark.createDataFrame(
+                [(1000 + b * 10 + i,
+                  f"unique fresh text {b}-{i} with unrepeated phrasing {b*i}")
+                 for i in range(4)],
+                ["doc_id", "text"],
+            )
+            dedup_index.admit_batch(spark, batch, "doc_id", "text", idx)
+        docs_before = dedup_index._read_meta(idx)["docs"]
+        probe = spark.createDataFrame(
+            [(9000, "unique fresh text 1-2 with unrepeated phrasing 2")],
+            ["doc_id", "text"],
+        )
+        m_before = {
+            (r["batch_id"], r["index_id"])
+            for r in dedup_index.query_minhash_index(
+                spark, probe, "doc_id", "text", idx
+            ).collect()
+        }
+        # The probe's text replicates an admitted doc: some trickle-
+        # appended doc (id >= 1000) must come back as a candidate.
+        assert any(i >= 1000 for _b, i in m_before)
+
+        r = dedup_index.compact_minhash_index(spark, idx)
+        before, after = r["sig_files"]
+        assert after <= before
+        assert dedup_index._read_meta(idx)["docs"] == docs_before
+        m_after = {
+            (r_["batch_id"], r_["index_id"])
+            for r_ in dedup_index.query_minhash_index(
+                spark, probe, "doc_id", "text", idx
+            ).collect()
+        }
+        assert m_after == m_before
+
+    def test_partial_publish_crash_is_replay_safe(self, spark, tmp_path, monkeypatch):
+        """Crash between band publish and signature publish: the doc is
+        NOT in the 'seen' set (signatures publish LAST), so a replay
+        re-registers it fully; the duplicate band rows from the torn
+        append are tolerated by the probe (dropDuplicates on candidate
+        pairs)."""
+        from presencia_etl_spark.operators import dedup_index
+
+        idx = str(tmp_path / "idx")
+        hist = spark.createDataFrame(
+            [(i, f"historical document number {i} some words") for i in range(40)],
+            ["doc_id", "text"],
+        )
+        dedup_index.build_minhash_index(spark, hist, "doc_id", "text", idx)
+        batch = spark.createDataFrame(
+            [(700, "a singular new document with very distinct content")],
+            ["doc_id", "text"],
+        )
+
+        real_publish = dedup_index._publish_staged
+        calls = {"n": 0}
+
+        def crash_after_bands(staged, live):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                real_publish(staged, live)  # bands land
+                raise RuntimeError("simulated crash before signature publish")
+            return real_publish(staged, live)
+
+        monkeypatch.setattr(dedup_index, "_publish_staged", crash_after_bands)
+        try:
+            dedup_index.admit_batch(spark, batch, "doc_id", "text", idx)
+        except RuntimeError:
+            pass
+        monkeypatch.undo()
+        # Torn state: bands present, signature absent, meta untouched.
+        import os
+
+        sig = spark.read.parquet(os.path.join(idx, dedup_index.SIG_DIR))
+        assert sig.filter("doc_id = 700").count() == 0
+        band = spark.read.parquet(os.path.join(idx, dedup_index.BAND_DIR))
+        assert band.filter("doc_id = 700").count() > 0
+
+        # Replay: the doc re-registers fully (not silently skipped).
+        admitted = dedup_index.admit_batch(spark, batch, "doc_id", "text", idx)
+        assert admitted.count() == 1
+        sig = spark.read.parquet(os.path.join(idx, dedup_index.SIG_DIR))
+        assert sig.filter("doc_id = 700").count() == 1
+
+        # And a near-copy is caught despite the duplicated band rows.
+        copy = spark.createDataFrame(
+            [(800, "a singular new document with very distinct content")],
+            ["doc_id", "text"],
+        )
+        assert dedup_index.admit_batch(
+            spark, copy, "doc_id", "text", idx
+        ).count() == 0
