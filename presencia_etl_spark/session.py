@@ -56,6 +56,12 @@ def get_spark(
 
 
 import contextlib
+import threading
+
+# Session conf is process-global: two interleaved scopes would restore
+# each other's half-mutated values. One scope at a time; waiting here is
+# cheap (scopes bound single trickle batches).
+_TRICKLE_MU = threading.RLock()  # RLock: a nested scope saves/restores the outer scope's values correctly
 
 
 @contextlib.contextmanager
@@ -76,7 +82,17 @@ def trickle_scope(spark: SparkSession):
 
     Corpus-scale one-shot shapes (LSH sweep, compaction, full loads) keep
     the session defaults. Restores every knob on exit; actions on frames
-    RETURNED out of the scope run under the session config again."""
+    RETURNED out of the scope run under the session config again.
+
+    Scopes SERIALIZE (module lock): session conf is process-global, so
+    interleaved enter/exit from two threads would corrupt the restore.
+    An unrelated query running on another thread DURING a scope does see
+    the trickle conf — acceptable for this engine's call sites (the
+    admit loop and agg refresh run inside per-state writer locks and the
+    pipelines don't overlap them with ad-hoc queries); a shared
+    multi-tenant session would want per-query conf (Spark Connect) or a
+    dedicated session instead."""
+    _TRICKLE_MU.acquire()
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -89,7 +105,12 @@ def trickle_scope(spark: SparkSession):
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        if old_lim is not None:
-            spark.conf.set("spark.sql.limit.initialNumPartitions", old_lim)
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            if old_lim is not None:
+                spark.conf.set(
+                    "spark.sql.limit.initialNumPartitions", old_lim
+                )
+        finally:
+            _TRICKLE_MU.release()
