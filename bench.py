@@ -43,29 +43,12 @@ def main() -> None:
     # Warm the JVM + parquet footers so fixed startup cost isn't billed to q01.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Pipelines first (the reference's primary workload), in a clean JVM.
-    try:
-        pipeline = bench_pipelines(spark, sf_dir)
-    except Exception as e:  # never lose the JSON line to a pipeline failure
-        pipeline = {"error": str(e)[:200]}
-        print(f"# bench pipeline error: {e}", file=sys.stderr)
-
-    # Heavier one-shot scenarios — the reference's ACTUAL 10-table workload
-    # shape and a 10× synthetic scale point — only at the graded sf (quick
-    # sf0.001 iteration loops skip them; override with SPARK_GRAFT_HEAVY).
-    heavy_env = os.environ.get("SPARK_GRAFT_HEAVY")
-    heavy = (sf >= 0.1) if heavy_env is None else heavy_env == "1"
-    if heavy:
-        try:
-            pipeline["presencia"] = bench_presencia(spark)
-        except Exception as e:
-            pipeline["presencia"] = {"error": str(e)[:120]}
-            print(f"# bench presencia error: {e}", file=sys.stderr)
-        try:
-            pipeline["scale10"] = bench_scale_stress(spark, pipeline)
-        except Exception as e:
-            pipeline["scale10"] = {"error": str(e)[:120]}
-            print(f"# bench scale10 error: {e}", file=sys.stderr)
+    # QUERY SWEEP FIRST: the contract queries are the graded headline and
+    # must not inherit the page-cache/GC pressure the heavy synthetic
+    # stages (6M-row states, 50K-doc index builds) leave behind — running
+    # them last inflated q07/q08 medians by seconds with spreads >10 s
+    # (round-7 measurement). The pipelines carry their own warmups and
+    # medians where it matters, so running them in a used JVM is fine.
 
     # Median-of-3 per query: single-run timings at this scale swing ±40%
     # under sandbox load (round-4 postmortem: phantom 2-3× "regressions"
@@ -100,6 +83,29 @@ def main() -> None:
     # `value` is the sum of per-query medians so it (a) equals the sum of
     # the `queries` map and (b) is load-robust; raw wall is in the detail.
     total = round(sum(timings.values()), 3)
+
+    try:
+        pipeline = bench_pipelines(spark, sf_dir)
+    except Exception as e:  # never lose the JSON line to a pipeline failure
+        pipeline = {"error": str(e)[:200]}
+        print(f"# bench pipeline error: {e}", file=sys.stderr)
+
+    # Heavier one-shot scenarios — the reference's ACTUAL 10-table workload
+    # shape and a 10× synthetic scale point — only at the graded sf (quick
+    # sf0.001 iteration loops skip them; override with SPARK_GRAFT_HEAVY).
+    heavy_env = os.environ.get("SPARK_GRAFT_HEAVY")
+    heavy = (sf >= 0.1) if heavy_env is None else heavy_env == "1"
+    if heavy:
+        try:
+            pipeline["presencia"] = bench_presencia(spark)
+        except Exception as e:
+            pipeline["presencia"] = {"error": str(e)[:120]}
+            print(f"# bench presencia error: {e}", file=sys.stderr)
+        try:
+            pipeline["scale10"] = bench_scale_stress(spark, pipeline)
+        except Exception as e:
+            pipeline["scale10"] = {"error": str(e)[:120]}
+            print(f"# bench scale10 error: {e}", file=sys.stderr)
 
     # Full payload to a detail file the judge can read directly.
     detail = {
@@ -141,6 +147,7 @@ def main() -> None:
                 "sparse_buckets_rewritten",
                 "agg_refresh_sec",
                 "agg_recompute_sec",
+                "admit10_batch_marginal_sec",
                 "rows",
                 "error",
             ):
@@ -598,6 +605,42 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
         out["agg_refresh_sec"] = round(sorted(refresh_secs)[1], 3)
         out["agg_recompute_sec"] = round(sorted(recompute_secs)[1], 3)
         out["agg_refresh_changed_rows"] = changed
+
+        # Admit-loop flatness at 10x HISTORY: the probe is O(|batch|) by
+        # design (band In-pushdown, file-skipping index reads) — this
+        # measures it. A ~50K-doc index (10x the sf0.1 corpus) is built
+        # untimed; the marginal ~300-doc admit batch should match the
+        # sf0.1 stage's admit_batch_marginal_sec, not scale with history.
+        from presencia_etl_spark.operators.dedup_index import (
+            build_minhash_index,
+        )
+        from presencia_etl_spark.plans.corpus_prep import admit_stage
+
+        n_docs = 50_000
+        words = F.expr(
+            "concat_ws(' ', transform(sequence(0, 39), "
+            "i -> conv(abs(xxhash64(id, i)) % 100000, 10, 36)))"
+        )
+        docs10 = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"), words.alias("text")
+        )
+        idx10 = f"{work}/idx10"
+        build_minhash_index(
+            spark,
+            docs10.filter(F.col("doc_id") % 150 != 0),
+            "doc_id",
+            "text",
+            idx10,
+        )
+        pool10 = docs10.filter(F.col("doc_id") % 150 == 0)
+        admit10 = []
+        for i in range(3):
+            b = pool10.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i)
+            t0 = time.perf_counter()
+            admit_stage(spark, b, "doc_id", "text", idx10, min_quality=None)
+            admit10.append(time.perf_counter() - t0)
+        out["admit10_history_docs"] = n_docs
+        out["admit10_batch_marginal_sec"] = round(sorted(admit10[1:])[0], 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
