@@ -185,7 +185,11 @@ def _pa_type(dt):
 
 @single_writer("index_path")
 def _register_collected(
-    spark: SparkSession, index_path: str, rows: list, id_type
+    spark: SparkSession,
+    index_path: str,
+    rows: list,
+    id_type,
+    auto_compact: bool = True,
 ) -> dict:
     """Append a TRICKLE batch's already-collected (doc_id, sig, bands)
     rows to the index — pure driver pyarrow writes, zero Spark jobs.
@@ -259,10 +263,18 @@ def _register_collected(
     with open(_meta_path(index_path), "w") as f:
         json.dump(meta, f)
     compacted = False
-    if meta["appends"] >= COLLECTED_COMPACT_EVERY:
+    due = meta["appends"] >= COLLECTED_COMPACT_EVERY
+    if due and auto_compact:
         compact_minhash_index(spark, index_path)
         compacted = True
-    return {"added": added, "docs": meta["docs"], "compacted": compacted}
+    # auto_compact=False: the admit loop runs the (corpus-scale) index
+    # compaction itself, OUTSIDE its trickle conf scope.
+    return {
+        "added": added,
+        "docs": meta["docs"],
+        "compacted": compacted,
+        "compact_due": due and not compacted,
+    }
 
 
 # Auto-compaction threshold for driver-side micro-appends (the admit
@@ -317,22 +329,26 @@ def update_minhash_index(
         )
     )
     sig_stage = os.path.join(index_path, ".staging_append_sig")
+    sig_stage2 = sig_stage + "2"
     band_stage = os.path.join(index_path, ".staging_append_band")
     import shutil
 
-    for d in (sig_stage, band_stage):  # GC a crashed predecessor's staging
+    # GC a crashed predecessor's staging (incl. a torn re-stage copy).
+    for d in (sig_stage, sig_stage2, band_stage):
         shutil.rmtree(d, ignore_errors=True)
 
-    # Trickle-batch appends (the steady-state admit loop) land ONE file
-    # per artifact: coalesce(1)+sort yields the identical key-sorted
-    # layout as a range partition (min/max skipping intact) without
-    # repartitionByRange's separate range-boundary sampling job. Batches
-    # past ~200K rows re-stage range-partitioned — the extra write only
-    # when there is real data to spread.
+    # First staging pass keeps the batch's NATURAL parallelism (per-
+    # partition doc_id sort): an unconditional coalesce(1) here would
+    # funnel a corpus-sized append's entire compute — including the
+    # shingle+minhash CPU when the signatures aren't precomputed —
+    # through one core. The footer count then sizes the FINAL layout:
+    # a trickle batch re-stages to one globally-sorted file (re-reading
+    # the small staged files, not recomputing), a large batch re-stages
+    # range-partitioned; a batch that already landed as one file skips
+    # the re-stage entirely.
     try:
         (
-            sig.coalesce(1)
-            .sortWithinPartitions("doc_id")
+            sig.sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(sig_stage)
         )
@@ -341,15 +357,19 @@ def update_minhash_index(
             return {"added": 0, "docs": meta.get("docs", 0), "compacted": False}
         n_out = max(1, min(num_files, added // 200_000 + 1))
         staged_sig = spark.read.parquet(sig_stage)
-        if n_out > 1:
-            (
-                staged_sig.repartitionByRange(n_out, "doc_id")
+        n_files = sum(
+            1 for f in os.listdir(sig_stage) if f.endswith(".parquet")
+        )
+        if n_files != n_out or n_out > 1:
+            writer = (
+                staged_sig.coalesce(1).sortWithinPartitions("doc_id")
+                if n_out == 1
+                else staged_sig.repartitionByRange(n_out, "doc_id")
                 .sortWithinPartitions("doc_id")
-                .write.mode("overwrite")
-                .parquet(sig_stage + "2")
             )
+            writer.write.mode("overwrite").parquet(sig_stage2)
             shutil.rmtree(sig_stage)
-            os.rename(sig_stage + "2", sig_stage)
+            os.rename(sig_stage2, sig_stage)
             staged_sig = spark.read.parquet(sig_stage)
         bands = band_rows(staged_sig, meta["n_hashes"], meta["bands"])
         if n_out == 1:
@@ -367,6 +387,7 @@ def update_minhash_index(
         _publish_staged(sig_stage, os.path.join(index_path, SIG_DIR))
     finally:
         shutil.rmtree(sig_stage, ignore_errors=True)
+        shutil.rmtree(sig_stage2, ignore_errors=True)
         shutil.rmtree(band_stage, ignore_errors=True)
     meta["docs"] = meta.get("docs", 0) + added
     meta["appends"] = meta.get("appends", 0) + 1
@@ -634,27 +655,22 @@ def admit_batch(
     """The pipeline composition: drop batch docs that near-duplicate
     indexed history (estimated Jaccard ≥ threshold), then register the
     survivors so FUTURE batches dedup against them too. Returns the
-    admitted rows (original schema). Idempotent at the id level: a row
-    whose id is already registered was admitted by an earlier run and is
-    neither returned nor re-registered, so batch replays are safe. This
-    is the steady-state ingest loop a 100 TB training corpus actually
-    runs — per batch, work is O(|batch|), never O(|history|)."""
-    with _no_aqe(spark):
-        return _admit_batch_inner(
-            spark, batch, id_col, text_col, index_path, est_threshold,
-            update_index,
-        )
+    admitted rows (original schema), materialized. Idempotent at the id
+    level: a row whose id is already registered was admitted by an
+    earlier run and is neither returned nor re-registered, so batch
+    replays are safe. Doc ids must be NON-NULL (a NULL id cannot be
+    indexed, probed by identity, or chunk-addressed — the trickle path
+    raises on one; don't feed them). This is the steady-state ingest
+    loop a 100 TB training corpus actually runs — per batch, work is
+    O(|batch|), never O(|history|).
 
-
-def _admit_batch_inner(
-    spark: SparkSession,
-    batch: DataFrame,
-    id_col: str,
-    text_col: str,
-    index_path: str,
-    est_threshold: float,
-    update_index: bool,
-) -> DataFrame:
+    Conf-scope discipline: the bounded probe decision and the trickle
+    path run under ``session.trickle_scope`` (their frames are KB-sized
+    and their strategy static); a batch past the trickle bound falls
+    back to the all-Spark path UNDER SESSION DEFAULTS (AQE on, full
+    shuffle width — it is corpus-scale by definition), and the every-
+    Nth-append index compaction triggered by trickle registration also
+    runs outside the scope."""
     # An id already registered in the index IS the admitted doc — a replay
     # must not re-probe (it would pass, its self-pair is id-excluded) nor
     # re-register its signatures. The id probe reads only the doc_id
@@ -678,89 +694,126 @@ def _admit_batch_inner(
         # batch's signatures AND band rows (and materializes both caches).
         # Everything the loop previously ran separate jobs for — the
         # pushdown-key collect, the index-append writes — now derives from
-        # this driver copy. Bounded: past ADMIT_COLLECT bound the batch is
-        # not a trickle; fall back to the all-Spark path (groupBy key
-        # collect inside the probe, staged Spark append writes).
+        # this driver copy. Bounded: past the limit the batch is not a
+        # trickle and csig stays None.
         lim = max(1, PROBE_PUSHDOWN_LIMIT // meta["bands"])
         csig = None
         try:
             _pa_type(fsig.schema["doc_id"].dataType)  # driver-writable id?
-            csig = (
-                fsig.select(
-                    "doc_id",
-                    "sig",
-                    band_array(meta["n_hashes"], meta["bands"]).alias("bands"),
+            with _no_aqe(spark):
+                csig = (
+                    fsig.select(
+                        "doc_id",
+                        "sig",
+                        band_array(
+                            meta["n_hashes"], meta["bands"]
+                        ).alias("bands"),
+                    )
+                    .limit(lim + 1)
+                    .collect()
                 )
-                .limit(lim + 1)
-                .collect()
-            )
             if len(csig) > lim:
                 csig = None
         except TypeError:
             csig = None
         if csig is not None:
-            keys = list({b["band_hash"] for r in csig for b in r["bands"]})
-            precollected = (keys, len(csig) * meta["bands"])
-        else:
-            precollected = None
-        # eager=False: the probe plan is consumed exactly once, by the
-        # `admitted` checkpoint below, so materializing it in its own
-        # localCheckpoint would only add a Spark action to the
-        # steady-state loop. Everything the lazy plan re-reads (`fresh`,
-        # the signatures) is cached above — nothing recomputes twice.
+            if any(r["doc_id"] is None for r in csig):
+                raise ValueError(
+                    "admit_batch: batch contains rows with NULL "
+                    f"{id_col!r} — doc ids must be non-null (they are "
+                    "the index identity, the replay key, and the chunk "
+                    "address); filter or assign ids upstream."
+                )
+            with _no_aqe(spark):
+                admitted, pending_compact = _admit_trickle(
+                    spark, fresh, fsig, csig, meta, index_path, id_col,
+                    text_col, est_threshold, update_index,
+                )
+            if pending_compact:
+                # Corpus-scale rewrite of the whole index: session
+                # defaults, never the trickle conf.
+                compact_minhash_index(spark, index_path)
+            return admitted
+        # Corpus-sized batch: all-Spark probe + staged append writes,
+        # session defaults throughout.
         matches = query_minhash_index(
             spark, fresh, id_col, text_col, index_path,
-            precomputed_sig=fsig, eager=False, precollected=precollected,
+            precomputed_sig=fsig, eager=False,
         )
         dupes = (
             matches.filter(F.col("est_jaccard") >= est_threshold)
             .select(F.col("batch_id").alias(id_col))
             .distinct()
         )
-        if csig is not None:
-            # Trickle path: the probe executes ONCE, as the (bounded — the
-            # duplicate set is a subset of the collected batch) dup-id
-            # collect. The admitted frame is returned LAZY: its lineage is
-            # the batch anti-joined against the PRE-APPEND signature
-            # listing (a DataFrame pins its file-listing snapshot), so a
-            # downstream recompute after the index append below still
-            # yields exactly this batch's admitted rows. The index append
-            # itself is a pure-driver pyarrow write of the already-
-            # collected signatures/bands — zero further Spark jobs.
-            dup_ids = {r[id_col] for r in dupes.collect()}
-            admitted = (
-                fresh.filter(~in_list(id_col, list(dup_ids)))
-                if dup_ids
-                else fresh
+        admitted = fresh.join(dupes, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        if update_index:
+            asig = fsig.join(
+                admitted.select(F.col(id_col).alias("doc_id")),
+                "doc_id",
+                "left_semi",
             )
-            # Cheap materialization: the probe already ran (the dup-id
-            # collect above); this checkpoint is a narrow filter over the
-            # cached batch, and it keeps the returned frame independent of
-            # the caches unpersisted below (downstream chunk/pack must not
-            # re-run the gate chain per consumer).
-            admitted = admitted.localCheckpoint(eager=True)
-            if update_index:
-                _register_collected(
-                    spark,
-                    index_path,
-                    [r for r in csig if r["doc_id"] not in dup_ids],
-                    fsig.schema["doc_id"].dataType,
-                )
-        else:
-            admitted = fresh.join(dupes, id_col, "left_anti").localCheckpoint(
-                eager=True
+            update_minhash_index(
+                spark, admitted, id_col, text_col, index_path,
+                precomputed_sig=asig,
             )
-            if update_index:
-                asig = fsig.join(
-                    admitted.select(F.col(id_col).alias("doc_id")),
-                    "doc_id",
-                    "left_semi",
-                )
-                update_minhash_index(
-                    spark, admitted, id_col, text_col, index_path,
-                    precomputed_sig=asig,
-                )
+        return admitted
     finally:
         fsig.unpersist()
         fresh.unpersist()
-    return admitted
+
+
+def _admit_trickle(
+    spark: SparkSession,
+    fresh: DataFrame,
+    fsig: DataFrame,
+    csig: list,
+    meta: dict,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    est_threshold: float,
+    update_index: bool,
+):
+    """Trickle path: the probe executes ONCE, as the (bounded — the
+    duplicate set is a subset of the collected batch) dup-id collect;
+    index registration is a pure-driver pyarrow write of the already-
+    collected signatures/bands — zero further Spark jobs. Returns
+    (admitted, pending_compact); the CALLER runs any due compaction
+    outside the trickle conf scope."""
+    keys = list({b["band_hash"] for r in csig for b in r["bands"]})
+    # eager=False: the probe plan is consumed exactly once, by the dup-id
+    # collect below. Everything the lazy plan re-reads (`fresh`, the
+    # signatures) is cached — nothing recomputes twice.
+    matches = query_minhash_index(
+        spark, fresh, id_col, text_col, index_path,
+        precomputed_sig=fsig, eager=False,
+        precollected=(keys, len(csig) * meta["bands"]),
+    )
+    dupes = (
+        matches.filter(F.col("est_jaccard") >= est_threshold)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    dup_ids = {r[id_col] for r in dupes.collect()}
+    admitted = (
+        fresh.filter(~in_list(id_col, list(dup_ids))) if dup_ids else fresh
+    )
+    # Cheap materialization: the probe already ran (the dup-id collect
+    # above); this checkpoint is a narrow filter over the cached batch,
+    # and it keeps the returned frame independent of the caches the
+    # caller unpersists (downstream chunk/pack must not re-run the gate
+    # chain per consumer).
+    admitted = admitted.localCheckpoint(eager=True)
+    pending_compact = False
+    if update_index:
+        reg = _register_collected(
+            spark,
+            index_path,
+            [r for r in csig if r["doc_id"] not in dup_ids],
+            fsig.schema["doc_id"].dataType,
+            auto_compact=False,
+        )
+        pending_compact = reg.get("compact_due", False)
+    return admitted, pending_compact

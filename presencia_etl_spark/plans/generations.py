@@ -34,6 +34,7 @@ import time
 from pyspark.sql import SparkSession
 
 from presencia_etl_spark.sinks import mor as mor_mod
+from presencia_etl_spark.sinks.writers import BUCKET_COL
 from presencia_etl_spark.sinks.locking import state_lock
 
 MANIFEST = "_warehouse_manifest.json"
@@ -86,7 +87,7 @@ def _record_generation_locked(spark: SparkSession, root: str) -> dict:
                 "seq": mor_mod.mor_history(path)["seq"],
             }
         elif any(
-            c.endswith(".parquet") or c.startswith("_kb=")
+            c.endswith(".parquet") or c.startswith(f"{BUCKET_COL}=")
             for c in os.listdir(path)
         ):
             entry["tables"][d] = {"kind": "cow"}
@@ -131,7 +132,7 @@ def non_snapshot_tables(root: str, gen: int | None = None) -> list[str]:
             if d not in pinned:
                 out.append(d)
         elif any(
-            c.endswith(".parquet") or c.startswith("_kb=")
+            c.endswith(".parquet") or c.startswith(f"{BUCKET_COL}=")
             for c in os.listdir(path)
         ):
             out.append(d)

@@ -226,19 +226,16 @@ def refresh_agg_snapshot(
     changed keys' buckets. Falls back to a full rebuild when the change
     history was compacted away (mode="rebuild").
 
-    Runs under ``session.trickle_scope``: a refresh's frames are bounded
-    by |changes| and its strategy is static (broadcast merge joins,
-    In-pushdown retraction), so AQE's per-exchange re-plan jobs and the
-    LIMIT ramp of the sizing collect are pure fixed cost here."""
+    The INCREMENTAL path runs under ``session.trickle_scope``: its frames
+    are bounded by |changes| and its strategy is static (broadcast merge
+    joins, In-pushdown retraction), so AQE's per-exchange re-plan jobs
+    and the LIMIT ramp of the sizing collect are pure fixed cost there.
+    The noop/rebuild decisions are made OUTSIDE the scope from fs
+    metadata, so a full rebuild — a corpus-scale scan — keeps the
+    session's AQE and shuffle width (and never holds the trickle
+    mutex)."""
     from presencia_etl_spark.session import trickle_scope
 
-    with trickle_scope(spark):
-        return _refresh_agg_snapshot_inner(spark, mor_path, agg_path)
-
-
-def _refresh_agg_snapshot_inner(
-    spark: SparkSession, mor_path: str, agg_path: str
-) -> dict:
     _recover_interrupted_refresh(agg_path)
     meta = _read_meta(agg_path)
     since = meta["as_of_seq"]
@@ -252,7 +249,22 @@ def _refresh_agg_snapshot_inner(
         # schema-drift COW fold) — they can no longer be separated out.
         r = build_agg_snapshot(spark, mor_path, agg_path, group_cols, sum_cols)
         return {**r, "mode": "rebuild"}
+    with trickle_scope(spark):
+        return _refresh_agg_snapshot_inner(
+            spark, mor_path, agg_path, meta, since, cur, group_cols, sum_cols
+        )
 
+
+def _refresh_agg_snapshot_inner(
+    spark: SparkSession,
+    mor_path: str,
+    agg_path: str,
+    meta: dict,
+    since: int,
+    cur: int,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> dict:
     # Bounded at BOTH ends: as_of_seq pins the feed to the sequence we
     # record as the new cursor, so a merge landing mid-refresh is neither
     # half-applied now nor skipped by the next refresh.

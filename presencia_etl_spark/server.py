@@ -78,6 +78,11 @@ def _run_pipeline(spark, cmd: str, params: dict) -> dict:
     return incremental_sync(spark, tables, configs, target)
 
 
+# /sql registration+query must be atomic per request (shared temp-view
+# namespace in the one SparkSession behind a ThreadingHTTPServer).
+_SQL_MU = threading.Lock()
+
+
 class _Handler(BaseHTTPRequestHandler):
     spark = None  # injected by make_server
     warehouse_root = None  # injected by make_server; gates /run/clean
@@ -196,13 +201,21 @@ class _Handler(BaseHTTPRequestHandler):
                 from presencia_etl_spark.sql import run_sql
 
                 gen = params.get("generation")
-                out = run_sql(
-                    self.spark,
-                    wh,
-                    q,
-                    generation=int(gen) if gen is not None else None,
-                    limit=int(params.get("limit", "1000")),
-                )
+                # Serialized: the server is threaded but the SparkSession
+                # temp-view namespace is shared — two concurrent /sql
+                # requests with different generation pins (or warehouse
+                # roots) would re-register each other's views between
+                # registration and query. One statement at a time keeps
+                # the registration+query pair atomic; queries themselves
+                # still parallelize across executor cores.
+                with _SQL_MU:
+                    out = run_sql(
+                        self.spark,
+                        wh,
+                        q,
+                        generation=int(gen) if gen is not None else None,
+                        limit=int(params.get("limit", "1000")),
+                    )
                 self._reply(200, {"status": "ok", "result": out})
             elif url.path == "/state/history":
                 target = params.get("target")

@@ -109,7 +109,11 @@ def register_state_views(
             continue
         if is_mor and pinned_mor is not None and d not in pinned_mor:
             # Created after the pinned generation: not part of that
-            # snapshot. Excluding beats silently serving current state.
+            # snapshot. Excluding beats silently serving current state —
+            # and a view of the same name left behind by an EARLIER
+            # unpinned registration must go too, or this session would
+            # quietly join pinned tables against its current state.
+            spark.catalog.dropTempView(f"{prefix}{_view_name(d)}")
             continue
         name = f"{prefix}{_view_name(d)}"
         if name in out:
@@ -128,10 +132,46 @@ def register_state_views(
 
 # Statements the SQL surface accepts — the warehouse consumers' READ
 # surface (the reference's consumers SELECT from MySQL; nothing on this
-# path may mutate state). Shallow-by-keyword is sufficient here: the
-# views are temp views over parquet paths, which Spark cannot write
-# through, and everything DDL-shaped is rejected up front.
+# path may mutate state). The head keyword alone is NOT sufficient:
+# Spark's grammar allows a CTE prefix on DML (`WITH x AS (...) INSERT
+# OVERWRITE DIRECTORY ...` parses and writes), so `_assert_read_only`
+# additionally parses the statement WITHOUT executing it and rejects any
+# plan tree containing a command/DML node.
 READONLY_HEADS = ("select", "with", "show", "describe", "desc", "explain")
+# Parse-tree node-name fragments that mean "this executes a side effect".
+# Spark renders every DDL/DML parse node as *Statement or *Command, plus
+# the v2 write nodes; a pure query tree (Project/Filter/Aggregate/Join/
+# CTE/...) contains none of these. False positives (an identifier that
+# happens to contain one of these strings verbatim) fail CLOSED — the
+# right direction for a surface advertised as read-only.
+_WRITE_NODE_FRAGMENTS = ("InsertInto", "WriteTo", "Command", "Statement")
+
+
+def _assert_read_only(spark: SparkSession, stmt: str) -> None:
+    head = stmt.split(None, 1)[0].lower() if stmt else ""
+    if head not in READONLY_HEADS:
+        raise ValueError(
+            f"read-only SQL surface: statement must start with one of "
+            f"{READONLY_HEADS}, got {head!r}"
+        )
+    if head in ("select", "with"):
+        # Parse only — no analysis, no execution (spark.sql() would run a
+        # smuggled DML command EAGERLY, so the check must precede it).
+        tree = (
+            spark._jsparkSession.sessionState()
+            .sqlParser()
+            .parsePlan(stmt)
+            .treeString()
+        )
+        for frag in _WRITE_NODE_FRAGMENTS:
+            if frag in tree:
+                raise ValueError(
+                    "read-only SQL surface: the statement parses to a "
+                    f"plan containing a {frag!r} node — DML/DDL (even "
+                    "behind a WITH prefix) is rejected."
+                )
+    # show/describe/desc/explain parse to single-purpose command nodes
+    # that cannot smuggle a write (EXPLAIN never executes its child).
 
 
 def run_sql(
@@ -150,12 +190,7 @@ def run_sql(
     ``limit`` (the driver materializes them). ``generation`` pins MOR
     views to a recorded sync run, exactly as ``register_state_views``."""
     stmt = (statement or "").strip().rstrip(";")
-    head = stmt.split(None, 1)[0].lower() if stmt else ""
-    if head not in READONLY_HEADS:
-        raise ValueError(
-            f"read-only SQL surface: statement must start with one of "
-            f"{READONLY_HEADS}, got {head!r}"
-        )
+    _assert_read_only(spark, stmt)
     views = register_state_views(
         spark,
         warehouse_root,

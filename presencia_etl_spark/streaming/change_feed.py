@@ -159,12 +159,10 @@ def consumer_progress(checkpoint_path: str, target_path: str) -> dict:
                             entry = _json.loads(line)
                         except ValueError:
                             continue
-                        path = entry.get("path", "")
-                        if path.startswith("file:"):
-                            path = path[len("file:"):]
-                            while path.startswith("//"):
-                                path = path[1:]
-                        processed.add(os.path.basename(path))
+                        # Matching is by part-file BASENAME (unique per
+                        # Spark write job), so the checkpoint's file: URI
+                        # prefix needs no normalization.
+                        processed.add(os.path.basename(entry.get("path", "")))
 
     droot = os.path.join(target_path, DELTA_DIR)
     live = _delta_seqs(target_path)

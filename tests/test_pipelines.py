@@ -606,3 +606,73 @@ class TestParallelTableSync:
                 for row in spark.read.parquet(f"{whs['par']}/{n}").collect()
             }
             assert a == b
+
+
+class TestSqlReadOnlyGuard:
+    def test_with_prefixed_dml_is_rejected_before_execution(
+        self, spark, tmp_path
+    ):
+        """Spark's grammar allows a CTE prefix on DML — `WITH x AS (...)
+        INSERT OVERWRITE DIRECTORY ...` passes a head-keyword check and
+        would EXECUTE on spark.sql(). The surface must reject it at parse
+        time, before anything runs."""
+        import os
+
+        from presencia_etl_spark.sinks.writers import merge_upsert_parquet
+        from presencia_etl_spark.sql import run_sql
+
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+        merge_upsert_parquet(
+            spark, spark.createDataFrame([(1, "a")], ["k", "v"]), f"{wh}/t", ["k"]
+        )
+        victim = str(tmp_path / "escape_target")
+        stmt = (
+            "WITH x AS (SELECT 1 AS a) "
+            f"INSERT OVERWRITE DIRECTORY '{victim}' USING parquet "
+            "SELECT * FROM x"
+        )
+        with pytest.raises(ValueError, match="read-only SQL surface"):
+            run_sql(spark, wh, stmt)
+        assert not os.path.exists(victim)  # nothing executed
+
+        # Plain CTE SELECTs still pass.
+        out = run_sql(
+            spark, wh, "WITH c AS (SELECT k FROM t) SELECT count(*) AS n FROM c"
+        )
+        assert out["rows"] == [{"n": 1}]
+        # Other DML/DDL shapes are rejected too.
+        for bad in (
+            "INSERT INTO t VALUES (2, 'b')",
+            "DROP VIEW t",
+            "CREATE TABLE zz (a INT)",
+        ):
+            with pytest.raises(ValueError, match="read-only SQL surface"):
+                run_sql(spark, wh, bad)
+
+    def test_pinned_registration_drops_stale_late_table_view(
+        self, spark, tmp_path
+    ):
+        """A view registered at current state by an earlier UNPINNED
+        registration must not survive a pinned registration that excludes
+        the table — the long-running-server scenario."""
+        import os
+
+        from presencia_etl_spark.plans.generations import record_generation
+        from presencia_etl_spark.sinks import mor
+        from presencia_etl_spark.sql import register_state_views
+
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+        df = spark.createDataFrame([(1, "x")], ["k", "v"])
+        mor.merge_upsert_mor(spark, df, f"{wh}/ta", ["k"], num_buckets=2,
+                             compact_every=None)
+        record_generation(spark, wh)  # gen 1 pins only ta
+        mor.merge_upsert_mor(spark, df, f"{wh}/late", ["k"], num_buckets=2,
+                             compact_every=None)
+
+        register_state_views(spark, wh)  # unpinned: 'late' registered
+        assert spark.sql("SELECT count(*) c FROM late").collect()[0]["c"] == 1
+        register_state_views(spark, wh, generation=1)  # pinned: excluded
+        with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|late"):
+            spark.sql("SELECT * FROM late").collect()
