@@ -404,10 +404,14 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         # ingest; ASSEMBLE (chunk→pack) is stateless re-runnable
         # transformation. admit_e2e_* keeps the round-6-comparable
         # whole-pipeline number.
+        # Four batches: #1 pays the Python-worker/JIT cold start; the
+        # marginal numbers are the MEDIAN of batches 2-4 (a best-of-2 read
+        # swung ±0.7 s with VM load; the median of three warm batches is
+        # the load-robust estimator the per-query sweep already uses).
         admit_secs, pack_secs = [], []
         n_packed = 0
-        for i in range(3):
-            b = pool.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i)
+        for i in range(4):
+            b = pool.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == i)
             t0 = time.perf_counter()
             admitted = admit_stage(
                 spark, b, "doc_id", "text", idx, min_quality=0.05
@@ -419,18 +423,18 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
             ].count()
             pack_secs.append(time.perf_counter() - t0)
         out["admit_batch_sec"] = round(admit_secs[0], 3)
-        out["admit_batch_marginal_sec"] = round(sorted(admit_secs[1:])[0], 3)
-        out["pack_batch_marginal_sec"] = round(sorted(pack_secs[1:])[0], 3)
+        out["admit_batch_marginal_sec"] = round(sorted(admit_secs[1:])[1], 3)
+        out["pack_batch_marginal_sec"] = round(sorted(pack_secs[1:])[1], 3)
         out["admit_e2e_marginal_sec"] = round(
-            sorted(a + p for a, p in zip(admit_secs[1:], pack_secs[1:]))[0], 3
+            sorted(a + p for a, p in zip(admit_secs[1:], pack_secs[1:]))[1], 3
         )
         out["admit_batch_rows"] = int(pool.count())
-        # Fixed Spark jobs dominate at this scale, not data (333 docs per
+        # Fixed Spark jobs dominate at this scale, not data (250 docs per
         # batch at sf0.1) — report per-doc throughput so the number reads
         # correctly against the reference's per-row incremental table (the
         # fixed overhead amortizes at real batch sizes; docs/SCALE.md).
         out["admit_marginal_docs_per_sec"] = round(
-            (out["admit_batch_rows"] / 3) / out["admit_batch_marginal_sec"], 1
+            (out["admit_batch_rows"] / 4) / out["admit_batch_marginal_sec"], 1
         )
         out["admit_packed_seqs"] = int(n_packed)
     finally:
@@ -634,13 +638,13 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
         )
         pool10 = docs10.filter(F.col("doc_id") % 150 == 0)
         admit10 = []
-        for i in range(3):
-            b = pool10.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i)
+        for i in range(4):
+            b = pool10.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == i)
             t0 = time.perf_counter()
             admit_stage(spark, b, "doc_id", "text", idx10, min_quality=None)
             admit10.append(time.perf_counter() - t0)
         out["admit10_history_docs"] = n_docs
-        out["admit10_batch_marginal_sec"] = round(sorted(admit10[1:])[0], 3)
+        out["admit10_batch_marginal_sec"] = round(sorted(admit10[1:])[1], 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
