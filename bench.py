@@ -381,10 +381,9 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         out["delete_sparse_cow_buckets"] = int(r["buckets_rewritten"])
 
         # Steady-state corpus admit loop (what a 100 TB training pipeline
-        # runs per ingest batch): history indexed untimed, then THREE
-        # consecutive batches through gate→probe→admit→register. Batch 1
-        # pays the Python-worker spin-up; the marginal per-batch cost
-        # (fastest of batches 2-3, load-robust) is the steady-state number
+        # runs per ingest batch): history indexed untimed, then FOUR
+        # consecutive batches through gate→probe→admit→register; the
+        # median of the three warm batches is the steady-state number
         # comparable to the reference's incremental table (BASELINE.md
         # rows 5-8).
         from presencia_etl_spark.operators.dedup_index import build_minhash_index
@@ -613,7 +612,7 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
         # Admit-loop flatness at 10x HISTORY: the probe is O(|batch|) by
         # design (band In-pushdown, file-skipping index reads) — this
         # measures it. A ~50K-doc index (10x the sf0.1 corpus) is built
-        # untimed; the marginal ~300-doc admit batch should match the
+        # untimed; the marginal ~80-doc admit batch should match the
         # sf0.1 stage's admit_batch_marginal_sec, not scale with history.
         from presencia_etl_spark.operators.dedup_index import (
             build_minhash_index,

@@ -93,24 +93,31 @@ def trickle_scope(spark: SparkSession):
     multi-tenant session would want per-query conf (Spark Connect) or a
     dedicated session instead."""
     _TRICKLE_MU.acquire()
-    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    # EVERYTHING after the acquire sits inside this try: a py4j hiccup in
+    # the entry-side conf reads/sets (stopped session, transient gateway
+    # error) must still release the lock, or every later trickle path in
+    # the process would block forever. `restore` records exactly the
+    # knobs that were successfully changed, so a partial entry restores
+    # partially instead of writing stale values.
     try:
-        old_lim = spark.conf.get("spark.sql.limit.initialNumPartitions")
-    except Exception:
-        old_lim = None
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.limit.initialNumPartitions", "100000")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        yield
-    finally:
+        restore = []
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
         try:
-            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
-            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-            if old_lim is not None:
-                spark.conf.set(
-                    "spark.sql.limit.initialNumPartitions", old_lim
-                )
+            old_lim = spark.conf.get("spark.sql.limit.initialNumPartitions")
+        except Exception:
+            old_lim = None
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        restore.append(("spark.sql.adaptive.enabled", old_aqe))
+        spark.conf.set("spark.sql.limit.initialNumPartitions", "100000")
+        if old_lim is not None:
+            restore.append(("spark.sql.limit.initialNumPartitions", old_lim))
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        restore.append(("spark.sql.shuffle.partitions", old_sp))
+        try:
+            yield
         finally:
-            _TRICKLE_MU.release()
+            for k, v in restore:
+                spark.conf.set(k, v)
+    finally:
+        _TRICKLE_MU.release()

@@ -107,27 +107,45 @@ def register_state_views(
         )
         if not is_state:
             continue
+        name = f"{prefix}{_view_name(d)}"
+        if name in out:
+            # Collision first — an excluded dir colliding with a
+            # registered one must raise, never drop the registered view.
+            raise ValueError(
+                f"state dirs {os.path.basename(out[name])!r} and {d!r} "
+                f"both normalize to view name {name!r}; rename one dir "
+                "or register them under different prefixes."
+            )
         if is_mor and pinned_mor is not None and d not in pinned_mor:
             # Created after the pinned generation: not part of that
             # snapshot. Excluding beats silently serving current state —
             # and a view of the same name left behind by an EARLIER
             # unpinned registration must go too, or this session would
             # quietly join pinned tables against its current state.
-            spark.catalog.dropTempView(f"{prefix}{_view_name(d)}")
+            spark.catalog.dropTempView(name)
             continue
-        name = f"{prefix}{_view_name(d)}"
-        if name in out:
-            raise ValueError(
-                f"state dirs {os.path.basename(out[name])!r} and {d!r} "
-                f"both normalize to view name {name!r}; rename one dir "
-                "or register them under different prefixes."
-            )
         df = read_state(spark, path, as_of_seq=seqs.get(d))
         if not include_internal:
             df = df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
         df.createOrReplaceTempView(name)
         out[name] = path
+    # Views from an EARLIER registration under this (session, prefix)
+    # whose state dirs no longer exist (dropped table, external cleanup)
+    # would otherwise survive and serve a deleted snapshot's listing —
+    # drop whatever this pass did not re-register.
+    key = (id(spark), prefix)
+    for stale in _REGISTERED.get(key, set()) - set(out):
+        spark.catalog.dropTempView(stale)
+    _REGISTERED[key] = set(out)
     return out
+
+
+# {(session identity, prefix): names the LAST registration created} — the
+# bookkeeping that lets a re-registration retire views for vanished state
+# dirs. Session identity by id(): sessions live for the process here, and
+# a recycled id at worst drops a same-named temp view that the next
+# registration would have replaced anyway.
+_REGISTERED: dict[tuple[int, str], set[str]] = {}
 
 
 # Statements the SQL surface accepts — the warehouse consumers' READ
@@ -144,7 +162,19 @@ READONLY_HEADS = ("select", "with", "show", "describe", "desc", "explain")
 # CTE/...) contains none of these. False positives (an identifier that
 # happens to contain one of these strings verbatim) fail CLOSED — the
 # right direction for a surface advertised as read-only.
-_WRITE_NODE_FRAGMENTS = ("InsertInto", "WriteTo", "Command", "Statement")
+_WRITE_NODE_FRAGMENTS = (
+    "InsertInto",
+    "WriteTo",
+    "Command",
+    "Statement",
+    # v2 DML parse nodes carry none of the generic suffixes:
+    "DeleteFrom",
+    "UpdateTable",
+    "MergeInto",
+    "ReplaceTable",
+    "ReplaceData",
+    "WriteDelta",
+)
 
 
 def _assert_read_only(spark: SparkSession, stmt: str) -> None:

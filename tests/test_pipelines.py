@@ -676,3 +676,29 @@ class TestSqlReadOnlyGuard:
         register_state_views(spark, wh, generation=1)  # pinned: excluded
         with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|late"):
             spark.sql("SELECT * FROM late").collect()
+
+    def test_reregistration_retires_views_of_deleted_dirs(
+        self, spark, tmp_path
+    ):
+        """A view for a state dir that vanished between registrations
+        (dropped table, external cleanup) must not survive re-registration
+        serving a deleted snapshot's listing."""
+        import os
+        import shutil
+
+        from presencia_etl_spark.sinks.writers import merge_upsert_parquet
+        from presencia_etl_spark.sql import register_state_views
+
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+        df = spark.createDataFrame([(1, "x")], ["k", "v"])
+        merge_upsert_parquet(spark, df, f"{wh}/keepme", ["k"])
+        merge_upsert_parquet(spark, df, f"{wh}/dropme", ["k"])
+        register_state_views(spark, wh)
+        assert spark.sql("SELECT count(*) c FROM dropme").collect()[0]["c"] == 1
+
+        shutil.rmtree(f"{wh}/dropme")
+        views = register_state_views(spark, wh)
+        assert set(views) == {"keepme"}
+        with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|dropme"):
+            spark.sql("SELECT * FROM dropme").collect()
