@@ -175,6 +175,16 @@ _WRITE_NODE_FRAGMENTS = (
     "ReplaceData",
     "WriteDelta",
 )
+# Expression-level escapes a plain SELECT can smuggle: reflect()/
+# java_method() invoke arbitrary static Java methods on executors. In the
+# parse tree an unresolved CALL renders as `'name(` — a mere identifier
+# named "reflect" renders without the paren, so columns/CTEs of that name
+# stay legal.
+_SIDE_EFFECT_FN = re.compile(r"'(?:try_)?(?:reflect|java_method)\(", re.I)
+# Relation refs: registered warehouse views are all SINGLE-part names, so
+# a multi-part relation (`parquet.`/any/path``, `db.t`, `global_temp.x`)
+# reads outside the advertised surface — reject, fail closed.
+_RELATION = re.compile(r"'UnresolvedRelation \[([^\]]*)\]")
 
 
 def _assert_read_only(spark: SparkSession, stmt: str) -> None:
@@ -187,18 +197,42 @@ def _assert_read_only(spark: SparkSession, stmt: str) -> None:
     if head in ("select", "with"):
         # Parse only — no analysis, no execution (spark.sql() would run a
         # smuggled DML command EAGERLY, so the check must precede it).
-        tree = (
-            spark._jsparkSession.sessionState()
-            .sqlParser()
-            .parsePlan(stmt)
-            .treeString()
-        )
+        # A parse failure (e.g. the multi-statement smuggle `SELECT 1;
+        # DROP VIEW t` — Spark's parser takes ONE statement) surfaces as
+        # the same ValueError: nothing was executed.
+        try:
+            tree = (
+                spark._jsparkSession.sessionState()
+                .sqlParser()
+                .parsePlan(stmt)
+                .treeString()
+            )
+        except Exception as e:
+            first = str(e).split("\n", 1)[0]
+            raise ValueError(
+                f"read-only SQL surface: statement failed to parse "
+                f"(one statement per call): {first}"
+            ) from None
         for frag in _WRITE_NODE_FRAGMENTS:
             if frag in tree:
                 raise ValueError(
                     "read-only SQL surface: the statement parses to a "
                     f"plan containing a {frag!r} node — DML/DDL (even "
                     "behind a WITH prefix) is rejected."
+                )
+        if _SIDE_EFFECT_FN.search(tree):
+            raise ValueError(
+                "read-only SQL surface: reflect()/java_method() invoke "
+                "arbitrary JVM methods and are rejected."
+            )
+        for m in _RELATION.finditer(tree):
+            parts = m.group(1).split(", ")
+            if len(parts) > 1 or any("/" in p for p in parts):
+                raise ValueError(
+                    "read-only SQL surface: only single-part relation "
+                    f"names (registered warehouse views) are queryable; "
+                    f"got {m.group(1)!r} (path-based and qualified "
+                    "references are rejected)."
                 )
     # show/describe/desc/explain parse to single-purpose command nodes
     # that cannot smuggle a write (EXPLAIN never executes its child).

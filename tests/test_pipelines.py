@@ -650,6 +650,45 @@ class TestSqlReadOnlyGuard:
             with pytest.raises(ValueError, match="read-only SQL surface"):
                 run_sql(spark, wh, bad)
 
+    def test_multi_statement_and_expression_escapes(self, spark, tmp_path):
+        """The remaining SELECT-shaped escapes: a second statement behind a
+        `;` (Spark's parser takes ONE statement — the guard surfaces that
+        as its own ValueError, nothing executed), reflect()/java_method()
+        (arbitrary JVM calls on executors), and path-based / qualified
+        relation refs that read outside the registered views. A `;` INSIDE
+        a string literal and identifiers merely NAMED reflect stay legal."""
+        import os
+
+        from presencia_etl_spark.sinks.writers import merge_upsert_parquet
+        from presencia_etl_spark.sql import run_sql
+
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+        merge_upsert_parquet(
+            spark, spark.createDataFrame([(1, "a")], ["k", "v"]), f"{wh}/t", ["k"]
+        )
+        run_sql(spark, wh, "SELECT 1 AS one")  # view `t` now registered
+        for bad in (
+            "SELECT 1; DROP VIEW t",
+            "SELECT reflect('java.lang.System','getProperty','user.dir') AS x",
+            "SELECT Java_Method('java.lang.Thread','sleep',1) AS x",
+            "WITH c AS (SELECT try_reflect('a','b') AS x) SELECT x FROM c",
+            "SELECT * FROM parquet.`/etc/hostname`",
+            "SELECT * FROM global_temp.t",
+        ):
+            with pytest.raises(ValueError, match="read-only SQL surface"):
+                run_sql(spark, wh, bad)
+        assert spark.catalog.tableExists("t")  # the DROP never ran
+        # Positive cases: `;` inside a literal, and reflect as a NAME.
+        out = run_sql(spark, wh, "SELECT 'a;b' AS s")
+        assert out["rows"] == [{"s": "a;b"}]
+        out = run_sql(
+            spark, wh,
+            "WITH reflect AS (SELECT k AS java_method FROM t) "
+            "SELECT java_method FROM reflect",
+        )
+        assert out["rows"] == [{"java_method": 1}]
+
     def test_pinned_registration_drops_stale_late_table_view(
         self, spark, tmp_path
     ):
