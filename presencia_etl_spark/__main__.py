@@ -97,6 +97,16 @@ def main(argv: list[str] | None = None) -> int:
         help="MOR only: retain the newest N deltas (snapshot/change-feed "
         "history) instead of folding everything",
     )
+    p.add_argument(
+        "--consumer-checkpoint",
+        action="append",
+        default=[],
+        metavar="DIR",
+        help="MOR only, repeatable: a streaming change-feed consumer's "
+        "checkpoint dir; compaction raises keep_last so no delta the "
+        "consumer has not yet committed is folded (can slow compaction, "
+        "never loses events)",
+    )
 
     p = sub.add_parser(
         "rebucket",
@@ -198,7 +208,12 @@ def main(argv: list[str] | None = None) -> int:
 
             out = {
                 "kind": "mor",
-                **compact_mor(spark, target, keep_last=args.keep_last),
+                **compact_mor(
+                    spark,
+                    target,
+                    keep_last=args.keep_last,
+                    consumer_checkpoints=args.consumer_checkpoint or None,
+                ),
             }
             # Folding deltas raises this table's snapshot floor; if the
             # state lives in a generation-tracked warehouse, drop the

@@ -14,7 +14,7 @@ skipping and all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -35,14 +35,42 @@ def _render(v) -> str:
     )
 
 
+def _escaped_literals_mode() -> bool:
+    """True iff ``spark.sql.parser.escapedStringLiterals`` is on — the
+    legacy/Hive-compat mode where backslashes inside string literals stay
+    literal, so ``_render``'s backslash escaping would produce WRONG
+    predicates (or unparseable ones for quote-bearing keys)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        return (
+            spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+            .lower()
+            == "true"
+        )
+    except Exception:
+        return False
+
+
 def in_list(col: str, values) -> Column:
     """``col IN (<values>)`` as one parsed SQL expression.
 
     Semantically identical to ``F.col(col).isin(values)`` (three-valued
     IN: NULLs in the column never match) at a constant driver cost.
     An empty list is ``lit(False)`` — SQL ``IN ()`` does not parse, and
-    an empty isin is false for every row anyway."""
+    an empty isin is false for every row anyway.
+
+    The fast path renders string keys for the DEFAULT parser
+    (``escapedStringLiterals=false``). If a deployment flips that conf,
+    quote/backslash-bearing keys have no faithful literal spelling, so
+    the call transparently falls back to ``Column.isin`` — per-key py4j
+    cost, but always the correct predicate."""
     vals = list(values)
     if not vals:
         return F.lit(False)
+    if any(
+        isinstance(v, str) and ("'" in v or "\\" in v) for v in vals
+    ) and _escaped_literals_mode():
+        return F.col(col).isin(vals)
     return F.expr(f"`{col}` IN ({','.join(_render(v) for v in vals)})")

@@ -86,6 +86,13 @@ def run_per_table(
     sync wall-clock of Σ(tables) and max(tables). Errors propagate after
     all submitted tables finish (no half-dispatched pool teardown);
     result order follows the registry, not completion."""
+    # Corpus-scale dispatch: refuse to fan out from inside an open
+    # trickle_scope (the workers would silently inherit AQE-off / 8
+    # shuffle partitions) and wait out any scope open on another thread
+    # so the launched tables see restored session conf.
+    from presencia_etl_spark.session import corpus_barrier
+
+    corpus_barrier()
     names = [n for n in configs if n in tables]
     if max_parallel <= 1 or len(names) <= 1:
         return {n: work(n, configs[n]) for n in names}

@@ -162,10 +162,14 @@ def prune_generations(root: str) -> dict:
                     if os.path.exists(os.path.join(p, mor_mod.META_FILE)):
                         floors[d] = mor_mod.mor_history(p)["compacted_through"]
         def readable(e: dict) -> bool:
+            # A pinned MOR table whose state dir (or its meta sidecar)
+            # vanished — dropped, or externally deleted — has no floor
+            # entry; a generation read of it fails at view registration,
+            # so the entry is dead weight, not readable history.
             return all(
-                t["seq"] >= floors.get(d, 0)
+                d in floors and t["seq"] >= floors[d]
                 for d, t in e["tables"].items()
-                if t["kind"] == "mor" and d in floors
+                if t["kind"] == "mor"
             )
         kept = [e for e in gens[:-1] if readable(e)] + [gens[-1]]
         pruned = len(gens) - len(kept)

@@ -72,6 +72,7 @@ from presencia_etl_spark.sinks.locking import single_writer
 from presencia_etl_spark.sinks.mor import (
     DELETED_COL,
     KEY_PUSHDOWN_LIMIT,
+    delta_bytes_in_range,
     mor_history,
     read_mor,
     read_mor_changes,
@@ -82,6 +83,14 @@ SNAPSHOT_DIR = "snapshot"
 META_FILE = "_agg_meta.json"
 REFRESH_JOURNAL = "_refresh_journal.json"
 COUNT_COL = "n_rows"
+# A refresh is a TRICKLE shape (static strategy, KB-to-MB frames) only
+# when the pending delta files are small; past this, the corpus-scale
+# fallback (bucket-count sizing, semi-join retraction, snapshot rewrite)
+# must run under SESSION defaults — AQE on, full shuffle width — and must
+# not hold the process-global trickle mutex for its duration. Sized so
+# every pushdown-eligible refresh (≤ KEY_PUSHDOWN_LIMIT rows of full row
+# images) lands under it with room to spare.
+TRICKLE_DELTA_MAX_BYTES = 16 << 20
 
 
 def _snap_path(agg_path: str) -> str:
@@ -226,14 +235,17 @@ def refresh_agg_snapshot(
     changed keys' buckets. Falls back to a full rebuild when the change
     history was compacted away (mode="rebuild").
 
-    The INCREMENTAL path runs under ``session.trickle_scope``: its frames
-    are bounded by |changes| and its strategy is static (broadcast merge
-    joins, In-pushdown retraction), so AQE's per-exchange re-plan jobs
-    and the LIMIT ramp of the sizing collect are pure fixed cost there.
-    The noop/rebuild decisions are made OUTSIDE the scope from fs
-    metadata, so a full rebuild — a corpus-scale scan — keeps the
-    session's AQE and shuffle width (and never holds the trickle
-    mutex)."""
+    A TRICKLE-sized refresh (pending delta files ≤
+    ``TRICKLE_DELTA_MAX_BYTES``, decided from fs metadata BEFORE any job)
+    runs under ``session.trickle_scope``: its frames are bounded by
+    |changes| and its strategy is static (broadcast merge joins,
+    In-pushdown retraction), so AQE's per-exchange re-plan jobs and the
+    LIMIT ramp of the sizing collect are pure fixed cost there. A
+    corpus-sized refresh — and the noop/rebuild decisions, also made from
+    fs metadata — keeps the session's AQE and shuffle width and never
+    holds the trickle mutex: forcing millions of changed rows through 8
+    static shuffle partitions would serialize on the scope lock AND plan
+    badly."""
     from presencia_etl_spark.session import trickle_scope
 
     _recover_interrupted_refresh(agg_path)
@@ -249,10 +261,14 @@ def refresh_agg_snapshot(
         # schema-drift COW fold) — they can no longer be separated out.
         r = build_agg_snapshot(spark, mor_path, agg_path, group_cols, sum_cols)
         return {**r, "mode": "rebuild"}
-    with trickle_scope(spark):
-        return _refresh_agg_snapshot_inner(
-            spark, mor_path, agg_path, meta, since, cur, group_cols, sum_cols
-        )
+    if delta_bytes_in_range(mor_path, since, cur) <= TRICKLE_DELTA_MAX_BYTES:
+        with trickle_scope(spark):
+            return _refresh_agg_snapshot_inner(
+                spark, mor_path, agg_path, meta, since, cur, group_cols, sum_cols
+            )
+    return _refresh_agg_snapshot_inner(
+        spark, mor_path, agg_path, meta, since, cur, group_cols, sum_cols
+    )
 
 
 def _refresh_agg_snapshot_inner(

@@ -62,6 +62,29 @@ import threading
 # each other's half-mutated values. One scope at a time; waiting here is
 # cheap (scopes bound single trickle batches).
 _TRICKLE_MU = threading.RLock()  # RLock: a nested scope saves/restores the outer scope's values correctly
+# Owner bookkeeping (mutated only while holding _TRICKLE_MU): lets
+# corpus_barrier distinguish "another thread's scope is open — wait for
+# it" from "I am dispatching corpus work from INSIDE my own scope" (a
+# programming error: the workers would silently run under trickle conf).
+_SCOPE_OWNER: int | None = None
+_SCOPE_DEPTH = 0
+
+
+def corpus_barrier() -> None:
+    """Call at corpus-scale dispatch points that must run under SESSION
+    defaults (``run_per_table`` fan-out, ad-hoc SQL execution): waits for
+    any open ``trickle_scope`` on another thread to close — the launched
+    work then sees restored conf — and raises if called from inside a
+    scope on THIS thread (re-entrant acquire would not wait, and the
+    corpus job would run with AQE off and 8 shuffle partitions)."""
+    if _SCOPE_DEPTH > 0 and _SCOPE_OWNER == threading.get_ident():
+        raise RuntimeError(
+            "corpus-scale dispatch inside an open trickle_scope: the "
+            "fan-out would run under trickle conf (AQE off, 8 shuffle "
+            "partitions); close the scope first."
+        )
+    _TRICKLE_MU.acquire()
+    _TRICKLE_MU.release()
 
 
 @contextlib.contextmanager
@@ -92,7 +115,10 @@ def trickle_scope(spark: SparkSession):
     pipelines don't overlap them with ad-hoc queries); a shared
     multi-tenant session would want per-query conf (Spark Connect) or a
     dedicated session instead."""
+    global _SCOPE_OWNER, _SCOPE_DEPTH
     _TRICKLE_MU.acquire()
+    _SCOPE_OWNER = threading.get_ident()
+    _SCOPE_DEPTH += 1
     # EVERYTHING after the acquire sits inside this try: a py4j hiccup in
     # the entry-side conf reads/sets (stopped session, transient gateway
     # error) must still release the lock, or every later trickle path in
@@ -103,14 +129,18 @@ def trickle_scope(spark: SparkSession):
         restore = []
         old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        restore.append(("spark.sql.adaptive.enabled", old_aqe))
+        # Set the limit-ramp knob ONLY if reading it succeeded: on a Spark
+        # where the conf key doesn't exist the get raises, and an
+        # unconditional set would install a value the restore loop never
+        # removes (it would survive scope exit).
         try:
             old_lim = spark.conf.get("spark.sql.limit.initialNumPartitions")
         except Exception:
             old_lim = None
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        restore.append(("spark.sql.adaptive.enabled", old_aqe))
-        spark.conf.set("spark.sql.limit.initialNumPartitions", "100000")
         if old_lim is not None:
+            spark.conf.set("spark.sql.limit.initialNumPartitions", "100000")
             restore.append(("spark.sql.limit.initialNumPartitions", old_lim))
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         restore.append(("spark.sql.shuffle.partitions", old_sp))
@@ -120,4 +150,7 @@ def trickle_scope(spark: SparkSession):
             for k, v in restore:
                 spark.conf.set(k, v)
     finally:
+        _SCOPE_DEPTH -= 1
+        if _SCOPE_DEPTH == 0:
+            _SCOPE_OWNER = None
         _TRICKLE_MU.release()

@@ -113,6 +113,28 @@ def _delta_seqs(path: str) -> list[int]:
     )
 
 
+def delta_bytes_in_range(
+    path: str, since_seq: int, as_of_seq: int | None = None
+) -> int:
+    """Total on-disk bytes of the delta files with sequence in
+    ``(since_seq, as_of_seq]`` — pure directory listing, no Spark job.
+    Lets incremental consumers size a refresh BEFORE launching anything
+    (e.g. choose trickle conf vs session defaults from fs metadata)."""
+    droot = os.path.join(path, DELTA_DIR)
+    total = 0
+    for s in _delta_seqs(path):
+        if s <= since_seq or (as_of_seq is not None and s > as_of_seq):
+            continue
+        ddir = os.path.join(droot, f"{SEQ_COL}={s}")
+        for root, _dirs, files in os.walk(ddir):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
 def _gc_orphan_staging(path: str) -> None:
     """Remove staging dirs left by a crash mid-delta-write.
 

@@ -253,6 +253,12 @@ def run_sql(
     {'views', 'columns', 'rows', 'truncated'}; rows are capped at
     ``limit`` (the driver materializes them). ``generation`` pins MOR
     views to a recorded sync run, exactly as ``register_state_views``."""
+    # Ad-hoc SQL is corpus-scale work: wait out any open trickle_scope on
+    # another thread (so this query runs under session conf, not AQE-off /
+    # 8 shuffle partitions) and refuse to run from inside one.
+    from presencia_etl_spark.session import corpus_barrier
+
+    corpus_barrier()
     stmt = (statement or "").strip().rstrip(";")
     _assert_read_only(spark, stmt)
     views = register_state_views(

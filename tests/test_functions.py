@@ -297,6 +297,35 @@ class TestInListPushdown:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [In(id, [5,6,7])]" in plan, plan
 
+    def test_escaped_string_literals_mode_stays_correct(self, spark):
+        """Under spark.sql.parser.escapedStringLiterals=true (legacy /
+        Hive-compat parser: backslashes in literals stay literal), the
+        default rendering would produce WRONG predicates for keys bearing
+        quotes or backslashes — in_list must detect the conf and fall
+        back to Column.isin for those, while quote-free keys keep the
+        one-round-trip rendering."""
+        from presencia_etl_spark.functions.pushdown import in_list
+
+        vals = ["plain", "O'Brien", "back\\slash", "semi;colon"]
+        df = spark.createDataFrame(
+            [(v,) for v in vals] + [("absent",), (None,)], ["k"]
+        )
+        key = "spark.sql.parser.escapedStringLiterals"
+        old = spark.conf.get(key, "false")
+        try:
+            spark.conf.set(key, "true")
+            got = {r["k"] for r in df.filter(in_list("k", vals)).collect()}
+            assert got == set(vals)
+            # Risk-free keys still go through the rendered-SQL fast path
+            # and parse correctly in this mode too.
+            got2 = {
+                r["k"]
+                for r in df.filter(in_list("k", ["plain", "semi;colon"])).collect()
+            }
+            assert got2 == {"plain", "semi;colon"}
+        finally:
+            spark.conf.set(key, old)
+
     def test_property_string_escaping_matches_isin(self, spark):
         """Property: for arbitrary printable strings, in_list == isin.
         Guards the SQL-literal escaping against parser semantics drift."""

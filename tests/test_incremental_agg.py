@@ -101,6 +101,57 @@ class TestIncrementalAgg:
         assert r["changed_rows"] <= 50
         _assert_matches_recompute(spark, mor_t, agg_t)
 
+    def test_corpus_sized_refresh_skips_trickle_scope(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A refresh whose pending delta files exceed the trickle byte
+        bound must run under SESSION defaults — no trickle_scope entry
+        (AQE off + 8 static shuffle partitions would plan a
+        millions-of-rows fold badly AND hold the process-global scope
+        mutex for its duration) — and still match a full recompute. The
+        trickle decision comes from fs metadata, so it is forced here by
+        shrinking the bound rather than writing GBs."""
+        from presencia_etl_spark import session as sess
+
+        rng = random.Random(23)
+        mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")
+        mor.merge_upsert_mor(
+            spark, _df(spark, _rows(rng, range(300))), mor_t, ["K"],
+            num_buckets=8, compact_every=None,
+        )
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount", "qty"])
+        mor.merge_upsert_mor(
+            spark, _df(spark, _rows(rng, range(250, 350))), mor_t, ["K"],
+            num_buckets=8, compact_every=None,
+        )
+        entered = []
+        real_scope = sess.trickle_scope
+        import contextlib
+
+        @contextlib.contextmanager
+        def spying_scope(s):
+            entered.append(True)
+            with real_scope(s):
+                yield
+
+        monkeypatch.setattr(sess, "trickle_scope", spying_scope)
+        # Above the bound: corpus path, scope never entered.
+        monkeypatch.setattr(ia, "TRICKLE_DELTA_MAX_BYTES", -1)
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental" and r["changed_rows"] > 0
+        assert entered == []
+        _assert_matches_recompute(spark, mor_t, agg_t)
+        # Below the bound: trickle path, scope entered.
+        monkeypatch.setattr(ia, "TRICKLE_DELTA_MAX_BYTES", 16 << 20)
+        mor.merge_upsert_mor(
+            spark, _df(spark, _rows(rng, range(340, 360))), mor_t, ["K"],
+            num_buckets=8, compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        assert entered == [True]
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
     def test_noop_refresh(self, spark, tmp_path):
         rng = random.Random(11)
         mor_t, agg_t = str(tmp_path / "mor"), str(tmp_path / "agg")

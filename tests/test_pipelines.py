@@ -494,6 +494,36 @@ class TestGenerationHygiene:
         assert record_generation(spark, wh)["gen"] == 4
         assert generation_entry(wh)["gen"] == 4
 
+    def test_prune_drops_generations_pinning_vanished_tables(
+        self, spark, tmp_path
+    ):
+        """A generation pinning a MOR table whose state dir was dropped /
+        externally deleted is unreadable (view registration of it fails)
+        — prune must drop it rather than retain it forever."""
+        import os
+        import shutil
+
+        from presencia_etl_spark.plans.generations import (
+            load_manifest,
+            prune_generations,
+            record_generation,
+        )
+        from presencia_etl_spark.sinks import mor
+
+        wh = self._wh(spark, tmp_path)  # gen 1 pins 'ta'
+        df = spark.createDataFrame([(1, "x")], ["k", "v"])
+        mor.merge_upsert_mor(spark, df, f"{wh}/doomed", ["k"], num_buckets=2,
+                             compact_every=None)
+        record_generation(spark, wh)  # gen 2 pins ta + doomed
+        record_generation(spark, wh)  # gen 3 (newest, always kept)
+        assert prune_generations(wh) == {"pruned": 0, "kept": 3}
+        shutil.rmtree(os.path.join(wh, "doomed"))
+        # Gens 2 and 3 pin the vanished table. Gen 3 is the newest (kept
+        # by construction); gen 2 is dead weight and goes; gen 1 never
+        # pinned the table and stays readable.
+        assert prune_generations(wh) == {"pruned": 1, "kept": 2}
+        assert [e["gen"] for e in load_manifest(wh)["generations"]] == [1, 3]
+
 
 class TestSqlCli:
     def test_sql_subcommand_cross_layout_join(self, spark, tmp_path, capsys):

@@ -1,0 +1,137 @@
+"""trickle_scope / corpus_barrier conf-scope discipline — driver-only
+tests over a stubbed conf (no Spark jobs): partial-entry restore, the
+missing-conf-key guard, and the corpus-dispatch overlap barrier."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from presencia_etl_spark import session as sess
+
+
+class FakeConf:
+    """Records every set; raises on get of the keys in ``missing``."""
+
+    def __init__(self, values: dict[str, str], missing: set[str] = frozenset()):
+        self.values = dict(values)
+        self.missing = set(missing)
+        self.set_log: list[tuple[str, str]] = []
+
+    def get(self, key, default=None):
+        if key in self.missing:
+            raise Exception(f"conf {key} not registered")
+        if key in self.values:
+            return self.values[key]
+        if default is not None:
+            return default
+        raise Exception(f"no value for {key}")
+
+    def set(self, key, value):
+        self.set_log.append((key, str(value)))
+        self.values[key] = str(value)
+
+
+class FakeSpark:
+    def __init__(self, conf: FakeConf):
+        self.conf = conf
+
+
+BASE = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.limit.initialNumPartitions": "200",
+}
+
+
+class TestTrickleScope:
+    def test_every_knob_restored_on_exit(self):
+        spark = FakeSpark(FakeConf(BASE))
+        with sess.trickle_scope(spark):
+            assert spark.conf.values["spark.sql.adaptive.enabled"] == "false"
+            assert spark.conf.values["spark.sql.shuffle.partitions"] == "8"
+            assert (
+                spark.conf.values["spark.sql.limit.initialNumPartitions"]
+                == "100000"
+            )
+        assert spark.conf.values == BASE
+
+    def test_missing_limit_conf_is_never_set(self):
+        """If reading spark.sql.limit.initialNumPartitions raises (the
+        conf key doesn't exist on some Spark), the scope must NOT set it —
+        an unconditional set would install a value the restore loop never
+        removes, surviving scope exit."""
+        conf = FakeConf(
+            {k: v for k, v in BASE.items() if "initialNumPartitions" not in k},
+            missing={"spark.sql.limit.initialNumPartitions"},
+        )
+        spark = FakeSpark(conf)
+        with sess.trickle_scope(spark):
+            pass
+        assert all(
+            "initialNumPartitions" not in k for k, _ in conf.set_log
+        ), f"limit knob was set despite unreadable conf: {conf.set_log}"
+        assert spark.conf.values == {
+            k: v for k, v in BASE.items() if "initialNumPartitions" not in k
+        }
+
+    def test_restore_runs_when_body_raises(self):
+        spark = FakeSpark(FakeConf(BASE))
+        with pytest.raises(RuntimeError):
+            with sess.trickle_scope(spark):
+                raise RuntimeError("boom")
+        assert spark.conf.values == BASE
+        # The scope bookkeeping is cleared: a later barrier passes.
+        sess.corpus_barrier()
+
+
+class TestCorpusBarrier:
+    def test_raises_inside_own_scope(self):
+        spark = FakeSpark(FakeConf(BASE))
+        with sess.trickle_scope(spark):
+            with pytest.raises(RuntimeError, match="trickle_scope"):
+                sess.corpus_barrier()
+        sess.corpus_barrier()  # fine once the scope closed
+
+    def test_run_per_table_refuses_dispatch_inside_scope(self):
+        from presencia_etl_spark.plans.full_sync import run_per_table
+
+        spark = FakeSpark(FakeConf(BASE))
+        with sess.trickle_scope(spark):
+            with pytest.raises(RuntimeError, match="trickle_scope"):
+                run_per_table({}, {}, lambda n, c: None)
+
+    def test_waits_out_other_threads_scope(self):
+        """A barrier on thread B blocks until thread A's open scope exits
+        — the corpus work B then launches sees restored session conf."""
+        spark = FakeSpark(FakeConf(BASE))
+        in_scope = threading.Event()
+        release = threading.Event()
+        seen_at_barrier: dict[str, str] = {}
+
+        def holder():
+            with sess.trickle_scope(spark):
+                in_scope.set()
+                release.wait(10)
+
+        t = threading.Thread(target=holder)
+        t.start()
+        assert in_scope.wait(10)
+        waiter_done = threading.Event()
+
+        def waiter():
+            sess.corpus_barrier()
+            seen_at_barrier.update(spark.conf.values)
+            waiter_done.set()
+
+        w = threading.Thread(target=waiter)
+        w.start()
+        time.sleep(0.2)
+        assert not waiter_done.is_set()  # still blocked on the open scope
+        release.set()
+        t.join(10)
+        assert waiter_done.wait(10)
+        w.join(10)
+        assert seen_at_barrier == BASE  # conf was restored before dispatch

@@ -355,3 +355,57 @@ class TestConsumerLagSizedCompaction:
         assert prog["min_safe_keep_last"] == 0 and prog["cursor"] == 3
         r = mor.compact_mor(spark, t, consumer_checkpoints=[ckpt])
         assert r["deltas_folded"] == 2 and r["keep_last_effective"] == 0
+
+    def test_compact_cli_honors_consumer_checkpoint(self, spark, tmp_path, capsys):
+        """`compact --target DIR --consumer-checkpoint CKPT` — the lag
+        guard reaches the CLI: an operator compacting from the command
+        line with a lagging consumer's checkpoint gets keep_last raised,
+        the unprocessed deltas survive, and the effective value is
+        reported in the JSON result."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.__main__ import main
+        from presencia_etl_spark.sinks import mor
+        from presencia_etl_spark.streaming.change_feed import mirror_mor_changes
+
+        src = spark.range(0, 60).select(
+            F.col("id").cast("string").alias("K"),
+            F.lit("v0").alias("V"),
+        )
+
+        def mutate(base, key, val):
+            return base.withColumn(
+                "V", F.when(F.col("K") == key, F.lit(val)).otherwise(F.col("V"))
+            )
+
+        t = str(tmp_path / "state")
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        mor.merge_upsert_mor(spark, src, t, ["K"], num_buckets=4)
+        m1 = mutate(src, "3", "m1")
+        mor.merge_upsert_mor(spark, m1, t, ["K"],
+                             num_buckets=4, compact_every=None)  # seq 1
+        mirror_mor_changes(spark, t, sink, ckpt).awaitTermination(120)
+        m2 = mutate(m1, "4", "m2")
+        mor.merge_upsert_mor(spark, m2, t, ["K"],
+                             num_buckets=4, compact_every=None)  # seq 2
+        mor.merge_upsert_mor(spark, mutate(m2, "5", "m3"), t, ["K"],
+                             num_buckets=4, compact_every=None)  # seq 3
+
+        assert main([
+            "compact", "--target", t, "--consumer-checkpoint", ckpt,
+        ]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        r = out["result"]
+        assert r["kind"] == "mor"
+        assert r["keep_last_effective"] == 2
+        assert r["deltas_folded"] == 1
+        assert mor._delta_seqs(t) == [2, 3]  # unprocessed deltas survive
+        # The resumed consumer still receives every missed event.
+        mirror_mor_changes(spark, t, sink, ckpt).awaitTermination(120)
+        got = {
+            (row["K"], row["_delta_seq"]): row["V"]
+            for row in spark.read.parquet(sink).collect()
+        }
+        assert got == {("3", 1): "m1", ("4", 2): "m2", ("5", 3): "m3"}
