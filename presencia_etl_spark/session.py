@@ -39,6 +39,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces partitions DOWN, never up: the static shuffle width
+        # is a CEILING on parallelism and a FLOOR on partition size. Start
+        # fine-grained so corpus-scale shuffles don't spill at the static
+        # width (measured: a 60M-row classify join at width 16 spilled to
+        # 130 s; at initial 256 AQE keeps wide stages wide and still
+        # coalesces small frames to a few reducers — 84 s, and the 60M MOR
+        # load halved). On a real cluster size this ≈ 2-4× total cores.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_AQE_INITIAL_PARTITIONS", "256"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
