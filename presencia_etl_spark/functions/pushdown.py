@@ -35,11 +35,14 @@ def _render(v) -> str:
     )
 
 
-def _escaped_literals_mode() -> bool:
-    """True iff ``spark.sql.parser.escapedStringLiterals`` is on — the
-    legacy/Hive-compat mode where backslashes inside string literals stay
-    literal, so ``_render``'s backslash escaping would produce WRONG
-    predicates (or unparseable ones for quote-bearing keys)."""
+def _default_literal_mode_confirmed() -> bool:
+    """True iff we can POSITIVELY read
+    ``spark.sql.parser.escapedStringLiterals`` as false. The legacy/
+    Hive-compat true mode keeps backslashes literal, so ``_render``'s
+    escaping would produce WRONG predicates for quote/backslash keys —
+    and on a thread with no active session (``run_per_table`` workers
+    don't inherit the thread-local) the mode is UNKNOWABLE, so the caller
+    must fall back to ``Column.isin`` rather than guess."""
     spark = SparkSession.getActiveSession()
     if spark is None:
         return False
@@ -47,7 +50,7 @@ def _escaped_literals_mode() -> bool:
         return (
             spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
             .lower()
-            == "true"
+            == "false"
         )
     except Exception:
         return False
@@ -62,15 +65,17 @@ def in_list(col: str, values) -> Column:
     an empty isin is false for every row anyway.
 
     The fast path renders string keys for the DEFAULT parser
-    (``escapedStringLiterals=false``). If a deployment flips that conf,
-    quote/backslash-bearing keys have no faithful literal spelling, so
-    the call transparently falls back to ``Column.isin`` — per-key py4j
-    cost, but always the correct predicate."""
+    (``escapedStringLiterals=false``). Quote/backslash-bearing keys take
+    it only when that mode is POSITIVELY confirmed on this thread's
+    session — if the conf is flipped (no faithful literal spelling
+    exists) or unreadable (worker thread without the active-session
+    thread-local), the call transparently falls back to ``Column.isin``:
+    per-key py4j cost, but always the correct predicate."""
     vals = list(values)
     if not vals:
         return F.lit(False)
     if any(
         isinstance(v, str) and ("'" in v or "\\" in v) for v in vals
-    ) and _escaped_literals_mode():
+    ) and not _default_literal_mode_confirmed():
         return F.col(col).isin(vals)
     return F.expr(f"`{col}` IN ({','.join(_render(v) for v in vals)})")

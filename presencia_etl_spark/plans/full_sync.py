@@ -86,23 +86,24 @@ def run_per_table(
     sync wall-clock of Σ(tables) and max(tables). Errors propagate after
     all submitted tables finish (no half-dispatched pool teardown);
     result order follows the registry, not completion."""
-    # Corpus-scale dispatch: refuse to fan out from inside an open
-    # trickle_scope (the workers would silently inherit AQE-off / 8
-    # shuffle partitions) and wait out any scope open on another thread
-    # so the launched tables see restored session conf.
-    from presencia_etl_spark.session import corpus_barrier
+    # Corpus-scale dispatch: hold the shared side of the conf lock for
+    # the WHOLE fan-out — no trickle_scope (AQE off, 8 shuffle
+    # partitions) can open mid-sync on another thread — and refuse to
+    # fan out from inside one (the workers would silently inherit the
+    # trickle conf).
+    from presencia_etl_spark.session import corpus_section
 
-    corpus_barrier()
-    names = [n for n in configs if n in tables]
-    if max_parallel <= 1 or len(names) <= 1:
-        return {n: work(n, configs[n]) for n in names}
-    import concurrent.futures
+    with corpus_section():
+        names = [n for n in configs if n in tables]
+        if max_parallel <= 1 or len(names) <= 1:
+            return {n: work(n, configs[n]) for n in names}
+        import concurrent.futures
 
-    with concurrent.futures.ThreadPoolExecutor(
-        max_workers=min(max_parallel, len(names))
-    ) as pool:
-        futs = {n: pool.submit(work, n, configs[n]) for n in names}
-        return {n: f.result() for n, f in futs.items()}
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(max_parallel, len(names))
+        ) as pool:
+            futs = {n: pool.submit(work, n, configs[n]) for n in names}
+            return {n: f.result() for n, f in futs.items()}
 
 
 def full_sync(

@@ -246,7 +246,7 @@ def refresh_agg_snapshot(
     holds the trickle mutex: forcing millions of changed rows through 8
     static shuffle partitions would serialize on the scope lock AND plan
     badly."""
-    from presencia_etl_spark.session import trickle_scope
+    from presencia_etl_spark.session import corpus_section, trickle_scope
 
     _recover_interrupted_refresh(agg_path)
     meta = _read_meta(agg_path)
@@ -266,9 +266,14 @@ def refresh_agg_snapshot(
             return _refresh_agg_snapshot_inner(
                 spark, mor_path, agg_path, meta, since, cur, group_cols, sum_cols
             )
-    return _refresh_agg_snapshot_inner(
-        spark, mor_path, agg_path, meta, since, cur, group_cols, sum_cols
-    )
+    # Corpus-sized fold: the shared conf-lock side guarantees SESSION
+    # defaults for the whole multi-GB run, not just at entry — a trickle
+    # scope opening mid-fold on another thread would otherwise throttle
+    # it to AQE-off / 8 shuffle partitions.
+    with corpus_section():
+        return _refresh_agg_snapshot_inner(
+            spark, mor_path, agg_path, meta, since, cur, group_cols, sum_cols
+        )
 
 
 def _refresh_agg_snapshot_inner(

@@ -46,9 +46,17 @@ def get_spark(
         # 130 s; at initial 256 AQE keeps wide stages wide and still
         # coalesces small frames to a few reducers — 84 s, and the 60M MOR
         # load halved). On a real cluster size this ≈ 2-4× total cores.
+        # Never BELOW the static width: a deployment setting
+        # shuffle_partitions=1024 (2-3x cores on a big cluster) must not
+        # have AQE silently start at 256 and cap parallelism.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get("SPARK_GRAFT_AQE_INITIAL_PARTITIONS", "256"),
+            str(
+                max(
+                    int(os.environ.get("SPARK_GRAFT_AQE_INITIAL_PARTITIONS", "256")),
+                    shuffle_partitions,
+                )
+            ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -69,33 +77,59 @@ def get_spark(
 import contextlib
 import threading
 
-# Session conf is process-global: two interleaved scopes would restore
-# each other's half-mutated values. One scope at a time; waiting here is
-# cheap (scopes bound single trickle batches).
-_TRICKLE_MU = threading.RLock()  # RLock: a nested scope saves/restores the outer scope's values correctly
-# Owner bookkeeping (mutated only while holding _TRICKLE_MU): lets
-# corpus_barrier distinguish "another thread's scope is open — wait for
-# it" from "I am dispatching corpus work from INSIDE my own scope" (a
-# programming error: the workers would silently run under trickle conf).
-_SCOPE_OWNER: int | None = None
-_SCOPE_DEPTH = 0
+# Session conf is process-global, so the two conf regimes exclude each
+# other like a readers-writer lock:
+# - trickle_scope is the WRITER: it flips AQE/shuffle-width for the
+#   duration of one KB-sized batch. One at a time (interleaved restores
+#   would corrupt each other), re-entrant on the owning thread.
+# - corpus_section is the READER: corpus-scale work (a table-sync
+#   fan-out, an ad-hoc SQL statement, a multi-GB agg fold) holds it for
+#   its WHOLE duration so no trickle scope can flip the conf mid-run —
+#   not merely at dispatch time. Readers share freely.
+# Illegal nestings raise loudly instead of deadlocking: a corpus section
+# from inside this thread's own scope, or a scope from inside this
+# thread's own corpus section.
+_CONF_COND = threading.Condition()
+_WRITER: int | None = None
+_WRITER_DEPTH = 0
+_READERS: dict[int, int] = {}  # thread ident -> reentrancy depth
+
+
+@contextlib.contextmanager
+def corpus_section():
+    """Hold the shared side of the conf lock for the duration of
+    corpus-scale work that must see SESSION defaults throughout
+    (``run_per_table`` fan-out, ``run_sql``, a corpus-sized incremental
+    fold). Waits out any open ``trickle_scope`` on another thread;
+    raises if entered from inside this thread's own scope (the work
+    would silently run with AQE off and 8 shuffle partitions)."""
+    me = threading.get_ident()
+    with _CONF_COND:
+        if _WRITER == me:
+            raise RuntimeError(
+                "corpus-scale dispatch inside an open trickle_scope: the "
+                "work would run under trickle conf (AQE off, 8 shuffle "
+                "partitions); close the scope first."
+            )
+        while _WRITER is not None and me not in _READERS:
+            _CONF_COND.wait()
+        _READERS[me] = _READERS.get(me, 0) + 1
+    try:
+        yield
+    finally:
+        with _CONF_COND:
+            _READERS[me] -= 1
+            if _READERS[me] == 0:
+                del _READERS[me]
+            _CONF_COND.notify_all()
 
 
 def corpus_barrier() -> None:
-    """Call at corpus-scale dispatch points that must run under SESSION
-    defaults (``run_per_table`` fan-out, ad-hoc SQL execution): waits for
-    any open ``trickle_scope`` on another thread to close — the launched
-    work then sees restored conf — and raises if called from inside a
-    scope on THIS thread (re-entrant acquire would not wait, and the
-    corpus job would run with AQE off and 8 shuffle partitions)."""
-    if _SCOPE_DEPTH > 0 and _SCOPE_OWNER == threading.get_ident():
-        raise RuntimeError(
-            "corpus-scale dispatch inside an open trickle_scope: the "
-            "fan-out would run under trickle conf (AQE off, 8 shuffle "
-            "partitions); close the scope first."
-        )
-    _TRICKLE_MU.acquire()
-    _TRICKLE_MU.release()
+    """Point-in-time form of ``corpus_section``: wait for any open scope
+    to close, then proceed unguarded. Kept for dispatch points that
+    cannot bracket their whole duration; prefer ``corpus_section``."""
+    with corpus_section():
+        pass
 
 
 @contextlib.contextmanager
@@ -118,18 +152,30 @@ def trickle_scope(spark: SparkSession):
     the session defaults. Restores every knob on exit; actions on frames
     RETURNED out of the scope run under the session config again.
 
-    Scopes SERIALIZE (module lock): session conf is process-global, so
-    interleaved enter/exit from two threads would corrupt the restore.
-    An unrelated query running on another thread DURING a scope does see
-    the trickle conf — acceptable for this engine's call sites (the
-    admit loop and agg refresh run inside per-state writer locks and the
-    pipelines don't overlap them with ad-hoc queries); a shared
-    multi-tenant session would want per-query conf (Spark Connect) or a
-    dedicated session instead."""
-    global _SCOPE_OWNER, _SCOPE_DEPTH
-    _TRICKLE_MU.acquire()
-    _SCOPE_OWNER = threading.get_ident()
-    _SCOPE_DEPTH += 1
+    Scopes SERIALIZE and EXCLUDE corpus sections (writer side of the
+    module's conf lock): session conf is process-global, so interleaved
+    enter/exit from two threads would corrupt the restore, and a scope
+    opening mid-way through a corpus-scale run on another thread would
+    silently throttle it to AQE-off/8-partition conf. Entering a scope
+    waits for open ``corpus_section``s to drain (and vice versa); an
+    unrelated UNGUARDED query on another thread during a scope still
+    sees trickle conf — wrap such work in ``corpus_section``, or give a
+    true multi-tenant session per-query conf (Spark Connect) or a
+    dedicated session. Raises (instead of deadlocking) when entered
+    inside this thread's own corpus section."""
+    global _WRITER, _WRITER_DEPTH
+    me = threading.get_ident()
+    with _CONF_COND:
+        if me in _READERS:
+            raise RuntimeError(
+                "trickle_scope inside this thread's own corpus_section: "
+                "the corpus work would continue under trickle conf; "
+                "restructure so the scope is not nested in the section."
+            )
+        while _READERS or (_WRITER is not None and _WRITER != me):
+            _CONF_COND.wait()
+        _WRITER = me
+        _WRITER_DEPTH += 1
     # EVERYTHING after the acquire sits inside this try: a py4j hiccup in
     # the entry-side conf reads/sets (stopped session, transient gateway
     # error) must still release the lock, or every later trickle path in
@@ -161,7 +207,8 @@ def trickle_scope(spark: SparkSession):
             for k, v in restore:
                 spark.conf.set(k, v)
     finally:
-        _SCOPE_DEPTH -= 1
-        if _SCOPE_DEPTH == 0:
-            _SCOPE_OWNER = None
-        _TRICKLE_MU.release()
+        with _CONF_COND:
+            _WRITER_DEPTH -= 1
+            if _WRITER_DEPTH == 0:
+                _WRITER = None
+            _CONF_COND.notify_all()

@@ -175,6 +175,19 @@ _WRITE_NODE_FRAGMENTS = (
     "ReplaceData",
     "WriteDelta",
 )
+# Non-DML parse nodes that still escape a read-only surface:
+# - ScriptTransformation: `SELECT TRANSFORM(...) USING '<cmd>'` runs an
+#   arbitrary shell command on executors (Hive script transform).
+# - *WithUnresolvedIdentifier (ExpressionWithUnresolvedIdentifier /
+#   PlanWithUnresolvedIdentifier): the IDENTIFIER() clause defers NAME
+#   RESOLUTION to analysis time, so a smuggled reflect() call or
+#   path-based relation carries none of the parse-time tokens the other
+#   gates match. No legitimate warehouse-view query needs IDENTIFIER();
+#   fail closed.
+_ESCAPE_NODE_FRAGMENTS = (
+    "ScriptTransformation",
+    "WithUnresolvedIdentifier",
+)
 # Expression-level escapes a plain SELECT can smuggle: reflect()/
 # java_method() invoke arbitrary static Java methods on executors. In the
 # parse tree an unresolved CALL renders as `'name(` — a mere identifier
@@ -220,6 +233,19 @@ def _assert_read_only(spark: SparkSession, stmt: str) -> None:
                     f"plan containing a {frag!r} node — DML/DDL (even "
                     "behind a WITH prefix) is rejected."
                 )
+        # Case-insensitive: expression nodes render lowercase
+        # ('expressionwithunresolvedidentifier(...)'), plan nodes in
+        # CamelCase ('PlanWithUnresolvedIdentifier').
+        tree_l = tree.lower()
+        for frag in _ESCAPE_NODE_FRAGMENTS:
+            if frag.lower() in tree_l:
+                raise ValueError(
+                    "read-only SQL surface: the statement parses to a "
+                    f"plan containing a {frag!r} node — script "
+                    "transforms and IDENTIFIER() indirection are "
+                    "rejected (they defer side effects or name "
+                    "resolution past the parse-time gate)."
+                )
         if _SIDE_EFFECT_FN.search(tree):
             raise ValueError(
                 "read-only SQL surface: reflect()/java_method() invoke "
@@ -253,23 +279,26 @@ def run_sql(
     {'views', 'columns', 'rows', 'truncated'}; rows are capped at
     ``limit`` (the driver materializes them). ``generation`` pins MOR
     views to a recorded sync run, exactly as ``register_state_views``."""
-    # Ad-hoc SQL is corpus-scale work: wait out any open trickle_scope on
-    # another thread (so this query runs under session conf, not AQE-off /
-    # 8 shuffle partitions) and refuse to run from inside one.
-    from presencia_etl_spark.session import corpus_barrier
+    # Ad-hoc SQL is corpus-scale work: hold the shared side of the conf
+    # lock for the statement's whole execution so no trickle_scope (AQE
+    # off, 8 shuffle partitions) flips the conf mid-query on another
+    # thread; raises if called from inside one.
+    from presencia_etl_spark.session import corpus_section
 
-    corpus_barrier()
-    stmt = (statement or "").strip().rstrip(";")
-    _assert_read_only(spark, stmt)
-    views = register_state_views(
-        spark,
-        warehouse_root,
-        include_internal=include_internal,
-        prefix=prefix,
-        generation=generation,
-    )
-    df = spark.sql(stmt)
-    rows = [r.asDict(recursive=True) for r in df.limit(limit + 1).collect()]
+    with corpus_section():
+        stmt = (statement or "").strip().rstrip(";")
+        _assert_read_only(spark, stmt)
+        views = register_state_views(
+            spark,
+            warehouse_root,
+            include_internal=include_internal,
+            prefix=prefix,
+            generation=generation,
+        )
+        df = spark.sql(stmt)
+        rows = [
+            r.asDict(recursive=True) for r in df.limit(limit + 1).collect()
+        ]
     return {
         "views": views,
         "columns": list(df.columns),

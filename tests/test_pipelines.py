@@ -698,6 +698,7 @@ class TestSqlReadOnlyGuard:
             spark, spark.createDataFrame([(1, "a")], ["k", "v"]), f"{wh}/t", ["k"]
         )
         run_sql(spark, wh, "SELECT 1 AS one")  # view `t` now registered
+        pwned = str(tmp_path / "pwned")
         for bad in (
             "SELECT 1; DROP VIEW t",
             "SELECT reflect('java.lang.System','getProperty','user.dir') AS x",
@@ -705,10 +706,19 @@ class TestSqlReadOnlyGuard:
             "WITH c AS (SELECT try_reflect('a','b') AS x) SELECT x FROM c",
             "SELECT * FROM parquet.`/etc/hostname`",
             "SELECT * FROM global_temp.t",
+            # Hive script transform: runs a shell command on executors.
+            f"SELECT TRANSFORM(k) USING 'touch {pwned}' AS (o STRING) FROM t",
+            # IDENTIFIER() defers name resolution past the parse-time
+            # gate: a smuggled reflect() call / path-based relation
+            # carries none of the tokens the other checks match.
+            "SELECT IDENTIFIER('reflect')"
+            "('java.lang.System','getProperty','user.dir') AS x",
+            "SELECT * FROM IDENTIFIER('parquet.`/etc/hostname`')",
         ):
             with pytest.raises(ValueError, match="read-only SQL surface"):
                 run_sql(spark, wh, bad)
         assert spark.catalog.tableExists("t")  # the DROP never ran
+        assert not os.path.exists(pwned)  # the TRANSFORM shell never ran
         # Positive cases: `;` inside a literal, and reflect as a NAME.
         out = run_sql(spark, wh, "SELECT 'a;b' AS s")
         assert out["rows"] == [{"s": "a;b"}]

@@ -103,6 +103,67 @@ class TestCorpusBarrier:
             with pytest.raises(RuntimeError, match="trickle_scope"):
                 run_per_table({}, {}, lambda n, c: None)
 
+    def test_corpus_section_excludes_scope_for_its_whole_duration(self):
+        """A trickle_scope attempted DURING an open corpus_section blocks
+        until the section exits — corpus work sees session conf
+        throughout, not merely at dispatch time."""
+        spark = FakeSpark(FakeConf(BASE))
+        in_section = threading.Event()
+        release = threading.Event()
+
+        def holder():
+            with sess.corpus_section():
+                in_section.set()
+                release.wait(10)
+
+        t = threading.Thread(target=holder)
+        t.start()
+        assert in_section.wait(10)
+        scope_entered = threading.Event()
+
+        def writer():
+            with sess.trickle_scope(spark):
+                scope_entered.set()
+
+        w = threading.Thread(target=writer)
+        w.start()
+        time.sleep(0.2)
+        assert not scope_entered.is_set()  # blocked behind the section
+        release.set()
+        t.join(10)
+        assert scope_entered.wait(10)
+        w.join(10)
+        assert spark.conf.values == BASE
+
+    def test_two_corpus_sections_share(self):
+        order = []
+
+        def reader(name, gate):
+            with sess.corpus_section():
+                order.append(name)
+                gate.wait(10)
+
+        g = threading.Event()
+        ts = [
+            threading.Thread(target=reader, args=(i, g)) for i in range(2)
+        ]
+        for t in ts:
+            t.start()
+        deadline = time.time() + 5
+        while len(order) < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert len(order) == 2  # both entered concurrently
+        g.set()
+        for t in ts:
+            t.join(10)
+
+    def test_scope_inside_own_corpus_section_raises(self):
+        spark = FakeSpark(FakeConf(BASE))
+        with sess.corpus_section():
+            with pytest.raises(RuntimeError, match="corpus_section"):
+                with sess.trickle_scope(spark):
+                    pass
+
     def test_waits_out_other_threads_scope(self):
         """A barrier on thread B blocks until thread A's open scope exits
         — the corpus work B then launches sees restored session conf."""
