@@ -62,7 +62,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs executors INSIDE the driver JVM: this one value is
+        # the whole cluster's heap. 8g OOMed the 60M-row merge with 32
+        # concurrent tasks' write buffers; the sandbox provisions 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
