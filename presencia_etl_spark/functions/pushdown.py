@@ -39,11 +39,13 @@ def _default_literal_mode_confirmed() -> bool:
     """True iff we can POSITIVELY read
     ``spark.sql.parser.escapedStringLiterals`` as false. The legacy/
     Hive-compat true mode keeps backslashes literal, so ``_render``'s
-    escaping would produce WRONG predicates for quote/backslash keys —
-    and on a thread with no active session (``run_per_table`` workers
-    don't inherit the thread-local) the mode is UNKNOWABLE, so the caller
-    must fall back to ``Column.isin`` rather than guess."""
-    spark = SparkSession.getActiveSession()
+    escaping would produce WRONG predicates for quote/backslash keys.
+    Session conf is process-global, so when this thread has no active
+    session (``run_per_table`` workers don't inherit the thread-local)
+    the process-wide instantiated session answers for it — the per-key
+    ``Column.isin`` fallback engages only when NO session is reachable
+    at all (then the mode genuinely cannot be known)."""
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     if spark is None:
         return False
     try:

@@ -211,18 +211,26 @@ def build_agg_snapshot(
     sum_cols: list[str] | None = None,
 ) -> dict:
     """Full compute of the aggregate from the MOR state's current
-    snapshot; records the state's sequence as the refresh cursor."""
+    snapshot; records the state's sequence as the refresh cursor. A full
+    build scans the whole base — corpus-scale by definition — so it
+    holds the shared conf-lock side throughout: a trickle scope opening
+    mid-scan on another thread must not throttle it to AQE-off /
+    8-partition conf (this also covers the rebuild fallback of
+    ``refresh_agg_snapshot``)."""
+    from presencia_etl_spark.session import corpus_section
+
     sum_cols = list(sum_cols or [])
     os.makedirs(agg_path, exist_ok=True)
     _recover_interrupted_refresh(agg_path)
-    hist = mor_history(mor_path)
-    out = _full_aggregate(read_mor(spark, mor_path), group_cols, sum_cols)
-    meta = {
-        "as_of_seq": hist["seq"],
-        "group_cols": list(group_cols),
-        "sum_cols": sum_cols,
-    }
-    _write_snapshot(out, agg_path, meta)
+    with corpus_section():
+        hist = mor_history(mor_path)
+        out = _full_aggregate(read_mor(spark, mor_path), group_cols, sum_cols)
+        meta = {
+            "as_of_seq": hist["seq"],
+            "group_cols": list(group_cols),
+            "sum_cols": sum_cols,
+        }
+        _write_snapshot(out, agg_path, meta)
     return {"mode": "build", "as_of_seq": hist["seq"]}
 
 

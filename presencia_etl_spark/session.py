@@ -20,6 +20,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """Driver/cluster heap for local mode: ¼ of host RAM, clamped to
+    [4g, 32g]. Falls back to 8g when /proc/meminfo is unreadable."""
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = int(next(l for l in fh if l.startswith("MemTotal")).split()[1])
+        return f"{min(32, max(4, kb // (4 * 1024 * 1024)))}g"
+    except Exception:
+        return "8g"
+
+
 def get_spark(
     app_name: str = "presencia-etl-spark",
     master: str | None = None,
@@ -64,8 +75,11 @@ def get_spark(
         .config("spark.sql.parquet.mergeSchema", "false")
         # local[N] runs executors INSIDE the driver JVM: this one value is
         # the whole cluster's heap. 8g OOMed the 60M-row merge with 32
-        # concurrent tasks' write buffers; the sandbox provisions 128 GiB.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # concurrent tasks' write buffers; size from the HOST (¼ of RAM,
+        # clamped to [4g, 32g]) so a small container isn't handed an -Xmx
+        # past its cgroup limit (JVM growth past the limit = OOM-kill, not
+        # spill).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_heap())
         .config("spark.ui.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
@@ -90,12 +104,33 @@ import threading
 #   its WHOLE duration so no trickle scope can flip the conf mid-run —
 #   not merely at dispatch time. Readers share freely.
 # Illegal nestings raise loudly instead of deadlocking: a corpus section
-# from inside this thread's own scope, or a scope from inside this
-# thread's own corpus section.
+# from inside this thread's own scope, a scope from inside this thread's
+# own corpus section, or a scope from inside a ``run_per_table`` WORKER
+# (the dispatcher holds the reader for the whole fan-out, so a worker's
+# scope would wait on its own dispatcher forever — the thread-local
+# corpus-work marker turns that cross-thread deadlock into an error).
+# Fairness: a WAITING writer blocks NEW readers (re-entrant holders pass),
+# so back-to-back corpus sections can't starve the trickle loops; writers
+# themselves hold the conf for one KB-sized batch only.
 _CONF_COND = threading.Condition()
 _WRITER: int | None = None
 _WRITER_DEPTH = 0
+_WRITERS_WAITING = 0
 _READERS: dict[int, int] = {}  # thread ident -> reentrancy depth
+_CORPUS_WORK = threading.local()  # .depth > 0 inside a fan-out work fn
+
+
+@contextlib.contextmanager
+def corpus_work_marker():
+    """Mark this thread as executing a work unit on behalf of an open
+    ``corpus_section`` on ANOTHER thread (``run_per_table`` wraps every
+    worker call in this). ``trickle_scope`` refuses to open under the
+    marker — the dispatcher's reader token would deadlock it."""
+    _CORPUS_WORK.depth = getattr(_CORPUS_WORK, "depth", 0) + 1
+    try:
+        yield
+    finally:
+        _CORPUS_WORK.depth -= 1
 
 
 @contextlib.contextmanager
@@ -114,7 +149,12 @@ def corpus_section():
                 "work would run under trickle conf (AQE off, 8 shuffle "
                 "partitions); close the scope first."
             )
-        while _WRITER is not None and me not in _READERS:
+        # New readers also yield to a WAITING writer (fairness); a thread
+        # already holding a reader token re-enters freely (no writer can
+        # be active while any reader holds).
+        while me not in _READERS and (
+            _WRITER is not None or _WRITERS_WAITING > 0
+        ):
             _CONF_COND.wait()
         _READERS[me] = _READERS.get(me, 0) + 1
     try:
@@ -166,7 +206,7 @@ def trickle_scope(spark: SparkSession):
     true multi-tenant session per-query conf (Spark Connect) or a
     dedicated session. Raises (instead of deadlocking) when entered
     inside this thread's own corpus section."""
-    global _WRITER, _WRITER_DEPTH
+    global _WRITER, _WRITER_DEPTH, _WRITERS_WAITING
     me = threading.get_ident()
     with _CONF_COND:
         if me in _READERS:
@@ -175,8 +215,23 @@ def trickle_scope(spark: SparkSession):
                 "the corpus work would continue under trickle conf; "
                 "restructure so the scope is not nested in the section."
             )
-        while _READERS or (_WRITER is not None and _WRITER != me):
-            _CONF_COND.wait()
+        if getattr(_CORPUS_WORK, "depth", 0) > 0:
+            raise RuntimeError(
+                "trickle_scope inside a run_per_table work function: the "
+                "dispatcher holds the corpus_section reader for the whole "
+                "fan-out, so this scope would deadlock against its own "
+                "dispatcher. Run trickle-scoped operators outside the "
+                "fan-out."
+            )
+        _WRITERS_WAITING += 1
+        try:
+            while _READERS or (_WRITER is not None and _WRITER != me):
+                _CONF_COND.wait()
+        except BaseException:
+            _WRITERS_WAITING -= 1
+            _CONF_COND.notify_all()  # unblock readers yielding to us
+            raise
+        _WRITERS_WAITING -= 1
         _WRITER = me
         _WRITER_DEPTH += 1
     # EVERYTHING after the acquire sits inside this try: a py4j hiccup in

@@ -326,6 +326,27 @@ class TestInListPushdown:
         finally:
             spark.conf.set(key, old)
 
+    def test_fast_path_confirmed_from_worker_thread(self, spark):
+        """run_per_table workers have no thread-local active session; the
+        literal-mode probe must still confirm the process-global default
+        via the instantiated session, keeping quote-bearing key lists on
+        the one-round-trip fast path instead of per-key isin."""
+        import threading
+
+        from presencia_etl_spark.functions.pushdown import (
+            _default_literal_mode_confirmed,
+        )
+
+        res = {}
+
+        def worker():
+            res["confirmed"] = _default_literal_mode_confirmed()
+
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join(30)
+        assert res["confirmed"] is True
+
     def test_property_string_escaping_matches_isin(self, spark):
         """Property: for arbitrary printable strings, in_list == isin.
         Guards the SQL-literal escaping against parser semantics drift."""

@@ -164,6 +164,85 @@ class TestCorpusBarrier:
                 with sess.trickle_scope(spark):
                     pass
 
+    def test_scope_inside_corpus_work_marker_raises(self):
+        """A trickle_scope attempted inside a fan-out work unit raises
+        loudly — the dispatcher holds the section's reader token, so
+        waiting would deadlock against it forever."""
+        spark = FakeSpark(FakeConf(BASE))
+        with sess.corpus_work_marker():
+            with pytest.raises(RuntimeError, match="run_per_table"):
+                with sess.trickle_scope(spark):
+                    pass
+        with sess.trickle_scope(spark):  # fine once the marker is gone
+            pass
+        assert spark.conf.values == BASE
+
+    def test_run_per_table_worker_calling_scope_raises_not_deadlocks(self):
+        from presencia_etl_spark.plans.full_sync import run_per_table
+
+        spark = FakeSpark(FakeConf(BASE))
+
+        def work(name, cfg):
+            with sess.trickle_scope(spark):
+                return "unreachable"
+
+        # Two tables => pool path: the work runs on POOL threads, where
+        # only the corpus-work marker (not the same-thread reader check)
+        # can catch the would-be deadlock.
+        with pytest.raises(RuntimeError, match="run_per_table"):
+            run_per_table(
+                {"a": object(), "b": object()}, {"a": 1, "b": 2}, work,
+                max_parallel=4,
+            )
+        # Single-table path runs on the dispatcher thread itself: the
+        # same-thread reader check fires instead — still loud.
+        with pytest.raises(RuntimeError, match="trickle_scope|corpus_section"):
+            run_per_table({"a": object()}, {"a": 1}, work, max_parallel=4)
+
+    def test_waiting_writer_blocks_new_readers(self):
+        """Fairness: while a trickle_scope is WAITING for readers to
+        drain, new corpus sections queue behind it — back-to-back corpus
+        work can't starve the steady-state trickle loops."""
+        spark = FakeSpark(FakeConf(BASE))
+        in_first = threading.Event()
+        release_first = threading.Event()
+
+        def first_reader():
+            with sess.corpus_section():
+                in_first.set()
+                release_first.wait(10)
+
+        r1 = threading.Thread(target=first_reader)
+        r1.start()
+        assert in_first.wait(10)
+        writer_done = threading.Event()
+
+        def writer():
+            with sess.trickle_scope(spark):
+                pass
+            writer_done.set()
+
+        w = threading.Thread(target=writer)
+        w.start()
+        time.sleep(0.2)  # writer is now waiting on the open section
+        second_entered = threading.Event()
+
+        def second_reader():
+            with sess.corpus_section():
+                second_entered.set()
+
+        r2 = threading.Thread(target=second_reader)
+        r2.start()
+        time.sleep(0.2)
+        assert not second_entered.is_set()  # queued behind the writer
+        release_first.set()
+        r1.join(10)
+        assert writer_done.wait(10)  # writer went first
+        assert second_entered.wait(10)
+        w.join(10)
+        r2.join(10)
+        assert spark.conf.values == BASE
+
     def test_waits_out_other_threads_scope(self):
         """A barrier on thread B blocks until thread A's open scope exits
         — the corpus work B then launches sees restored session conf."""
