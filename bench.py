@@ -770,7 +770,40 @@ def bench_scale100(spark, scale10: dict) -> dict:
     100 TB story is the core claim. With the 6M-row point this gives a
     two-decade trend: `linear_ratio` compares per-row MOR load
     throughput vs scale10 (>1 → faster per row at 10×, sublinear);
-    `sparse_mor_sec` should stay O(changes)-flat, not 10× scale10's."""
+    `sparse_mor_sec` should stay O(changes)-flat, not 10× scale10's.
+
+    Runs in a CHILD process with its own JVM: this is the one stage
+    whose heap pressure has actually killed a JVM (60M merge at the old
+    8g default) — in-process, that death takes the WHOLE bench line
+    (the driver's graded artifact) with it; isolated, it costs one
+    `error` entry."""
+    import json as _json
+    import subprocess
+
+    n = int(os.environ.get("SPARK_GRAFT_SCALE100_ROWS", "60000000"))
+    if n <= 0:
+        return {"skipped": True}
+    base = scale10.get("mor_load_rows_per_sec") or 0
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scale100-child", str(base)],
+        capture_output=True,
+        text=True,
+        timeout=int(os.environ.get("SPARK_GRAFT_SCALE100_TIMEOUT", "2400")),
+    )
+    for line in reversed((proc.stdout or "").strip().splitlines()):
+        try:
+            return _json.loads(line)
+        except ValueError:
+            continue
+    tail = (proc.stderr or "").strip().splitlines()
+    return {
+        "error": f"child exit {proc.returncode}: "
+        + (tail[-1][-150:] if tail else "no output")
+    }
+
+
+def _scale100_child(base_rate: int) -> dict:
+    """The measured stage body — executed in the child process."""
     import shutil
     import tempfile
 
@@ -778,10 +811,14 @@ def bench_scale100(spark, scale10: dict) -> dict:
 
     from presencia_etl_spark.sinks.mor import compact_mor, merge_upsert_mor
 
-    spark.catalog.clearCache()
+    spark = get_spark(
+        app_name="presencia-etl-bench-scale100",
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "16")
+        ),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     n = int(os.environ.get("SPARK_GRAFT_SCALE100_ROWS", "60000000"))
-    if n <= 0:
-        return {"skipped": True}
     df = spark.range(n).select(
         F.concat(F.lit("K"), F.col("id")).alias("k"),
         F.pmod(F.xxhash64("id"), F.lit(97)).cast("string").alias("v1"),
@@ -798,9 +835,8 @@ def bench_scale100(spark, scale10: dict) -> dict:
         dt = time.perf_counter() - t0
         out["full_sec"] = round(dt, 3)
         out["full_rows_per_sec"] = round(n / dt)
-        base = scale10.get("mor_load_rows_per_sec")
-        if base:
-            out["linear_ratio"] = round(out["full_rows_per_sec"] / base, 2)
+        if base_rate:
+            out["linear_ratio"] = round(out["full_rows_per_sec"] / base_rate, 2)
 
         # ~600 scattered changes in 60M rows (same v3==0 selector as the
         # 6M point, so changed-key density is held constant across
@@ -860,4 +896,9 @@ def _warm_streaming(spark, work: str) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--scale100-child":
+        # Child-process entry for the isolated 60M-row stage: ONE JSON
+        # line on stdout (Spark progress noise goes to stderr).
+        print(json.dumps(_scale100_child(int(sys.argv[2]))))
+    else:
+        main()
