@@ -139,7 +139,9 @@ def main() -> None:
             print(f"# bench scale100 error: {e}", file=sys.stderr)
 
     short_queries = {k.split("_", 1)[0]: round(v, 2) for k, v in timings.items()}
-    norm = _normalize_vs_r7(calibration, short_queries)
+    # The r7 anchors were measured at sf0.1; normalizing any other sf
+    # against them would print a confidently wrong cross-sf ratio.
+    norm = _normalize_vs_r7(calibration, short_queries) if sf == 0.1 else {}
 
     # Full payload to a detail file the judge can read directly.
     detail = {
@@ -204,9 +206,9 @@ def main() -> None:
         "sf": sf,
         "reps": REPS,
         "calibration_sec": calibration,
-        "calib_ratio_r7": norm["calibration_ratio_vs_r7"],
-        "norm_total_r7": norm["normalized_total_ratio_vs_r7"],
-        "norm_median_r7": norm["normalized_median_ratio_vs_r7"],
+        "calib_ratio_r7": norm.get("calibration_ratio_vs_r7"),
+        "norm_total_r7": norm.get("normalized_total_ratio_vs_r7"),
+        "norm_median_r7": norm.get("normalized_median_ratio_vs_r7"),
         "queries": short_queries,
         "errors": errors,
         "pipeline": short_pipeline,
@@ -603,6 +605,33 @@ def bench_presencia(spark) -> dict:
     return out
 
 
+def _synth_state(spark, n: int):
+    """The synthetic keyed fact both scale points load: one definition so
+    the 6M and 60M decades stay byte-identical in row shape — the
+    cross-decade `linear_ratio` comparison is only valid if they do."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.concat(F.lit("K"), F.col("id")).alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(97)).cast("string").alias("v1"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / 100.0).alias("v2"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100_000)).alias("v3"),
+    )
+
+
+def _sparse_mutation(df):
+    """The v3==0 selector (1-in-100K density) used at BOTH decades, so
+    changed-key density is held constant across the ladder."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "v1",
+        F.when(F.col("v3") == 0, F.concat(F.col("v1"), F.lit("x"))).otherwise(
+            F.col("v1")
+        ),
+    )
+
+
 def bench_scale_stress(spark, base_pipeline: dict) -> dict:
     """Second scale point: a synthetic fact 10× the sf0.1 lineitem (~6M
     rows) through the bucketed COW full load + sparse merges, so the round
@@ -621,12 +650,7 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
 
     spark.catalog.clearCache()
     n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "6000000"))
-    df = spark.range(n).select(
-        F.concat(F.lit("K"), F.col("id")).alias("k"),
-        F.pmod(F.xxhash64("id"), F.lit(97)).cast("string").alias("v1"),
-        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / 100.0).alias("v2"),
-        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100_000)).alias("v3"),
-    )
+    df = _synth_state(spark, n)
     work = tempfile.mkdtemp(prefix="bench_scale_")
     target = f"{work}/state"
     mor_target = f"{work}/state_mor"
@@ -643,12 +667,7 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
 
         # ~60 scattered changes in 6M rows: the write side must stay
         # O(changes) — dirty buckets ≈ changed keys, never O(rows).
-        sparse = df.withColumn(
-            "v1",
-            F.when(F.col("v3") == 0, F.concat(F.col("v1"), F.lit("x"))).otherwise(
-                F.col("v1")
-            ),
-        )
+        sparse = _sparse_mutation(df)
         t0 = time.perf_counter()
         r = merge_upsert_partitioned(spark, sparse, target, ["k"], num_buckets=256)
         out["sparse_sec"] = round(time.perf_counter() - t0, 3)
@@ -784,12 +803,27 @@ def bench_scale100(spark, scale10: dict) -> dict:
     if n <= 0:
         return {"skipped": True}
     base = scale10.get("mor_load_rows_per_sec") or 0
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scale100-child", str(base)],
-        capture_output=True,
-        text=True,
-        timeout=int(os.environ.get("SPARK_GRAFT_SCALE100_TIMEOUT", "2400")),
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale100-child", str(base)],
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_SCALE100_TIMEOUT", "2400")),
+        )
+    finally:
+        # A timeout SIGKILLs the child mid-stage, so its own finally-
+        # cleanup never runs and ~2.4 GiB of bench_scale100_* state would
+        # leak per killed run (repeated contended rounds → ENOSPC poisons
+        # later stages). The parent owns the prefix; sweep it either way
+        # (the child already removed its dir on the clean path).
+        import glob as _glob
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        for stale in _glob.glob(
+            os.path.join(_tempfile.gettempdir(), "bench_scale100_*")
+        ):
+            _shutil.rmtree(stale, ignore_errors=True)
     for line in reversed((proc.stdout or "").strip().splitlines()):
         try:
             return _json.loads(line)
@@ -807,8 +841,6 @@ def _scale100_child(base_rate: int) -> dict:
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from presencia_etl_spark.sinks.mor import compact_mor, merge_upsert_mor
 
     spark = get_spark(
@@ -819,12 +851,7 @@ def _scale100_child(base_rate: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
     n = int(os.environ.get("SPARK_GRAFT_SCALE100_ROWS", "60000000"))
-    df = spark.range(n).select(
-        F.concat(F.lit("K"), F.col("id")).alias("k"),
-        F.pmod(F.xxhash64("id"), F.lit(97)).cast("string").alias("v1"),
-        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / 100.0).alias("v2"),
-        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100_000)).alias("v3"),
-    )
+    df = _synth_state(spark, n)
     work = tempfile.mkdtemp(prefix="bench_scale100_")
     target = f"{work}/state_mor"
     out: dict = {"rows": n}
@@ -841,12 +868,7 @@ def _scale100_child(base_rate: int) -> dict:
         # ~600 scattered changes in 60M rows (same v3==0 selector as the
         # 6M point, so changed-key density is held constant across
         # decades): the merge must stay O(changes) + dirty buckets.
-        sparse = df.withColumn(
-            "v1",
-            F.when(F.col("v3") == 0, F.concat(F.col("v1"), F.lit("x"))).otherwise(
-                F.col("v1")
-            ),
-        )
+        sparse = _sparse_mutation(df)
         t0 = time.perf_counter()
         r = merge_upsert_mor(spark, sparse, target, ["k"], num_buckets=256,
                              compact_every=None)
@@ -896,9 +918,13 @@ def _warm_streaming(spark, work: str) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--scale100-child":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale100-child":
         # Child-process entry for the isolated 60M-row stage: ONE JSON
-        # line on stdout (Spark progress noise goes to stderr).
+        # line on stdout (Spark progress noise goes to stderr). A missing
+        # operand must fail loudly — falling through to main() would run
+        # the whole graded bench (and a nested child) by accident.
+        if len(sys.argv) < 3:
+            sys.exit("usage: bench.py --scale100-child <base_rows_per_sec>")
         print(json.dumps(_scale100_child(int(sys.argv[2]))))
     else:
         main()

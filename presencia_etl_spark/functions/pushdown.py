@@ -79,5 +79,8 @@ def in_list(col: str, values) -> Column:
     if any(
         isinstance(v, str) and ("'" in v or "\\" in v) for v in vals
     ) and not _default_literal_mode_confirmed():
-        return F.col(col).isin(vals)
+        # Backquote to match the fast path: F.col parses dots as struct
+        # field access, so a literal "a.b" column would silently resolve
+        # differently depending on which branch the thread takes.
+        return F.col(f"`{col}`").isin(vals)
     return F.expr(f"`{col}` IN ({','.join(_render(v) for v in vals)})")

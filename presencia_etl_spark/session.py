@@ -20,13 +20,50 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _cgroup_limit_kb() -> int | None:
+    """The container memory limit in KiB, or None when unlimited /
+    unreadable. /proc/meminfo shows HOST RAM even inside a memory-limited
+    container (cgroups don't virtualize it), so sizing from it alone would
+    hand a 4 GiB container a 32 GiB -Xmx on a big host — the exact
+    OOM-kill this sizing exists to prevent."""
+    for path in (
+        "/sys/fs/cgroup/memory.max",  # cgroup v2
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
+    ):
+        try:
+            raw = open(path).read().strip()
+            if raw == "max":
+                continue
+            val = int(raw)
+            # v1 reports "unlimited" as a huge page-rounded sentinel.
+            if 0 < val < 1 << 58:
+                return val // 1024
+        except Exception:
+            continue
+    return None
+
+
+def _heap_for_kb(kb: int) -> str:
+    """¼ of ``kb`` capped at 32g, floored at 4g only when the total is at
+    least 8 GiB — a 4 GiB box must not get a heap equal to ALL its
+    memory (the old unconditional 4g floor did exactly that)."""
+    gb = min(32, max(1, kb // (4 * 1024 * 1024)))
+    if gb < 4 and kb >= 8 * 1024 * 1024:
+        gb = 4
+    return f"{gb}g"
+
+
 def _default_heap() -> str:
-    """Driver/cluster heap for local mode: ¼ of host RAM, clamped to
-    [4g, 32g]. Falls back to 8g when /proc/meminfo is unreadable."""
+    """Driver/cluster heap for local mode: sized from EFFECTIVE RAM — the
+    smaller of host MemTotal and the cgroup limit. Falls back to 8g when
+    unreadable."""
     try:
         with open("/proc/meminfo") as fh:
             kb = int(next(l for l in fh if l.startswith("MemTotal")).split()[1])
-        return f"{min(32, max(4, kb // (4 * 1024 * 1024)))}g"
+        cg = _cgroup_limit_kb()
+        if cg is not None:
+            kb = min(kb, cg)
+        return _heap_for_kb(kb)
     except Exception:
         return "8g"
 
@@ -151,9 +188,18 @@ def corpus_section():
             )
         # New readers also yield to a WAITING writer (fairness); a thread
         # already holding a reader token re-enters freely (no writer can
-        # be active while any reader holds).
-        while me not in _READERS and (
-            _WRITER is not None or _WRITERS_WAITING > 0
+        # be active while any reader holds). A ``run_per_table`` WORKER
+        # (corpus-work marker set) inherits its dispatcher's guarantee the
+        # same way: the dispatcher holds a reader for the whole fan-out,
+        # so no writer can be active — and the worker must NOT yield to a
+        # waiting writer, or dispatcher→worker→writer→dispatcher becomes
+        # a three-way deadlock (the dispatcher waits on the worker, the
+        # writer waits on the dispatcher's reader, the worker waits on
+        # the writer's fairness gate).
+        while (
+            me not in _READERS
+            and getattr(_CORPUS_WORK, "depth", 0) == 0
+            and (_WRITER is not None or _WRITERS_WAITING > 0)
         ):
             _CONF_COND.wait()
         _READERS[me] = _READERS.get(me, 0) + 1

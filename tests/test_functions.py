@@ -326,6 +326,26 @@ class TestInListPushdown:
         finally:
             spark.conf.set(key, old)
 
+    def test_dotted_column_name_same_on_both_branches(self, spark):
+        """A top-level column literally named 'a.b' must resolve as that
+        column on BOTH branches: the fast path backquotes the name, and
+        the isin fallback must too — bare F.col('a.b') would parse the
+        dot as struct-field access and filter the wrong thing."""
+        from presencia_etl_spark.functions import pushdown
+
+        df = spark.createDataFrame([("O'Brien",), ("plain",)], ["a.b"])
+        quoted = ["O'Brien"]  # quote-bearing → eligible for the fallback
+        fast = {r[0] for r in df.filter(pushdown.in_list("a.b", quoted)).collect()}
+        orig = pushdown._default_literal_mode_confirmed
+        pushdown._default_literal_mode_confirmed = lambda: False
+        try:
+            slow = {
+                r[0] for r in df.filter(pushdown.in_list("a.b", quoted)).collect()
+            }
+        finally:
+            pushdown._default_literal_mode_confirmed = orig
+        assert fast == slow == {"O'Brien"}
+
     def test_fast_path_confirmed_from_worker_thread(self, spark):
         """run_per_table workers have no thread-local active session; the
         literal-mode probe must still confirm the process-global default

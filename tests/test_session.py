@@ -275,3 +275,79 @@ class TestCorpusBarrier:
         assert waiter_done.wait(10)
         w.join(10)
         assert seen_at_barrier == BASE  # conf was restored before dispatch
+
+    def test_worker_corpus_section_passes_waiting_writer(self):
+        """The three-way deadlock regression: dispatcher D holds the
+        corpus reader and waits on worker W; writer T queues behind D's
+        reader; W (corpus-work marker set, i.e. executing on D's behalf)
+        opens its OWN corpus_section — e.g. run_sql / a corpus-sized agg
+        fold inside a run_per_table work function. W must pass the
+        writer-fairness gate (D's reader guarantees no writer is active),
+        or D→W→T→D hangs forever with no error."""
+        spark = FakeSpark(FakeConf(BASE))
+        in_dispatch = threading.Event()
+        worker_done = threading.Event()
+        writer_done = threading.Event()
+
+        def dispatcher():
+            with sess.corpus_section():
+                in_dispatch.set()
+                # Simulates f.result(): the dispatcher's reader stays
+                # held until the worker finishes.
+                assert worker_done.wait(10)
+
+        d = threading.Thread(target=dispatcher)
+        d.start()
+        assert in_dispatch.wait(10)
+
+        def writer():
+            with sess.trickle_scope(spark):
+                pass
+            writer_done.set()
+
+        t = threading.Thread(target=writer)
+        t.start()
+        time.sleep(0.2)  # writer is now WAITING on the dispatcher's reader
+
+        def worker():
+            with sess.corpus_work_marker():
+                with sess.corpus_section():
+                    pass
+            worker_done.set()
+
+        w = threading.Thread(target=worker)
+        w.start()
+        assert worker_done.wait(5), "worker deadlocked behind the waiting writer"
+        d.join(10)
+        assert writer_done.wait(10)  # writer still runs once readers drain
+        t.join(10)
+        w.join(10)
+        assert spark.conf.values == BASE
+
+
+class TestDefaultHeap:
+    def test_quarter_of_ram_capped(self):
+        assert sess._heap_for_kb(256 * 1024 * 1024) == "32g"  # 256 GiB host
+        assert sess._heap_for_kb(64 * 1024 * 1024) == "16g"
+        assert sess._heap_for_kb(16 * 1024 * 1024) == "4g"
+
+    def test_small_box_not_floored_past_its_ram(self):
+        """A 4 GiB box must not get a 4g heap (== ALL its memory); the 4g
+        floor applies only when total RAM is at least 8 GiB."""
+        assert sess._heap_for_kb(4 * 1024 * 1024) == "1g"
+        assert sess._heap_for_kb(8 * 1024 * 1024) == "4g"
+
+    def test_cgroup_limit_caps_host_ram(self, monkeypatch):
+        """A 4 GiB-cgroup container on a 256 GiB host: /proc/meminfo shows
+        the HOST total, so sizing must take min(meminfo, cgroup limit) —
+        a 32g -Xmx past the cgroup limit is an OOM-kill, not a spill."""
+        monkeypatch.setattr(sess, "_cgroup_limit_kb", lambda: 4 * 1024 * 1024)
+        heap = sess._default_heap()
+        assert heap == "1g", heap
+
+    def test_unlimited_cgroup_ignored(self, monkeypatch):
+        monkeypatch.setattr(sess, "_cgroup_limit_kb", lambda: None)
+        # Whatever the host has, the result equals the pure host sizing.
+        with open("/proc/meminfo") as fh:
+            kb = int(next(l for l in fh if l.startswith("MemTotal")).split()[1])
+        assert sess._default_heap() == sess._heap_for_kb(kb)
