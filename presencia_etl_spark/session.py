@@ -196,10 +196,13 @@ def corpus_section():
         # a three-way deadlock (the dispatcher waits on the worker, the
         # writer waits on the dispatcher's reader, the worker waits on
         # the writer's fairness gate).
-        while (
-            me not in _READERS
-            and getattr(_CORPUS_WORK, "depth", 0) == 0
-            and (_WRITER is not None or _WRITERS_WAITING > 0)
+        # (The marker skips only the FAIRNESS yield, not the active-writer
+        # wait: with the dispatcher's reader held no writer can be active
+        # anyway, and if the marker is ever misused without one, waiting
+        # out a live scope is still correct — only the yield deadlocks.)
+        while me not in _READERS and (
+            _WRITER is not None
+            or (_WRITERS_WAITING > 0 and getattr(_CORPUS_WORK, "depth", 0) == 0)
         ):
             _CONF_COND.wait()
         _READERS[me] = _READERS.get(me, 0) + 1

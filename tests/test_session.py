@@ -351,3 +351,73 @@ class TestDefaultHeap:
         with open("/proc/meminfo") as fh:
             kb = int(next(l for l in fh if l.startswith("MemTotal")).split()[1])
         assert sess._default_heap() == sess._heap_for_kb(kb)
+
+
+class TestConfLockStress:
+    def test_mixed_regimes_never_deadlock_or_leak_conf(self):
+        """Empirical pin of the whole lock discipline: trickle writers,
+        plain corpus sections, and run_per_table fan-outs (whose workers
+        open their OWN corpus sections — the round-8 deadlock shape)
+        hammer the lock concurrently. Every thread must finish inside the
+        timeout (no silent deadlock) and the conf must be fully restored
+        (no interleaved-restore corruption)."""
+        from presencia_etl_spark.plans.full_sync import TableConfig, run_per_table
+
+        spark = FakeSpark(FakeConf(BASE))
+        stop = threading.Event()
+        errors: list[BaseException] = []
+
+        def trickler():
+            try:
+                while not stop.is_set():
+                    with sess.trickle_scope(spark):
+                        assert (
+                            spark.conf.values["spark.sql.shuffle.partitions"]
+                            == "8"
+                        )
+            except BaseException as e:
+                errors.append(e)
+
+        def sectioner():
+            try:
+                while not stop.is_set():
+                    with sess.corpus_section():
+                        # A writer can never be active while we hold the
+                        # reader: the trickle conf must not be visible.
+                        assert (
+                            spark.conf.values["spark.sql.shuffle.partitions"]
+                            == "32"
+                        )
+            except BaseException as e:
+                errors.append(e)
+
+        cfgs = {f"t{i}": TableConfig(name=f"t{i}") for i in range(4)}
+        tables = {f"t{i}": object() for i in range(4)}
+
+        def dispatcher():
+            try:
+                while not stop.is_set():
+                    run_per_table(
+                        cfgs,
+                        tables,
+                        # Workers re-enter the reader side mid-fan-out.
+                        lambda n, c: sess.corpus_barrier(),
+                        max_parallel=3,
+                    )
+            except BaseException as e:
+                errors.append(e)
+
+        threads = (
+            [threading.Thread(target=trickler) for _ in range(2)]
+            + [threading.Thread(target=sectioner) for _ in range(2)]
+            + [threading.Thread(target=dispatcher)]
+        )
+        for t in threads:
+            t.start()
+        time.sleep(2.0)
+        stop.set()
+        for t in threads:
+            t.join(10)
+        assert not any(t.is_alive() for t in threads), "lock stress deadlocked"
+        assert not errors, errors
+        assert spark.conf.values == BASE
