@@ -35,6 +35,7 @@ from pyspark.sql import SparkSession
 
 from presencia_etl_spark.sinks import mor as mor_mod
 from presencia_etl_spark.sinks.writers import BUCKET_COL
+from presencia_etl_spark.sinks.writers import is_reserved_sibling as _is_sibling
 from presencia_etl_spark.sinks.locking import state_lock
 
 MANIFEST = "_warehouse_manifest.json"
@@ -75,7 +76,9 @@ def _record_generation_locked(spark: SparkSession, root: str) -> dict:
     }
     for d in sorted(os.listdir(root)):
         path = os.path.join(root, d)
-        if not os.path.isdir(path) or d.startswith((".", "_")):
+        # Reserved siblings: a crashed journaled swap's staged/retired
+        # dir holds real parquet but is not a table.
+        if not os.path.isdir(path) or d.startswith((".", "_")) or _is_sibling(d):
             continue
         # Metadata-only kind probe — NO parquet footer reads: only MOR
         # states carry a pinnable sequence, so the bucketed/flat
@@ -126,7 +129,9 @@ def non_snapshot_tables(root: str, gen: int | None = None) -> list[str]:
     out = []
     for d in sorted(os.listdir(root)):
         path = os.path.join(root, d)
-        if not os.path.isdir(path) or d.startswith((".", "_")):
+        # Reserved siblings: a crashed journaled swap's staged/retired
+        # dir holds real parquet but is not a table.
+        if not os.path.isdir(path) or d.startswith((".", "_")) or _is_sibling(d):
             continue
         if os.path.exists(os.path.join(path, mor_mod.META_FILE)):
             if d not in pinned:

@@ -68,6 +68,7 @@ from presencia_etl_spark.sinks.writers import (
     merge_upsert_partitioned,
     swap_bucket_dirs,
 )
+from presencia_etl_spark.sinks.writers import is_spark_hidden as writers_is_spark_hidden
 
 BASE_DIR = "base"
 DELTA_DIR = "deltas"
@@ -151,9 +152,37 @@ def _gc_orphan_staging(path: str) -> None:
             shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
 
 
+COMPACT_STAGING_PREFIX = "mor_compact_"
+
+
+def _gc_orphan_compact_staging(target_path: str) -> None:
+    """Remove compaction staging dirs left by a crash BEFORE the swap
+    journal existed — the longest window (the staged rewrite is a real
+    Spark job over every dirty bucket; at scale that's GBs of orphaned
+    parquet per killed compact, with no other GC path). The journaled
+    window is already cleaned by ``_recover_interrupted_swap`` (it
+    rmtree's the staged dir it repaired from), so by the time this runs —
+    under the caller's per-target writer lock, AFTER swap recovery — any
+    surviving ``mor_compact_*`` dir is unreferenced garbage."""
+    if not os.path.isdir(target_path):
+        return
+    for d in os.listdir(target_path):
+        if d.startswith(COMPACT_STAGING_PREFIX) or d.startswith(
+            "." + COMPACT_STAGING_PREFIX
+        ):
+            shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
+
+
+# One copy of Spark's visibility rule, shared with the footer-stats id
+# walk (see writers.is_spark_hidden — duplicated rules drift, and then id
+# allocation and the fileless probe disagree about what the engine sees).
+_is_hidden_name = writers_is_spark_hidden
+
+
 def _has_parquet_files(path: str) -> bool:
-    for _root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
+    for _root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not _is_hidden_name(d)]
+        if any(f.endswith(".parquet") and not _is_hidden_name(f) for f in files):
             return True
     return False
 
@@ -312,6 +341,7 @@ def merge_upsert_mor(
     base_path = os.path.join(target_path, BASE_DIR)
     _recover_interrupted_swap(base_path)
     _gc_orphan_staging(target_path)
+    _gc_orphan_compact_staging(target_path)
     _recover_empty_base(spark, target_path)
     _warn_audit_collisions(src)
     src = _parallelize_scan(src)
@@ -662,6 +692,7 @@ def delete_where_mor(
         )
     _recover_interrupted_swap(os.path.join(target_path, BASE_DIR))
     _gc_orphan_staging(target_path)
+    _gc_orphan_compact_staging(target_path)
     _recover_empty_base(spark, target_path)
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
@@ -696,6 +727,7 @@ def delete_keys_mor(
         )
     _recover_interrupted_swap(os.path.join(target_path, BASE_DIR))
     _gc_orphan_staging(target_path)
+    _gc_orphan_compact_staging(target_path)
     _recover_empty_base(spark, target_path)
     meta = _read_meta(target_path)
     keyed = (
@@ -941,6 +973,7 @@ def compact_mor(
     base_path = os.path.join(target_path, BASE_DIR)
     _recover_interrupted_swap(base_path)
     _gc_orphan_staging(target_path)
+    _gc_orphan_compact_staging(target_path)
     _recover_empty_base(spark, target_path)
     deltas = _read_deltas(spark, target_path)
     if deltas is None:
@@ -1006,8 +1039,13 @@ def compact_mor(
         # are written back — the erased rows leave the physical state here.
         live = latest.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
         new_parts = keep.unionByName(live)
+        # Dot-prefixed: invisible to any Spark listing of the target root
+        # (the same rule `_temporary` relies on), and attributable — the
+        # in-target name is what lets _gc_orphan_compact_staging sweep a
+        # SIGKILLed compact's staged output under the writer lock.
         staged = tempfile.mkdtemp(
-            prefix="mor_compact_", dir=os.path.dirname(base_path) or "."
+            prefix="." + COMPACT_STAGING_PREFIX,
+            dir=os.path.dirname(base_path) or ".",
         )
         try:
             new_parts.repartition(
@@ -1025,6 +1063,25 @@ def compact_mor(
                 os.makedirs(
                     os.path.join(staged, f"{BUCKET_COL}={b}"), exist_ok=True
                 )
+            # Snapshot floor BEFORE the swap. Raising it after delta
+            # removal (the old order) left a crash window between the
+            # swap and the floor write where the base was already folded
+            # but the floor said otherwise: read_mor(as_of_seq=old)
+            # returned the post-compaction state labeled as the old
+            # snapshot, and read_mor_changes(since_seq=0) SILENTLY
+            # omitted every folded change — the zero-loss change-feed
+            # guarantee broken exactly when a consumer replays after a
+            # crash. Raised first, every later window is conservative:
+            # old snapshots raise, current reads re-apply the surviving
+            # deltas idempotently, and a retried compact converges. A
+            # crash BETWEEN this write and the swap merely burns snapshot
+            # history early (floor up, nothing folded) — loud, never
+            # wrong.
+            meta = _read_meta(target_path)
+            meta["compacted_through"] = max(
+                meta.get("compacted_through", 0), max(seqs)
+            )
+            _write_meta(target_path, meta)
             swap_bucket_dirs(staged, base_path, dirty)
             # If tombstones emptied the ENTIRE base, reseed a schema-
             # bearing empty file so the layout stays readable (see
@@ -1041,17 +1098,14 @@ def compact_mor(
             shutil.rmtree(staged, ignore_errors=True)
     finally:
         latest.unpersist()
+    # The floor was already raised before the swap (see above); removal of
+    # the folded delta dirs is pure space reclamation now — a crash mid-
+    # loop leaves extra deltas that re-apply idempotently and are removed
+    # by the next compact.
     for s in seqs:
         shutil.rmtree(
             os.path.join(target_path, DELTA_DIR, f"{SEQ_COL}={s}"),
             ignore_errors=True,
         )
-    # Snapshot floor: seqs ≤ this are folded into the base and no longer
-    # individually reconstructable. Written AFTER delta removal so a crash
-    # in between leaves the floor conservative (reads degrade to the
-    # post-compaction base instead of raising — never a wrong snapshot).
-    meta = _read_meta(target_path)
-    meta["compacted_through"] = max(meta.get("compacted_through", 0), max(seqs))
-    _write_meta(target_path, meta)
     return {"buckets_rewritten": len(dirty), "deltas_folded": len(seqs),
             "keep_last_effective": keep_last}

@@ -99,6 +99,54 @@ def _recover_interrupted_swap(target_path: str) -> bool:
     return True
 
 
+SWAP_STAGING_PREFIX = ".staged_"
+# Sibling dirs the journaled whole-dir swaps (rebucket, flat delete/merge,
+# overwrite, compact_parquet) create NEXT TO a table. Warehouse dir scans
+# (SQL view registration, generation manifests) must skip them, or a
+# crashed swap shows up as a phantom table holding real parquet.
+RESERVED_SIBLING_SUFFIXES = ("__rebucket_staged", "__rebucket_retired")
+
+
+def is_reserved_sibling(name: str) -> bool:
+    return name.rstrip("/").endswith(RESERVED_SIBLING_SUFFIXES)
+
+
+def is_spark_hidden(name: str) -> bool:
+    """Spark/Hadoop's visibility rule (InMemoryFileIndex): names starting
+    with ``.`` are hidden, and names starting with ``_`` are hidden UNLESS
+    they contain ``=`` (hive partition dirs like ``_kb=3`` stay visible).
+    The ONE copy of the rule — every driver-side walk that answers 'what
+    would a Spark read see' (footer-stats id allocation, the MOR fileless
+    probe) must share it, or a crashed job's ``_temporary`` tree / a
+    staged dot-dir makes the walks disagree with the engine."""
+    return name.startswith(".") or (name.startswith("_") and "=" not in name)
+
+
+def _swap_staging_dir(target_path: str, kind: str) -> str:
+    """Create a bucket-swap staging dir INSIDE the target, dot-prefixed so
+    every Spark/Hadoop listing ignores it. Staging in the target's shared
+    PARENT dir (the old layout) made crash GC impossible: a sibling
+    ``merge_buckets_<rand>`` can't be attributed to a target, so sweeping
+    the parent could delete ANOTHER table's in-flight staging (locks are
+    per-target). In-target, ``_gc_orphan_swap_staging`` can sweep safely
+    under the writer lock."""
+    return tempfile.mkdtemp(prefix=f"{SWAP_STAGING_PREFIX}{kind}_", dir=target_path)
+
+
+def _gc_orphan_swap_staging(target_path: str) -> None:
+    """Remove swap staging dirs left by a crash BEFORE the journal was
+    written — the longest window (the staged rewrite is a real Spark job;
+    a SIGKILLed merge leaks its whole staged output with no other GC
+    path). Runs under the caller's per-target writer lock AFTER
+    ``_recover_interrupted_swap`` (which removes the journal and its
+    staged dir), so any surviving ``.staged_*`` child is unreferenced."""
+    if not os.path.isdir(target_path):
+        return
+    for d in os.listdir(target_path):
+        if d.startswith(SWAP_STAGING_PREFIX):
+            shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
+
+
 def _bucket_meta_path(target_path: str) -> str:
     return os.path.join(target_path, BUCKET_META)
 
@@ -192,6 +240,7 @@ def rebucket(
 
     _recover_interrupted_rebucket(target_path)
     _recover_interrupted_swap(target_path)
+    _gc_orphan_swap_staging(target_path)
     tgt = spark.read.parquet(target_path)
     if BUCKET_COL not in tgt.columns or cdc.KEY_COL not in tgt.columns:
         raise ValueError(
@@ -267,6 +316,7 @@ def delete_where_partitioned(
     tombstone path instead (``sinks.mor.delete_where_mor``)."""
     _recover_interrupted_rebucket(target_path)
     _recover_interrupted_swap(target_path)
+    _gc_orphan_swap_staging(target_path)
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
     tgt = spark.read.parquet(target_path)
@@ -287,9 +337,7 @@ def delete_where_partitioned(
         keep = tgt.filter(in_list(BUCKET_COL, dirty)).filter(
             ~F.coalesce(predicate, F.lit(False))
         )
-        staged = tempfile.mkdtemp(
-            prefix="delete_staged_", dir=os.path.dirname(target_path) or "."
-        )
+        staged = _swap_staging_dir(target_path, "delete")
         try:
             staged_keep = keep.repartition(len(dirty), F.col(BUCKET_COL))
             if cdc.KEY_COL in tgt.columns:  # pre-key-backfill states lack it
@@ -344,15 +392,27 @@ def delete_where_parquet(
     shutil.rmtree(staged, ignore_errors=True)
     shutil.rmtree(retired, ignore_errors=True)
     keep.write.mode("overwrite").parquet(staged)
+    _commit_whole_dir_swap(target_path, staged, retired)
+    return {"delete": n_victims}
+
+
+def _commit_whole_dir_swap(target_path: str, staged: str, retired: str) -> None:
+    """Commit a fully-staged whole-dir replacement through the rebucket
+    journal: journal (proof the staged copy is complete), old out, new in,
+    cleanup. A crash at ANY point leaves old-or-new, never a mix, and
+    ``_recover_interrupted_rebucket`` at the top of the flat ops rolls it
+    forward. Shared by delete_where_parquet, the flat merge, and
+    compact_parquet — an unjournaled ``rmtree(live); replace(tmp, live)``
+    has a window where a crash (or a failed replace whose cleanup then
+    removes tmp) loses the ENTIRE table."""
     journal = target_path.rstrip("/") + REBUCKET_JOURNAL_SUFFIX
     with open(journal + ".tmp", "w") as fh:
-        json.dump({"delete": True}, fh)
+        json.dump({"swap": True}, fh)
     os.replace(journal + ".tmp", journal)
     os.rename(target_path, retired)
     os.rename(staged, target_path)
     shutil.rmtree(retired, ignore_errors=True)
     os.remove(journal)
-    return {"delete": n_victims}
 
 
 def swap_bucket_dirs(staged: str, target_path: str, buckets) -> None:
@@ -442,9 +502,12 @@ def _max_id_stat(path: str):
     import pyarrow.parquet as pq
 
     best = None
-    for root, _d, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # Spark's visibility rule: a staged dot-dir or a crashed job's
+        # _temporary tree must not feed id allocation.
+        dirs[:] = [d for d in dirs if not is_spark_hidden(d)]
         for f in files:
-            if not f.endswith(".parquet"):
+            if not f.endswith(".parquet") or is_spark_hidden(f):
                 continue
             md = pq.ParquetFile(os.path.join(root, f)).metadata
             idx = None
@@ -548,13 +611,44 @@ def with_audit_columns(
     )
 
 
+@single_writer("path")
 def overwrite_parquet(df: DataFrame, path: str) -> None:
-    """S6: full refresh."""
-    df.write.mode("overwrite").parquet(path)
+    """S6: full refresh, published as a journaled whole-dir swap.
+
+    Spark's native overwrite DELETES the target before writing, so a
+    crash mid-write (or mid-job failure) leaves a partial or empty table
+    — the reference's DROP/CREATE has the same window
+    (sync_ALL.py:198-214), but a warehouse serving concurrent readers
+    (the SQL surface, a pinned generation) must publish old-or-new, never
+    a mix. Existing targets stage the new state aside and swap it in
+    through the rebucket journal; a first-time write has no old data to
+    lose and goes direct."""
+    # Unconditional: a crash between the two swap renames leaves the live
+    # dir missing with journal+staged present — guarded behind
+    # os.path.exists(path), that window would take the first-time branch
+    # and write fresh data UNDER a live journal (the next recovery would
+    # then clobber it with the stale staged copy, or wedge on ENOTEMPTY).
+    _recover_interrupted_rebucket(path)
+    if not os.path.exists(path):
+        df.write.mode("overwrite").parquet(path)
+        return
+    staged = path.rstrip("/") + "__rebucket_staged"
+    retired = path.rstrip("/") + "__rebucket_retired"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staged)
+    _commit_whole_dir_swap(path, staged, retired)
 
 
+@single_writer("path")
 def append_parquet(df: DataFrame, path: str) -> None:
-    """S5: bulk append."""
+    """S5: bulk append.
+
+    Takes the writer lock and runs swap recovery first: an append landing
+    inside a crashed journaled-swap window would otherwise write into the
+    doomed old dir (rows silently dropped when recovery parks it) or
+    recreate a mid-swap live dir (wedging recovery on ENOTEMPTY)."""
+    _recover_interrupted_rebucket(path)
     df.write.mode("append").parquet(path)
 
 
@@ -564,6 +658,7 @@ def drop_path(path: str) -> None:
         shutil.rmtree(path)
 
 
+@single_writer("path")
 def compact_parquet(
     spark: SparkSession, path: str, target_file_mb: int = 128
 ) -> dict[str, int]:
@@ -581,6 +676,13 @@ def compact_parquet(
     """
     import math
 
+    _recover_interrupted_rebucket(path)
+    # A bucketed target may also carry an interrupted BUCKET swap (the
+    # _merge_swap_journal): without repair, spark.read silently reads the
+    # table minus the parked bucket and the whole-dir swap below would
+    # then destroy the only surviving copy of it.
+    _recover_interrupted_swap(path)
+    _gc_orphan_swap_staging(path)
     total = 0
     n_files = 0
     for root, _dirs, files in os.walk(path):
@@ -598,24 +700,31 @@ def compact_parquet(
     ]
     part_cols = list(dict.fromkeys(part_cols))
     df = spark.read.parquet(path)
-    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path) or ".")
+    # Journaled whole-dir swap (see _commit_whole_dir_swap): the old
+    # unjournaled rmtree+replace lost the whole dataset if the crash
+    # landed between the two.
+    staged = path.rstrip("/") + "__rebucket_staged"
+    retired = path.rstrip("/") + "__rebucket_retired"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
     if part_cols:
         # One shuffle keyed on the partition columns → one output file per
         # partition dir; cold partitions still rewrite here, so at true
         # scale call this per dirty-partition subset instead.
         df.repartition(*[F.col(c) for c in part_cols]).write.mode(
             "overwrite"
-        ).partitionBy(*part_cols).parquet(tmp)
+        ).partitionBy(*part_cols).parquet(staged)
     else:
-        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        df.repartition(n_out).write.mode("overwrite").parquet(staged)
     # Root-level `_*.json` sidecars (e.g. an index's `_ivf_meta.json`
     # centroid store — invisible to Spark scans, load-bearing for the
-    # index) must survive the swap.
+    # index) must survive the swap. The bucket-swap journal is NOT a
+    # sidecar: propagating a live one into the new layout would make the
+    # next merge's recovery raise after its backup was already retired.
     for f in os.listdir(path):
-        if f.startswith("_") and f.endswith(".json"):
-            shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
-    shutil.rmtree(path)
-    os.replace(tmp, path)
+        if f.startswith("_") and f.endswith(".json") and f != MERGE_JOURNAL:
+            shutil.copy2(os.path.join(path, f), os.path.join(staged, f))
+    _commit_whole_dir_swap(path, staged, retired)
     after = sum(
         1
         for root, _d, files in os.walk(path)
@@ -759,6 +868,7 @@ def merge_upsert_partitioned(
         return {"insert": n, "update": 0, "skip": 0, "buckets_rewritten": num_buckets}
 
     _recover_interrupted_swap(target_path)
+    _gc_orphan_swap_staging(target_path)
     tgt = spark.read.parquet(target_path)
     if BUCKET_COL not in tgt.columns:
         # An implicit flat→bucketed migration can't be made crash-safe
@@ -882,9 +992,7 @@ def merge_upsert_partitioned(
     # removed after the last — `_recover_interrupted_swap` (run at the top
     # of every merge) completes or rolls back any journaled swap, and the
     # idempotent merge then converges the remaining buckets.
-    staged = tempfile.mkdtemp(
-        prefix="merge_buckets_", dir=os.path.dirname(target_path) or "."
-    )
+    staged = _swap_staging_dir(target_path, "merge")
     try:
         # One task per dirty bucket → one file per rebuilt bucket dir (see
         # the initial-load comment; keeps target file count == bucket count
@@ -928,6 +1036,11 @@ def merge_upsert_parquet(
     """
     _warn_audit_collisions(src)
     src = _parallelize_scan(src)
+    # A crash mid-swap may have left the live dir renamed away — recover
+    # BEFORE the existence check, or the merge below would re-run the
+    # initial load over a table that still exists (fresh ids/created_at
+    # for every row).
+    _recover_interrupted_rebucket(target_path)
     if not os.path.exists(target_path):
         hashed = (
             src
@@ -1057,17 +1170,28 @@ def merge_upsert_parquet(
 
     # Stage to a temp dir, then atomically swap — parquet overwrite of a
     # path we are also reading would corrupt the source mid-plan.
-    tmp = tempfile.mkdtemp(prefix="merge_stage_", dir=os.path.dirname(target_path) or ".")
+    # Journaled whole-dir swap (the old `rmtree(live); replace(tmp, live)`
+    # had a window where a crash — or a failed replace whose finally then
+    # removed tmp — lost the ENTIRE table with the new state stranded in a
+    # random-named sibling no recovery could find).
+    staged = target_path.rstrip("/") + "__rebucket_staged"
+    retired = target_path.rstrip("/") + "__rebucket_retired"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
     try:
-        new_state.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target_path)
-        os.replace(tmp, target_path)
+        new_state.write.mode("overwrite").parquet(staged)
+        _commit_whole_dir_swap(target_path, staged, retired)
     finally:
         # Caches release on failure too — a failed merge must not leak
-        # persisted frames for the session lifetime.
+        # persisted frames for the session lifetime. A staging-write
+        # failure leaves no journal, so the staged dir is safe to drop;
+        # after the journal exists the swap is recovered forward instead.
         ops.unpersist()
         src_dirty.unpersist()
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(
+            target_path.rstrip("/") + REBUCKET_JOURNAL_SUFFIX
+        ):
+            shutil.rmtree(staged, ignore_errors=True)
     return {
         "insert": n_insert,
         "update": n_update,

@@ -96,9 +96,17 @@ def register_state_views(
         }
         pinned_mor = set(seqs)
     out: dict[str, str] = {}
+    from presencia_etl_spark.sinks.writers import is_reserved_sibling
+
     for d in sorted(os.listdir(warehouse_root)):
         path = os.path.join(warehouse_root, d)
-        if not os.path.isdir(path) or d.startswith((".", "_")):
+        if (
+            not os.path.isdir(path)
+            or d.startswith((".", "_"))
+            # A crashed journaled swap leaves its staged/retired sibling
+            # holding real parquet — not a table, never a view.
+            or is_reserved_sibling(d)
+        ):
             continue
         is_mor = os.path.exists(os.path.join(path, "_mor_meta.json"))
         is_state = is_mor or any(

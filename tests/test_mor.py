@@ -1109,3 +1109,85 @@ class TestBucketPrunedRead:
         # And the listing itself was pruned: one root, not num_buckets.
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryFileIndex(1 paths)" in plan, plan
+
+
+class TestCompactCrashWindows:
+    """The post-swap crash windows must be CONSERVATIVE: once the base is
+    folded, an old snapshot/change cursor raises — never silently returns
+    the folded state labeled as old history (time travel) or a change set
+    missing the folded deltas (the change feed's zero-loss guarantee)."""
+
+    def test_floor_is_raised_before_delta_removal(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import pytest as _pytest
+
+        target = str(tmp_path / "mor")
+        s1 = _src(spark, 300)
+        s2 = _src(spark, 300, salt="x")
+        mor.merge_upsert_mor(spark, s1, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        mor.merge_upsert_mor(spark, s2, target, ["K"], num_buckets=8,
+                             compact_every=None)
+
+        orig_rmtree = mor.shutil.rmtree  # bind BEFORE the patch
+
+        def crashing_rmtree(path, *a, **k):
+            # Crash exactly at delta removal (after the swap landed); the
+            # staged-dir cleanup and any other rmtree proceed normally.
+            if f"{os.sep}{mor.DELTA_DIR}{os.sep}" in str(path):
+                raise RuntimeError("simulated crash during delta removal")
+            return orig_rmtree(path, *a, **k)
+
+        monkeypatch.setattr(mor.shutil, "rmtree", crashing_rmtree)
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            mor.compact_mor(spark, target)
+        monkeypatch.undo()
+
+        # The swap landed, the deltas survived the crash — and the floor
+        # was ALREADY raised, so both history APIs refuse loudly instead
+        # of lying.
+        assert mor._delta_seqs(target)  # deltas still live
+        assert mor._read_meta(target)["compacted_through"] == 1
+        with _pytest.raises(ValueError, match="compacted_through"):
+            mor.read_mor(spark, target, as_of_seq=0)
+        with _pytest.raises(ValueError, match="compacted_through"):
+            mor.read_mor_changes(spark, target, since_seq=0)
+
+        # Current reads re-apply the surviving deltas idempotently …
+        assert _state(mor.read_mor(spark, target)) == _state(s2)
+        # … and a retried compact converges (folds + removes them).
+        r = mor.compact_mor(spark, target)
+        assert r["deltas_folded"] >= 1
+        assert mor._delta_seqs(target) == []
+        assert _state(mor.read_mor(spark, target)) == _state(s2)
+
+    def test_orphan_compact_staging_swept_on_next_merge(self, spark, tmp_path):
+        target = str(tmp_path / "mor")
+        mor.merge_upsert_mor(spark, _src(spark, 100), target, ["K"],
+                             num_buckets=4, compact_every=None)
+        # A compact SIGKILLed mid-staging-write (before the swap journal
+        # existed) leaves its whole staged output orphaned in the target.
+        orphan = os.path.join(target, f"{mor.COMPACT_STAGING_PREFIX}dead")
+        os.makedirs(os.path.join(orphan, "_kb=0"))
+        with open(os.path.join(orphan, "_kb=0", "part-0.parquet"), "wb") as fh:
+            fh.write(b"torn")
+        mor.merge_upsert_mor(spark, _src(spark, 100, salt="x"), target,
+                             ["K"], num_buckets=4, compact_every=None)
+        assert not os.path.exists(orphan)
+        assert _state(mor.read_mor(spark, target)) == _state(
+            _src(spark, 100, salt="x")
+        )
+
+    def test_hidden_dirs_invisible_to_fileless_probe(self, tmp_path):
+        base = tmp_path / "base"
+        (base / ".staged_merge_x" / "_kb=0").mkdir(parents=True)
+        (base / ".staged_merge_x" / "_kb=0" / "part-0.parquet").write_bytes(b"x")
+        (base / "_temporary" / "0").mkdir(parents=True)
+        (base / "_temporary" / "0" / "part-1.parquet").write_bytes(b"x")
+        # Only Spark-visible parquet counts: staged dot-dirs and committer
+        # _temporary trees must not make a fileless base look populated.
+        assert not mor._has_parquet_files(str(base))
+        (base / "_kb=0").mkdir()
+        (base / "_kb=0" / "part-2.parquet").write_bytes(b"x")
+        assert mor._has_parquet_files(str(base))

@@ -703,3 +703,251 @@ class TestFooterMaxId:
         p = str(tmp_path / "noid")
         spark.range(10).select(F.col("id").alias("x")).write.parquet(p)
         assert _max_id_stat(p) is None
+
+
+class TestSwapStagingHygiene:
+    def test_orphan_staging_swept_and_invisible(self, spark, tmp_path):
+        """A merge SIGKILLed mid-staging-write (before the swap journal
+        existed) leaves its staged output inside the target. The dot
+        prefix keeps it invisible to Spark reads, and the next merge
+        sweeps it under the writer lock."""
+        from presencia_etl_spark.sinks import writers as w
+
+        target = str(tmp_path / "state")
+        src = spark.range(0, 200).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 7).cast("string").alias("V"),
+        )
+        merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=8)
+        orphan = os.path.join(target, f"{w.SWAP_STAGING_PREFIX}merge_dead")
+        os.makedirs(os.path.join(orphan, "_kb=0"))
+        with open(os.path.join(orphan, "_kb=0", "part-0.parquet"), "wb") as fh:
+            fh.write(b"torn")
+        # Invisible to a plain read even while present.
+        assert spark.read.parquet(target).count() == 200
+        r = merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=8)
+        assert r["skip"] == 200
+        assert not os.path.exists(orphan)
+
+    def test_max_id_stat_ignores_hidden_dirs(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from presencia_etl_spark.sinks.writers import _max_id_stat
+
+        live = tmp_path / "state" / "_kb=0"
+        live.mkdir(parents=True)
+        pq.write_table(pa.table({"id": [5, 9]}), live / "part-0.parquet")
+        staged = tmp_path / "state" / ".staged_merge_x" / "_kb=0"
+        staged.mkdir(parents=True)
+        pq.write_table(pa.table({"id": [10_000]}), staged / "part-0.parquet")
+        tmpdir = tmp_path / "state" / "_temporary"
+        tmpdir.mkdir()
+        pq.write_table(pa.table({"id": [20_000]}), tmpdir / "part-1.parquet")
+        # Only the Spark-visible file feeds surrogate-id allocation.
+        assert _max_id_stat(str(tmp_path / "state")) == 9
+
+
+class TestFlatSwapJournal:
+    def test_flat_merge_swap_crash_recovers_forward(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The flat merge's whole-dir swap is journaled: a crash between
+        'old renamed away' and 'new renamed in' (previously: table GONE,
+        new state stranded in a random-named sibling) now rolls forward on
+        the next call — identity preserved, no accidental re-initial-load."""
+        from presencia_etl_spark.sinks import writers as w
+
+        target = str(tmp_path / "flat")
+        v1 = spark.range(0, 100).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 7).cast("string").alias("V"),
+        )
+        merge_upsert_parquet(spark, v1, target, ["K"])
+        before = {
+            r["K"]: (r["id"], r["created_at"])
+            for r in spark.read.parquet(target).collect()
+        }
+
+        v2 = v1.withColumn(
+            "V", F.when(F.col("K") == "3", F.lit("mut")).otherwise(F.col("V"))
+        )
+        orig_rename = w.os.rename
+        staged = target + "__rebucket_staged"
+
+        def crashing_rename(src, dst):
+            if src == staged:  # the staged→live rename: live already parked
+                raise RuntimeError("simulated crash mid-swap")
+            return orig_rename(src, dst)
+
+        monkeypatch.setattr(w.os, "rename", crashing_rename)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            merge_upsert_parquet(spark, v2, target, ["K"])
+        monkeypatch.undo()
+        # The table is mid-swap: live dir gone, journal + staged survive.
+        assert not os.path.exists(target)
+        assert os.path.exists(staged)
+
+        # Replay converges: recovery rolls the completed staged copy
+        # forward, then the merge classifies everything as skip.
+        r = merge_upsert_parquet(spark, v2, target, ["K"])
+        assert (r["insert"], r["update"], r["skip"]) == (0, 0, 100)
+        after = {
+            r["K"]: (r["id"], r["created_at"], r["V"])
+            for r in spark.read.parquet(target).collect()
+        }
+        assert after["3"][2] == "mut"
+        for k, (i, c) in before.items():
+            assert after[k][0] == i and after[k][1] == c, k
+
+
+class TestOverwriteAtomicity:
+    def test_overwrite_publishes_old_or_new(self, spark, tmp_path, monkeypatch):
+        """S6 overwrite of an EXISTING table stages aside and swaps under
+        the rebucket journal: a crash mid-publish leaves the old table (or
+        rolls the completed new one forward on the next call) — never the
+        partial/empty state Spark's native delete-then-write overwrite
+        leaves behind."""
+        from presencia_etl_spark.sinks import writers as w
+
+        path = str(tmp_path / "t")
+        v1 = spark.range(0, 50).select(F.col("id").alias("n"))
+        w.overwrite_parquet(v1, path)
+        assert spark.read.parquet(path).count() == 50
+
+        v2 = spark.range(0, 80).select(F.col("id").alias("n"))
+        orig_rename = w.os.rename
+        staged = path + "__rebucket_staged"
+
+        def crashing_rename(src, dst):
+            if src == path:  # crash parking the OLD dir: nothing landed yet
+                raise RuntimeError("simulated crash before swap")
+            return orig_rename(src, dst)
+
+        monkeypatch.setattr(w.os, "rename", crashing_rename)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            w.overwrite_parquet(v2, path)
+        monkeypatch.undo()
+        # Old table intact through the failure…
+        assert os.path.exists(path)
+        assert os.path.exists(staged)
+        # …and the retry recovers (journal rolls the staged copy forward,
+        # then publishes v2 cleanly either way).
+        w.overwrite_parquet(v2, path)
+        assert spark.read.parquet(path).count() == 80
+        assert not os.path.exists(path + w.REBUCKET_JOURNAL_SUFFIX)
+
+
+class TestSwapCrashWindowInteractions:
+    """Review findings: ops that touch a table while a DIFFERENT op's
+    journaled swap lies crashed mid-window must recover first, or they
+    write under a live journal and the eventual recovery destroys them."""
+
+    def _crash_mid_swap(self, w, monkeypatch, path, staged):
+        """Crash _commit_whole_dir_swap between the two renames: live dir
+        parked to retired, staged not yet renamed in — journal + staged +
+        retired survive, the live path is MISSING."""
+        orig_rename = w.os.rename
+
+        def crashing_rename(src, dst):
+            if src == staged:
+                raise RuntimeError("simulated crash mid-swap")
+            return orig_rename(src, dst)
+
+        monkeypatch.setattr(w.os, "rename", crashing_rename)
+
+    def test_overwrite_recovers_missing_live_dir(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Mid-swap the live dir is GONE; an overwrite guarded behind
+        os.path.exists(path) would skip recovery, take the first-time
+        branch, and write fresh data UNDER the live journal — which the
+        next recovery then clobbers with the stale staged copy."""
+        from presencia_etl_spark.sinks import writers as w
+
+        path = str(tmp_path / "t")
+        w.overwrite_parquet(spark.range(0, 50).toDF("n"), path)
+        staged = path + "__rebucket_staged"
+        self._crash_mid_swap(w, monkeypatch, path, staged)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            w.overwrite_parquet(spark.range(0, 80).toDF("n"), path)
+        monkeypatch.undo()
+        assert not os.path.exists(path) and os.path.exists(staged)
+
+        # The next overwrite must roll the completed v2 forward, then
+        # publish v3 — and leave no journal/staged/retired debris.
+        w.overwrite_parquet(spark.range(0, 30).toDF("n"), path)
+        assert spark.read.parquet(path).count() == 30
+        assert not os.path.exists(path + w.REBUCKET_JOURNAL_SUFFIX)
+        assert not os.path.exists(staged)
+        assert not os.path.exists(path + "__rebucket_retired")
+
+    def test_append_survives_crashed_swap_window(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An append landing while journal+staged+live(old) sit crashed
+        (window BEFORE the first rename) must recover first; appended to
+        the doomed old dir, its rows vanish when recovery parks it."""
+        from presencia_etl_spark.sinks import writers as w
+
+        path = str(tmp_path / "t")
+        w.overwrite_parquet(spark.range(0, 50).toDF("n"), path)
+        staged = path + "__rebucket_staged"
+        orig_rename = w.os.rename
+
+        def crashing_rename(src, dst):
+            if src == path:  # crash parking the OLD dir: nothing renamed
+                raise RuntimeError("simulated crash before swap")
+            return orig_rename(src, dst)
+
+        monkeypatch.setattr(w.os, "rename", crashing_rename)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            w.overwrite_parquet(spark.range(0, 80).toDF("n"), path)
+        monkeypatch.undo()
+        assert os.path.exists(path + w.REBUCKET_JOURNAL_SUFFIX)
+
+        w.append_parquet(spark.range(100, 110).toDF("n"), path)
+        # Recovery ran first (v2 rolled forward), so the appended rows
+        # landed in the SURVIVING state and persist across later recovery.
+        got = {r["n"] for r in spark.read.parquet(path).collect()}
+        assert got == set(range(80)) | set(range(100, 110))
+        assert not os.path.exists(path + w.REBUCKET_JOURNAL_SUFFIX)
+
+    def test_compact_recovers_interrupted_bucket_swap(self, spark, tmp_path):
+        """compact_parquet on a bucketed target carrying an interrupted
+        BUCKET swap (_merge_swap_journal): without repair it reads the
+        table minus the parked bucket, destroys the only copy in its
+        whole-dir swap, and propagates the live journal into the new
+        layout (wedging the next merge after the backup is gone)."""
+        import json
+        import shutil
+
+        from presencia_etl_spark.sinks import writers as w
+
+        target = str(tmp_path / "state")
+        src = spark.range(0, 400).select(
+            F.col("id").cast("string").alias("K"),
+            (F.col("id") % 7).cast("string").alias("V"),
+        )
+        merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=8)
+        expect = {
+            r["K"]: r["V"] for r in spark.read.parquet(target).collect()
+        }
+
+        # Simulate a SIGKILL mid-swap: one bucket parked into the staging
+        # dir, journal present.
+        staged = os.path.join(target, f"{w.SWAP_STAGING_PREFIX}merge_dead")
+        os.makedirs(staged)
+        shutil.move(os.path.join(target, "_kb=3"), os.path.join(staged, "_old_3"))
+        journal = os.path.join(target, w.MERGE_JOURNAL)
+        with open(journal, "w") as fh:
+            json.dump({"staged": staged, "buckets": [3]}, fh)
+
+        r = compact_parquet(spark, target, target_file_mb=1)
+        assert r["files_before"] > 0
+        got = {r["K"]: r["V"] for r in spark.read.parquet(target).collect()}
+        assert got == expect  # the parked bucket was recovered, not lost
+        assert not os.path.exists(os.path.join(target, w.MERGE_JOURNAL))
+        # And the state still merges cleanly afterwards.
+        r = merge_upsert_partitioned(spark, src, target, ["K"], num_buckets=8)
+        assert r["skip"] == 400

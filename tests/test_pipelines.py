@@ -286,8 +286,21 @@ class TestSqlSurface:
         )
         merge_upsert_parquet(spark, df, f"{wh}/Cobradores", ["k"])
 
+        # A crashed journaled swap's staged sibling holds real parquet
+        # but is NOT a table: view registration and generation manifests
+        # must both skip it.
+        import shutil
+
+        shutil.copytree(
+            f"{wh}/Cobradores", f"{wh}/Cobradores__rebucket_staged"
+        )
         views = register_state_views(spark, wh)
         assert set(views) == {"socios", "liquidaciones", "cobradores"}
+        from presencia_etl_spark.plans.generations import record_generation
+
+        gen = record_generation(spark, wh)
+        assert set(gen["tables"]) == {"Socios", "Liquidaciones", "Cobradores"}
+        shutil.rmtree(f"{wh}/Cobradores__rebucket_staged")
         assert spark.sql("SELECT count(*) c FROM socios").collect()[0]["c"] == 40
         cols = spark.table("liquidaciones").columns
         assert "_kb" not in cols and "_cdc_key" not in cols
