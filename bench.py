@@ -803,27 +803,27 @@ def bench_scale100(spark, scale10: dict) -> dict:
     if n <= 0:
         return {"skipped": True}
     base = scale10.get("mor_load_rows_per_sec") or 0
+    # The parent creates (and therefore owns) the child's EXACT working
+    # dir and sweeps only that — a prefix-glob sweep here deleted every
+    # bench_scale100_* on the machine, including a concurrently running
+    # bench's live 60M-row state.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    work = _tempfile.mkdtemp(prefix="bench_scale100_")
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scale100-child", str(base)],
+            [sys.executable, os.path.abspath(__file__), "--scale100-child",
+             str(base), work],
             capture_output=True,
             text=True,
             timeout=int(os.environ.get("SPARK_GRAFT_SCALE100_TIMEOUT", "2400")),
         )
     finally:
         # A timeout SIGKILLs the child mid-stage, so its own finally-
-        # cleanup never runs and ~2.4 GiB of bench_scale100_* state would
-        # leak per killed run (repeated contended rounds → ENOSPC poisons
-        # later stages). The parent owns the prefix; sweep it either way
-        # (the child already removed its dir on the clean path).
-        import glob as _glob
-        import shutil as _shutil
-        import tempfile as _tempfile
-
-        for stale in _glob.glob(
-            os.path.join(_tempfile.gettempdir(), "bench_scale100_*")
-        ):
-            _shutil.rmtree(stale, ignore_errors=True)
+        # cleanup never runs and ~2.4 GiB of state would leak per killed
+        # run (repeated contended rounds → ENOSPC poisons later stages).
+        _shutil.rmtree(work, ignore_errors=True)
     for line in reversed((proc.stdout or "").strip().splitlines()):
         try:
             return _json.loads(line)
@@ -836,10 +836,11 @@ def bench_scale100(spark, scale10: dict) -> dict:
     }
 
 
-def _scale100_child(base_rate: int) -> dict:
-    """The measured stage body — executed in the child process."""
+def _scale100_child(base_rate: int, work: str) -> dict:
+    """The measured stage body — executed in the child process, inside
+    the parent-owned working dir (the parent sweeps exactly that path
+    on timeout, never a prefix glob that could hit another process)."""
     import shutil
-    import tempfile
 
     from presencia_etl_spark.sinks.mor import compact_mor, merge_upsert_mor
 
@@ -852,7 +853,6 @@ def _scale100_child(base_rate: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     n = int(os.environ.get("SPARK_GRAFT_SCALE100_ROWS", "60000000"))
     df = _synth_state(spark, n)
-    work = tempfile.mkdtemp(prefix="bench_scale100_")
     target = f"{work}/state_mor"
     out: dict = {"rows": n}
     try:
@@ -923,8 +923,10 @@ if __name__ == "__main__":
         # line on stdout (Spark progress noise goes to stderr). A missing
         # operand must fail loudly — falling through to main() would run
         # the whole graded bench (and a nested child) by accident.
-        if len(sys.argv) < 3:
-            sys.exit("usage: bench.py --scale100-child <base_rows_per_sec>")
-        print(json.dumps(_scale100_child(int(sys.argv[2]))))
+        if len(sys.argv) < 4:
+            sys.exit(
+                "usage: bench.py --scale100-child <base_rows_per_sec> <workdir>"
+            )
+        print(json.dumps(_scale100_child(int(sys.argv[2]), sys.argv[3])))
     else:
         main()

@@ -14,8 +14,16 @@ skipping and all.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
+
+# Past this many keys the per-key py4j cost of the isin fallback is
+# macroscopic (~0.5 ms/key → ≥0.25 s/call); below it the fallback is an
+# invisible correctness detail not worth a warning.
+_FALLBACK_WARN_THRESHOLD = 512
+_warned_fallback = False
 
 
 def _render(v) -> str:
@@ -79,6 +87,22 @@ def in_list(col: str, values) -> Column:
     if any(
         isinstance(v, str) and ("'" in v or "\\" in v) for v in vals
     ) and not _default_literal_mode_confirmed():
+        # Warn ONCE when the slow path engages at a scale where it hurts:
+        # a session-less worker thread (or a flipped parser conf) silently
+        # paying ~0.5 ms/key of py4j would otherwise read as an
+        # unexplained 2 s/call regression instead of a misconfiguration.
+        global _warned_fallback
+        if len(vals) >= _FALLBACK_WARN_THRESHOLD and not _warned_fallback:
+            _warned_fallback = True
+            warnings.warn(
+                f"in_list falling back to per-key Column.isin for "
+                f"{len(vals)} keys (escapedStringLiterals mode not "
+                "positively confirmed — no active SparkSession on this "
+                "thread, or legacy parser mode). Correct but ~0.5 ms/key "
+                "of driver round-trips; ensure a session is reachable "
+                "from this thread to restore the one-round-trip path.",
+                stacklevel=2,
+            )
         # Backquote to match the fast path: F.col parses dots as struct
         # field access, so a literal "a.b" column would silently resolve
         # differently depending on which branch the thread takes.

@@ -162,12 +162,45 @@ def corpus_work_marker():
     """Mark this thread as executing a work unit on behalf of an open
     ``corpus_section`` on ANOTHER thread (``run_per_table`` wraps every
     worker call in this). ``trickle_scope`` refuses to open under the
-    marker — the dispatcher's reader token would deadlock it."""
+    marker — the dispatcher's reader token would deadlock it.
+
+    The marker is THREAD-LOCAL and does not inherit: a work function
+    that spawns its own sub-threads (docs list thread fan-out as
+    corpus-scale work) leaves them unmarked, and a ``corpus_section``
+    there re-creates the dispatcher→worker→writer three-way deadlock as
+    a silent hang. Wrap every sub-thread target in
+    ``propagate_corpus_marker`` (captures this thread's marker at wrap
+    time, re-applies it in the child) before handing it to
+    ``threading.Thread`` / an executor."""
     _CORPUS_WORK.depth = getattr(_CORPUS_WORK, "depth", 0) + 1
     try:
         yield
     finally:
         _CORPUS_WORK.depth -= 1
+
+
+def propagate_corpus_marker(fn):
+    """Wrap ``fn`` for execution on a SUB-THREAD spawned from a thread
+    that may carry the corpus-work marker. Thread-locals don't inherit,
+    so without this a sub-thread spawned inside a ``run_per_table`` work
+    function is unmarked: its ``corpus_section`` would yield to a
+    waiting ``trickle_scope`` whose writer is itself queued behind the
+    dispatcher's reader — a silent three-way hang instead of the loud
+    error the marker exists for. Captures the SPAWNING thread's marker
+    state at wrap time; a no-op wrapper when the spawner is unmarked, so
+    it is always safe to apply."""
+    import functools
+
+    inherited = getattr(_CORPUS_WORK, "depth", 0) > 0
+
+    @functools.wraps(fn)
+    def _wrapped(*args, **kwargs):
+        if not inherited:
+            return fn(*args, **kwargs)
+        with corpus_work_marker():
+            return fn(*args, **kwargs)
+
+    return _wrapped
 
 
 @contextlib.contextmanager

@@ -1078,11 +1078,27 @@ def compact_mor(
             # history early (floor up, nothing folded) — loud, never
             # wrong.
             meta = _read_meta(target_path)
-            meta["compacted_through"] = max(
-                meta.get("compacted_through", 0), max(seqs)
-            )
+            old_floor = meta.get("compacted_through", 0)
+            meta["compacted_through"] = max(old_floor, max(seqs))
             _write_meta(target_path, meta)
-            swap_bucket_dirs(staged, base_path, dirty)
+            try:
+                swap_bucket_dirs(staged, base_path, dirty)
+            except BaseException as exc:
+                # The swap rolls itself back inline on a Python
+                # exception. When that rollback is COMPLETE (the base is
+                # byte-identical to pre-swap and every folded delta still
+                # exists on disk), keeping the raised floor would
+                # permanently error out lagging change-feed cursors /
+                # old-snapshot reads for no reason — a transient swap
+                # error would force consumers to re-bootstrap. Lower it
+                # back. On an INCOMPLETE rollback (or a hard crash,
+                # where this handler never runs) the floor stays raised:
+                # conservative, loud, never mislabels folded data.
+                if getattr(exc, "swap_rolled_back", False):
+                    meta = _read_meta(target_path)
+                    meta["compacted_through"] = old_floor
+                    _write_meta(target_path, meta)
+                raise
             # If tombstones emptied the ENTIRE base, reseed a schema-
             # bearing empty file so the layout stays readable (see
             # writers._reseed_empty_layout).

@@ -427,6 +427,7 @@ def swap_bucket_dirs(staged: str, target_path: str, buckets) -> None:
     with open(journal + ".tmp", "w") as fh:
         json.dump({"staged": staged, "buckets": list(buckets)}, fh)
     os.replace(journal + ".tmp", journal)
+    swapped: list[tuple[object, bool]] = []  # (bucket, had prior live dir)
     try:
         for b in buckets:
             src_dir = os.path.join(staged, f"{BUCKET_COL}={b}")
@@ -434,17 +435,45 @@ def swap_bucket_dirs(staged: str, target_path: str, buckets) -> None:
             if not os.path.exists(src_dir):
                 continue  # no deletes → only possible for an empty task
             parked = os.path.join(staged, f"_old_{b}")
-            if os.path.exists(dst_dir):
+            had_prior = os.path.exists(dst_dir)
+            if had_prior:
                 os.rename(dst_dir, parked)
             os.rename(src_dir, dst_dir)
-    except BaseException:
-        # Put back any bucket whose old dir was parked but whose new
-        # dir didn't land — the target stays complete (old version).
+            swapped.append((b, had_prior))
+    except BaseException as exc:
+        # FULL inline rollback, newest-first: un-swap every bucket whose
+        # new dir already landed (new back to staged, parked old back
+        # live — tracked in ``swapped``, since a landed bucket with no
+        # prior dir is indistinguishable from an untouched one after the
+        # fact), then restore the in-flight bucket's parked dir. The
+        # target returns to the PRE-SWAP version, not a mixed one, so
+        # callers that raised a monotone floor ahead of the swap
+        # (compact_mor's compacted_through) may lower it again —
+        # ``swap_rolled_back`` on the exception is that signal. A
+        # rollback failure leaves it False and the caller keeps its
+        # floor (conservative: old snapshot reads raise loudly rather
+        # than mislabel folded data as history).
+        complete = True
+        for b, had_prior in reversed(swapped):
+            try:
+                src_dir = os.path.join(staged, f"{BUCKET_COL}={b}")
+                dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
+                os.rename(dst_dir, src_dir)
+                if had_prior:
+                    os.rename(os.path.join(staged, f"_old_{b}"), dst_dir)
+            except OSError:
+                complete = False
         for b in buckets:
+            # The bucket mid-swap when the exception fired: old parked,
+            # new not landed (or its landing is what failed).
             dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
             parked = os.path.join(staged, f"_old_{b}")
-            if not os.path.exists(dst_dir) and os.path.exists(parked):
-                os.rename(parked, dst_dir)
+            if os.path.exists(parked) and not os.path.exists(dst_dir):
+                try:
+                    os.rename(parked, dst_dir)
+                except OSError:
+                    complete = False
+        exc.swap_rolled_back = complete
         raise
     finally:
         # Swap finished (or was fully rolled back) — either way every

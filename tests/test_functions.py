@@ -326,6 +326,30 @@ class TestInListPushdown:
         finally:
             spark.conf.set(key, old)
 
+    def test_large_fallback_warns_once(self, spark, monkeypatch):
+        """When the per-key isin fallback engages at a size where its
+        ~0.5 ms/key py4j tax is macroscopic, a warning (once per process)
+        must make the misconfiguration visible — a session-less worker
+        thread would otherwise just be silently ~2 s/call slower."""
+        import warnings as _warnings
+
+        from presencia_etl_spark.functions import pushdown
+
+        monkeypatch.setattr(pushdown, "_warned_fallback", False)
+        monkeypatch.setattr(
+            pushdown, "_default_literal_mode_confirmed", lambda: False
+        )
+        keys = [f"k'{i}" for i in range(pushdown._FALLBACK_WARN_THRESHOLD)]
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            pushdown.in_list("k", keys)
+            pushdown.in_list("k", keys)  # second call: already warned
+            small = [f"k'{i}" for i in range(8)]
+            monkeypatch.setattr(pushdown, "_warned_fallback", False)
+            pushdown.in_list("k", small)  # below threshold: silent
+        ours = [w for w in rec if "in_list falling back" in str(w.message)]
+        assert len(ours) == 1
+
     def test_dotted_column_name_same_on_both_branches(self, spark):
         """A top-level column literally named 'a.b' must resolve as that
         column on BOTH branches: the fast path backquotes the name, and

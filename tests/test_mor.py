@@ -1162,6 +1162,108 @@ class TestCompactCrashWindows:
         assert mor._delta_seqs(target) == []
         assert _state(mor.read_mor(spark, target)) == _state(s2)
 
+    def test_swap_failure_with_complete_rollback_restores_floor(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A transient Python failure MID-SWAP rolls the base back fully;
+        the pre-raised compacted_through floor must come back down so
+        lagging change-feed cursors / old snapshots keep working — every
+        delta they need still exists on disk."""
+        import pytest as _pytest
+
+        from presencia_etl_spark.sinks import writers as writers_mod
+
+        target = str(tmp_path / "mor")
+        s1 = _src(spark, 300)
+        s2 = _src(spark, 300, salt="x")
+        mor.merge_upsert_mor(spark, s1, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        mor.merge_upsert_mor(spark, s2, target, ["K"], num_buckets=8,
+                             compact_every=None)
+        before_files = _base_files(target)
+        base_path = os.path.join(target, "base")
+
+        orig_rename = writers_mod.os.rename
+        seen = {"n": 0, "fired": False}
+
+        def flaky_rename(src, dst):
+            # Fail ONCE, on the second rename that lands a staged bucket
+            # into the live base — so one bucket is already fully swapped
+            # (the mixed-state case) and the rollback must un-swap it.
+            if (
+                str(dst).startswith(base_path)
+                and os.path.basename(str(dst)).startswith("_kb=")
+                and str(src).find("_old_") < 0
+            ):
+                seen["n"] += 1
+                if seen["n"] == 2 and not seen["fired"]:
+                    seen["fired"] = True
+                    raise OSError("simulated transient rename failure")
+            return orig_rename(src, dst)
+
+        monkeypatch.setattr(writers_mod.os, "rename", flaky_rename)
+        with _pytest.raises(OSError, match="simulated transient"):
+            mor.compact_mor(spark, target)
+        monkeypatch.undo()
+
+        # Rollback was complete: base byte-layout restored, floor back
+        # down, every history API still works.
+        assert _base_files(target) == before_files
+        assert mor._read_meta(target)["compacted_through"] == 0
+        assert mor._delta_seqs(target)
+        assert _state(mor.read_mor(spark, target, as_of_seq=0)) == _state(s1)
+        changes = mor.read_mor_changes(spark, target, since_seq=0)
+        assert changes.count() > 0
+        assert _state(mor.read_mor(spark, target)) == _state(s2)
+        # A retried compact converges.
+        r = mor.compact_mor(spark, target)
+        assert r["deltas_folded"] >= 1
+        assert mor._delta_seqs(target) == []
+        assert _state(mor.read_mor(spark, target)) == _state(s2)
+
+    def test_swap_failure_with_incomplete_rollback_keeps_floor(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """When the inline rollback itself fails (base may be mixed old/
+        folded), the raised floor must STAY raised: old cursors raise
+        loudly instead of mislabeling folded data as history."""
+        import pytest as _pytest
+
+        from presencia_etl_spark.sinks import writers as writers_mod
+
+        target = str(tmp_path / "mor")
+        mor.merge_upsert_mor(spark, _src(spark, 300), target, ["K"],
+                             num_buckets=8, compact_every=None)
+        mor.merge_upsert_mor(spark, _src(spark, 300, salt="x"), target,
+                             ["K"], num_buckets=8, compact_every=None)
+        base_path = os.path.join(target, "base")
+
+        orig_rename = writers_mod.os.rename
+
+        def broken_rename(src, dst):
+            # EVERY rename landing anything into a live bucket dir fails
+            # — the forward swap fails AND the in-flight parked restore
+            # fails, so the rollback reports incomplete.
+            if str(dst).startswith(base_path) and os.path.basename(
+                str(dst)
+            ).startswith("_kb="):
+                raise OSError("simulated persistent rename failure")
+            return orig_rename(src, dst)
+
+        monkeypatch.setattr(writers_mod.os, "rename", broken_rename)
+        with _pytest.raises(OSError, match="simulated persistent"):
+            mor.compact_mor(spark, target)
+        monkeypatch.undo()
+
+        # Floor stays raised (conservative), old reads raise loudly,
+        # current reads still correct via surviving deltas.
+        assert mor._read_meta(target)["compacted_through"] == 1
+        with _pytest.raises(ValueError, match="compacted_through"):
+            mor.read_mor_changes(spark, target, since_seq=0)
+        assert _state(mor.read_mor(spark, target)) == _state(
+            _src(spark, 300, salt="x")
+        )
+
     def test_orphan_compact_staging_swept_on_next_merge(self, spark, tmp_path):
         target = str(tmp_path / "mor")
         mor.merge_upsert_mor(spark, _src(spark, 100), target, ["K"],

@@ -324,6 +324,78 @@ class TestCorpusBarrier:
         w.join(10)
         assert spark.conf.values == BASE
 
+    def test_propagated_marker_saves_sub_thread_from_deadlock(self):
+        """Same three-way shape, one level deeper: the WORKER spawns its
+        own sub-thread (thread-locals don't inherit, so it is unmarked)
+        which opens a corpus_section while a writer waits behind the
+        dispatcher's reader. Wrapped in propagate_corpus_marker the
+        sub-thread inherits the worker's marker and passes the fairness
+        gate; unwrapped it would hang exactly like the pre-marker bug."""
+        spark = FakeSpark(FakeConf(BASE))
+        in_dispatch = threading.Event()
+        worker_done = threading.Event()
+        writer_done = threading.Event()
+
+        def dispatcher():
+            with sess.corpus_section():
+                in_dispatch.set()
+                assert worker_done.wait(10)
+
+        d = threading.Thread(target=dispatcher)
+        d.start()
+        assert in_dispatch.wait(10)
+
+        def writer():
+            with sess.trickle_scope(spark):
+                pass
+            writer_done.set()
+
+        t = threading.Thread(target=writer)
+        t.start()
+        time.sleep(0.2)  # writer now WAITING on the dispatcher's reader
+
+        sub_done = threading.Event()
+
+        def worker():
+            with sess.corpus_work_marker():
+
+                def sub():
+                    with sess.corpus_section():
+                        pass
+                    sub_done.set()
+
+                s = threading.Thread(
+                    target=sess.propagate_corpus_marker(sub)
+                )
+                s.start()
+                s.join(5)
+            worker_done.set()
+
+        w = threading.Thread(target=worker)
+        w.start()
+        assert sub_done.wait(5), "unmarked sub-thread deadlocked"
+        assert worker_done.wait(5)
+        d.join(10)
+        assert writer_done.wait(10)
+        t.join(10)
+        w.join(10)
+        assert spark.conf.values == BASE
+
+    def test_propagate_marker_noop_from_unmarked_thread(self):
+        """Wrapping from an unmarked spawner must not invent a marker —
+        the sub-thread still yields to waiting writers like any other
+        fresh reader (and trickle_scope still refuses under a REAL
+        marker only)."""
+        calls = []
+
+        def probe():
+            calls.append(getattr(sess._CORPUS_WORK, "depth", 0))
+
+        s = threading.Thread(target=sess.propagate_corpus_marker(probe))
+        s.start()
+        s.join(5)
+        assert calls == [0]
+
 
 class TestDefaultHeap:
     def test_quarter_of_ram_capped(self):
