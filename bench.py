@@ -383,16 +383,23 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         out["cdc_nochange_sec"] = round(dt, 3)
         out["cdc_nochange_rows_per_sec"] = round(n_rows / dt)
 
-        mutated = li.withColumn(
-            "l_quantity",
-            F.when(F.col("l_orderkey") % 100 == 0, F.col("l_quantity") + 1).otherwise(
-                F.col("l_quantity")
-            ),
-        )
-        t0 = time.perf_counter()
-        r = merge_upsert_parquet(spark, mutated, target, ["l_key"])
-        dt = time.perf_counter() - t0
-        out["cdc_mutated_sec"] = round(dt, 3)
+        # Median-of-3 with CONSTANT WORK per rep: each pass bumps the SAME
+        # selected rows by a different amount, so every rep classifies the
+        # identical update set against the current state (the single-run
+        # number swung 6.6 → 10.4 s between rounds purely under machine
+        # contention).
+        mut_secs = []
+        for step in (1, 2, 3):
+            mutated = li.withColumn(
+                "l_quantity",
+                F.when(
+                    F.col("l_orderkey") % 100 == 0, F.col("l_quantity") + step
+                ).otherwise(F.col("l_quantity")),
+            )
+            t0 = time.perf_counter()
+            r = merge_upsert_parquet(spark, mutated, target, ["l_key"])
+            mut_secs.append(time.perf_counter() - t0)
+        out["cdc_mutated_sec"] = round(sorted(mut_secs)[1], 3)
         out["cdc_mutated_updates"] = int(r["update"])
 
         # The reference's '100 changed rows' scenario (~12 s there) against
@@ -401,16 +408,25 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
 
         ptarget = f"{work}/lineitem_bucketed"
         merge_upsert_partitioned(spark, li, ptarget, ["l_key"], num_buckets=256)
-        sparse = li.withColumn(
-            "l_quantity",
-            F.when(F.col("l_orderkey") < 20, F.col("l_quantity") + 5).otherwise(
-                F.col("l_quantity")
-            ),
-        )
-        t0 = time.perf_counter()
-        r = merge_upsert_partitioned(spark, sparse, ptarget, ["l_key"], num_buckets=256)
-        dt = time.perf_counter() - t0
-        out["cdc_sparse_sec"] = round(dt, 3)
+
+        def sparse_of(step):
+            # Same ~72-key selector every rep, different bump → constant
+            # update-set size against the current state.
+            return li.withColumn(
+                "l_quantity",
+                F.when(
+                    F.col("l_orderkey") < 20, F.col("l_quantity") + 5 * step
+                ).otherwise(F.col("l_quantity")),
+            )
+
+        sp_secs = []
+        for step in (1, 2, 3):
+            t0 = time.perf_counter()
+            r = merge_upsert_partitioned(
+                spark, sparse_of(step), ptarget, ["l_key"], num_buckets=256
+            )
+            sp_secs.append(time.perf_counter() - t0)
+        out["cdc_sparse_sec"] = round(sorted(sp_secs)[1], 3)
         out["cdc_sparse_updates"] = int(r["update"])
         out["cdc_sparse_buckets_rewritten"] = int(r.get("buckets_rewritten", -1))
 
@@ -422,10 +438,14 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
 
         mtarget = f"{work}/lineitem_mor"
         merge_upsert_mor(spark, li, mtarget, ["l_key"], num_buckets=256)
-        t0 = time.perf_counter()
-        r = merge_upsert_mor(spark, sparse, mtarget, ["l_key"], num_buckets=256)
-        dt = time.perf_counter() - t0
-        out["cdc_sparse_mor_sec"] = round(dt, 3)
+        spm_secs = []
+        for step in (4, 5, 6):  # values differ from the COW reps AND from
+            t0 = time.perf_counter()  # each other → every rep is an update
+            r = merge_upsert_mor(
+                spark, sparse_of(step), mtarget, ["l_key"], num_buckets=256
+            )
+            spm_secs.append(time.perf_counter() - t0)
+        out["cdc_sparse_mor_sec"] = round(sorted(spm_secs)[1], 3)
         out["cdc_sparse_mor_updates"] = int(r["update"])
 
         # Incremental aggregate maintenance riding the same MOR change
@@ -464,15 +484,27 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         from presencia_etl_spark.sinks.mor import delete_keys_mor
         from presencia_etl_spark.sinks.writers import delete_where_partitioned
 
-        doomed = li.filter(F.col("l_orderkey") < 10).select("l_key")
-        t0 = time.perf_counter()
-        r = delete_keys_mor(spark, mtarget, doomed, ["l_key"], compact_every=None)
-        out["delete_sparse_mor_sec"] = round(time.perf_counter() - t0, 3)
-        out["delete_sparse_mor_rows"] = int(r["delete"])
-        t0 = time.perf_counter()
-        r = delete_where_partitioned(spark, ptarget, F.col("l_orderkey") < 10)
-        out["delete_sparse_cow_sec"] = round(time.perf_counter() - t0, 3)
-        out["delete_sparse_cow_buckets"] = int(r["buckets_rewritten"])
+        # Median-of-3 over DISJOINT same-density key ranges (a deleted key
+        # can't delete twice, so constant work needs fresh victims each
+        # rep; ranges [0,10) [10,20) [20,30) carry ~44 keys each).
+        del_mor_secs, del_cow_secs = [], []
+        for lo in (0, 10, 20):
+            rng_pred = (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < lo + 10)
+            doomed = li.filter(rng_pred).select("l_key")
+            t0 = time.perf_counter()
+            r = delete_keys_mor(
+                spark, mtarget, doomed, ["l_key"], compact_every=None
+            )
+            del_mor_secs.append(time.perf_counter() - t0)
+            if lo == 0:
+                out["delete_sparse_mor_rows"] = int(r["delete"])
+            t0 = time.perf_counter()
+            r = delete_where_partitioned(spark, ptarget, rng_pred)
+            del_cow_secs.append(time.perf_counter() - t0)
+            if lo == 0:
+                out["delete_sparse_cow_buckets"] = int(r["buckets_rewritten"])
+        out["delete_sparse_mor_sec"] = round(sorted(del_mor_secs)[1], 3)
+        out["delete_sparse_cow_sec"] = round(sorted(del_cow_secs)[1], 3)
 
         # Steady-state corpus admit loop (what a 100 TB training pipeline
         # runs per ingest batch): history indexed untimed, then FOUR
@@ -667,10 +699,28 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
 
         # ~60 scattered changes in 6M rows: the write side must stay
         # O(changes) — dirty buckets ≈ changed keys, never O(rows).
-        sparse = _sparse_mutation(df)
-        t0 = time.perf_counter()
-        r = merge_upsert_partitioned(spark, sparse, target, ["k"], num_buckets=256)
-        out["sparse_sec"] = round(time.perf_counter() - t0, 3)
+        # Median-of-3 with constant-density fresh selectors per rep (each
+        # rep also reverts the previous rep's keys, so the update-set size
+        # stays ~2×density — constant work; single runs of this stage
+        # swung 9.3 → 5.6 s between rounds under contention).
+        def sparse10_of(step):
+            return df.withColumn(
+                "v1",
+                F.when(
+                    F.pmod(F.xxhash64("k", F.lit(100 + step)), F.lit(100_000))
+                    == 0,
+                    F.concat(F.col("v1"), F.lit("x")),
+                ).otherwise(F.col("v1")),
+            )
+
+        sp_secs = []
+        for step in (1, 2, 3):
+            t0 = time.perf_counter()
+            r = merge_upsert_partitioned(
+                spark, sparse10_of(step), target, ["k"], num_buckets=256
+            )
+            sp_secs.append(time.perf_counter() - t0)
+        out["sparse_sec"] = round(sorted(sp_secs)[1], 3)
         out["sparse_updates"] = int(r["update"])
         out["sparse_buckets_rewritten"] = int(r.get("buckets_rewritten", -1))
 
@@ -679,9 +729,14 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
         dt = time.perf_counter() - t0
         out["mor_load_sec"] = round(dt, 3)
         out["mor_load_rows_per_sec"] = round(n / dt)
-        t0 = time.perf_counter()
-        r = merge_upsert_mor(spark, sparse, mor_target, ["k"], num_buckets=256)
-        out["sparse_mor_sec"] = round(time.perf_counter() - t0, 3)
+        spm_secs = []
+        for step in (4, 5, 6):
+            t0 = time.perf_counter()
+            merge_upsert_mor(
+                spark, sparse10_of(step), mor_target, ["k"], num_buckets=256
+            )
+            spm_secs.append(time.perf_counter() - t0)
+        out["sparse_mor_sec"] = round(sorted(spm_secs)[1], 3)
 
         # The incremental-agg crossover AT SCALE: at sf0.1 the O(changes)+
         # fixed refresh loses to a one-job recompute of 600K cached rows;

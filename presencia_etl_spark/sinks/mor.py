@@ -297,6 +297,7 @@ def merge_upsert_mor(
     compact_every: int | None = 16,
     compact_keep_last: int = 0,
     delete_missing: bool = False,
+    digest_prune: bool = True,
 ) -> dict[str, int]:
     """Upsert ``src`` writing ONLY the changed rows (a new delta dir).
 
@@ -422,9 +423,57 @@ def merge_upsert_mor(
             F.broadcast(dlatest.select(cdc.KEY_COL)), cdc.KEY_COL, "left_anti"
         ).unionByName(dl)
 
-    joined = keyed.select(*key_cols, cdc.KEY_COL, BUCKET_COL, "row_hash").join(
-        base_kh, cdc.KEY_COL, "left_outer"
-    )
+    # Micro-bucket digest prune (operators/cdc.py): summarize incoming vs
+    # the current (base ∪ delta-latest) key view per pmod(xxhash64(key),
+    # 16K) and classify only the micro-buckets whose digests differ. A
+    # digest-identical state is a proven no-change merge — including "no
+    # missing keys" for delete_missing, since a vanished key perturbs its
+    # micro-bucket's digest — and returns before any join. Sparse merges
+    # join O(changes × rows/16K) rows; the base side of the classify is
+    # additionally DIRECTORY-pruned (micro-bucket mod num_buckets = its
+    # _kb= dir, nested moduli).
+    s_narrow = keyed.select(*key_cols, cdc.KEY_COL, BUCKET_COL, "row_hash")
+    dirty_mb, clean_skip = (None, 0)
+    if digest_prune:
+        dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
+            s_narrow.select(cdc.KEY_COL, "row_hash"), base_kh
+        )
+    if dirty_mb is not None and not dirty_mb:
+        return {
+            "insert": 0, "update": 0, "skip": clean_skip, "delete": 0,
+            "delta_files": 0, "compacted": False,
+        }
+    keyed_cls = keyed
+    if dirty_mb is not None:
+        s_narrow = s_narrow.withColumn(
+            "_mb", cdc.micro_bucket()
+        ).filter(in_list("_mb", dirty_mb)).drop("_mb")
+        base_cls = base
+        if cdc.DIGEST_MICRO_BUCKETS % meta["num_buckets"] == 0:
+            dirty_kb = sorted({mb % meta["num_buckets"] for mb in dirty_mb})
+            base_cls = base.filter(in_list(BUCKET_COL, dirty_kb))
+        base_kh = base_cls.select(
+            cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash")
+        )
+        if deltas is not None:
+            base_kh = base_kh.join(
+                F.broadcast(dlatest.select(cdc.KEY_COL)),
+                cdc.KEY_COL,
+                "left_anti",
+            ).unionByName(dl)
+        base_kh = base_kh.withColumn(
+            "_mb", cdc.micro_bucket()
+        ).filter(in_list("_mb", dirty_mb)).drop("_mb")
+        # delete_missing's anti-joins must see the SAME pruned universe
+        # on both sides (a missing key always dirties its micro-bucket,
+        # so no vanished key escapes the filter).
+        keyed_cls = keyed.withColumn(
+            "_mb", cdc.micro_bucket()
+        ).filter(in_list("_mb", dirty_mb)).drop("_mb")
+    else:
+        clean_skip = 0
+
+    joined = s_narrow.join(base_kh, cdc.KEY_COL, "left_outer")
     op = (
         F.when(F.col("_tgt_hash").isNull(), F.lit(cdc.INSERT))
         .when(F.col("row_hash") != F.col("_tgt_hash"), F.lit(cdc.UPDATE))
@@ -451,7 +500,10 @@ def merge_upsert_mor(
             counts[r[cdc.OP_COL]] = counts.get(r[cdc.OP_COL], 0) + r["cnt"]
         n_insert = counts.get(cdc.INSERT, 0)
         n_update = counts.get(cdc.UPDATE, 0)
-        n_skip = counts.get(cdc.SKIP, 0)
+        # Digest-clean micro-buckets' rows never reached the join but are
+        # proven SKIPs — keep the reported counts (and the empty-source
+        # refusal below) src-complete.
+        n_skip = counts.get(cdc.SKIP, 0) + clean_skip
         n_delete = 0
         if delete_missing:
             # Live keys the snapshot no longer contains. base_kh is the
@@ -459,7 +511,7 @@ def merge_upsert_mor(
             # so replays converge: once tombstoned, a key isn't live and
             # can't go "missing" again.
             missing = base_kh.select(cdc.KEY_COL).join(
-                keyed.select(cdc.KEY_COL).distinct(), cdc.KEY_COL, "left_anti"
+                keyed_cls.select(cdc.KEY_COL).distinct(), cdc.KEY_COL, "left_anti"
             ).cache()
             n_delete = missing.count()
             if n_delete > 0 and (n_insert + n_update + n_skip) == 0:

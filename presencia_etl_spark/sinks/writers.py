@@ -833,6 +833,7 @@ def merge_upsert_partitioned(
     key_cols: list[str],
     hash_cols: list[str] | None = None,
     num_buckets: int = 64,
+    digest_prune: bool = True,
 ) -> dict[str, int]:
     """S7 at scale: MERGE that rewrites ONLY the key-hash buckets containing
     changed or new keys, via dynamic partition overwrite.
@@ -918,13 +919,49 @@ def merge_upsert_partitioned(
     t = cdc.ensure_cdc_key(tgt, key_cols).select(
         F.col(cdc.KEY_COL), F.col("row_hash").alias("_tgt_hash")
     )
+    # Micro-bucket digest prune (see operators/cdc.py): summarize both
+    # sides per pmod(xxhash64(key), 16K), join only the rows of micro-
+    # buckets whose digests differ. A proven no-change merge returns
+    # here without any classify join at all; a sparse merge joins
+    # O(changes × rows/16K) instead of shuffling both full sides.
+    s_narrow = keyed.select(*key_cols, cdc.KEY_COL, BUCKET_COL, "row_hash")
+    dirty_mb, clean_skip = (None, 0)
+    if digest_prune and not (drifted or key_migration):
+        # Under drift / key backfill every bucket rewrites regardless and
+        # stored hashes cover a different column set — the digest pass
+        # would be spent to learn nothing. Callers that merge KNOWN
+        # subsets (streaming micro-batches) opt out: their digests are
+        # dirty nearly everywhere, so the pass buys nothing.
+        dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
+            s_narrow.select(cdc.KEY_COL, "row_hash"), t
+        )
+    if dirty_mb is not None and not dirty_mb:
+        return {
+            "insert": 0, "update": 0, "skip": clean_skip,
+            "buckets_rewritten": 0,
+        }
+    if dirty_mb is not None:
+        s_narrow = s_narrow.withColumn(
+            "_mb", cdc.micro_bucket()
+        ).filter(in_list("_mb", dirty_mb)).drop("_mb")
+        t_src = tgt
+        if cdc.DIGEST_MICRO_BUCKETS % num_buckets == 0:
+            # Directory-level prune first: a dirty micro-bucket lives in
+            # exactly one _kb= dir (same hash, nested moduli).
+            dirty_kb = sorted({mb % num_buckets for mb in dirty_mb})
+            t_src = tgt.filter(in_list(BUCKET_COL, dirty_kb))
+        t = cdc.ensure_cdc_key(t_src, key_cols).select(
+            F.col(cdc.KEY_COL), F.col("row_hash").alias("_tgt_hash")
+        ).withColumn("_mb", cdc.micro_bucket()).filter(
+            in_list("_mb", dirty_mb)
+        ).drop("_mb")
+    else:
+        clean_skip = 0
     # ONE narrow classify pass: cache only (raw keys, key, bucket, op,
     # hash) — the wide rewrite inputs are rebuilt below from the small
     # dirty sets, re-scanning parquet instead of caching table-sized
     # source rows.
-    joined = keyed.select(*key_cols, cdc.KEY_COL, BUCKET_COL, "row_hash").join(
-        t, cdc.KEY_COL, "left_outer"
-    )
+    joined = s_narrow.join(t, cdc.KEY_COL, "left_outer")
     op = (
         F.when(F.col("_tgt_hash").isNull(), F.lit(cdc.INSERT))
         .when(F.col("row_hash") != F.col("_tgt_hash"), F.lit(cdc.UPDATE))
@@ -947,7 +984,9 @@ def merge_upsert_partitioned(
     for r in op_buckets:
         counts[r[cdc.OP_COL]] = counts.get(r[cdc.OP_COL], 0) + r["cnt"]
     n_insert, n_update = counts.get(cdc.INSERT, 0), counts.get(cdc.UPDATE, 0)
-    n_skip = counts.get(cdc.SKIP, 0)
+    # Rows in digest-clean micro-buckets never reached the join but are
+    # proven SKIPs — keep the reported counts src-complete.
+    n_skip = counts.get(cdc.SKIP, 0) + clean_skip
     if n_insert == 0 and n_update == 0:
         ops.unpersist()
         return {"insert": 0, "update": 0, "skip": n_skip, "buckets_rewritten": 0}
@@ -1053,6 +1092,7 @@ def merge_upsert_parquet(
     target_path: str,
     key_cols: list[str],
     hash_cols: list[str] | None = None,
+    digest_prune: bool = True,
 ) -> dict[str, int]:
     """S7: staged MERGE into a parquet target; returns bucket counts.
 
@@ -1112,16 +1152,45 @@ def merge_upsert_parquet(
     # merge backfills it via the full-rewrite path.
     key_migration = cdc.KEY_COL not in tgt.columns
     src_h, tgt, drifted = _widen_for_drift(src_h, tgt)
-    narrow = src_h.select(*key_cols, "row_hash")
+    narrow = cdc.with_cdc_key(src_h.select(*key_cols, "row_hash"), key_cols)
+    t_kh = cdc.ensure_cdc_key(tgt, key_cols).select(
+        F.col(cdc.KEY_COL), F.col("row_hash").alias("_tgt_hash")
+    )
+    # Micro-bucket digest prune (operators/cdc.py): a proven no-change
+    # merge returns before any classify join; a sparse one joins only
+    # the dirty micro-buckets' rows. Skipped under drift/key backfill
+    # (stored hashes cover a different column set — nothing to learn).
+    dirty_mb, clean_skip = (None, 0)
+    if digest_prune and not (drifted or key_migration):
+        dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
+            narrow.select(cdc.KEY_COL, "row_hash"), t_kh
+        )
+    if dirty_mb is not None and not dirty_mb:
+        return {"insert": 0, "update": 0, "skip": clean_skip}
+    if dirty_mb is not None:
+        narrow = narrow.withColumn("_mb", cdc.micro_bucket()).filter(
+            in_list("_mb", dirty_mb)
+        ).drop("_mb")
+        t_kh = t_kh.withColumn("_mb", cdc.micro_bucket()).filter(
+            in_list("_mb", dirty_mb)
+        ).drop("_mb")
+    else:
+        clean_skip = 0
+    joined = narrow.join(t_kh, cdc.KEY_COL, "left_outer")
+    op = (
+        F.when(F.col("_tgt_hash").isNull(), F.lit(cdc.INSERT))
+        .when(F.col("row_hash") != F.col("_tgt_hash"), F.lit(cdc.UPDATE))
+        .otherwise(F.lit(cdc.SKIP))
+    )
     ops = (
-        cdc.cdc_classify(narrow, tgt, key_cols)
+        joined.withColumn(cdc.OP_COL, op)
         .select(*key_cols, cdc.KEY_COL, cdc.OP_COL, "row_hash")
         .cache()
     )
     counts = {r["op"]: r["cnt"] for r in cdc.cdc_counts(ops).collect()}
     n_insert = counts.get(cdc.INSERT, 0)
     n_update = counts.get(cdc.UPDATE, 0)
-    n_skip = counts.get(cdc.SKIP, 0)
+    n_skip = counts.get(cdc.SKIP, 0) + clean_skip
     data_cols = [c for c in tgt.columns if c not in AUDIT_COLS and c != cdc.KEY_COL]
 
     if n_insert == 0 and n_update == 0:

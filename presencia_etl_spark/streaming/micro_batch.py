@@ -43,9 +43,11 @@ def incremental_upsert_stream(
         if mode == "mor":
             from presencia_etl_spark.sinks.mor import merge_upsert_mor
 
-            merge_upsert_mor(spark, batch_df, target_path, key_cols)
+            merge_upsert_mor(spark, batch_df, target_path, key_cols,
+                             digest_prune=False)
             return
-        merge_upsert_parquet(spark, batch_df, target_path, key_cols)
+        merge_upsert_parquet(spark, batch_df, target_path, key_cols,
+                             digest_prune=False)
 
     writer = stream.writeStream.foreachBatch(upsert).option(
         "checkpointLocation", checkpoint_path

@@ -1,0 +1,234 @@
+"""Micro-bucket digest pruning (operators/cdc.py): the classify join may
+only be skipped/narrowed when the digest proves the skipped micro-buckets
+identical — differential-tested against the unpruned path on every merge
+family (flat COW, bucketed COW, merge-on-read incl. snapshot-diff
+deletes), plus unit coverage of the digest comparator itself."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.operators import cdc
+from presencia_etl_spark.sinks import mor
+from presencia_etl_spark.sinks.writers import (
+    merge_upsert_parquet,
+    merge_upsert_partitioned,
+)
+
+
+def _docs(spark, n=400, salt="0", drop_mod=None, extra_mod=None):
+    """Keyed frame with deterministic content; ``drop_mod`` removes keys
+    (for delete_missing), ``extra_mod`` perturbs values sparsely."""
+    df = spark.range(n).select(
+        F.col("id"),
+        F.col("id").cast("string").alias("K"),
+        F.concat(F.lit(salt), (F.col("id") % 13).cast("string")).alias("V"),
+    )
+    if extra_mod:
+        df = df.withColumn(
+            "V",
+            F.when(
+                F.col("id") % extra_mod == 0, F.concat(F.col("V"), F.lit("x"))
+            ).otherwise(F.col("V")),
+        )
+    if drop_mod:
+        df = df.filter(F.col("id") % drop_mod != 0)
+    return df.select("K", "V")
+
+
+def _state(df):
+    return {r["K"]: r["V"] for r in df.select("K", "V").collect()}
+
+
+class TestDigestComparator:
+    def test_identical_sides_all_clean(self, spark):
+        from presencia_etl_spark.functions.hashing import with_row_hash
+
+        a = _docs(spark, 300)
+        kh = cdc.with_cdc_key(a, ["K"])
+        s = with_row_hash(kh, ["K", "V"]).select(cdc.KEY_COL, "row_hash")
+        t = s.withColumnRenamed("row_hash", "_tgt_hash")
+        dirty, clean = cdc.digest_dirty_micro_buckets(s, t)
+        assert dirty == []
+        assert clean == 300
+
+    def test_single_update_dirties_one_micro_bucket(self, spark):
+        from presencia_etl_spark.functions.hashing import with_row_hash
+
+        a = _docs(spark, 300)
+        b = a.withColumn(
+            "V", F.when(F.col("K") == "7", F.lit("CHANGED")).otherwise(F.col("V"))
+        )
+        s = with_row_hash(cdc.with_cdc_key(b, ["K"]), ["K", "V"]).select(
+            cdc.KEY_COL, "row_hash"
+        )
+        t = with_row_hash(cdc.with_cdc_key(a, ["K"]), ["K", "V"]).select(
+            cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash")
+        )
+        dirty, clean = cdc.digest_dirty_micro_buckets(s, t)
+        assert len(dirty) == 1
+        assert clean == 299
+
+    def test_insert_and_delete_both_dirty(self, spark):
+        from presencia_etl_spark.functions.hashing import with_row_hash
+
+        tgt = _docs(spark, 100)
+        src = _docs(spark, 102).filter(F.col("K") != "5")  # +2 inserts, -1 key
+        s = with_row_hash(cdc.with_cdc_key(src, ["K"]), ["K", "V"]).select(
+            cdc.KEY_COL, "row_hash"
+        )
+        t = with_row_hash(cdc.with_cdc_key(tgt, ["K"]), ["K", "V"]).select(
+            cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash")
+        )
+        dirty, clean = cdc.digest_dirty_micro_buckets(s, t)
+        assert dirty  # inserted keys 100,101 and removed key 5 each dirty one
+        assert 1 <= len(dirty) <= 3
+
+    def test_dense_difference_declines(self, spark):
+        from presencia_etl_spark.functions.hashing import with_row_hash
+
+        tgt = _docs(spark, 400)
+        src = _docs(spark, 400, salt="z")  # every row different
+        s = with_row_hash(cdc.with_cdc_key(src, ["K"]), ["K", "V"]).select(
+            cdc.KEY_COL, "row_hash"
+        )
+        t = with_row_hash(cdc.with_cdc_key(tgt, ["K"]), ["K", "V"]).select(
+            cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash")
+        )
+        # 400 distinct keys over a tiny modulus → ≥ half dirty → declined.
+        dirty, clean = cdc.digest_dirty_micro_buckets(s, t, micro=64)
+        assert dirty is None and clean == 0
+
+    def test_env_kill_switch(self, spark, monkeypatch):
+        from presencia_etl_spark.functions.hashing import with_row_hash
+
+        monkeypatch.setenv("SPARK_GRAFT_DIGEST_PRUNE", "0")
+        a = _docs(spark, 50)
+        s = with_row_hash(cdc.with_cdc_key(a, ["K"]), ["K", "V"]).select(
+            cdc.KEY_COL, "row_hash"
+        )
+        t = s.withColumnRenamed("row_hash", "_tgt_hash")
+        assert cdc.digest_dirty_micro_buckets(s, t) == (None, 0)
+
+
+class TestMergeDifferential:
+    """Pruned vs unpruned merges must produce byte-identical state and
+    identical op counts, across sparse updates, inserts, deletes and
+    no-change replays — randomized over several seeds."""
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_flat_merge_matches_unpruned(self, spark, tmp_path, monkeypatch, seed):
+        rng = random.Random(seed)
+        n = rng.randint(200, 500)
+        mod = rng.choice([17, 31, 53])
+        base = _docs(spark, n)
+        nxt = _docs(spark, n + rng.randint(0, 20), extra_mod=mod)
+
+        results = {}
+        for label, env in (("pruned", "1"), ("plain", "0")):
+            monkeypatch.setenv("SPARK_GRAFT_DIGEST_PRUNE", env)
+            t = str(tmp_path / f"flat_{label}")
+            merge_upsert_parquet(spark, base, t, ["K"])
+            r1 = merge_upsert_parquet(spark, nxt, t, ["K"])
+            r2 = merge_upsert_parquet(spark, nxt, t, ["K"])  # replay → no-op
+            results[label] = (
+                r1,
+                r2,
+                _state(spark.read.parquet(t)),
+            )
+        (p1, p2, ps), (u1, u2, us) = results["pruned"], results["plain"]
+        assert p1 == u1 and p2 == u2
+        assert ps == us
+        assert p2 == {"insert": 0, "update": 0, "skip": p2["skip"]}
+
+    @pytest.mark.parametrize("seed", [4, 5])
+    def test_bucketed_merge_matches_unpruned(
+        self, spark, tmp_path, monkeypatch, seed
+    ):
+        rng = random.Random(seed)
+        n = rng.randint(300, 600)
+        base = _docs(spark, n)
+        nxt = _docs(spark, n + 11, extra_mod=rng.choice([29, 41]))
+        results = {}
+        for label, env in (("pruned", "1"), ("plain", "0")):
+            monkeypatch.setenv("SPARK_GRAFT_DIGEST_PRUNE", env)
+            t = str(tmp_path / f"bk_{label}")
+            merge_upsert_partitioned(spark, base, t, ["K"], num_buckets=16)
+            r1 = merge_upsert_partitioned(spark, nxt, t, ["K"], num_buckets=16)
+            r2 = merge_upsert_partitioned(spark, nxt, t, ["K"], num_buckets=16)
+            results[label] = (r1, r2, _state(spark.read.parquet(t)))
+        (p1, p2, ps), (u1, u2, us) = results["pruned"], results["plain"]
+        # buckets_rewritten may legitimately match too, but the contract
+        # is the row-level outcome + op counts.
+        for k in ("insert", "update", "skip"):
+            assert p1[k] == u1[k] and p2[k] == u2[k]
+        assert ps == us and p2["update"] == 0 and p2["insert"] == 0
+
+    @pytest.mark.parametrize("seed", [6, 7])
+    def test_mor_merge_with_deletes_matches_unpruned(
+        self, spark, tmp_path, monkeypatch, seed
+    ):
+        rng = random.Random(seed)
+        n = rng.randint(300, 600)
+        base = _docs(spark, n)
+        # snapshot-diff: some keys vanish, some mutate, some append
+        nxt = _docs(
+            spark,
+            n + 7,
+            extra_mod=rng.choice([23, 37]),
+            drop_mod=rng.choice([61, 97]),
+        )
+        results = {}
+        for label, env in (("pruned", "1"), ("plain", "0")):
+            monkeypatch.setenv("SPARK_GRAFT_DIGEST_PRUNE", env)
+            t = str(tmp_path / f"mor_{label}")
+            mor.merge_upsert_mor(spark, base, t, ["K"], num_buckets=16,
+                                 compact_every=None)
+            r1 = mor.merge_upsert_mor(
+                spark, nxt, t, ["K"], num_buckets=16, compact_every=None,
+                delete_missing=True,
+            )
+            r2 = mor.merge_upsert_mor(
+                spark, nxt, t, ["K"], num_buckets=16, compact_every=None,
+                delete_missing=True,
+            )
+            results[label] = (r1, r2, _state(mor.read_mor(spark, t)))
+        (p1, p2, ps), (u1, u2, us) = results["pruned"], results["plain"]
+        for k in ("insert", "update", "skip", "delete"):
+            assert p1[k] == u1[k], (k, p1, u1)
+            assert p2[k] == u2[k], (k, p2, u2)
+        assert ps == us
+        assert p2["delete"] == 0 and p2["update"] == 0  # replay converged
+
+    def test_mor_nochange_writes_nothing_without_classify(
+        self, spark, tmp_path
+    ):
+        """The digest no-change fast path: an identical snapshot re-merge
+        returns all-skip and leaves NO delta dir behind."""
+        t = str(tmp_path / "mor")
+        base = _docs(spark, 400)
+        mor.merge_upsert_mor(spark, base, t, ["K"], num_buckets=8,
+                             compact_every=None)
+        r = mor.merge_upsert_mor(spark, base, t, ["K"], num_buckets=8,
+                                 compact_every=None, delete_missing=True)
+        assert r["insert"] == r["update"] == r["delete"] == 0
+        assert r["skip"] == 400
+        assert mor._delta_seqs(t) == []
+
+    def test_empty_source_refusal_survives_pruning(self, spark, tmp_path):
+        """delete_missing + EMPTY source must still refuse (the failed-
+        export disaster guard) — digest pruning must not skip past it."""
+        t = str(tmp_path / "mor")
+        base = _docs(spark, 50)
+        mor.merge_upsert_mor(spark, base, t, ["K"], num_buckets=8,
+                             compact_every=None)
+        empty = base.filter(F.lit(False))
+        with pytest.raises(ValueError, match="EMPTY"):
+            mor.merge_upsert_mor(
+                spark, empty, t, ["K"], num_buckets=8, compact_every=None,
+                delete_missing=True,
+            )
