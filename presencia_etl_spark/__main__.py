@@ -157,6 +157,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--limit", type=int, default=1000, help="max rows printed")
 
+    p = sub.add_parser(
+        "diff",
+        help="row-level diff of two state dirs (replication verify / "
+        "post-migration audit): digest-compared per micro-bucket, so two "
+        "mostly-identical large states cost one narrow scan each plus a "
+        "join over only the differing micro-buckets — neither side is "
+        "fully shuffled; prints per-kind counts and sample keys",
+    )
+    p.add_argument("--left", required=True, help="state dir (flat/bucketed/MOR)")
+    p.add_argument("--right", required=True, help="state dir (flat/bucketed/MOR)")
+    p.add_argument(
+        "--key", nargs="*", default=[],
+        help="key columns (default: persisted _cdc_key identity)",
+    )
+    p.add_argument("--sample", type=int, default=20, help="max keys printed per kind")
+
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
@@ -260,6 +276,43 @@ def main(argv: list[str] | None = None) -> int:
             limit=args.limit,
         )
         print(json.dumps({"cmd": "sql", "result": out}, default=str))
+        return 0
+
+    if args.cmd == "diff":
+        from presencia_etl_spark.operators.cdc import KEY_COL, diff_states
+        from presencia_etl_spark.sql import read_state
+
+        left = read_state(spark, args.left)
+        right = read_state(spark, args.right)
+        keys = list(args.key) or [KEY_COL]
+        for side, df in (("--left", left), ("--right", right)):
+            missing = [k for k in keys if k not in df.columns]
+            if missing:
+                ap.error(
+                    f"{side} state lacks key column(s) {missing}; pass "
+                    "--key for states not written by the merge sinks"
+                )
+        d = diff_states(left, right, keys).cache()
+        try:
+            counts = {
+                r["diff"]: r["cnt"]
+                for r in d.groupBy("diff")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            sample = {
+                kind: [
+                    [row[k] for k in keys]
+                    for row in d.filter(F.col("diff") == kind)
+                    .limit(args.sample)
+                    .collect()
+                ]
+                for kind in counts
+            }
+        finally:
+            d.unpersist()
+        out = {"identical": not counts, "counts": counts, "sample": sample}
+        print(json.dumps({"cmd": "diff", "result": out}, default=str))
         return 0
 
     if args.cmd == "delete":

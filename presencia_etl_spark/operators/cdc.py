@@ -194,6 +194,80 @@ def cdc_counts(classified: DataFrame) -> DataFrame:
     )
 
 
+def diff_states(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    hash_cols: list[str] | None = None,
+    digest_prune: bool = True,
+) -> DataFrame:
+    """Row-level diff of two keyed states (the reference's compare
+    scripts — ``compare_noviembre_2025.py`` — as one scale-correct
+    operator): returns one row per differing key with ``diff`` ∈
+    {'only_left', 'only_right', 'differs'}; identical keys never appear.
+
+    Built on the micro-bucket digest compare, so two LARGE states that
+    are mostly identical (the replication-verify / post-migration audit
+    shape) are compared with one narrow scan per side plus a join over
+    only the differing micro-buckets' rows — neither full side is ever
+    shuffled. A pre-computed ``row_hash`` column is trusted on either
+    side (same contract as the merges); otherwise hashes are computed
+    over ``hash_cols`` or all non-audit columns of that side.
+    """
+
+    def _kh(df: DataFrame) -> DataFrame:
+        hashed = (
+            df
+            if "row_hash" in df.columns
+            else with_row_hash(
+                df, hash_cols or [c for c in df.columns if c != KEY_COL]
+            )
+        )
+        carry = [k for k in key_cols if k != KEY_COL]
+        return ensure_cdc_key(hashed, key_cols).select(
+            *carry, KEY_COL, "row_hash"
+        )
+
+    ak, bk = _kh(a), _kh(b)
+    if digest_prune:
+        dirty, _clean = digest_dirty_micro_buckets(
+            ak.select(KEY_COL, "row_hash"),
+            bk.select(KEY_COL, F.col("row_hash").alias("_tgt_hash")),
+        )
+        if dirty is not None:
+            ak = ak.withColumn("_mb", micro_bucket()).filter(
+                _in_mb(dirty)
+            ).drop("_mb")
+            bk = bk.withColumn("_mb", micro_bucket()).filter(
+                _in_mb(dirty)
+            ).drop("_mb")
+    j = ak.alias("l").join(bk.alias("r"), KEY_COL, "full_outer")
+    diff = (
+        F.when(F.col("r.row_hash").isNull(), F.lit("only_left"))
+        .when(F.col("l.row_hash").isNull(), F.lit("only_right"))
+        .when(F.col("l.row_hash") != F.col("r.row_hash"), F.lit("differs"))
+    )
+    out_keys = [
+        # The USING-join key is already coalesced by Spark; raw key cols
+        # must coalesce across sides (null side = absent key).
+        F.col(KEY_COL).alias(k)
+        if k == KEY_COL
+        else F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k)
+        for k in key_cols
+    ]
+    return (
+        j.withColumn("diff", diff)
+        .filter(F.col("diff").isNotNull())
+        .select(*out_keys, "diff")
+    )
+
+
+def _in_mb(dirty: list[int]):
+    from presencia_etl_spark.functions.pushdown import in_list
+
+    return in_list("_mb", dirty)
+
+
 def key_set_diff(
     a: DataFrame, b: DataFrame, key_cols: list[str]
 ) -> tuple[DataFrame, DataFrame]:

@@ -435,17 +435,21 @@ def merge_upsert_mor(
     s_narrow = keyed.select(*key_cols, cdc.KEY_COL, BUCKET_COL, "row_hash")
     dirty_mb, clean_skip = (None, 0)
     if digest_prune:
+        # Persisted across digest + classify so the source hash/normalize
+        # runs once whatever the prune decides (see the COW variants).
+        s_narrow = s_narrow.persist()
         dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
             s_narrow.select(cdc.KEY_COL, "row_hash"), base_kh
         )
     if dirty_mb is not None and not dirty_mb:
+        s_narrow.unpersist()
         return {
             "insert": 0, "update": 0, "skip": clean_skip, "delete": 0,
             "delta_files": 0, "compacted": False,
         }
-    keyed_cls = keyed
+    s_cls = s_narrow
     if dirty_mb is not None:
-        s_narrow = s_narrow.withColumn(
+        s_cls = s_narrow.withColumn(
             "_mb", cdc.micro_bucket()
         ).filter(in_list("_mb", dirty_mb)).drop("_mb")
         base_cls = base
@@ -464,16 +468,15 @@ def merge_upsert_mor(
         base_kh = base_kh.withColumn(
             "_mb", cdc.micro_bucket()
         ).filter(in_list("_mb", dirty_mb)).drop("_mb")
-        # delete_missing's anti-joins must see the SAME pruned universe
-        # on both sides (a missing key always dirties its micro-bucket,
-        # so no vanished key escapes the filter).
-        keyed_cls = keyed.withColumn(
-            "_mb", cdc.micro_bucket()
-        ).filter(in_list("_mb", dirty_mb)).drop("_mb")
     else:
         clean_skip = 0
+    # delete_missing's anti-join must see the SAME pruned universe on
+    # both sides (a missing key always dirties its micro-bucket, so no
+    # vanished key escapes the filter); reading the keys off s_cls also
+    # reuses the persisted narrow frame instead of re-deriving them.
+    src_key_set = s_cls.select(cdc.KEY_COL)
 
-    joined = s_narrow.join(base_kh, cdc.KEY_COL, "left_outer")
+    joined = s_cls.join(base_kh, cdc.KEY_COL, "left_outer")
     op = (
         F.when(F.col("_tgt_hash").isNull(), F.lit(cdc.INSERT))
         .when(F.col("row_hash") != F.col("_tgt_hash"), F.lit(cdc.UPDATE))
@@ -490,11 +493,14 @@ def merge_upsert_mor(
     try:
         # ONE bounded collect (≤ 3·num_buckets rows) yields op counts AND
         # the per-op dirty buckets while materializing the classify cache.
-        op_buckets = (
-            ops.groupBy(cdc.OP_COL, BUCKET_COL)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
+        try:
+            op_buckets = (
+                ops.groupBy(cdc.OP_COL, BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+        finally:
+            s_narrow.unpersist()
         counts: dict[str, int] = {}
         for r in op_buckets:
             counts[r[cdc.OP_COL]] = counts.get(r[cdc.OP_COL], 0) + r["cnt"]
@@ -511,7 +517,7 @@ def merge_upsert_mor(
             # so replays converge: once tombstoned, a key isn't live and
             # can't go "missing" again.
             missing = base_kh.select(cdc.KEY_COL).join(
-                keyed_cls.select(cdc.KEY_COL).distinct(), cdc.KEY_COL, "left_anti"
+                src_key_set.distinct(), cdc.KEY_COL, "left_anti"
             ).cache()
             n_delete = missing.count()
             if n_delete > 0 and (n_insert + n_update + n_skip) == 0:

@@ -932,16 +932,24 @@ def merge_upsert_partitioned(
         # would be spent to learn nothing. Callers that merge KNOWN
         # subsets (streaming micro-batches) opt out: their digests are
         # dirty nearly everywhere, so the pass buys nothing.
+        # The narrow frame is PERSISTED across the digest and the classify
+        # so the source-side hash/normalize expressions run exactly once
+        # whether the prune accepts, narrows, or declines (unpersisted as
+        # soon as the classify cache is materialized; ~key+hash width, the
+        # same bytes an unpruned classify would have shuffled).
+        s_narrow = s_narrow.persist()
         dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
             s_narrow.select(cdc.KEY_COL, "row_hash"), t
         )
     if dirty_mb is not None and not dirty_mb:
+        s_narrow.unpersist()
         return {
             "insert": 0, "update": 0, "skip": clean_skip,
             "buckets_rewritten": 0,
         }
+    s_cls = s_narrow
     if dirty_mb is not None:
-        s_narrow = s_narrow.withColumn(
+        s_cls = s_narrow.withColumn(
             "_mb", cdc.micro_bucket()
         ).filter(in_list("_mb", dirty_mb)).drop("_mb")
         t_src = tgt
@@ -961,7 +969,7 @@ def merge_upsert_partitioned(
     # hash) — the wide rewrite inputs are rebuilt below from the small
     # dirty sets, re-scanning parquet instead of caching table-sized
     # source rows.
-    joined = s_narrow.join(t, cdc.KEY_COL, "left_outer")
+    joined = s_cls.join(t, cdc.KEY_COL, "left_outer")
     op = (
         F.when(F.col("_tgt_hash").isNull(), F.lit(cdc.INSERT))
         .when(F.col("row_hash") != F.col("_tgt_hash"), F.lit(cdc.UPDATE))
@@ -975,11 +983,14 @@ def merge_upsert_partitioned(
     # ONE bounded collect (≤ 3·num_buckets rows) yields the op counts AND
     # the dirty-bucket list, and materializes the classify cache every
     # later step reuses — previously two jobs each re-entered the cache.
-    op_buckets = (
-        ops.groupBy(cdc.OP_COL, BUCKET_COL)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
+    try:
+        op_buckets = (
+            ops.groupBy(cdc.OP_COL, BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+    finally:
+        s_narrow.unpersist()
     counts: dict[str, int] = {}
     for r in op_buckets:
         counts[r[cdc.OP_COL]] = counts.get(r[cdc.OP_COL], 0) + r["cnt"]
@@ -1162,13 +1173,18 @@ def merge_upsert_parquet(
     # (stored hashes cover a different column set — nothing to learn).
     dirty_mb, clean_skip = (None, 0)
     if digest_prune and not (drifted or key_migration):
+        # Persisted across digest + classify so the source hash/normalize
+        # runs once whatever the prune decides (see the bucketed variant).
+        narrow = narrow.persist()
         dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
             narrow.select(cdc.KEY_COL, "row_hash"), t_kh
         )
     if dirty_mb is not None and not dirty_mb:
+        narrow.unpersist()
         return {"insert": 0, "update": 0, "skip": clean_skip}
+    n_cls = narrow
     if dirty_mb is not None:
-        narrow = narrow.withColumn("_mb", cdc.micro_bucket()).filter(
+        n_cls = narrow.withColumn("_mb", cdc.micro_bucket()).filter(
             in_list("_mb", dirty_mb)
         ).drop("_mb")
         t_kh = t_kh.withColumn("_mb", cdc.micro_bucket()).filter(
@@ -1176,7 +1192,7 @@ def merge_upsert_parquet(
         ).drop("_mb")
     else:
         clean_skip = 0
-    joined = narrow.join(t_kh, cdc.KEY_COL, "left_outer")
+    joined = n_cls.join(t_kh, cdc.KEY_COL, "left_outer")
     op = (
         F.when(F.col("_tgt_hash").isNull(), F.lit(cdc.INSERT))
         .when(F.col("row_hash") != F.col("_tgt_hash"), F.lit(cdc.UPDATE))
@@ -1187,7 +1203,10 @@ def merge_upsert_parquet(
         .select(*key_cols, cdc.KEY_COL, cdc.OP_COL, "row_hash")
         .cache()
     )
-    counts = {r["op"]: r["cnt"] for r in cdc.cdc_counts(ops).collect()}
+    try:
+        counts = {r["op"]: r["cnt"] for r in cdc.cdc_counts(ops).collect()}
+    finally:
+        narrow.unpersist()
     n_insert = counts.get(cdc.INSERT, 0)
     n_update = counts.get(cdc.UPDATE, 0)
     n_skip = counts.get(cdc.SKIP, 0) + clean_skip

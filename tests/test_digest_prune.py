@@ -219,6 +219,67 @@ class TestMergeDifferential:
         assert r["skip"] == 400
         assert mor._delta_seqs(t) == []
 
+    def test_diff_states_matches_unpruned_full_outer(self, spark):
+        """diff_states (digest-backed table compare) must agree with the
+        naive full-outer-join diff on identical/changed/one-sided keys."""
+        left = _docs(spark, 320)
+        right = _docs(spark, 330, extra_mod=37, drop_mod=101)
+        got = {
+            (r[0], r["diff"])
+            for r in cdc.diff_states(left, right, ["K"]).collect()
+        }
+        plain = {
+            (r[0], r["diff"])
+            for r in cdc.diff_states(
+                left, right, ["K"], digest_prune=False
+            ).collect()
+        }
+        assert got == plain
+        ls, rs = _state(left), _state(right)
+        want = set()
+        for k in set(ls) | set(rs):
+            if k not in rs:
+                want.add((k, "only_left"))
+            elif k not in ls:
+                want.add((k, "only_right"))
+            elif ls[k] != rs[k]:
+                want.add((k, "differs"))
+        assert got == want
+
+    def test_diff_states_identical_is_empty(self, spark):
+        a = _docs(spark, 200)
+        assert cdc.diff_states(a, _docs(spark, 200), ["K"]).count() == 0
+
+    def test_diff_cli_compares_state_dirs(self, spark, tmp_path, capsys):
+        """`diff --left A --right B` reads both layout-aware (MOR right
+        side here), digest-compares, and reports per-kind counts."""
+        import json as _json
+
+        from presencia_etl_spark.__main__ import main
+
+        a = _docs(spark, 120)
+        b = _docs(spark, 121, extra_mod=40)  # 1 insert + 3 updates vs a
+        left = str(tmp_path / "left")
+        right = str(tmp_path / "right")
+        merge_upsert_parquet(spark, a, left, ["K"])
+        mor.merge_upsert_mor(spark, b, right, ["K"], num_buckets=4,
+                             compact_every=None)
+        assert main(["diff", "--left", left, "--right", right]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        r = out["result"]
+        assert r["identical"] is False
+        assert r["counts"]["only_right"] == 1
+        assert r["counts"]["differs"] == 3
+        assert "only_left" not in r["counts"]
+        assert len(r["sample"]["differs"]) == 3
+
+        # Identical states → identical verdict.
+        left2 = str(tmp_path / "left2")
+        merge_upsert_parquet(spark, b, left2, ["K"])
+        assert main(["diff", "--left", left2, "--right", right]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["identical"] is True
+
     def test_empty_source_refusal_survives_pruning(self, spark, tmp_path):
         """delete_missing + EMPTY source must still refuse (the failed-
         export disaster guard) — digest pruning must not skip past it."""
