@@ -699,17 +699,19 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
 
         # ~60 scattered changes in 6M rows: the write side must stay
         # O(changes) — dirty buckets ≈ changed keys, never O(rows).
-        # Median-of-3 with constant-density fresh selectors per rep (each
-        # rep also reverts the previous rep's keys, so the update-set size
-        # stays ~2×density — constant work; single runs of this stage
-        # swung 9.3 → 5.6 s between rounds under contention).
+        # Median-of-3 with CONSTANT work per rep: the SAME ~60-key
+        # selector every rep with a longer appended suffix, so each rep
+        # updates exactly the selector's keys against the current state
+        # (fresh selectors per rep would double the density from rep 2 —
+        # each rep would also revert the previous rep's keys; single
+        # runs of this stage swung 9.3 → 5.6 s between rounds under
+        # contention).
         def sparse10_of(step):
             return df.withColumn(
                 "v1",
                 F.when(
-                    F.pmod(F.xxhash64("k", F.lit(100 + step)), F.lit(100_000))
-                    == 0,
-                    F.concat(F.col("v1"), F.lit("x")),
+                    F.pmod(F.xxhash64("k", F.lit(777)), F.lit(100_000)) == 0,
+                    F.concat(F.col("v1"), F.lit("x" * step)),
                 ).otherwise(F.col("v1")),
             )
 
@@ -861,9 +863,24 @@ def bench_scale100(spark, scale10: dict) -> dict:
     # The parent creates (and therefore owns) the child's EXACT working
     # dir and sweeps only that — a prefix-glob sweep here deleted every
     # bench_scale100_* on the machine, including a concurrently running
-    # bench's live 60M-row state.
+    # bench's live 60M-row state. Dirs orphaned by a SIGKILLed PARENT
+    # (whose finally never ran) are reclaimed by an AGE-gated sweep: a
+    # dir older than 2× the stage timeout cannot belong to a live run,
+    # so ~2.4 GiB strays can't accumulate into ENOSPC across killed
+    # rounds while a concurrent bench's younger dir stays untouched.
+    import glob as _glob
     import shutil as _shutil
     import tempfile as _tempfile
+
+    timeout_s = int(os.environ.get("SPARK_GRAFT_SCALE100_TIMEOUT", "2400"))
+    for stale in _glob.glob(
+        os.path.join(_tempfile.gettempdir(), "bench_scale100_*")
+    ):
+        try:
+            if time.time() - os.path.getmtime(stale) > 2 * timeout_s:
+                _shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
 
     work = _tempfile.mkdtemp(prefix="bench_scale100_")
     try:

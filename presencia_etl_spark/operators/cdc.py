@@ -104,9 +104,12 @@ def digest_dirty_micro_buckets(
       classify as anything but SKIP (or be missing from the source);
       ``clean_src_rows`` is the number of source rows proven SKIP
       without joining them.
-    - ``dirty is None`` — pruning DECLINED: ≥ half the micro-buckets
-      differ (a dense mutation / initial-drift shape), so filtering
-      would not pay for itself; the caller runs the unpruned classify.
+    - ``dirty is None`` — pruning DECLINED: ≥ half the OCCUPIED
+      micro-buckets differ (a dense mutation / initial-drift shape), so
+      filtering would not pay for itself; the caller runs the unpruned
+      classify. Occupied, not the modulus: a small table occupies few of
+      the 16K buckets, and a dense change to it must decline rather
+      than pay IN-filters over thousands of values to prune nothing.
       Also returned when ``SPARK_GRAFT_DIGEST_PRUNE=0`` disables the
       pass (the safety valve).
     """
@@ -130,7 +133,7 @@ def digest_dirty_micro_buckets(
             clean_src += r["_cs"]
         else:
             dirty.append(r[MB_COL])
-    if 2 * len(dirty) >= m:
+    if rows and 2 * len(dirty) >= len(rows):
         return None, 0
     return dirty, clean_src
 
@@ -210,17 +213,40 @@ def diff_states(
     are mostly identical (the replication-verify / post-migration audit
     shape) are compared with one narrow scan per side plus a join over
     only the differing micro-buckets' rows — neither full side is ever
-    shuffled. A pre-computed ``row_hash`` column is trusted on either
-    side (same contract as the merges); otherwise hashes are computed
-    over ``hash_cols`` or all non-audit columns of that side.
+    shuffled. A pre-computed ``row_hash`` column is trusted only when
+    BOTH sides carry one (raw-string hash vs typed recompute would
+    mismatch everywhere); otherwise hashes are computed per side over
+    ``hash_cols`` or all non-audit/non-engine columns.
+
+    Unlike the merge sinks, the returned frame is LAZY, so the hash
+    expressions cannot be persisted across the digest and the join
+    (there is no point to unpersist at) — recompute-hash sides pay the
+    hash once for the digest and once more for the dirty fraction at
+    evaluation. For the mostly-identical states this operator targets
+    that fraction is ~0; for a dense compare, project a ``row_hash``
+    onto both sides first (``functions.hashing.with_row_hash``) to pin
+    the cost to one pass per side.
     """
+
+    # The default hash scope mirrors the merge sinks': per-target
+    # surrogate values (audit envelope, bucket/engine columns) must never
+    # feed row identity — two independently written replicas of the same
+    # data always differ on id/created_at/updated_at/_kb, and hashing
+    # them would report every key as 'differs'. A persisted ``row_hash``
+    # (raw pre-cast strings, CLAUDE.md rule) is trusted only when BOTH
+    # sides carry one — compared against a typed recompute on the other
+    # side it would mismatch on every row.
+    _NON_DATA = {"id", "row_hash", "created_at", "updated_at", "_kb", KEY_COL}
+    trust_hash = "row_hash" in a.columns and "row_hash" in b.columns
 
     def _kh(df: DataFrame) -> DataFrame:
         hashed = (
             df
-            if "row_hash" in df.columns
+            if trust_hash
             else with_row_hash(
-                df, hash_cols or [c for c in df.columns if c != KEY_COL]
+                df.drop("row_hash"),
+                hash_cols
+                or [c for c in df.columns if c not in _NON_DATA],
             )
         )
         carry = [k for k in key_cols if k != KEY_COL]

@@ -493,14 +493,11 @@ def merge_upsert_mor(
     try:
         # ONE bounded collect (≤ 3·num_buckets rows) yields op counts AND
         # the per-op dirty buckets while materializing the classify cache.
-        try:
-            op_buckets = (
-                ops.groupBy(cdc.OP_COL, BUCKET_COL)
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            )
-        finally:
-            s_narrow.unpersist()
+        op_buckets = (
+            ops.groupBy(cdc.OP_COL, BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
         counts: dict[str, int] = {}
         for r in op_buckets:
             counts[r[cdc.OP_COL]] = counts.get(r[cdc.OP_COL], 0) + r["cnt"]
@@ -667,6 +664,11 @@ def merge_upsert_mor(
         # Caches release on failure too — a failed merge must not leak
         # persisted frames for the session lifetime.
         ops.unpersist()
+        # Released HERE, not at the op-counts collect: delete_missing's
+        # anti-join reads its source key set off this persisted frame
+        # after the collect — unpersisting earlier silently re-ran the
+        # whole source scan + key normalize for snapshot-diff syncs.
+        s_narrow.unpersist()
         if src_dirty is not None:
             src_dirty.unpersist()
         if upd_keys is not None:
@@ -1169,7 +1171,12 @@ def compact_mor(
                 dirty[0],
             )
         finally:
-            shutil.rmtree(staged, ignore_errors=True)
+            # After an INCOMPLETE inline rollback the live journal under
+            # the base still references staged — recovery owns cleanup.
+            from presencia_etl_spark.sinks.writers import _staged_is_journaled
+
+            if not _staged_is_journaled(base_path, staged):
+                shutil.rmtree(staged, ignore_errors=True)
     finally:
         latest.unpersist()
     # The floor was already raised before the swap (see above); removal of

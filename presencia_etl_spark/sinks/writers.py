@@ -356,7 +356,11 @@ def delete_where_partitioned(
                 )
             swap_bucket_dirs(staged, target_path, dirty)
         finally:
-            shutil.rmtree(staged, ignore_errors=True)
+            # After an INCOMPLETE inline rollback the live journal still
+            # references staged (a bucket's only copy may be parked
+            # there) — recovery owns the cleanup then.
+            if not _staged_is_journaled(target_path, staged):
+                shutil.rmtree(staged, ignore_errors=True)
     finally:
         victims.unpersist()
     _reseed_empty_layout(
@@ -428,6 +432,7 @@ def swap_bucket_dirs(staged: str, target_path: str, buckets) -> None:
         json.dump({"staged": staged, "buckets": list(buckets)}, fh)
     os.replace(journal + ".tmp", journal)
     swapped: list[tuple[object, bool]] = []  # (bucket, had prior live dir)
+    keep_journal = False
     try:
         for b in buckets:
             src_dir = os.path.join(staged, f"{BUCKET_COL}={b}")
@@ -454,32 +459,60 @@ def swap_bucket_dirs(staged: str, target_path: str, buckets) -> None:
         # floor (conservative: old snapshot reads raise loudly rather
         # than mislabel folded data as history).
         complete = True
-        for b, had_prior in reversed(swapped):
-            try:
-                src_dir = os.path.join(staged, f"{BUCKET_COL}={b}")
-                dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
-                os.rename(dst_dir, src_dir)
-                if had_prior:
-                    os.rename(os.path.join(staged, f"_old_{b}"), dst_dir)
-            except OSError:
-                complete = False
-        for b in buckets:
-            # The bucket mid-swap when the exception fired: old parked,
-            # new not landed (or its landing is what failed).
-            dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
-            parked = os.path.join(staged, f"_old_{b}")
-            if os.path.exists(parked) and not os.path.exists(dst_dir):
+        try:
+            for b, had_prior in reversed(swapped):
                 try:
-                    os.rename(parked, dst_dir)
+                    src_dir = os.path.join(staged, f"{BUCKET_COL}={b}")
+                    dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
+                    os.rename(dst_dir, src_dir)
+                    if had_prior:
+                        os.rename(os.path.join(staged, f"_old_{b}"), dst_dir)
                 except OSError:
                     complete = False
+            for b in buckets:
+                # The bucket mid-swap when the exception fired: old
+                # parked, new not landed (or its landing is what failed).
+                dst_dir = os.path.join(target_path, f"{BUCKET_COL}={b}")
+                parked = os.path.join(staged, f"_old_{b}")
+                if os.path.exists(parked) and not os.path.exists(dst_dir):
+                    try:
+                        os.rename(parked, dst_dir)
+                    except OSError:
+                        complete = False
+        except BaseException:
+            # A second interrupt (KeyboardInterrupt mid-rollback) must
+            # still leave the flags truthful — the journal stays.
+            complete = False
         exc.swap_rolled_back = complete
+        # An INCOMPLETE rollback may have left a bucket missing from the
+        # target with its only copy parked under `staged` — the journal
+        # is then the ONLY pointer recovery has. Keep it (and callers
+        # keep the staged dir, see _staged_is_journaled): the next
+        # merge's _recover_interrupted_swap repairs and cleans up both.
+        keep_journal = not complete
         raise
     finally:
-        # Swap finished (or was fully rolled back) — either way every
-        # bucket is complete, so the interrupted-swap marker comes off.
-        if os.path.exists(journal):
+        # Swap finished or was FULLY rolled back — every bucket complete,
+        # the interrupted-swap marker comes off. After an incomplete
+        # rollback the journal must survive (see above): removing it
+        # while a bucket's only copy sits in staged would orphan that
+        # copy and let the next merge silently reclassify the bucket's
+        # rows as fresh inserts.
+        if not keep_journal and os.path.exists(journal):
             os.remove(journal)
+
+
+def _staged_is_journaled(target_path: str, staged: str) -> bool:
+    """True iff the target's live swap journal references ``staged`` —
+    i.e. an incomplete inline rollback left recovery-critical state
+    there. Callers' cleanup MUST skip the rmtree then; the next
+    ``_recover_interrupted_swap`` repairs from it and removes both."""
+    journal = os.path.join(target_path, MERGE_JOURNAL)
+    try:
+        with open(journal) as fh:
+            return json.load(fh).get("staged") == staged
+    except (OSError, ValueError):
+        return False
 
 
 def _warn_audit_collisions(src: DataFrame) -> None:
@@ -1087,7 +1120,11 @@ def merge_upsert_partitioned(
         # persisted frames for the session lifetime.
         ops.unpersist()
         src_dirty.unpersist()
-        shutil.rmtree(staged, ignore_errors=True)
+        # After an INCOMPLETE inline rollback the live journal still
+        # references staged (a bucket's only copy may be parked there) —
+        # recovery owns the cleanup then.
+        if not _staged_is_journaled(target_path, staged):
+            shutil.rmtree(staged, ignore_errors=True)
     return {
         "insert": n_insert,
         "update": n_update,

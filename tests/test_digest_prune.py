@@ -103,6 +103,26 @@ class TestDigestComparator:
         dirty, clean = cdc.digest_dirty_micro_buckets(s, t, micro=64)
         assert dirty is None and clean == 0
 
+    def test_dense_change_on_small_table_declines_at_default_modulus(
+        self, spark
+    ):
+        """The decline compares dirty to OCCUPIED micro-buckets: a small
+        table (≪16K keys) densely changed must decline even though its
+        dirty count is far below half the modulus — otherwise it pays
+        the digest plus thousand-value IN filters to prune nothing."""
+        from presencia_etl_spark.functions.hashing import with_row_hash
+
+        tgt = _docs(spark, 400)
+        src = _docs(spark, 400, salt="z")  # every row differs
+        s = with_row_hash(cdc.with_cdc_key(src, ["K"]), ["K", "V"]).select(
+            cdc.KEY_COL, "row_hash"
+        )
+        t = with_row_hash(cdc.with_cdc_key(tgt, ["K"]), ["K", "V"]).select(
+            cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash")
+        )
+        dirty, clean = cdc.digest_dirty_micro_buckets(s, t)  # default 16K
+        assert dirty is None and clean == 0
+
     def test_env_kill_switch(self, spark, monkeypatch):
         from presencia_etl_spark.functions.hashing import with_row_hash
 
@@ -249,6 +269,26 @@ class TestMergeDifferential:
     def test_diff_states_identical_is_empty(self, spark):
         a = _docs(spark, 200)
         assert cdc.diff_states(a, _docs(spark, 200), ["K"]).count() == 0
+
+    def test_diff_states_ignores_audit_and_engine_columns(
+        self, spark, tmp_path
+    ):
+        """Raw source vs its own merged state (audit envelope, _kb,
+        _cdc_key present, row_hash only on ONE side): identical data must
+        diff as identical — surrogate columns and the one-sided persisted
+        hash must not feed row identity."""
+        raw = _docs(spark, 150)
+        t = str(tmp_path / "state")
+        merge_upsert_parquet(spark, raw, t, ["K"])
+        state = spark.read.parquet(t)
+        assert cdc.diff_states(raw, state, ["K"]).count() == 0
+        # Two independently merged replicas of the same data (different
+        # surrogate ids/timestamps, both with persisted row_hash).
+        t2 = str(tmp_path / "replica")
+        merge_upsert_parquet(spark, raw, t2, ["K"])
+        assert cdc.diff_states(
+            state, spark.read.parquet(t2), ["K"]
+        ).count() == 0
 
     def test_diff_cli_compares_state_dirs(self, spark, tmp_path, capsys):
         """`diff --left A --right B` reads both layout-aware (MOR right

@@ -1264,6 +1264,25 @@ class TestCompactCrashWindows:
             _src(spark, 300, salt="x")
         )
 
+        # The incomplete rollback may have left a bucket's ONLY copy
+        # parked under the staged dir — the journal and the staged dir
+        # must both SURVIVE (removing either would orphan the copy and
+        # let the next merge reclassify the bucket's rows as inserts).
+        journal = os.path.join(base_path, writers_mod.MERGE_JOURNAL)
+        assert os.path.exists(journal)
+        import json as _json
+
+        staged_ref = _json.load(open(journal))["staged"]
+        assert os.path.isdir(staged_ref)
+        # The next op recovers from the journal and converges.
+        r = mor.compact_mor(spark, target)
+        assert not os.path.exists(journal)
+        assert not os.path.exists(staged_ref)
+        assert mor._delta_seqs(target) == []
+        assert _state(mor.read_mor(spark, target)) == _state(
+            _src(spark, 300, salt="x")
+        )
+
     def test_orphan_compact_staging_swept_on_next_merge(self, spark, tmp_path):
         target = str(tmp_path / "mor")
         mor.merge_upsert_mor(spark, _src(spark, 100), target, ["K"],
