@@ -69,6 +69,9 @@ from presencia_etl_spark.sinks.writers import (
     swap_bucket_dirs,
 )
 from presencia_etl_spark.sinks.writers import is_spark_hidden as writers_is_spark_hidden
+from presencia_etl_spark.sinks.writers import (
+    _should_persist_narrow as writers_should_persist_narrow,
+)
 
 BASE_DIR = "base"
 DELTA_DIR = "deltas"
@@ -436,8 +439,10 @@ def merge_upsert_mor(
     dirty_mb, clean_skip = (None, 0)
     if digest_prune:
         # Persisted across digest + classify so the source hash/normalize
-        # runs once whatever the prune decides (see the COW variants).
-        s_narrow = s_narrow.persist()
+        # runs once whatever the prune decides — small states only (see
+        # writers.DIGEST_PERSIST_MAX_BYTES; the walk covers base+deltas).
+        if writers_should_persist_narrow(target_path):
+            s_narrow = s_narrow.persist()
         dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
             s_narrow.select(cdc.KEY_COL, "row_hash"), base_kh
         )

@@ -530,6 +530,41 @@ def _warn_audit_collisions(src: DataFrame) -> None:
         )
 
 
+# Persist the narrow (key, hash) classify frame only for states up to
+# this size (fs-metadata decision, no job). The persist exists to keep
+# the source hash to ONE pass when the classify re-reads a large
+# fraction (dense merges) — but materializing a 60M-row narrow cache
+# measured ~35 s of pure storage cost while a SPARSE merge re-reads
+# almost none of it (the dirty-micro-bucket filter pushes below the
+# hash projection, so the recompute is proportional to the dirty
+# fraction). Small states persist (the dense case is cheap to protect);
+# large states skip it — a large AND dense merge (the rare quadrant)
+# pays the hash twice, bounded at ~1.4× of the unpruned classify.
+DIGEST_PERSIST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DIGEST_PERSIST_MAX_MB", "1024")
+) * (1 << 20)
+
+
+def _du_until(path: str, cap: int) -> int:
+    """Total file bytes under ``path``, walking only until ``cap`` is
+    exceeded (returns cap+1 then) — the decision needs one bit, not an
+    exact du of a 100 TB tree."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                continue
+            if total > cap:
+                return cap + 1
+    return total
+
+
+def _should_persist_narrow(target_path: str) -> bool:
+    return _du_until(target_path, DIGEST_PERSIST_MAX_BYTES) <= DIGEST_PERSIST_MAX_BYTES
+
+
 BROADCAST_KEY_LIMIT = 5_000_000
 
 
@@ -968,9 +1003,11 @@ def merge_upsert_partitioned(
         # The narrow frame is PERSISTED across the digest and the classify
         # so the source-side hash/normalize expressions run exactly once
         # whether the prune accepts, narrows, or declines (unpersisted as
-        # soon as the classify cache is materialized; ~key+hash width, the
-        # same bytes an unpruned classify would have shuffled).
-        s_narrow = s_narrow.persist()
+        # soon as the classify cache is materialized) — but only for
+        # small states, where the dense case it protects is plausible
+        # and the store is cheap (see DIGEST_PERSIST_MAX_BYTES).
+        if _should_persist_narrow(target_path):
+            s_narrow = s_narrow.persist()
         dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
             s_narrow.select(cdc.KEY_COL, "row_hash"), t
         )
@@ -1211,8 +1248,10 @@ def merge_upsert_parquet(
     dirty_mb, clean_skip = (None, 0)
     if digest_prune and not (drifted or key_migration):
         # Persisted across digest + classify so the source hash/normalize
-        # runs once whatever the prune decides (see the bucketed variant).
-        narrow = narrow.persist()
+        # runs once whatever the prune decides — small states only (see
+        # DIGEST_PERSIST_MAX_BYTES on the bucketed variant).
+        if _should_persist_narrow(target_path):
+            narrow = narrow.persist()
         dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
             narrow.select(cdc.KEY_COL, "row_hash"), t_kh
         )

@@ -135,6 +135,42 @@ class TestDigestComparator:
         assert cdc.digest_dirty_micro_buckets(s, t) == (None, 0)
 
 
+class TestPersistGate:
+    def test_du_until_early_exit_and_threshold(self, tmp_path):
+        from presencia_etl_spark.sinks import writers as w
+
+        d = tmp_path / "t"
+        d.mkdir()
+        (d / "a.bin").write_bytes(b"x" * 1000)
+        (d / "b.bin").write_bytes(b"x" * 1000)
+        assert w._du_until(str(d), 10_000) == 2000
+        assert w._du_until(str(d), 500) == 501  # capped, early exit
+        assert w._du_until(str(tmp_path / "missing"), 100) == 0
+
+    def test_merges_correct_with_persist_forced_off(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Large-state regime (persist skipped): results must be
+        identical — the gate is a cost decision, never a semantic one."""
+        from presencia_etl_spark.sinks import writers as w
+
+        monkeypatch.setattr(w, "DIGEST_PERSIST_MAX_BYTES", 0)
+        base = _docs(spark, 300)
+        nxt = _docs(spark, 305, extra_mod=43)
+        t = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, base, t, ["K"])
+        r = merge_upsert_parquet(spark, nxt, t, ["K"])
+        assert (r["insert"], r["update"]) == (5, 7)
+        assert _state(spark.read.parquet(t)) == _state(nxt)
+        m = str(tmp_path / "mor")
+        mor.merge_upsert_mor(spark, base, m, ["K"], num_buckets=8,
+                             compact_every=None)
+        r = mor.merge_upsert_mor(spark, nxt, m, ["K"], num_buckets=8,
+                                 compact_every=None)
+        assert (r["insert"], r["update"]) == (5, 7)
+        assert _state(mor.read_mor(spark, m)) == _state(nxt)
+
+
 class TestMergeDifferential:
     """Pruned vs unpruned merges must produce byte-identical state and
     identical op counts, across sparse updates, inserts, deletes and
