@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from collections.abc import Iterable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -87,43 +88,77 @@ def _digest(df: DataFrame, hash_col: str, micro: int, tag: str) -> DataFrame:
     )
 
 
-def digest_dirty_micro_buckets(
-    src_kh: DataFrame,
-    tgt_kh: DataFrame,
-    src_hash: str = "row_hash",
-    tgt_hash: str = "_tgt_hash",
-    micro: int | None = None,
-) -> tuple[list[int] | None, int]:
-    """Compare per-micro-bucket digests of two (``_cdc_key``, hash)
-    frames. Returns ``(dirty, clean_src_rows)``:
+@dataclass
+class DigestCompare:
+    """Result of a micro-bucket digest compare.
 
     - ``dirty == []`` — the multisets are identical: a proven no-change
-      merge (no inserts, no updates, and for snapshot-diff no deletes);
-      ``clean_src_rows`` is the full source row count (the skip count).
+      merge; ``clean_src`` is the full source row count (the skip count).
     - ``dirty`` non-empty — only rows whose micro-bucket is listed can
       classify as anything but SKIP (or be missing from the source);
-      ``clean_src_rows`` is the number of source rows proven SKIP
-      without joining them.
+      ``clean_src`` is the number of source rows proven SKIP without
+      joining them.
     - ``dirty is None`` — pruning DECLINED: ≥ half the OCCUPIED
       micro-buckets differ (a dense mutation / initial-drift shape), so
       filtering would not pay for itself; the caller runs the unpruned
       classify. Occupied, not the modulus: a small table occupies few of
       the 16K buckets, and a dense change to it must decline rather
       than pay IN-filters over thousands of values to prune nothing.
-      Also returned when ``SPARK_GRAFT_DIGEST_PRUNE=0`` disables the
-      pass (the safety valve).
+      Also the shape when ``SPARK_GRAFT_DIGEST_PRUNE=0`` disables the
+      pass (the safety valve) — then ``tgt_digest`` is None too.
+
+    ``tgt_digest`` is the TARGET side's digest map (mb → (count, x, y)),
+    present even on decline — callers feed it to
+    ``sinks.digest_store.apply_delta`` after the merge publishes, so the
+    next sync reads a 16K-row sidecar instead of scanning the state.
     """
+
+    dirty: list[int] | None
+    clean_src: int
+    tgt_digest: dict[int, tuple[int, int, int]] | None
+
+
+def digest_compare(
+    src_kh: DataFrame,
+    tgt_kh: DataFrame | None,
+    src_hash: str = "row_hash",
+    tgt_hash: str = "_tgt_hash",
+    micro: int | None = None,
+    tgt_digest: dict[int, tuple[int, int, int]] | None = None,
+) -> DigestCompare:
+    """Compare per-micro-bucket digests of a (``_cdc_key``, hash) source
+    frame against either a target frame (one narrow scan) or an
+    already-known target digest (``tgt_digest`` from a validated
+    sidecar — ZERO target-side I/O; ``tgt_kh`` may then be None)."""
     if os.environ.get("SPARK_GRAFT_DIGEST_PRUNE", "1") == "0":
-        return None, 0
+        return DigestCompare(None, 0, None)
     m = micro or DIGEST_MICRO_BUCKETS
+    dirty: list[int] = []
+    clean_src = 0
+    if tgt_digest is not None:
+        srows = _digest(src_kh, src_hash, m, "s").collect()
+        smap = {r[MB_COL]: (r["_cs"], r["_xs"], r["_ys"]) for r in srows}
+        occupied = set(smap) | set(tgt_digest)
+        for mb in occupied:
+            sv = smap.get(mb)
+            if sv is not None and sv == tgt_digest.get(mb):
+                clean_src += sv[0]
+            else:
+                dirty.append(mb)
+        tdig = dict(tgt_digest)
+        if occupied and 2 * len(dirty) >= len(occupied):
+            return DigestCompare(None, 0, tdig)
+        return DigestCompare(sorted(dirty), clean_src, tdig)
     sd = _digest(src_kh, src_hash, m, "s")
     td = _digest(tgt_kh, tgt_hash, m, "t")
     # ONE bounded collect (≤ m rows): the full outer compare frame, from
-    # which both the dirty list and the proven-skip count fall out.
+    # which the dirty list, the proven-skip count AND the target digest
+    # (for sidecar seeding) all fall out.
     rows = sd.join(td, MB_COL, "full_outer").collect()
-    dirty: list[int] = []
-    clean_src = 0
+    tdig = {}
     for r in rows:
+        if r["_ct"] is not None:
+            tdig[r[MB_COL]] = (r["_ct"], r["_xt"], r["_yt"])
         if (
             r["_cs"] is not None
             and r["_cs"] == r["_ct"]
@@ -134,8 +169,88 @@ def digest_dirty_micro_buckets(
         else:
             dirty.append(r[MB_COL])
     if rows and 2 * len(dirty) >= len(rows):
-        return None, 0
-    return dirty, clean_src
+        return DigestCompare(None, 0, tdig)
+    return DigestCompare(sorted(dirty), clean_src, tdig)
+
+
+def digest_dirty_micro_buckets(
+    src_kh: DataFrame,
+    tgt_kh: DataFrame,
+    src_hash: str = "row_hash",
+    tgt_hash: str = "_tgt_hash",
+    micro: int | None = None,
+) -> tuple[list[int] | None, int]:
+    """Back-compat 2-tuple wrapper over :func:`digest_compare` (see its
+    docstring for the dirty/clean/decline semantics)."""
+    c = digest_compare(src_kh, tgt_kh, src_hash, tgt_hash, micro)
+    return c.dirty, c.clean_src
+
+
+def digest_delta_cols(
+    op_col: str = OP_COL,
+    new_hash: str = "row_hash",
+    old_hash: str = "_tgt_hash",
+    micro: int | None = None,
+) -> list:
+    """Column exprs projecting each CLASSIFIED row's contribution to the
+    per-micro-bucket digest delta, for sidecar maintenance
+    (``sinks/digest_store.py``): an insert xors in the new (key, hash)
+    fold and counts +1; an update xors in new ⊕ old (one value per row —
+    XOR's identity lets both terms ride one aggregation); a skip
+    contributes (0, 0, 0), so the aggregation may run over the whole
+    classify cache unfiltered. Select these on the classify frame WHILE
+    the old target hash is still bound (before ``_tgt_hash`` drops)."""
+    h1n = F.xxhash64(F.col(KEY_COL), F.col(new_hash))
+    h2n = F.xxhash64(F.col(new_hash), F.col(KEY_COL), F.lit(1))
+    h1o = F.xxhash64(F.col(KEY_COL), F.col(old_hash))
+    h2o = F.xxhash64(F.col(old_hash), F.col(KEY_COL), F.lit(1))
+    op = F.col(op_col)
+    zero = F.lit(0).cast("long")
+    return [
+        micro_bucket(KEY_COL, micro).alias("_dg_mb"),
+        F.when(op == INSERT, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("_dg_c"),
+        F.when(op == INSERT, h1n)
+        .when(op == UPDATE, h1n.bitwiseXOR(h1o))
+        .otherwise(zero)
+        .alias("_dg_x"),
+        F.when(op == INSERT, h2n)
+        .when(op == UPDATE, h2n.bitwiseXOR(h2o))
+        .otherwise(zero)
+        .alias("_dg_y"),
+    ]
+
+
+def digest_delete_delta_cols(
+    old_hash: str = "_tgt_hash", micro: int | None = None
+) -> list:
+    """Delta contribution of a DELETED key (snapshot-diff tombstones):
+    count −1, xor out the old (key, hash) fold."""
+    return [
+        micro_bucket(KEY_COL, micro).alias("_dg_mb"),
+        F.lit(-1).cast("long").alias("_dg_c"),
+        F.xxhash64(F.col(KEY_COL), F.col(old_hash)).alias("_dg_x"),
+        F.xxhash64(F.col(old_hash), F.col(KEY_COL), F.lit(1)).alias("_dg_y"),
+    ]
+
+
+def collect_digest_delta(df: DataFrame) -> list[tuple[int, int, int, int]]:
+    """Aggregate ``digest_delta_cols`` projections per micro-bucket and
+    collect (bounded at the modulus). All-zero rows (pure-skip buckets)
+    are dropped — they are XOR/+0 identities."""
+    rows = (
+        df.groupBy("_dg_mb")
+        .agg(
+            F.sum("_dg_c").alias("_c"),
+            F.bit_xor("_dg_x").alias("_x"),
+            F.bit_xor("_dg_y").alias("_y"),
+        )
+        .collect()
+    )
+    return [
+        (r["_dg_mb"], r["_c"], r["_x"], r["_y"])
+        for r in rows
+        if r["_c"] or r["_x"] or r["_y"]
+    ]
 
 
 def with_cdc_key(df: DataFrame, key_cols: Iterable[str], out: str = KEY_COL) -> DataFrame:

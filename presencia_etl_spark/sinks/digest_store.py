@@ -1,0 +1,163 @@
+"""Persisted micro-bucket digest sidecars (the merkle-state discipline).
+
+The digest prune (``operators/cdc.py``) removes the classify join's
+shuffle, but still pays one narrow SCAN of the target per merge to learn
+the target's per-micro-bucket digests — at a 100 TB state that scan IS
+the steady-state sync cost. This module persists those digests as a
+≤16K-row parquet sidecar inside the table (``_cdc_digest.parquet``,
+underscore-prefixed so every Spark listing ignores it) and maintains
+them INCREMENTALLY from each merge's classified changes: an update
+xors out the old ``(key, hash)`` fold and xors in the new one, an
+insert xors in, a delete xors out — the same order-independent algebra
+the scan-side aggregation uses, so the maintained sidecar is
+bit-identical to a recomputed one (differential-tested).
+
+Safety model — the sidecar can NEVER make a merge wrong, only slower:
+
+- The sidecar embeds a fingerprint of the table's exact file listing
+  (relpath, size, mtime_ns of every file) in its parquet footer
+  metadata. ``load`` re-walks the table and returns ``None`` on any
+  mismatch, so a table touched by ANY other writer (compaction,
+  deletes, TTL, a trickle merge that skips digest maintenance, a crash
+  between table publish and sidecar write) simply falls back to the
+  scan path — which then writes a fresh sidecar, re-amortizing itself.
+- ``save`` runs strictly AFTER the table publish and is atomic
+  (temp file + ``os.replace``); a failed or interrupted save leaves
+  either no sidecar or the previous one, both of which fail the
+  fingerprint check. Save errors are swallowed with a warning — a
+  published merge must never be failed by its cache maintenance.
+- ``apply_delta`` returns ``None`` (caller skips the save) on any
+  bookkeeping inconsistency (a micro-bucket count going negative, or
+  reaching zero with a nonzero fold), rather than persisting a digest
+  that could mask a change.
+
+At 100 TB the effect is that a steady-state snapshot sync's digest
+compare does ZERO target-side I/O: one walk of the table's file
+metadata plus a 16K-row local parquet read, against the source-side
+aggregation it must run anyway.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import warnings
+
+SIDE_FILE = "_cdc_digest.parquet"
+_FP_KEY = b"presencia.state_fingerprint"
+_TMP = "." + SIDE_FILE + ".tmp"
+
+Digest = dict[int, tuple[int, int, int]]  # mb -> (count, xfold, yfold)
+
+
+def enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_DIGEST_SIDECAR", "1") != "0"
+
+
+def table_fingerprint(target_path: str) -> str:
+    """Fingerprint of the table's exact file listing — every file under
+    the target except the sidecar itself (and its temp), hashed as
+    sorted (relpath, size, mtime_ns) triples. Hidden/staging/journal
+    files are deliberately INCLUDED: any in-flight or crashed state
+    must read as "not the state I summarized" (over-invalidation is
+    safe; a missed invalidation is not). Parquet task files carry UUID
+    names, so no two distinct publishes share a listing."""
+    base = target_path.rstrip("/")
+    entries: list[tuple[str, int, int]] = []
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            if f == SIDE_FILE or f == _TMP:
+                continue
+            p = os.path.join(root, f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            entries.append(
+                (os.path.relpath(p, base).replace(os.sep, "/"), st.st_size, st.st_mtime_ns)
+            )
+    entries.sort()
+    return hashlib.sha256(repr(entries).encode()).hexdigest()
+
+
+def load(target_path: str) -> Digest | None:
+    """The table's digest, or ``None`` when absent, disabled, unreadable,
+    or STALE (fingerprint mismatch — some writer touched the table
+    without maintaining the sidecar). Driver-side pyarrow read: no
+    Spark job."""
+    if not enabled():
+        return None
+    p = os.path.join(target_path, SIDE_FILE)
+    if not os.path.exists(p):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(p)
+        md = t.schema.metadata or {}
+        fp = md.get(_FP_KEY)
+        if fp is None or fp.decode() != table_fingerprint(target_path):
+            return None
+        mbs = t.column("mb").to_pylist()
+        cs = t.column("c").to_pylist()
+        xs = t.column("x").to_pylist()
+        ys = t.column("y").to_pylist()
+        return {mb: (c, x, y) for mb, c, x, y in zip(mbs, cs, xs, ys)}
+    except Exception:
+        return None
+
+
+def save(target_path: str, digest: Digest | None) -> None:
+    """Persist ``digest`` fingerprinted against the table's CURRENT
+    listing — call strictly after the table publish (and after any
+    follow-up like auto-compaction), so the fingerprint binds the
+    digest to exactly the files it summarizes. Never raises."""
+    if digest is None or not enabled():
+        return
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fp = table_fingerprint(target_path)
+        mbs = sorted(digest)
+        t = pa.table(
+            {
+                "mb": pa.array(mbs, pa.int32()),
+                "c": pa.array([digest[m][0] for m in mbs], pa.int64()),
+                "x": pa.array([digest[m][1] for m in mbs], pa.int64()),
+                "y": pa.array([digest[m][2] for m in mbs], pa.int64()),
+            }
+        )
+        t = t.replace_schema_metadata({_FP_KEY: fp.encode()})
+        tmp = os.path.join(target_path, _TMP)
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(target_path, SIDE_FILE))
+    except Exception as e:  # a published merge must not fail on cache upkeep
+        warnings.warn(f"digest sidecar save skipped for {target_path!r}: {e}")
+
+
+def apply_delta(
+    digest: Digest, delta_rows: list[tuple[int, int, int, int]]
+) -> Digest | None:
+    """New digest = old digest ⊕ the merge's classified changes
+    (``(mb, count_delta, xfold_delta, yfold_delta)`` rows from
+    ``cdc.collect_digest_delta``). XOR on Python ints matches int64
+    bitwise XOR for in-range values (sign-extension commutes with XOR),
+    so folds stay in the same domain Spark's ``bit_xor`` produces.
+    Returns ``None`` on any inconsistency — the caller must then skip
+    the save and let the next merge rebuild from a scan."""
+    new = dict(digest)
+    for mb, dc, dx, dy in delta_rows:
+        c, x, y = new.get(mb, (0, 0, 0))
+        c += dc
+        x ^= dx
+        y ^= dy
+        if c < 0:
+            return None
+        if c == 0:
+            if x or y:
+                return None
+            new.pop(mb, None)
+        else:
+            new[mb] = (c, x, y)
+    return new

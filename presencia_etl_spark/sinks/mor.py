@@ -55,6 +55,7 @@ from pyspark.sql.types import StructType
 
 from presencia_etl_spark.functions.pushdown import in_list
 from presencia_etl_spark.operators import cdc
+from presencia_etl_spark.sinks import digest_store
 from presencia_etl_spark.sinks.locking import single_writer
 from presencia_etl_spark.sinks.writers import (
     AUDIT_COLS,
@@ -437,17 +438,31 @@ def merge_upsert_mor(
     # _kb= dir, nested moduli).
     s_narrow = keyed.select(*key_cols, cdc.KEY_COL, BUCKET_COL, "row_hash")
     dirty_mb, clean_skip = (None, 0)
+    tgt_dig = None
+    side_loaded = False
     if digest_prune:
         # Persisted across digest + classify so the source hash/normalize
         # runs once whatever the prune decides — small states only (see
         # writers.DIGEST_PERSIST_MAX_BYTES; the walk covers base+deltas).
         if writers_should_persist_narrow(target_path):
             s_narrow = s_narrow.persist()
-        dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
-            s_narrow.select(cdc.KEY_COL, "row_hash"), base_kh
+        # The target side of the compare comes from the persisted sidecar
+        # when its fingerprint matches the table (base + deltas + meta)
+        # listing — then the LIVE (base ∪ delta-latest) view is never
+        # scanned at all; otherwise one narrow scan computes it and the
+        # merge saves a fresh sidecar after the delta commits.
+        side_dig = digest_store.load(target_path)
+        side_loaded = side_dig is not None
+        dcmp = cdc.digest_compare(
+            s_narrow.select(cdc.KEY_COL, "row_hash"),
+            None if side_loaded else base_kh,
+            tgt_digest=side_dig,
         )
+        dirty_mb, clean_skip, tgt_dig = dcmp.dirty, dcmp.clean_src, dcmp.tgt_digest
     if dirty_mb is not None and not dirty_mb:
         s_narrow.unpersist()
+        if not side_loaded:
+            digest_store.save(target_path, tgt_dig)
         return {
             "insert": 0, "update": 0, "skip": clean_skip, "delete": 0,
             "delta_files": 0, "compacted": False,
@@ -487,14 +502,16 @@ def merge_upsert_mor(
         .when(F.col("row_hash") != F.col("_tgt_hash"), F.lit(cdc.UPDATE))
         .otherwise(F.lit(cdc.SKIP))
     )
+    dg_cols = cdc.digest_delta_cols() if tgt_dig is not None else []
     ops = (
         joined.withColumn(cdc.OP_COL, op)
-        .select(*key_cols, cdc.KEY_COL, BUCKET_COL, cdc.OP_COL, "row_hash")
+        .select(*key_cols, cdc.KEY_COL, BUCKET_COL, cdc.OP_COL, "row_hash", *dg_cols)
         .cache()
     )
     src_dirty = None
     upd_keys = None
     missing = None
+    new_dig = None
     try:
         # ONE bounded collect (≤ 3·num_buckets rows) yields op counts AND
         # the per-op dirty buckets while materializing the classify cache.
@@ -518,7 +535,9 @@ def merge_upsert_mor(
             # CURRENT key view (tombstone-latest keys already excluded),
             # so replays converge: once tombstoned, a key isn't live and
             # can't go "missing" again.
-            missing = base_kh.select(cdc.KEY_COL).join(
+            # _tgt_hash rides along: the sidecar delta must xor OUT each
+            # deleted key's old (key, hash) fold.
+            missing = base_kh.select(cdc.KEY_COL, "_tgt_hash").join(
                 src_key_set.distinct(), cdc.KEY_COL, "left_anti"
             ).cache()
             n_delete = missing.count()
@@ -538,6 +557,8 @@ def merge_upsert_mor(
         if n_insert == 0 and n_update == 0 and n_delete == 0:
             # Idempotent replay / no-op: NOTHING is written — not even an
             # empty delta dir (which would still cost a file open per scan).
+            if tgt_dig is not None and not side_loaded:
+                digest_store.save(target_path, tgt_dig)
             return {
                 "insert": 0,
                 "update": 0,
@@ -546,6 +567,18 @@ def merge_upsert_mor(
                 "delta_files": 0,
                 "compacted": False,
             }
+
+        # The merge WILL commit a delta: fold the classified changes
+        # (and snapshot-diff deletes) into the digest now, off the hot
+        # caches; the save happens after the delta (and any auto-
+        # compaction) lands, binding digest to the final listing.
+        if tgt_dig is not None:
+            delta_rows = cdc.collect_digest_delta(ops)
+            if n_delete > 0:
+                delta_rows += cdc.collect_digest_delta(
+                    missing.select(*cdc.digest_delete_delta_cols())
+                )
+            new_dig = digest_store.apply_delta(tgt_dig, delta_rows)
 
         n_dirty = n_insert + n_update
         dirty_ops = ops.filter(F.col(cdc.OP_COL) != cdc.SKIP)
@@ -685,6 +718,10 @@ def merge_upsert_mor(
     if compact_every is not None and len(_delta_seqs(target_path)) >= compact_every:
         compact_mor(spark, target_path, keep_last=compact_keep_last)
         compacted = True
+    # After the delta (and any auto-compaction — which preserves live
+    # content) is on disk: the fingerprint binds the maintained digest
+    # to exactly this listing.
+    digest_store.save(target_path, new_dig)
     return {
         "insert": n_insert,
         "update": n_update,
@@ -1040,6 +1077,12 @@ def compact_mor(
     _gc_orphan_staging(target_path)
     _gc_orphan_compact_staging(target_path)
     _recover_empty_base(spark, target_path)
+    # Freshness-carry for the digest sidecar: compaction rearranges files
+    # but never changes live content, so a digest valid BEFORE (validated
+    # against the post-recovery listing) is re-saved against the post-
+    # compaction listing at the end — routine compaction between syncs
+    # then doesn't force the next merge back onto the scan path.
+    carry_dig = digest_store.load(target_path)
     deltas = _read_deltas(spark, target_path)
     if deltas is None:
         return {"buckets_rewritten": 0, "deltas_folded": 0,
@@ -1193,5 +1236,6 @@ def compact_mor(
             os.path.join(target_path, DELTA_DIR, f"{SEQ_COL}={s}"),
             ignore_errors=True,
         )
+    digest_store.save(target_path, carry_dig)
     return {"buckets_rewritten": len(dirty), "deltas_folded": len(seqs),
             "keep_last_effective": keep_last}

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from presencia_etl_spark.functions.partitioning import parallelize_scan
+from presencia_etl_spark.sinks import digest_store
 from presencia_etl_spark.sinks.locking import single_writer
 from presencia_etl_spark.functions.pushdown import in_list
 from presencia_etl_spark.operators import cdc
@@ -994,6 +995,8 @@ def merge_upsert_partitioned(
     # O(changes × rows/16K) instead of shuffling both full sides.
     s_narrow = keyed.select(*key_cols, cdc.KEY_COL, BUCKET_COL, "row_hash")
     dirty_mb, clean_skip = (None, 0)
+    tgt_dig = None
+    side_loaded = False
     if digest_prune and not (drifted or key_migration):
         # Under drift / key backfill every bucket rewrites regardless and
         # stored hashes cover a different column set — the digest pass
@@ -1008,11 +1011,18 @@ def merge_upsert_partitioned(
         # and the store is cheap (see DIGEST_PERSIST_MAX_BYTES).
         if _should_persist_narrow(target_path):
             s_narrow = s_narrow.persist()
-        dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
-            s_narrow.select(cdc.KEY_COL, "row_hash"), t
+        side_dig = digest_store.load(target_path)
+        side_loaded = side_dig is not None
+        dcmp = cdc.digest_compare(
+            s_narrow.select(cdc.KEY_COL, "row_hash"),
+            None if side_loaded else t,
+            tgt_digest=side_dig,
         )
+        dirty_mb, clean_skip, tgt_dig = dcmp.dirty, dcmp.clean_src, dcmp.tgt_digest
     if dirty_mb is not None and not dirty_mb:
         s_narrow.unpersist()
+        if not side_loaded:
+            digest_store.save(target_path, tgt_dig)
         return {
             "insert": 0, "update": 0, "skip": clean_skip,
             "buckets_rewritten": 0,
@@ -1045,9 +1055,10 @@ def merge_upsert_partitioned(
         .when(F.col("row_hash") != F.col("_tgt_hash"), F.lit(cdc.UPDATE))
         .otherwise(F.lit(cdc.SKIP))
     )
+    dg_cols = cdc.digest_delta_cols() if tgt_dig is not None else []
     ops = (
         joined.withColumn(cdc.OP_COL, op)
-        .select(*key_cols, cdc.KEY_COL, BUCKET_COL, cdc.OP_COL, "row_hash")
+        .select(*key_cols, cdc.KEY_COL, BUCKET_COL, cdc.OP_COL, "row_hash", *dg_cols)
         .cache()
     )
     # ONE bounded collect (≤ 3·num_buckets rows) yields the op counts AND
@@ -1070,7 +1081,14 @@ def merge_upsert_partitioned(
     n_skip = counts.get(cdc.SKIP, 0) + clean_skip
     if n_insert == 0 and n_update == 0:
         ops.unpersist()
+        if tgt_dig is not None and not side_loaded:
+            digest_store.save(target_path, tgt_dig)
         return {"insert": 0, "update": 0, "skip": n_skip, "buckets_rewritten": 0}
+    new_dig = None
+    if tgt_dig is not None:
+        new_dig = digest_store.apply_delta(
+            tgt_dig, cdc.collect_digest_delta(ops)
+        )
 
     dirty = sorted(
         {r[BUCKET_COL] for r in op_buckets if r[cdc.OP_COL] != cdc.SKIP}
@@ -1162,6 +1180,7 @@ def merge_upsert_partitioned(
         # recovery owns the cleanup then.
         if not _staged_is_journaled(target_path, staged):
             shutil.rmtree(staged, ignore_errors=True)
+    digest_store.save(target_path, new_dig)
     return {
         "insert": n_insert,
         "update": n_update,
@@ -1245,18 +1264,32 @@ def merge_upsert_parquet(
     # merge returns before any classify join; a sparse one joins only
     # the dirty micro-buckets' rows. Skipped under drift/key backfill
     # (stored hashes cover a different column set — nothing to learn).
+    # The target side comes from the persisted sidecar when its
+    # fingerprint matches the table's listing (sinks/digest_store.py) —
+    # then the compare does ZERO target-side I/O; otherwise one narrow
+    # scan computes it, and the merge saves a fresh sidecar after
+    # publishing so the NEXT sync skips the scan.
     dirty_mb, clean_skip = (None, 0)
+    tgt_dig = None
+    side_loaded = False
     if digest_prune and not (drifted or key_migration):
         # Persisted across digest + classify so the source hash/normalize
         # runs once whatever the prune decides — small states only (see
         # DIGEST_PERSIST_MAX_BYTES on the bucketed variant).
         if _should_persist_narrow(target_path):
             narrow = narrow.persist()
-        dirty_mb, clean_skip = cdc.digest_dirty_micro_buckets(
-            narrow.select(cdc.KEY_COL, "row_hash"), t_kh
+        side_dig = digest_store.load(target_path)
+        side_loaded = side_dig is not None
+        dcmp = cdc.digest_compare(
+            narrow.select(cdc.KEY_COL, "row_hash"),
+            None if side_loaded else t_kh,
+            tgt_digest=side_dig,
         )
+        dirty_mb, clean_skip, tgt_dig = dcmp.dirty, dcmp.clean_src, dcmp.tgt_digest
     if dirty_mb is not None and not dirty_mb:
         narrow.unpersist()
+        if not side_loaded:
+            digest_store.save(target_path, tgt_dig)
         return {"insert": 0, "update": 0, "skip": clean_skip}
     n_cls = narrow
     if dirty_mb is not None:
@@ -1274,9 +1307,14 @@ def merge_upsert_parquet(
         .when(F.col("row_hash") != F.col("_tgt_hash"), F.lit(cdc.UPDATE))
         .otherwise(F.lit(cdc.SKIP))
     )
+    # Sidecar maintenance needs each row's digest-delta fold, which
+    # reads the OLD target hash — project it into the classify cache
+    # while ``_tgt_hash`` is still bound (three 8-byte columns; clean
+    # micro-buckets never reached the join and contribute zero delta).
+    dg_cols = cdc.digest_delta_cols() if tgt_dig is not None else []
     ops = (
         joined.withColumn(cdc.OP_COL, op)
-        .select(*key_cols, cdc.KEY_COL, cdc.OP_COL, "row_hash")
+        .select(*key_cols, cdc.KEY_COL, cdc.OP_COL, "row_hash", *dg_cols)
         .cache()
     )
     try:
@@ -1290,8 +1328,22 @@ def merge_upsert_parquet(
 
     if n_insert == 0 and n_update == 0:
         # No-change pass (the idempotency invariant): nothing to write.
+        # (Digest-dirty buckets with zero changes = source-missing keys;
+        # the flat merge never deletes, so the state — and its digest —
+        # is untouched.)
         ops.unpersist()
+        if tgt_dig is not None and not side_loaded:
+            digest_store.save(target_path, tgt_dig)
         return {"insert": 0, "update": 0, "skip": n_skip}
+
+    # The merge WILL publish: fold the classified changes into the
+    # digest now (one bounded job off the hot cache), save after the
+    # table write lands so the fingerprint binds digest to files.
+    new_dig = None
+    if tgt_dig is not None:
+        new_dig = digest_store.apply_delta(
+            tgt_dig, cdc.collect_digest_delta(ops)
+        )
 
     if n_update == 0 and not drifted and not key_migration:
         # Insert-only pass — the common incremental shape. Pure append:
@@ -1317,6 +1369,7 @@ def merge_upsert_parquet(
             ).write.mode("append").parquet(target_path)
         finally:
             ops.unpersist()
+        digest_store.save(target_path, new_dig)
         return {"insert": n_insert, "update": 0, "skip": n_skip}
 
     # Updates present → staged rewrite: unchanged ∪ updated ∪ inserted.
@@ -1385,6 +1438,7 @@ def merge_upsert_parquet(
             target_path.rstrip("/") + REBUCKET_JOURNAL_SUFFIX
         ):
             shutil.rmtree(staged, ignore_errors=True)
+    digest_store.save(target_path, new_dig)
     return {
         "insert": n_insert,
         "update": n_update,

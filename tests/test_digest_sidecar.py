@@ -1,0 +1,246 @@
+"""Persisted digest sidecars (sinks/digest_store.py): the sidecar may
+only ever make a merge FASTER — every path that could make it wrong must
+fail closed to the scan. Core guarantee: the incrementally-maintained
+sidecar is bit-identical to a digest recomputed from the live state, after
+any sequence of merges (all three families, inserts/updates/deletes)."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.functions.hashing import with_row_hash
+from presencia_etl_spark.operators import cdc
+from presencia_etl_spark.sinks import digest_store, mor
+from presencia_etl_spark.sinks.writers import (
+    merge_upsert_parquet,
+    merge_upsert_partitioned,
+)
+
+
+def _docs(spark, n=400, salt="0", drop_mod=None, extra_mod=None):
+    df = spark.range(n).select(
+        F.col("id"),
+        F.col("id").cast("string").alias("K"),
+        F.concat(F.lit(salt), (F.col("id") % 13).cast("string")).alias("V"),
+    )
+    if extra_mod:
+        df = df.withColumn(
+            "V",
+            F.when(
+                F.col("id") % extra_mod == 0, F.concat(F.col("V"), F.lit("x"))
+            ).otherwise(F.col("V")),
+        )
+    if drop_mod:
+        df = df.filter(F.col("id") % drop_mod != 0)
+    return df.select("K", "V")
+
+
+def _scan_digest(df):
+    """Digest recomputed from a live frame that already carries
+    _cdc_key + row_hash (what every merge target persists)."""
+    rows = cdc._digest(
+        df.select(cdc.KEY_COL, "row_hash"),
+        "row_hash",
+        cdc.DIGEST_MICRO_BUCKETS,
+        "s",
+    ).collect()
+    return {r[cdc.MB_COL]: (r["_cs"], r["_xs"], r["_ys"]) for r in rows}
+
+
+class TestApplyDelta:
+    def test_insert_update_delete_algebra(self):
+        dig = {1: (2, 10, 20)}
+        # insert into a new bucket, update in-place, then delete it back out
+        d1 = digest_store.apply_delta(dig, [(2, 1, 7, 9)])
+        assert d1 == {1: (2, 10, 20), 2: (1, 7, 9)}
+        d2 = digest_store.apply_delta(d1, [(2, 0, 7 ^ 5, 9 ^ 3)])  # update
+        assert d2 == {1: (2, 10, 20), 2: (1, 5, 3)}
+        d3 = digest_store.apply_delta(d2, [(2, -1, 5, 3)])  # delete
+        assert d3 == {1: (2, 10, 20)}
+
+    def test_zero_count_with_nonzero_fold_rejected(self):
+        assert digest_store.apply_delta({1: (1, 5, 3)}, [(1, -1, 4, 3)]) is None
+
+    def test_negative_count_rejected(self):
+        assert digest_store.apply_delta({}, [(1, -1, 5, 3)]) is None
+
+    def test_input_not_mutated(self):
+        dig = {1: (1, 5, 3)}
+        digest_store.apply_delta(dig, [(1, 1, 9, 9)])
+        assert dig == {1: (1, 5, 3)}
+
+
+class TestFingerprint:
+    def test_sensitive_to_content_and_layout(self, tmp_path):
+        t = tmp_path / "tbl"
+        (t / "sub").mkdir(parents=True)
+        (t / "a.parquet").write_bytes(b"aaaa")
+        (t / "sub" / "b.parquet").write_bytes(b"bb")
+        fp0 = digest_store.table_fingerprint(str(t))
+        assert fp0 == digest_store.table_fingerprint(str(t))  # stable
+        (t / "c.parquet").write_bytes(b"c")  # add
+        fp1 = digest_store.table_fingerprint(str(t))
+        assert fp1 != fp0
+        os.remove(t / "c.parquet")  # remove → back to the original listing?
+        # mtime_ns of survivors unchanged, so yes:
+        assert digest_store.table_fingerprint(str(t)) == fp0
+        # rewrite-in-place (same size, new mtime) must still invalidate
+        os.utime(t / "a.parquet", ns=(1, 2))
+        assert digest_store.table_fingerprint(str(t)) != fp0
+
+    def test_sidecar_and_tmp_excluded(self, tmp_path):
+        t = tmp_path / "tbl"
+        t.mkdir()
+        (t / "a.parquet").write_bytes(b"aaaa")
+        fp0 = digest_store.table_fingerprint(str(t))
+        (t / digest_store.SIDE_FILE).write_bytes(b"side")
+        (t / digest_store._TMP).write_bytes(b"tmp")
+        assert digest_store.table_fingerprint(str(t)) == fp0
+
+    def test_save_load_roundtrip_and_staleness(self, tmp_path):
+        t = tmp_path / "tbl"
+        t.mkdir()
+        (t / "a.parquet").write_bytes(b"aaaa")
+        dig = {0: (3, -17, 9), 16383: (1, 2**62, -(2**62))}
+        digest_store.save(str(t), dig)
+        assert digest_store.load(str(t)) == dig
+        (t / "b.parquet").write_bytes(b"b")  # external writer touches table
+        assert digest_store.load(str(t)) is None
+
+    def test_disabled_via_env(self, tmp_path, monkeypatch):
+        t = tmp_path / "tbl"
+        t.mkdir()
+        monkeypatch.setenv("SPARK_GRAFT_DIGEST_SIDECAR", "0")
+        digest_store.save(str(t), {1: (1, 2, 3)})
+        assert not os.path.exists(t / digest_store.SIDE_FILE)
+        monkeypatch.delenv("SPARK_GRAFT_DIGEST_SIDECAR")
+        digest_store.save(str(t), {1: (1, 2, 3)})
+        monkeypatch.setenv("SPARK_GRAFT_DIGEST_SIDECAR", "0")
+        assert digest_store.load(str(t)) is None
+
+
+class TestMaintainedEqualsScan:
+    """After EVERY merge in a randomized sequence, a present-and-valid
+    sidecar must equal the digest recomputed from the live state."""
+
+    def _check(self, spark, path, live_df):
+        side = digest_store.load(str(path))
+        assert side is not None, "sidecar missing/stale after a digest merge"
+        assert side == _scan_digest(live_df)
+
+    @pytest.mark.parametrize("seed", [11, 23])
+    def test_flat_sequence(self, spark, tmp_path, seed):
+        rng = random.Random(seed)
+        t = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, _docs(spark, 300), t, ["K"])
+        for i in range(4):
+            src = _docs(
+                spark,
+                n=rng.choice([280, 300, 330]),
+                salt=rng.choice(["0", "1"]),
+                extra_mod=rng.choice([None, 7, 50]),
+            )
+            merge_upsert_parquet(spark, src, t, ["K"])
+            self._check(spark, t, spark.read.parquet(t))
+
+    def test_bucketed_sequence(self, spark, tmp_path):
+        t = str(tmp_path / "buck")
+        merge_upsert_partitioned(spark, _docs(spark, 300), t, ["K"], num_buckets=8)
+        for salt, extra in [("0", 50), ("0", 7), ("1", None)]:
+            merge_upsert_partitioned(
+                spark, _docs(spark, 320, salt=salt, extra_mod=extra), t,
+                ["K"], num_buckets=8,
+            )
+            self._check(spark, t, spark.read.parquet(t))
+
+    def test_mor_sequence_with_deletes_and_compaction(self, spark, tmp_path):
+        t = str(tmp_path / "mor")
+        mor.merge_upsert_mor(
+            spark, _docs(spark, 300), t, ["K"], num_buckets=8, compact_every=None
+        )
+        for drop, extra in [(50, 7), (50, None), (None, 13)]:
+            mor.merge_upsert_mor(
+                spark, _docs(spark, 300, drop_mod=drop, extra_mod=extra), t,
+                ["K"], num_buckets=8, compact_every=None, delete_missing=True,
+            )
+            self._check(spark, t, mor.read_mor(spark, t))
+        side_before = digest_store.load(t)
+        mor.compact_mor(spark, t)
+        # Freshness-carry: compaction rearranges files, content unchanged.
+        assert digest_store.load(t) == side_before
+        self._check(spark, t, mor.read_mor(spark, t))
+
+    def test_declined_dense_merge_still_seeds_sidecar(self, spark, tmp_path):
+        t = str(tmp_path / "dense")
+        merge_upsert_parquet(spark, _docs(spark, 300), t, ["K"])
+        # every row mutated → decline (no pruning), but the digest was
+        # computed, so the merge still maintains + saves the sidecar
+        merge_upsert_parquet(spark, _docs(spark, 300, salt="9"), t, ["K"])
+        self._check(spark, t, spark.read.parquet(t))
+
+
+class TestFailClosed:
+    def test_external_writer_staleness_falls_back_and_recovers(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, _docs(spark, 200), t, ["K"])
+        merge_upsert_parquet(spark, _docs(spark, 200), t, ["K"])  # seeds sidecar
+        assert digest_store.load(t) is not None
+        # a digest-unaware writer (streaming micro-batch shape) touches it
+        merge_upsert_parquet(
+            spark, _docs(spark, 220, extra_mod=7), t, ["K"], digest_prune=False
+        )
+        assert digest_store.load(t) is None  # stale, not trusted
+        r = merge_upsert_parquet(spark, _docs(spark, 220, extra_mod=7), t, ["K"])
+        assert r == {"insert": 0, "update": 0, "skip": 220}
+        # the scan-path no-change pass re-seeded it
+        assert digest_store.load(t) == _scan_digest(spark.read.parquet(t))
+
+    def test_save_failure_never_fails_merge(self, spark, tmp_path, monkeypatch):
+        t = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, _docs(spark, 200), t, ["K"])
+
+        def boom(path):
+            raise OSError("disk on fire")
+
+        monkeypatch.setattr(digest_store, "table_fingerprint", boom)
+        with pytest.warns(UserWarning, match="sidecar save skipped"):
+            r = merge_upsert_parquet(
+                spark, _docs(spark, 200, extra_mod=50), t, ["K"]
+            )
+        assert r["update"] > 0
+        monkeypatch.undo()
+        assert digest_store.load(t) is None  # nothing stale got trusted
+        # next merge scans, answers correctly, and re-seeds
+        r = merge_upsert_parquet(spark, _docs(spark, 200, extra_mod=50), t, ["K"])
+        assert r == {"insert": 0, "update": 0, "skip": 200}
+        assert digest_store.load(t) == _scan_digest(spark.read.parquet(t))
+
+    def test_corrupt_sidecar_ignored(self, spark, tmp_path):
+        t = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, _docs(spark, 200), t, ["K"])
+        with open(os.path.join(t, digest_store.SIDE_FILE), "wb") as f:
+            f.write(b"not parquet at all")
+        assert digest_store.load(t) is None
+        r = merge_upsert_parquet(spark, _docs(spark, 200), t, ["K"])
+        assert r == {"insert": 0, "update": 0, "skip": 200}
+
+
+class TestCompareWithSidecar:
+    def test_digest_compare_against_dict_matches_scan_compare(self, spark):
+        a = _docs(spark, 300)
+        kh = with_row_hash(cdc.with_cdc_key(a, ["K"]), ["K", "V"])
+        s = kh.select(cdc.KEY_COL, "row_hash")
+        b = _docs(spark, 300, extra_mod=50)
+        khb = with_row_hash(cdc.with_cdc_key(b, ["K"]), ["K", "V"])
+        tgt = khb.select(cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash"))
+        via_scan = cdc.digest_compare(s, tgt)
+        via_dict = cdc.digest_compare(s, None, tgt_digest=_scan_digest(khb))
+        assert via_dict.dirty == via_scan.dirty
+        assert via_dict.clean_src == via_scan.clean_src
+        assert via_dict.tgt_digest == via_scan.tgt_digest
