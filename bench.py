@@ -651,16 +651,18 @@ def _synth_state(spark, n: int):
     )
 
 
-def _sparse_mutation(df):
+def _sparse_mutation(df, step: int = 1):
     """The v3==0 selector (1-in-100K density) used at BOTH decades, so
-    changed-key density is held constant across the ladder."""
+    changed-key density is held constant across the ladder; ``step``
+    varies the appended suffix so constant-work reps hit the SAME keys
+    with a fresh value each pass."""
     from pyspark.sql import functions as F
 
     return df.withColumn(
         "v1",
-        F.when(F.col("v3") == 0, F.concat(F.col("v1"), F.lit("x"))).otherwise(
-            F.col("v1")
-        ),
+        F.when(
+            F.col("v3") == 0, F.concat(F.col("v1"), F.lit("x" * step))
+        ).otherwise(F.col("v1")),
     )
 
 
@@ -940,11 +942,17 @@ def _scale100_child(base_rate: int, work: str) -> dict:
         # ~600 scattered changes in 60M rows (same v3==0 selector as the
         # 6M point, so changed-key density is held constant across
         # decades): the merge must stay O(changes) + dirty buckets.
-        sparse = _sparse_mutation(df)
-        t0 = time.perf_counter()
-        r = merge_upsert_mor(spark, sparse, target, ["k"], num_buckets=256,
-                             compact_every=None)
-        out["sparse_mor_sec"] = round(time.perf_counter() - t0, 3)
+        # Median-of-3 with CONSTANT work (same selector, longer suffix
+        # per rep — the scale10 pattern): rep 1 pays the digest scan and
+        # seeds the sidecar, reps 2-3 measure the steady-state sync a
+        # real loop runs.
+        spm_secs = []
+        for step in (1, 2, 3):
+            t0 = time.perf_counter()
+            r = merge_upsert_mor(spark, _sparse_mutation(df, step), target,
+                                 ["k"], num_buckets=256, compact_every=None)
+            spm_secs.append(time.perf_counter() - t0)
+        out["sparse_mor_sec"] = round(sorted(spm_secs)[1], 3)
         out["sparse_mor_updates"] = int(r["update"])
 
         # Compaction folds that one delta back: listing-pruned — only the
