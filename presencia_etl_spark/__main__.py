@@ -280,7 +280,35 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "diff":
         from presencia_etl_spark.operators.cdc import KEY_COL, diff_states
+        from presencia_etl_spark.sinks import digest_store
         from presencia_etl_spark.sql import read_state
+
+        # Digest fast path: when BOTH states carry a valid sidecar, the
+        # per-micro-bucket digests (folded over the persisted _cdc_key +
+        # data-only row_hash, so independently-written replicas of the
+        # same data agree) answer "identical?" from two file-metadata
+        # walks plus two 16K-row local reads — ZERO Spark jobs for the
+        # replication-verify green path, and on mismatch the differing
+        # micro-buckets feed diff_states directly, skipping its scans'
+        # digest pass. Only for the default _cdc_key identity — custom
+        # --key columns may not match the sidecars' fold.
+        digest_proven = False
+        known_dirty = None
+        if not args.key:
+            dl = digest_store.load(args.left)
+            dr = digest_store.load(args.right)
+            if dl is not None and dr is not None:
+                if dl == dr:
+                    out = {"identical": True, "counts": {}, "sample": {},
+                           "digest_proven": True}
+                    print(json.dumps({"cmd": "diff", "result": out}, default=str))
+                    return 0
+                known_dirty = sorted(
+                    mb
+                    for mb in set(dl) | set(dr)
+                    if dl.get(mb) != dr.get(mb)
+                )
+                digest_proven = True
 
         left = read_state(spark, args.left)
         right = read_state(spark, args.right)
@@ -292,7 +320,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"{side} state lacks key column(s) {missing}; pass "
                     "--key for states not written by the merge sinks"
                 )
-        d = diff_states(left, right, keys).cache()
+        d = diff_states(left, right, keys, dirty_mb=known_dirty).cache()
         try:
             counts = {
                 r["diff"]: r["cnt"]
@@ -311,7 +339,8 @@ def main(argv: list[str] | None = None) -> int:
             }
         finally:
             d.unpersist()
-        out = {"identical": not counts, "counts": counts, "sample": sample}
+        out = {"identical": not counts, "counts": counts, "sample": sample,
+               "digest_proven": digest_proven}
         print(json.dumps({"cmd": "diff", "result": out}, default=str))
         return 0
 

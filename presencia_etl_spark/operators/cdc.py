@@ -318,6 +318,7 @@ def diff_states(
     key_cols: list[str],
     hash_cols: list[str] | None = None,
     digest_prune: bool = True,
+    dirty_mb: list[int] | None = None,
 ) -> DataFrame:
     """Row-level diff of two keyed states (the reference's compare
     scripts — ``compare_noviembre_2025.py`` — as one scale-correct
@@ -370,7 +371,17 @@ def diff_states(
         )
 
     ak, bk = _kh(a), _kh(b)
-    if digest_prune:
+    if dirty_mb is not None:
+        # The caller already knows the differing micro-buckets (e.g. from
+        # the two tables' persisted digest sidecars — zero scans spent
+        # learning them); skip the digest pass and filter directly.
+        ak = ak.withColumn("_mb", micro_bucket()).filter(
+            _in_mb(dirty_mb)
+        ).drop("_mb")
+        bk = bk.withColumn("_mb", micro_bucket()).filter(
+            _in_mb(dirty_mb)
+        ).drop("_mb")
+    elif digest_prune:
         dirty, _clean = digest_dirty_micro_buckets(
             ak.select(KEY_COL, "row_hash"),
             bk.select(KEY_COL, F.col("row_hash").alias("_tgt_hash")),

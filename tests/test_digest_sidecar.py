@@ -231,7 +231,84 @@ class TestFailClosed:
         assert r == {"insert": 0, "update": 0, "skip": 200}
 
 
+class TestDiffCliFastPath:
+    def _seed(self, spark, path, df):
+        """Two merges: the initial load, then a no-change pass whose scan
+        fallback writes the sidecar."""
+        merge_upsert_parquet(spark, df, path, ["K"])
+        merge_upsert_parquet(spark, df, path, ["K"])
+        assert digest_store.load(path) is not None
+
+    def test_identical_replicas_proven_without_spark_jobs(
+        self, spark, tmp_path, capsys
+    ):
+        import json as _json
+
+        from presencia_etl_spark.__main__ import main
+
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        # independently WRITTEN replicas: audit ids/timestamps differ, but
+        # the digests fold only (_cdc_key, data-only row_hash)
+        self._seed(spark, left, _docs(spark, 150))
+        self._seed(spark, right, _docs(spark, 150))
+        tracker = spark.sparkContext.statusTracker()
+        j0 = max(tracker.getJobIdsForGroup() or [0])
+        assert main(["diff", "--left", left, "--right", right]) == 0
+        j1 = max(tracker.getJobIdsForGroup() or [0])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"] == {
+            "identical": True, "counts": {}, "sample": {},
+            "digest_proven": True,
+        }
+        assert j1 == j0, "digest-proven identical diff must run ZERO Spark jobs"
+
+    def test_mismatch_prunes_via_sidecars(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from presencia_etl_spark.__main__ import main
+
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        self._seed(spark, left, _docs(spark, 150))
+        self._seed(spark, right, _docs(spark, 151, extra_mod=40))
+        assert main(["diff", "--left", left, "--right", right]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        r = out["result"]
+        assert r["digest_proven"] is True
+        assert r["identical"] is False
+        assert r["counts"]["only_right"] == 1
+        assert r["counts"]["differs"] == 4  # ids 0,40,80,120 of 150
+        assert "only_left" not in r["counts"]
+
+    def test_custom_keys_skip_fast_path(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from presencia_etl_spark.__main__ import main
+
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        self._seed(spark, left, _docs(spark, 100))
+        self._seed(spark, right, _docs(spark, 100))
+        assert main(["diff", "--left", left, "--right", right, "--key", "K"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["identical"] is True
+        assert out["result"]["digest_proven"] is False
+
+
 class TestCompareWithSidecar:
+    def test_diff_states_with_known_dirty_matches_full(self, spark):
+        a = _docs(spark, 200)
+        b = _docs(spark, 202, extra_mod=30)
+        full = sorted(
+            map(tuple, cdc.diff_states(a, b, ["K"], digest_prune=False).collect())
+        )
+        kh_a = with_row_hash(cdc.with_cdc_key(a, ["K"]), ["K", "V"])
+        kh_b = with_row_hash(cdc.with_cdc_key(b, ["K"]), ["K", "V"])
+        da, db = _scan_digest(kh_a), _scan_digest(kh_b)
+        dirty = sorted(mb for mb in set(da) | set(db) if da.get(mb) != db.get(mb))
+        pruned = sorted(
+            map(tuple, cdc.diff_states(a, b, ["K"], dirty_mb=dirty).collect())
+        )
+        assert pruned == full
+
     def test_digest_compare_against_dict_matches_scan_compare(self, spark):
         a = _docs(spark, 300)
         kh = with_row_hash(cdc.with_cdc_key(a, ["K"]), ["K", "V"])
