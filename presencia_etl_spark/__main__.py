@@ -293,6 +293,7 @@ def main(argv: list[str] | None = None) -> int:
         # digest pass. Only for the default _cdc_key identity — custom
         # --key columns may not match the sidecars' fold.
         digest_proven = False
+        dense_known = False
         known_dirty = None
         if not args.key:
             dl = digest_store.load(args.left)
@@ -303,12 +304,21 @@ def main(argv: list[str] | None = None) -> int:
                            "digest_proven": True}
                     print(json.dumps({"cmd": "diff", "result": out}, default=str))
                     return 0
-                known_dirty = sorted(
-                    mb
-                    for mb in set(dl) | set(dr)
-                    if dl.get(mb) != dr.get(mb)
+                occupied = set(dl) | set(dr)
+                dirty = sorted(
+                    mb for mb in occupied if dl.get(mb) != dr.get(mb)
                 )
-                digest_proven = True
+                if 2 * len(dirty) >= len(occupied):
+                    # Densely-diverged states (post-incident / far-apart
+                    # versions): the same decline rule every digest
+                    # consumer applies — per-row IN-filters over
+                    # thousands of buckets would prune almost nothing.
+                    # The sidecars still taught us the diff is dense, so
+                    # skip diff_states' own digest pass too.
+                    dense_known = True
+                else:
+                    known_dirty = dirty
+                    digest_proven = True
 
         left = read_state(spark, args.left)
         right = read_state(spark, args.right)
@@ -320,7 +330,11 @@ def main(argv: list[str] | None = None) -> int:
                     f"{side} state lacks key column(s) {missing}; pass "
                     "--key for states not written by the merge sinks"
                 )
-        d = diff_states(left, right, keys, dirty_mb=known_dirty).cache()
+        d = diff_states(
+            left, right, keys,
+            digest_prune=not dense_known,
+            dirty_mb=known_dirty,
+        ).cache()
         try:
             counts = {
                 r["diff"]: r["cnt"]

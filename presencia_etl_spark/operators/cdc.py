@@ -70,9 +70,19 @@ def micro_bucket(key_col: str = KEY_COL, micro: int | None = None):
     ).cast("int")
 
 
+def _fold_exprs(hash_col: str):
+    """THE (key, hash) fold pair — the single definition every digest
+    producer shares (scan-side aggregation, sidecar delta maintenance,
+    delete retraction). The whole maintained-equals-scan invariant rests
+    on these being bit-identical everywhere; never inline a copy."""
+    return (
+        F.xxhash64(F.col(KEY_COL), F.col(hash_col)),
+        F.xxhash64(F.col(hash_col), F.col(KEY_COL), F.lit(1)),
+    )
+
+
 def _digest(df: DataFrame, hash_col: str, micro: int, tag: str) -> DataFrame:
-    h1 = F.xxhash64(F.col(KEY_COL), F.col(hash_col))
-    h2 = F.xxhash64(F.col(hash_col), F.col(KEY_COL), F.lit(1))
+    h1, h2 = _fold_exprs(hash_col)
     return (
         df.select(
             micro_bucket(KEY_COL, micro).alias(MB_COL),
@@ -200,10 +210,8 @@ def digest_delta_cols(
     contributes (0, 0, 0), so the aggregation may run over the whole
     classify cache unfiltered. Select these on the classify frame WHILE
     the old target hash is still bound (before ``_tgt_hash`` drops)."""
-    h1n = F.xxhash64(F.col(KEY_COL), F.col(new_hash))
-    h2n = F.xxhash64(F.col(new_hash), F.col(KEY_COL), F.lit(1))
-    h1o = F.xxhash64(F.col(KEY_COL), F.col(old_hash))
-    h2o = F.xxhash64(F.col(old_hash), F.col(KEY_COL), F.lit(1))
+    h1n, h2n = _fold_exprs(new_hash)
+    h1o, h2o = _fold_exprs(old_hash)
     op = F.col(op_col)
     zero = F.lit(0).cast("long")
     return [
@@ -225,27 +233,60 @@ def digest_delete_delta_cols(
 ) -> list:
     """Delta contribution of a DELETED key (snapshot-diff tombstones):
     count −1, xor out the old (key, hash) fold."""
+    h1o, h2o = _fold_exprs(old_hash)
     return [
         micro_bucket(KEY_COL, micro).alias("_dg_mb"),
         F.lit(-1).cast("long").alias("_dg_c"),
-        F.xxhash64(F.col(KEY_COL), F.col(old_hash)).alias("_dg_x"),
-        F.xxhash64(F.col(old_hash), F.col(KEY_COL), F.lit(1)).alias("_dg_y"),
+        h1o.alias("_dg_x"),
+        h2o.alias("_dg_y"),
     ]
 
 
-def collect_digest_delta(df: DataFrame) -> list[tuple[int, int, int, int]]:
+def collect_digest_delta(
+    df: DataFrame,
+) -> list[tuple[int, int, int, int]] | None:
     """Aggregate ``digest_delta_cols`` projections per micro-bucket and
-    collect (bounded at the modulus). All-zero rows (pure-skip buckets)
-    are dropped — they are XOR/+0 identities."""
+    collect (bounded at the modulus). All-zero rows are XOR/+0
+    identities and dropped. Feed it only CHANGE-BEARING rows (op ≠
+    skip / the delete set) — ``df`` must still carry ``_cdc_key``.
+
+    Returns ``None`` when any key appears on MORE than one change row:
+    the published state keeps one live row per key (MOR's latest-wins
+    view even tie-breaks arbitrarily within a delta), so per-row folds
+    of a duplicated key cannot be reconciled with the state's per-key
+    digest — persisting them would let a later digest compare "prove"
+    a replayed duplicate-key source unchanged where the scan path
+    would reclassify it. The caller must skip sidecar maintenance and
+    leave the next merge on the (self-correcting) scan path. The dup
+    check rides the same aggregation as the fold (two-level: per
+    (micro-bucket, key), then per micro-bucket — XOR/sum reassociate
+    freely), not a second job."""
     rows = (
-        df.groupBy("_dg_mb")
+        df.groupBy("_dg_mb", KEY_COL)
         .agg(
             F.sum("_dg_c").alias("_c"),
             F.bit_xor("_dg_x").alias("_x"),
             F.bit_xor("_dg_y").alias("_y"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .groupBy("_dg_mb")
+        .agg(
+            F.sum("_c").alias("_c"),
+            F.bit_xor("_x").alias("_x"),
+            F.bit_xor("_y").alias("_y"),
+            F.max("_n").alias("_n"),
         )
         .collect()
     )
+    if any(r["_n"] > 1 for r in rows):
+        import warnings
+
+        warnings.warn(
+            "digest sidecar maintenance skipped: the source carries "
+            "duplicate keys among its change rows; the next merge will "
+            "rebuild the digest from a scan"
+        )
+        return None
     return [
         (r["_dg_mb"], r["_c"], r["_x"], r["_y"])
         for r in rows

@@ -458,7 +458,9 @@ def merge_upsert_mor(
             None if side_loaded else base_kh,
             tgt_digest=side_dig,
         )
-        dirty_mb, clean_skip, tgt_dig = dcmp.dirty, dcmp.clean_src, dcmp.tgt_digest
+        dirty_mb, clean_skip = dcmp.dirty, dcmp.clean_src
+        # Kill switch removes the maintenance cost too, not just the save.
+        tgt_dig = dcmp.tgt_digest if digest_store.enabled() else None
     if dirty_mb is not None and not dirty_mb:
         s_narrow.unpersist()
         if not side_loaded:
@@ -573,12 +575,20 @@ def merge_upsert_mor(
         # caches; the save happens after the delta (and any auto-
         # compaction) lands, binding digest to the final listing.
         if tgt_dig is not None:
-            delta_rows = cdc.collect_digest_delta(ops)
-            if n_delete > 0:
-                delta_rows += cdc.collect_digest_delta(
-                    missing.select(*cdc.digest_delete_delta_cols())
+            delta_rows = cdc.collect_digest_delta(
+                ops.filter(F.col(cdc.OP_COL) != cdc.SKIP)
+            )
+            if delta_rows is not None and n_delete > 0:
+                d_del = cdc.collect_digest_delta(
+                    missing.select(
+                        cdc.KEY_COL, *cdc.digest_delete_delta_cols()
+                    )
                 )
-            new_dig = digest_store.apply_delta(tgt_dig, delta_rows)
+                delta_rows = (
+                    delta_rows + d_del if d_del is not None else None
+                )
+            if delta_rows is not None:
+                new_dig = digest_store.apply_delta(tgt_dig, delta_rows)
 
         n_dirty = n_insert + n_update
         dirty_ops = ops.filter(F.col(cdc.OP_COL) != cdc.SKIP)

@@ -1018,7 +1018,9 @@ def merge_upsert_partitioned(
             None if side_loaded else t,
             tgt_digest=side_dig,
         )
-        dirty_mb, clean_skip, tgt_dig = dcmp.dirty, dcmp.clean_src, dcmp.tgt_digest
+        dirty_mb, clean_skip = dcmp.dirty, dcmp.clean_src
+        # Kill switch removes the maintenance cost too, not just the save.
+        tgt_dig = dcmp.tgt_digest if digest_store.enabled() else None
     if dirty_mb is not None and not dirty_mb:
         s_narrow.unpersist()
         if not side_loaded:
@@ -1086,9 +1088,11 @@ def merge_upsert_partitioned(
         return {"insert": 0, "update": 0, "skip": n_skip, "buckets_rewritten": 0}
     new_dig = None
     if tgt_dig is not None:
-        new_dig = digest_store.apply_delta(
-            tgt_dig, cdc.collect_digest_delta(ops)
+        delta = cdc.collect_digest_delta(
+            ops.filter(F.col(cdc.OP_COL) != cdc.SKIP)
         )
+        if delta is not None:
+            new_dig = digest_store.apply_delta(tgt_dig, delta)
 
     dirty = sorted(
         {r[BUCKET_COL] for r in op_buckets if r[cdc.OP_COL] != cdc.SKIP}
@@ -1285,7 +1289,11 @@ def merge_upsert_parquet(
             None if side_loaded else t_kh,
             tgt_digest=side_dig,
         )
-        dirty_mb, clean_skip, tgt_dig = dcmp.dirty, dcmp.clean_src, dcmp.tgt_digest
+        dirty_mb, clean_skip = dcmp.dirty, dcmp.clean_src
+        # The kill switch must remove the maintenance cost too (delta
+        # columns in the classify cache + the fold job), not just the
+        # final save.
+        tgt_dig = dcmp.tgt_digest if digest_store.enabled() else None
     if dirty_mb is not None and not dirty_mb:
         narrow.unpersist()
         if not side_loaded:
@@ -1341,9 +1349,11 @@ def merge_upsert_parquet(
     # table write lands so the fingerprint binds digest to files.
     new_dig = None
     if tgt_dig is not None:
-        new_dig = digest_store.apply_delta(
-            tgt_dig, cdc.collect_digest_delta(ops)
+        delta = cdc.collect_digest_delta(
+            ops.filter(F.col(cdc.OP_COL) != cdc.SKIP)
         )
+        if delta is not None:
+            new_dig = digest_store.apply_delta(tgt_dig, delta)
 
     if n_update == 0 and not drifted and not key_migration:
         # Insert-only pass — the common incremental shape. Pure append:

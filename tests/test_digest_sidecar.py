@@ -279,6 +279,27 @@ class TestDiffCliFastPath:
         assert r["counts"]["differs"] == 4  # ids 0,40,80,120 of 150
         assert "only_left" not in r["counts"]
 
+    def test_densely_diverged_states_decline_pruning(
+        self, spark, tmp_path, capsys
+    ):
+        """Post-incident replicas differing nearly everywhere: the CLI
+        applies the same dense-decline rule as every digest consumer —
+        no 16K-value IN filters that prune nothing — but the result is
+        still the correct full diff."""
+        import json as _json
+
+        from presencia_etl_spark.__main__ import main
+
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        self._seed(spark, left, _docs(spark, 150, salt="a"))
+        self._seed(spark, right, _docs(spark, 150, salt="b"))  # all differ
+        assert main(["diff", "--left", left, "--right", right]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        r = out["result"]
+        assert r["digest_proven"] is False
+        assert r["identical"] is False
+        assert r["counts"] == {"differs": 150}
+
     def test_custom_keys_skip_fast_path(self, spark, tmp_path, capsys):
         import json as _json
 
@@ -291,6 +312,58 @@ class TestDiffCliFastPath:
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["result"]["identical"] is True
         assert out["result"]["digest_proven"] is False
+
+
+class TestDuplicateKeys:
+    def test_dup_key_merge_skips_maintenance_and_recovers(
+        self, spark, tmp_path
+    ):
+        """Two change rows for one key can't be folded into a per-key
+        state digest — maintenance must stand down (warn + no save) and
+        the next merge self-corrects on the scan path."""
+        t = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, _docs(spark, 100), t, ["K"])
+        merge_upsert_parquet(spark, _docs(spark, 100), t, ["K"])  # seed
+        assert digest_store.load(t) is not None
+        dup = _docs(spark, 100, extra_mod=10).unionByName(
+            _docs(spark, 100, extra_mod=10).filter(F.col("K") == "10")
+            .withColumn("V", F.concat(F.col("V"), F.lit("zz")))
+        )
+        with pytest.warns(UserWarning, match="duplicate keys"):
+            r = merge_upsert_parquet(spark, dup, t, ["K"])
+        assert r["update"] > 0
+        # table changed, sidecar was NOT updated → stale, not trusted
+        assert digest_store.load(t) is None
+        # Later merges over the (now dup-polluted — a pre-existing merge
+        # contract violation, not a sidecar artifact) target keep failing
+        # closed: whatever they classify, no digest that disagrees with a
+        # scan may ever be persisted.
+        merge_upsert_parquet(spark, _docs(spark, 100, extra_mod=10), t, ["K"])
+        side = digest_store.load(t)
+        assert side is None or side == _scan_digest(spark.read.parquet(t))
+
+
+class TestKillSwitch:
+    def test_disabled_valve_skips_maintenance_cost(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """SPARK_GRAFT_DIGEST_SIDECAR=0 must remove the whole maintenance
+        cost (delta fold job + cache columns), not just the save."""
+        t = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, _docs(spark, 100), t, ["K"])
+        monkeypatch.setenv("SPARK_GRAFT_DIGEST_SIDECAR", "0")
+        called = []
+        real = cdc.collect_digest_delta
+        monkeypatch.setattr(
+            cdc, "collect_digest_delta",
+            lambda df: called.append(1) or real(df),
+        )
+        r = merge_upsert_parquet(
+            spark, _docs(spark, 100, extra_mod=20), t, ["K"]
+        )
+        assert r["update"] > 0
+        assert called == [], "delta fold ran with the sidecar disabled"
+        assert not os.path.exists(os.path.join(t, digest_store.SIDE_FILE))
 
 
 class TestCompareWithSidecar:
