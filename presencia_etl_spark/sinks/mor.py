@@ -754,12 +754,29 @@ def _tombstone_commit(
     honor the auto-compaction hook. ``victims`` must be live rows in the
     base layout (data + audit + ``_cdc_key`` + ``_kb``)."""
     meta = _read_meta(target_path)
+    # Digest-sidecar maintenance: victims are live rows (one per key,
+    # carrying the persisted row_hash), so a delete folds cleanly —
+    # count −1, xor out the (key, hash) pair. Loaded BEFORE the delta
+    # commit (validating against the pre-delete listing); a TTL/erasure
+    # pass then no longer knocks the table's sync loop back onto the
+    # scan path.
+    carry_dig = digest_store.load(target_path)
+    new_dig = None
     victims = victims.cache()
     try:
         n = victims.count()
         if n == 0:
             # No matches → nothing written (the no-op merge discipline).
             return {"delete": 0, "delta_files": 0, "compacted": False}
+        if carry_dig is not None:
+            delta = cdc.collect_digest_delta(
+                victims.select(
+                    cdc.KEY_COL,
+                    *cdc.digest_delete_delta_cols(old_hash="row_hash"),
+                )
+            )
+            if delta is not None:
+                new_dig = digest_store.apply_delta(carry_dig, delta)
         out = victims.withColumn(DELETED_COL, F.lit(True)).withColumn(
             "updated_at", F.current_timestamp()
         )
@@ -770,6 +787,7 @@ def _tombstone_commit(
     if compact_every is not None and len(_delta_seqs(target_path)) >= compact_every:
         compact_mor(spark, target_path, keep_last=compact_keep_last)
         compacted = True
+    digest_store.save(target_path, new_dig)
     return {"delete": n, "delta_files": n_files, "compacted": compacted}
 
 

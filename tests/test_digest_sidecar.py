@@ -174,6 +174,42 @@ class TestMaintainedEqualsScan:
         assert digest_store.load(t) == side_before
         self._check(spark, t, mor.read_mor(spark, t))
 
+    def test_delete_ops_maintain_the_sidecar(self, spark, tmp_path):
+        """TTL / GDPR erasure folds its victims out of the digest instead
+        of knocking the sync loop back onto the scan path."""
+        t = str(tmp_path / "mor")
+        mor.merge_upsert_mor(
+            spark, _docs(spark, 300), t, ["K"], num_buckets=8, compact_every=None
+        )
+        mor.merge_upsert_mor(  # no-change pass seeds the sidecar
+            spark, _docs(spark, 300), t, ["K"], num_buckets=8, compact_every=None
+        )
+        assert digest_store.load(t) is not None
+        r = mor.delete_where_mor(
+            spark, t, F.col("K").cast("long") % 7 == 0, compact_every=None
+        )
+        assert r["delete"] == 43
+        side = digest_store.load(t)
+        assert side is not None, "delete invalidated the sidecar"
+        assert side == _scan_digest(mor.read_mor(spark, t))
+        # keyed erasure too
+        keys = _docs(spark, 300).filter(F.col("K") == "1").select("K")
+        r = mor.delete_keys_mor(spark, t, keys, ["K"], compact_every=None)
+        assert r["delete"] == 1
+        side = digest_store.load(t)
+        assert side is not None
+        assert side == _scan_digest(mor.read_mor(spark, t))
+        # and the next snapshot merge rides it correctly
+        r = mor.merge_upsert_mor(
+            spark,
+            _docs(spark, 300, drop_mod=7).filter(F.col("K") != "1"),
+            t, ["K"], num_buckets=8, compact_every=None,
+        )
+        assert r == {
+            "insert": 0, "update": 0, "skip": 256, "delete": 0,
+            "delta_files": 0, "compacted": False,
+        }
+
     def test_declined_dense_merge_still_seeds_sidecar(self, spark, tmp_path):
         t = str(tmp_path / "dense")
         merge_upsert_parquet(spark, _docs(spark, 300), t, ["K"])
