@@ -187,7 +187,8 @@ def main() -> None:
                     "admit10_batch_marginal_sec",
                     "admit_corpus_docs_per_sec", "error"),
         "scale100": ("full_sec", "full_rows_per_sec", "linear_ratio",
-                     "sparse_mor_sec", "compact_sec", "error"),
+                     "sparse_mor_sec", "nochange_sec", "compact_sec",
+                     "error"),
     }
     short_pipeline = {k: pipeline[k] for k in TOP_KEYS if k in pipeline}
     for prefix, keys in SUB_KEYS.items():
@@ -954,6 +955,22 @@ def _scale100_child(base_rate: int, work: str) -> dict:
             spm_secs.append(time.perf_counter() - t0)
         out["sparse_mor_sec"] = round(sorted(spm_secs)[1], 3)
         out["sparse_mor_updates"] = int(r["update"])
+
+        # The steady-state cron case at the biggest decade: a no-change
+        # snapshot sync against a 60M-row state with a valid digest
+        # sidecar does ZERO target-side I/O — the time is the source's
+        # own hash pass plus a 16K-row local read.
+        nc_secs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = merge_upsert_mor(spark, _sparse_mutation(df, 3), target,
+                                 ["k"], num_buckets=256, compact_every=None)
+            nc_secs.append(time.perf_counter() - t0)
+        if r["insert"] or r["update"] or r["delete"]:
+            out["nochange_anomaly"] = {
+                "insert": int(r["insert"]), "update": int(r["update"]),
+            }
+        out["nochange_sec"] = round(sorted(nc_secs)[1], 3)
 
         # Compaction folds that one delta back: listing-pruned — only the
         # dirty buckets' dirs are enumerated and rewritten.
