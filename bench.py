@@ -961,15 +961,16 @@ def _scale100_child(base_rate: int, work: str) -> dict:
         # sidecar does ZERO target-side I/O — the time is the source's
         # own hash pass plus a 16K-row local read.
         nc_secs = []
+        anomaly = {"insert": 0, "update": 0, "delete": 0}
         for _ in range(3):
             t0 = time.perf_counter()
             r = merge_upsert_mor(spark, _sparse_mutation(df, 3), target,
                                  ["k"], num_buckets=256, compact_every=None)
             nc_secs.append(time.perf_counter() - t0)
-        if r["insert"] or r["update"] or r["delete"]:
-            out["nochange_anomaly"] = {
-                "insert": int(r["insert"]), "update": int(r["update"]),
-            }
+            for k in anomaly:
+                anomaly[k] += int(r[k])
+        if any(anomaly.values()):  # EVERY rep must be a clean no-op
+            out["nochange_anomaly"] = anomaly
         out["nochange_sec"] = round(sorted(nc_secs)[1], 3)
 
         # Compaction folds that one delta back: listing-pruned — only the

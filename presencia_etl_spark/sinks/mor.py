@@ -754,20 +754,23 @@ def _tombstone_commit(
     honor the auto-compaction hook. ``victims`` must be live rows in the
     base layout (data + audit + ``_cdc_key`` + ``_kb``)."""
     meta = _read_meta(target_path)
-    # Digest-sidecar maintenance: victims are live rows (one per key,
-    # carrying the persisted row_hash), so a delete folds cleanly —
-    # count −1, xor out the (key, hash) pair. Loaded BEFORE the delta
-    # commit (validating against the pre-delete listing); a TTL/erasure
-    # pass then no longer knocks the table's sync loop back onto the
-    # scan path.
-    carry_dig = digest_store.load(target_path)
     new_dig = None
     victims = victims.cache()
     try:
         n = victims.count()
         if n == 0:
-            # No matches → nothing written (the no-op merge discipline).
+            # No matches → nothing written (the no-op merge discipline);
+            # the sidecar (if any) stays valid untouched — no load paid.
             return {"delete": 0, "delta_files": 0, "compacted": False}
+        # Digest-sidecar maintenance: victims are live rows (one per key,
+        # carrying the persisted row_hash), so a delete folds cleanly —
+        # count −1, xor out the (key, hash) pair. Loaded after the count
+        # (the common zero-match TTL pass skips the fingerprint walk) but
+        # BEFORE the delta commit, validating against the pre-delete
+        # listing (count() mutates nothing; the writer lock is held). A
+        # TTL/erasure pass then no longer knocks the table's sync loop
+        # back onto the scan path.
+        carry_dig = digest_store.load(target_path)
         if carry_dig is not None:
             delta = cdc.collect_digest_delta(
                 victims.select(

@@ -210,6 +210,29 @@ class TestMaintainedEqualsScan:
             "delta_files": 0, "compacted": False,
         }
 
+    def test_delete_with_auto_compaction_keeps_sidecar_consistent(
+        self, spark, tmp_path
+    ):
+        """The ordering-sensitive branch: tombstone delta lands →
+        auto-compaction rearranges files (its own carry correctly fails
+        on the mid-flight listing) → the OUTER save binds the folded
+        digest to the final post-compaction listing."""
+        t = str(tmp_path / "mor")
+        mor.merge_upsert_mor(
+            spark, _docs(spark, 200), t, ["K"], num_buckets=8, compact_every=None
+        )
+        mor.merge_upsert_mor(  # seed
+            spark, _docs(spark, 200), t, ["K"], num_buckets=8, compact_every=None
+        )
+        assert digest_store.load(t) is not None
+        r = mor.delete_where_mor(
+            spark, t, F.col("K").cast("long") % 5 == 0, compact_every=1
+        )
+        assert r["delete"] == 40 and r["compacted"] is True
+        side = digest_store.load(t)
+        assert side is not None, "auto-compaction orphaned the delete's digest"
+        assert side == _scan_digest(mor.read_mor(spark, t))
+
     def test_declined_dense_merge_still_seeds_sidecar(self, spark, tmp_path):
         t = str(tmp_path / "dense")
         merge_upsert_parquet(spark, _docs(spark, 300), t, ["K"])
