@@ -327,10 +327,26 @@ def delete_where_partitioned(
             "use delete_where_parquet for the flat layout."
         )
     victims = tgt.filter(predicate).cache()
+    new_dig = None
     try:
         n_victims = victims.count()
         if n_victims == 0:
             return {"delete": 0, "buckets_rewritten": 0}
+        # Sidecar maintenance (mirrors the MOR tombstone path): fold the
+        # victims out so an erasure pass doesn't knock the table's sync
+        # loop back onto the scan path. Loaded after the count (zero-match
+        # passes skip the walk), before any mutation.
+        if cdc.KEY_COL in tgt.columns and "row_hash" in tgt.columns:
+            carry_dig = digest_store.load(target_path)
+            if carry_dig is not None:
+                delta = cdc.collect_digest_delta(
+                    victims.select(
+                        cdc.KEY_COL,
+                        *cdc.digest_delete_delta_cols(old_hash="row_hash"),
+                    )
+                )
+                if delta is not None:
+                    new_dig = digest_store.apply_delta(carry_dig, delta)
         dirty = [
             r[BUCKET_COL]
             for r in victims.select(BUCKET_COL).distinct().collect()
@@ -367,6 +383,9 @@ def delete_where_partitioned(
     _reseed_empty_layout(
         spark, target_path, tgt.drop(BUCKET_COL).schema, dirty[0]
     )
+    # After the reseed (it may add a schema-bearing file the fingerprint
+    # must cover).
+    digest_store.save(target_path, new_dig)
     return {"delete": n_victims, "buckets_rewritten": len(dirty)}
 
 
@@ -391,6 +410,23 @@ def delete_where_parquet(
     n_victims = tgt.filter(predicate).count()
     if n_victims == 0:
         return {"delete": 0}
+    # Sidecar maintenance: the whole-dir swap retires the old table dir
+    # (sidecar included), so fold the victims out NOW and re-save after
+    # the new dir lands — otherwise every flat erasure forces the next
+    # sync onto the scan path. Flat states are small by design, so the
+    # victims re-scan here is one cheap extra pass.
+    new_dig = None
+    if cdc.KEY_COL in tgt.columns and "row_hash" in tgt.columns:
+        carry_dig = digest_store.load(target_path)
+        if carry_dig is not None:
+            delta = cdc.collect_digest_delta(
+                tgt.filter(predicate).select(
+                    cdc.KEY_COL,
+                    *cdc.digest_delete_delta_cols(old_hash="row_hash"),
+                )
+            )
+            if delta is not None:
+                new_dig = digest_store.apply_delta(carry_dig, delta)
     keep = tgt.filter(~F.coalesce(predicate, F.lit(False)))
     staged = target_path.rstrip("/") + "__rebucket_staged"
     retired = target_path.rstrip("/") + "__rebucket_retired"
@@ -398,6 +434,7 @@ def delete_where_parquet(
     shutil.rmtree(retired, ignore_errors=True)
     keep.write.mode("overwrite").parquet(staged)
     _commit_whole_dir_swap(target_path, staged, retired)
+    digest_store.save(target_path, new_dig)
     return {"delete": n_victims}
 
 

@@ -210,6 +210,41 @@ class TestMaintainedEqualsScan:
             "delta_files": 0, "compacted": False,
         }
 
+    def test_cow_deletes_maintain_the_sidecar(self, spark, tmp_path):
+        """delete_where_partitioned / delete_where_parquet fold victims
+        out like the MOR tombstone path does."""
+        from presencia_etl_spark.sinks.writers import (
+            delete_where_parquet,
+            delete_where_partitioned,
+        )
+
+        flat = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, _docs(spark, 200), flat, ["K"])
+        merge_upsert_parquet(spark, _docs(spark, 200), flat, ["K"])  # seed
+        r = delete_where_parquet(spark, flat, F.col("K").cast("long") % 4 == 0)
+        assert r["delete"] == 50
+        side = digest_store.load(flat)
+        assert side is not None and side == _scan_digest(spark.read.parquet(flat))
+
+        buck = str(tmp_path / "buck")
+        merge_upsert_partitioned(spark, _docs(spark, 200), buck, ["K"], num_buckets=8)
+        merge_upsert_partitioned(spark, _docs(spark, 200), buck, ["K"], num_buckets=8)
+        r = delete_where_partitioned(
+            spark, buck, F.col("K").cast("long") % 4 == 0
+        )
+        assert r["delete"] == 50
+        side = digest_store.load(buck)
+        assert side is not None and side == _scan_digest(spark.read.parquet(buck))
+        # the next sync rides the maintained sidecar to a clean no-op
+        r = merge_upsert_partitioned(
+            spark,
+            _docs(spark, 200).filter(F.col("K").cast("long") % 4 != 0),
+            buck, ["K"], num_buckets=8,
+        )
+        assert r == {
+            "insert": 0, "update": 0, "skip": 150, "buckets_rewritten": 0
+        }
+
     def test_delete_with_auto_compaction_keeps_sidecar_consistent(
         self, spark, tmp_path
     ):
