@@ -461,6 +461,16 @@ def merge_upsert_mor(
         dirty_mb, clean_skip = dcmp.dirty, dcmp.clean_src
         # Kill switch removes the maintenance cost too, not just the save.
         tgt_dig = dcmp.tgt_digest if digest_store.enabled() else None
+    elif digest_store.enabled():
+        # Maintenance decoupled from pruning (see writers.merge_upsert_
+        # parquet): a streaming micro-batch merge (digest_prune=False —
+        # its digests are dirty nearly everywhere, so the compare buys
+        # nothing) still keeps a VALID sidecar valid by folding its
+        # classified changes in; without this, one trickle batch between
+        # snapshot syncs knocks the cron steady state back onto the full
+        # scan path. Load-only — never seeds from a scan.
+        tgt_dig = digest_store.load(target_path)
+        side_loaded = tgt_dig is not None
     if dirty_mb is not None and not dirty_mb:
         s_narrow.unpersist()
         if not side_loaded:

@@ -1058,6 +1058,12 @@ def merge_upsert_partitioned(
         dirty_mb, clean_skip = dcmp.dirty, dcmp.clean_src
         # Kill switch removes the maintenance cost too, not just the save.
         tgt_dig = dcmp.tgt_digest if digest_store.enabled() else None
+    elif digest_store.enabled() and not (drifted or key_migration):
+        # Maintenance decoupled from pruning (see merge_upsert_parquet):
+        # a micro-batch merge keeps a valid sidecar valid by folding its
+        # classified changes; stale/absent sidecars are never seeded here.
+        tgt_dig = digest_store.load(target_path)
+        side_loaded = tgt_dig is not None
     if dirty_mb is not None and not dirty_mb:
         s_narrow.unpersist()
         if not side_loaded:
@@ -1331,6 +1337,17 @@ def merge_upsert_parquet(
         # columns in the classify cache + the fold job), not just the
         # final save.
         tgt_dig = dcmp.tgt_digest if digest_store.enabled() else None
+    elif digest_store.enabled() and not (drifted or key_migration):
+        # MAINTENANCE WITHOUT PRUNING (decoupled): known-subset merges —
+        # streaming micro-batches — opt out of the digest COMPARE because
+        # their digests are dirty nearly everywhere, but a VALID sidecar
+        # must still be kept valid by folding the classified changes in,
+        # or one trickle batch knocks the next snapshot sync back onto
+        # the full-scan path. Load-only: a stale/absent sidecar stays
+        # that way (a known-subset batch never pays a state scan to
+        # seed one — the next snapshot sync's scan fallback does).
+        tgt_dig = digest_store.load(target_path)
+        side_loaded = tgt_dig is not None
     if dirty_mb is not None and not dirty_mb:
         narrow.unpersist()
         if not side_loaded:

@@ -32,7 +32,16 @@ def incremental_upsert_stream(
     through the merge-on-read sink (``sinks/mor.py``) — the right choice
     for high-frequency micro-batches, where each trigger writes only its
     O(changes) delta and compaction amortizes across ``compact_every``
-    batches instead of rewriting state per trigger."""
+    batches instead of rewriting state per trigger.
+
+    ``digest_prune=False``: a micro-batch is a KNOWN subset — its
+    micro-bucket digests are dirty nearly everywhere, so the digest
+    COMPARE would be spent to prune nothing. Sidecar MAINTENANCE is
+    decoupled and still happens inside the merge: a valid
+    ``_cdc_digest.parquet`` is kept valid by folding each batch's
+    classified changes, so the mixed workload this stream exists for
+    (trickle between cron snapshot syncs) keeps the snapshot sync on
+    the zero-target-scan path."""
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     stream = spark.readStream.schema(source_schema).parquet(source_path)

@@ -277,18 +277,167 @@ class TestMaintainedEqualsScan:
         self._check(spark, t, spark.read.parquet(t))
 
 
+class TestMicroBatchMaintenance:
+    """Round-10 decoupling: ``digest_prune=False`` merges (the streaming
+    micro-batch shape — known-subset batches where the compare would
+    prune nothing) must still MAINTAIN a valid sidecar, so a mixed
+    trickle+snapshot workload keeps the snapshot sync on the
+    zero-target-scan path. A stale/absent sidecar is never seeded from
+    a subset merge (that would cost the state scan the trickle path
+    exists to avoid)."""
+
+    def _assert_next_sync_zero_target_scan(self, spark, monkeypatch, t, src):
+        """The follow-up snapshot sync must ride the sidecar: the digest
+        pass may aggregate the SOURCE only (tag 's'), never the target
+        (tag 't' = the scan fallback)."""
+        tags = []
+        real = cdc._digest
+
+        def spy(df, hash_col, micro, tag):
+            tags.append(tag)
+            return real(df, hash_col, micro, tag)
+
+        monkeypatch.setattr(cdc, "_digest", spy)
+        r = merge_upsert_parquet(spark, src, t, ["K"])
+        monkeypatch.undo()
+        assert r["insert"] == 0 and r["update"] == 0
+        assert tags == ["s"], f"snapshot sync fell back to a target scan: {tags}"
+
+    def test_flat_subset_merges_keep_sidecar_valid(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "flat")
+        full = _docs(spark, 300)
+        merge_upsert_parquet(spark, full, t, ["K"])
+        merge_upsert_parquet(spark, full, t, ["K"])  # seed sidecar
+        assert digest_store.load(t) is not None
+        # three known-subset micro-batches: updates, then inserts+updates
+        for i, batch in enumerate([
+            _docs(spark, 300, extra_mod=30).filter(F.col("K").cast("long") % 30 == 0),
+            _docs(spark, 310, salt="z").filter(F.col("K").cast("long") >= 295),
+            _docs(spark, 310, salt="z", extra_mod=7).filter(
+                F.col("K").cast("long").between(290, 309)
+            ),
+        ]):
+            r = merge_upsert_parquet(spark, batch, t, ["K"], digest_prune=False)
+            assert r["insert"] + r["update"] > 0, f"batch {i} was a no-op"
+            side = digest_store.load(t)
+            assert side is not None, f"batch {i} invalidated the sidecar"
+            assert side == _scan_digest(spark.read.parquet(t))
+        # the cron snapshot sync right after the trickle batches stays on
+        # the zero-target-scan path (source = the exact current state)
+        cur = spark.read.parquet(t).select("K", "V")
+        self._assert_next_sync_zero_target_scan(spark, monkeypatch, t, cur)
+
+    def test_mor_subset_merges_keep_sidecar_valid(self, spark, tmp_path):
+        t = str(tmp_path / "mor")
+        full = _docs(spark, 300)
+        mor.merge_upsert_mor(
+            spark, full, t, ["K"], num_buckets=8, compact_every=None
+        )
+        mor.merge_upsert_mor(  # seed sidecar
+            spark, full, t, ["K"], num_buckets=8, compact_every=None
+        )
+        assert digest_store.load(t) is not None
+        for batch in [
+            _docs(spark, 300, extra_mod=25).filter(F.col("K").cast("long") % 25 == 0),
+            _docs(spark, 320, salt="q").filter(F.col("K").cast("long") >= 298),
+        ]:
+            r = mor.merge_upsert_mor(
+                spark, batch, t, ["K"], num_buckets=8, compact_every=None,
+                digest_prune=False,
+            )
+            assert r["insert"] + r["update"] > 0
+            side = digest_store.load(t)
+            assert side is not None, "micro-batch invalidated the sidecar"
+            assert side == _scan_digest(mor.read_mor(spark, t))
+        # next snapshot sync (prune on) is a clean sidecar-ridden no-op
+        cur = mor.read_mor(spark, t).select("K", "V")
+        r = mor.merge_upsert_mor(
+            spark, cur, t, ["K"], num_buckets=8, compact_every=None
+        )
+        assert r["insert"] == 0 and r["update"] == 0 and r["delta_files"] == 0
+
+    def test_subset_merge_never_seeds_missing_sidecar(self, spark, tmp_path):
+        """No sidecar → a known-subset merge must not pay a state scan to
+        create one (load-only maintenance)."""
+        t = str(tmp_path / "flat")
+        merge_upsert_parquet(spark, _docs(spark, 200), t, ["K"])
+        assert not os.path.exists(os.path.join(t, digest_store.SIDE_FILE))
+        merge_upsert_parquet(
+            spark, _docs(spark, 200, extra_mod=40), t, ["K"], digest_prune=False
+        )
+        assert not os.path.exists(os.path.join(t, digest_store.SIDE_FILE))
+
+    def test_streaming_micro_batches_e2e(self, spark, tmp_path):
+        """The real foreachBatch path: two availableNow drains against a
+        sidecar-bearing MOR table keep it fingerprint-valid; the next
+        snapshot sync is a pure-skip no-op."""
+        from presencia_etl_spark.streaming.micro_batch import (
+            incremental_upsert_stream,
+        )
+
+        src_dir = str(tmp_path / "incoming")
+        t = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        full = _docs(spark, 250)
+        mor.merge_upsert_mor(
+            spark, full, t, ["K"], num_buckets=8, compact_every=None
+        )
+        mor.merge_upsert_mor(  # seed sidecar
+            spark, full, t, ["K"], num_buckets=8, compact_every=None
+        )
+        assert digest_store.load(t) is not None
+
+        b1 = _docs(spark, 250, extra_mod=50).filter(
+            F.col("K").cast("long") % 50 == 0
+        )
+        b1.write.mode("append").parquet(src_dir)
+        q = incremental_upsert_stream(
+            spark, src_dir, b1.schema, t, ["K"], ckpt, mode="mor"
+        )
+        q.awaitTermination(120)
+        side = digest_store.load(t)
+        assert side is not None, "micro-batch stream invalidated the sidecar"
+        assert side == _scan_digest(mor.read_mor(spark, t))
+
+        b2 = _docs(spark, 260, salt="w").filter(F.col("K").cast("long") >= 248)
+        b2.write.mode("append").parquet(src_dir)
+        q2 = incremental_upsert_stream(
+            spark, src_dir, b1.schema, t, ["K"], ckpt, mode="mor"
+        )
+        q2.awaitTermination(120)
+        side = digest_store.load(t)
+        assert side is not None
+        assert side == _scan_digest(mor.read_mor(spark, t))
+
+        # the nightly snapshot sync right after trickle stays a clean no-op
+        cur = mor.read_mor(spark, t).select("K", "V")
+        r = mor.merge_upsert_mor(
+            spark, cur, t, ["K"], num_buckets=8, compact_every=None
+        )
+        assert r == {
+            "insert": 0, "update": 0, "skip": 260, "delete": 0,
+            "delta_files": 0, "compacted": False,
+        }
+
+
 class TestFailClosed:
     def test_external_writer_staleness_falls_back_and_recovers(
-        self, spark, tmp_path
+        self, spark, tmp_path, monkeypatch
     ):
         t = str(tmp_path / "flat")
         merge_upsert_parquet(spark, _docs(spark, 200), t, ["K"])
         merge_upsert_parquet(spark, _docs(spark, 200), t, ["K"])  # seeds sidecar
         assert digest_store.load(t) is not None
-        # a digest-unaware writer (streaming micro-batch shape) touches it
+        # a digest-UNAWARE writer touches the table (simulated via the
+        # kill switch — digest_prune=False merges now MAINTAIN, so they
+        # no longer model an unaware writer)
+        monkeypatch.setenv("SPARK_GRAFT_DIGEST_SIDECAR", "0")
         merge_upsert_parquet(
             spark, _docs(spark, 220, extra_mod=7), t, ["K"], digest_prune=False
         )
+        monkeypatch.delenv("SPARK_GRAFT_DIGEST_SIDECAR")
         assert digest_store.load(t) is None  # stale, not trusted
         r = merge_upsert_parquet(spark, _docs(spark, 220, extra_mod=7), t, ["K"])
         assert r == {"insert": 0, "update": 0, "skip": 220}
