@@ -135,19 +135,43 @@ def digest_compare(
     tgt_hash: str = "_tgt_hash",
     micro: int | None = None,
     tgt_digest: dict[int, tuple[int, int, int]] | None = None,
+    collect_src: bool = False,
 ) -> DigestCompare:
     """Compare per-micro-bucket digests of a (``_cdc_key``, hash) source
     frame against either a target frame (one narrow scan) or an
     already-known target digest (``tgt_digest`` from a validated
-    sidecar — ZERO target-side I/O; ``tgt_kh`` may then be None)."""
+    sidecar — ZERO target-side I/O; ``tgt_kh`` may then be None).
+
+    ``collect_src=True`` (sidecar path only): collect the raw per-row
+    ``(mb, fold1, fold2)`` triples in ONE shuffle-free job and fold them
+    driver-side, instead of the groupBy aggregation — for a KB-sized
+    trickle snapshot the 16K-modulus agg's exchange (one AQE job per
+    materialization at the session's static width) IS the merge's fixed
+    cost, while a driver fold of a few hundred triples is free. XOR on
+    Python ints over int64 values matches Spark's ``bit_xor`` (the
+    ``digest_store.apply_delta`` argument). Callers gate this on FS
+    metadata of the source (``writers._src_bytes_hint``) so the collect
+    stays bounded."""
     if os.environ.get("SPARK_GRAFT_DIGEST_PRUNE", "1") == "0":
         return DigestCompare(None, 0, None)
     m = micro or DIGEST_MICRO_BUCKETS
     dirty: list[int] = []
     clean_src = 0
     if tgt_digest is not None:
-        srows = _digest(src_kh, src_hash, m, "s").collect()
-        smap = {r[MB_COL]: (r["_cs"], r["_xs"], r["_ys"]) for r in srows}
+        if collect_src:
+            h1, h2 = _fold_exprs(src_hash)
+            raw = src_kh.select(
+                micro_bucket(KEY_COL, m).alias(MB_COL),
+                h1.alias("_h1"),
+                h2.alias("_h2"),
+            ).collect()
+            smap: dict[int, tuple[int, int, int]] = {}
+            for r in raw:
+                c, x, y = smap.get(r[MB_COL], (0, 0, 0))
+                smap[r[MB_COL]] = (c + 1, x ^ r["_h1"], y ^ r["_h2"])
+        else:
+            srows = _digest(src_kh, src_hash, m, "s").collect()
+            smap = {r[MB_COL]: (r["_cs"], r["_xs"], r["_ys"]) for r in srows}
         occupied = set(smap) | set(tgt_digest)
         for mb in occupied:
             sv = smap.get(mb)

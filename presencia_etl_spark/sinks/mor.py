@@ -73,6 +73,9 @@ from presencia_etl_spark.sinks.writers import is_spark_hidden as writers_is_spar
 from presencia_etl_spark.sinks.writers import (
     _should_persist_narrow as writers_should_persist_narrow,
 )
+from presencia_etl_spark.sinks.writers import (
+    _is_tiny_source as writers_is_tiny_source,
+)
 
 BASE_DIR = "base"
 DELTA_DIR = "deltas"
@@ -457,6 +460,7 @@ def merge_upsert_mor(
             s_narrow.select(cdc.KEY_COL, "row_hash"),
             None if side_loaded else base_kh,
             tgt_digest=side_dig,
+            collect_src=side_loaded and writers_is_tiny_source(src),
         )
         dirty_mb, clean_skip = dcmp.dirty, dcmp.clean_src
         # Kill switch removes the maintenance cost too, not just the save.

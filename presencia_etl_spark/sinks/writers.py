@@ -603,6 +603,47 @@ def _should_persist_narrow(target_path: str) -> bool:
     return _du_until(target_path, DIGEST_PERSIST_MAX_BYTES) <= DIGEST_PERSIST_MAX_BYTES
 
 
+# A snapshot source at or under this size takes the driver-side digest
+# fold (one shuffle-free collect) instead of the 16K-modulus aggregation
+# — the trickle-batch fixed-cost rule (CLAUDE.md) applied to the digest
+# compare itself. Bounded: 1 MiB of parquet is at most a few hundred
+# thousand rows of three 8-byte fields driver-side. Read at call time so
+# tests (and operators) can flip it without a module reload.
+def _small_src_bytes() -> int:
+    return int(os.environ.get("SPARK_GRAFT_SMALL_SRC_KB", "1024")) * 1024
+
+
+def _src_bytes_hint(df: DataFrame) -> int | None:
+    """Driver-side size of a FILE-BACKED frame: sum of its backing files'
+    sizes (`inputFiles()` reads the already-resolved listing — no Spark
+    job). None for non-file sources (JDBC, in-memory) or non-local URIs,
+    where no cheap driver stat exists — callers then keep the
+    distributed path, the safe default."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(unquote(u.path) or f)
+        except OSError:
+            return None
+    return total
+
+
+def _is_tiny_source(df: DataFrame) -> bool:
+    h = _src_bytes_hint(df)
+    return h is not None and h <= _small_src_bytes()
+
+
 BROADCAST_KEY_LIMIT = 5_000_000
 
 
@@ -1054,6 +1095,7 @@ def merge_upsert_partitioned(
             s_narrow.select(cdc.KEY_COL, "row_hash"),
             None if side_loaded else t,
             tgt_digest=side_dig,
+            collect_src=side_loaded and _is_tiny_source(src),
         )
         dirty_mb, clean_skip = dcmp.dirty, dcmp.clean_src
         # Kill switch removes the maintenance cost too, not just the save.
@@ -1331,6 +1373,7 @@ def merge_upsert_parquet(
             narrow.select(cdc.KEY_COL, "row_hash"),
             None if side_loaded else t_kh,
             tgt_digest=side_dig,
+            collect_src=side_loaded and _is_tiny_source(src),
         )
         dirty_mb, clean_skip = dcmp.dirty, dcmp.clean_src
         # The kill switch must remove the maintenance cost too (delta

@@ -369,3 +369,101 @@ class TestMergeDifferential:
                 spark, empty, t, ["K"], num_buckets=8, compact_every=None,
                 delete_missing=True,
             )
+
+
+class TestTinySourceCollectPath:
+    """KB-sized snapshot sources (the trickle cron shape) fold their
+    digest driver-side from ONE shuffle-free collect instead of the
+    16K-modulus aggregation — same verdicts, fewer fixed-cost jobs."""
+
+    def test_driver_fold_matches_agg(self, spark, tmp_path):
+        from presencia_etl_spark.functions.hashing import with_row_hash
+
+        src = _docs(spark, 350, extra_mod=60)
+        tgt = _docs(spark, 352)
+        kh_s = with_row_hash(cdc.with_cdc_key(src, ["K"]), ["K", "V"]).select(
+            cdc.KEY_COL, "row_hash"
+        )
+        kh_t = with_row_hash(cdc.with_cdc_key(tgt, ["K"]), ["K", "V"])
+        tdig = {
+            r[cdc.MB_COL]: (r["_cs"], r["_xs"], r["_ys"])
+            for r in cdc._digest(
+                kh_t.select(cdc.KEY_COL, "row_hash"), "row_hash",
+                cdc.DIGEST_MICRO_BUCKETS, "s",
+            ).collect()
+        }
+        via_agg = cdc.digest_compare(kh_s, None, tgt_digest=tdig)
+        via_fold = cdc.digest_compare(
+            kh_s, None, tgt_digest=tdig, collect_src=True
+        )
+        assert via_fold.dirty == via_agg.dirty
+        assert via_fold.clean_src == via_agg.clean_src
+        assert via_fold.tgt_digest == via_agg.tgt_digest
+
+    def test_kb_sized_nochange_sync_job_budget(self, spark, tmp_path):
+        """A KB-sized file-backed snapshot against a sidecar-bearing
+        state: the whole no-change merge is ≤2 Spark jobs (target
+        schema listing + ONE source collect — no aggregation
+        exchanges). With the tiny path disabled the same sync runs
+        strictly more jobs."""
+        work = tmp_path / "tiny"
+        t = str(work / "state")
+        df = _docs(spark, 400)
+        merge_upsert_parquet(spark, df, t, ["K"])
+        merge_upsert_parquet(spark, df, t, ["K"])  # seed sidecar
+        srcdir = str(work / "snap")
+        df.write.mode("overwrite").parquet(srcdir)
+        src = spark.read.parquet(srcdir)
+
+        tracker = spark.sparkContext.statusTracker()
+
+        def jobs():
+            return set(tracker.getJobIdsForGroup() or [])
+
+        j0 = jobs()
+        r = merge_upsert_parquet(spark, src, t, ["K"])
+        n_tiny = len(jobs() - j0)
+        assert r == {"insert": 0, "update": 0, "skip": 400}
+        assert n_tiny <= 2, f"tiny no-change sync ran {n_tiny} jobs"
+
+        os.environ["SPARK_GRAFT_SMALL_SRC_KB"] = "0"
+        try:
+            j0 = jobs()
+            r = merge_upsert_parquet(spark, src, t, ["K"])
+            n_agg = len(jobs() - j0)
+        finally:
+            os.environ.pop("SPARK_GRAFT_SMALL_SRC_KB")
+        assert r == {"insert": 0, "update": 0, "skip": 400}
+        assert n_agg > n_tiny, (n_agg, n_tiny)
+
+    def test_tiny_mutated_source_still_classifies_correctly(
+        self, spark, tmp_path
+    ):
+        """End-to-end through all three merge families with a tiny
+        file-backed source carrying updates + inserts."""
+        work = tmp_path / "tinymut"
+        flat, buck, m = (
+            str(work / "flat"), str(work / "buck"), str(work / "mor")
+        )
+        df = _docs(spark, 300)
+        merge_upsert_parquet(spark, df, flat, ["K"])
+        merge_upsert_parquet(spark, df, flat, ["K"])
+        merge_upsert_partitioned(spark, df, buck, ["K"], num_buckets=8)
+        merge_upsert_partitioned(spark, df, buck, ["K"], num_buckets=8)
+        mor.merge_upsert_mor(spark, df, m, ["K"], num_buckets=8,
+                             compact_every=None)
+        mor.merge_upsert_mor(spark, df, m, ["K"], num_buckets=8,
+                             compact_every=None)
+        srcdir = str(work / "snap")
+        _docs(spark, 302, extra_mod=75).write.mode("overwrite").parquet(srcdir)
+        src = spark.read.parquet(srcdir)
+        r1 = merge_upsert_parquet(spark, src, flat, ["K"])
+        r2 = merge_upsert_partitioned(spark, src, buck, ["K"], num_buckets=8)
+        r3 = mor.merge_upsert_mor(spark, src, m, ["K"], num_buckets=8,
+                                  compact_every=None)
+        # ids 0,75,150,225 update; 300,301 insert (300 is perturbed AND new)
+        for r in (r1, r2, r3):
+            assert r["insert"] == 2 and r["update"] == 4 and r["skip"] == 296
+        assert _state(spark.read.parquet(flat)) == _state(src)
+        assert _state(spark.read.parquet(buck)) == _state(src)
+        assert _state(mor.read_mor(spark, m)) == _state(src)
