@@ -136,11 +136,21 @@ def digest_compare(
     micro: int | None = None,
     tgt_digest: dict[int, tuple[int, int, int]] | None = None,
     collect_src: bool = False,
+    src_digest: dict[int, tuple[int, int, int]] | None = None,
 ) -> DigestCompare:
     """Compare per-micro-bucket digests of a (``_cdc_key``, hash) source
     frame against either a target frame (one narrow scan) or an
     already-known target digest (``tgt_digest`` from a validated
     sidecar — ZERO target-side I/O; ``tgt_kh`` may then be None).
+
+    ``src_digest`` (honored only together with ``tgt_digest``): the
+    SOURCE side's digests are already known too — the engine-to-engine
+    replica sync, where the source is itself a managed table with a
+    validated sidecar. The compare is then a pure driver dict-diff:
+    ZERO Spark jobs on either side. The caller vouches that
+    ``src_digest`` describes exactly the rows ``src_kh`` will produce
+    (``plans/replica_sync.py`` loads both from fingerprint-validated
+    sidecars).
 
     ``collect_src=True`` (sidecar path only): collect the raw per-row
     ``(mb, fold1, fold2)`` triples in ONE shuffle-free job and fold them
@@ -158,7 +168,9 @@ def digest_compare(
     dirty: list[int] = []
     clean_src = 0
     if tgt_digest is not None:
-        if collect_src:
+        if src_digest is not None:
+            smap = dict(src_digest)
+        elif collect_src:
             h1, h2 = _fold_exprs(src_hash)
             raw = src_kh.select(
                 micro_bucket(KEY_COL, m).alias(MB_COL),

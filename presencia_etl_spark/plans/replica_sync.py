@@ -1,0 +1,158 @@
+"""Engine-to-engine replica sync: converge a managed table onto another.
+
+The reference's cron re-exports the WHOLE source and re-classifies it
+against the target every pass (``sync_INCREMENTAL.py`` shape). When the
+source is itself one of our managed tables, both sides already carry a
+fingerprint-validated micro-bucket digest sidecar (``sinks/digest_store``),
+and the merkle discipline completes end-to-end:
+
+- **steady state (no changes)** — two driver-side sidecar loads prove the
+  (key, hash)-multisets equal: the sync returns WITHOUT touching Spark at
+  all. Zero jobs, zero I/O beyond two 16K-row local parquet reads and two
+  file-metadata walks. This is the operation a 100 TB deployment runs most
+  often, and its cost is now independent of BOTH table sizes.
+- **sparse divergence** — the dict-diff names the dirty micro-buckets with
+  zero jobs (``cdc.digest_compare(src_digest=...)``); the merge classifies
+  only those buckets' rows, directory-pruning the target's ``_kb=`` dirs.
+  No source-side digest job either: the O(|source|) narrow scan the plain
+  snapshot sync pays (~13.5 s at 60M rows) disappears.
+- **anything else** (stale/absent sidecar on either side, dense
+  divergence, drift) — falls through to the ordinary merge machinery,
+  which is differential-tested to be self-correcting.
+
+Consistency: the sidecars and the table reads are not taken under a lock,
+so a writer racing the sync can invalidate what was loaded — the same
+consistency class as any snapshot read of a live table. ``sync_replica``
+re-validates the source sidecar after the merge and warns if it changed
+mid-flight; the next run self-corrects (stale digests fail closed to the
+scan path, never to a wrong answer).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+
+from presencia_etl_spark.sinks import digest_store
+
+MOR_META = "_mor_meta.json"
+BUCKET_META = "_bucket_meta.json"
+
+
+def table_layout(path: str) -> str:
+    """'mor' | 'bucketed' | 'flat' for a managed state dir (raises on a
+    path that is none of them)."""
+    if os.path.exists(os.path.join(path, MOR_META)):
+        return "mor"
+    if not os.path.isdir(path):
+        raise ValueError(f"{path!r} is not a managed state dir")
+    if os.path.exists(os.path.join(path, BUCKET_META)) or any(
+        d.startswith("_kb=") for d in os.listdir(path)
+    ):
+        return "bucketed"
+    return "flat"
+
+
+def read_managed(spark: SparkSession, path: str) -> DataFrame:
+    """The table's LIVE row view (tombstones resolved for MOR), in the
+    persisted layout: data + audit + ``_cdc_key`` (+ ``_kb``). The
+    persisted ``row_hash`` rides along, so a downstream merge never
+    re-hashes the rows."""
+    if table_layout(path) == "mor":
+        from presencia_etl_spark.sinks.mor import read_mor
+
+        return read_mor(spark, path)
+    return spark.read.parquet(path)
+
+
+def _num_buckets_of(path: str) -> int | None:
+    import json
+
+    for meta in (os.path.join(path, MOR_META), os.path.join(path, BUCKET_META)):
+        if os.path.exists(meta):
+            with open(meta) as fh:
+                return int(json.load(fh)["num_buckets"])
+    return None
+
+
+def sync_replica(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    key_cols: list[str],
+    delete_missing: bool | None = None,
+    num_buckets: int | None = None,
+) -> dict:
+    """Converge ``target_path`` onto ``source_path``'s live content.
+
+    ``delete_missing`` defaults to True for MOR targets (full replica
+    semantics: keys the source dropped are tombstoned) and False for COW
+    targets, whose merge families preserve the reference's never-delete
+    rule (trap N6) — pass ``delete_missing=True`` against a COW target
+    and this raises rather than silently half-syncing.
+
+    Returns the merge's counts dict plus ``proven``:
+    ``"sidecar"`` when the green path answered without Spark,
+    ``None`` otherwise.
+    """
+    src_layout = table_layout(source_path)
+    if not os.path.exists(target_path):
+        tgt_layout = src_layout  # mirror the source's layout on first sync
+    else:
+        tgt_layout = table_layout(target_path)
+    if delete_missing is None:
+        delete_missing = tgt_layout == "mor"
+    if delete_missing and tgt_layout != "mor":
+        raise ValueError(
+            "delete_missing sync needs a MOR target (COW merges never "
+            f"delete — trap N6); target at {target_path!r} is {tgt_layout}"
+        )
+
+    sdig = digest_store.load(source_path)
+    tdig = digest_store.load(target_path) if os.path.exists(target_path) else None
+    if sdig is not None and tdig is not None and sdig == tdig:
+        # Proven identical from metadata alone — no SparkSession use.
+        n = sum(c for c, _x, _y in sdig.values())
+        out = {"insert": 0, "update": 0, "skip": n, "proven": "sidecar"}
+        if tgt_layout == "mor":
+            out.update({"delete": 0, "delta_files": 0, "compacted": False})
+        return out
+
+    src = read_managed(spark, source_path)
+    # Strip the source's PER-REPLICA surrogates: its bucket column
+    # reflects ITS layout/modulus (a flat target must not inherit one),
+    # and its audit identity (id/created_at/updated_at) belongs to that
+    # replica — the target keeps/assigns its own. row_hash stays: it is
+    # data-only and trusted, so the merge never re-hashes the source.
+    src = src.drop("_kb", "id", "created_at", "updated_at")
+    nb = num_buckets or _num_buckets_of(source_path) or 256
+    if tgt_layout == "mor":
+        from presencia_etl_spark.sinks.mor import merge_upsert_mor
+
+        r = merge_upsert_mor(
+            spark, src, target_path, key_cols, num_buckets=nb,
+            delete_missing=delete_missing and os.path.exists(target_path),
+            src_digest=sdig,
+        )
+    elif tgt_layout == "bucketed":
+        from presencia_etl_spark.sinks.writers import merge_upsert_partitioned
+
+        r = merge_upsert_partitioned(
+            spark, src, target_path, key_cols, num_buckets=nb,
+            src_digest=sdig,
+        )
+    else:
+        from presencia_etl_spark.sinks.writers import merge_upsert_parquet
+
+        r = merge_upsert_parquet(
+            spark, src, target_path, key_cols, src_digest=sdig
+        )
+    if sdig is not None and digest_store.load(source_path) != sdig:
+        warnings.warn(
+            f"source {source_path!r} was written to while the sync ran; "
+            "this pass may reflect a mix of source versions — the next "
+            "sync self-corrects"
+        )
+    return {**r, "proven": None}

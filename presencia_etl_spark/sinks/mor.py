@@ -305,8 +305,17 @@ def merge_upsert_mor(
     compact_keep_last: int = 0,
     delete_missing: bool = False,
     digest_prune: bool = True,
+    src_digest: dict[int, tuple[int, int, int]] | None = None,
 ) -> dict[str, int]:
     """Upsert ``src`` writing ONLY the changed rows (a new delta dir).
+
+    ``src_digest``: the source's own per-micro-bucket digests, when the
+    caller already knows them (a managed replica's validated sidecar —
+    ``plans/replica_sync.py``). With a valid TARGET sidecar the digest
+    compare is then a pure driver dict-diff: zero Spark jobs spent
+    learning the dirty set on either side. The caller vouches the map
+    describes exactly ``src``'s rows; ignored when the target sidecar
+    is stale/absent (the scan compare re-learns everything itself).
 
     Initial load delegates to the COW bucketed writer (the base layout is
     byte-compatible). Returns the usual {insert, update, skip} counts plus
@@ -461,6 +470,7 @@ def merge_upsert_mor(
             None if side_loaded else base_kh,
             tgt_digest=side_dig,
             collect_src=side_loaded and writers_is_tiny_source(src),
+            src_digest=src_digest if side_loaded else None,
         )
         dirty_mb, clean_skip = dcmp.dirty, dcmp.clean_src
         # Kill switch removes the maintenance cost too, not just the save.

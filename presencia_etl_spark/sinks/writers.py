@@ -717,7 +717,11 @@ def _fetch_dirty_rows(
     because the dirty set's rows came from this same source frame. The
     classify pass pays the normalize+hash expressions once; this scan pays
     only parquet decode."""
-    d = src_wide.drop("row_hash")
+    # Carried columns ride in from the dirty set; same-named columns the
+    # source itself persists (a managed table re-fed as a merge source —
+    # the replica sync — carries _cdc_key/_kb) must be dropped from the
+    # wide side or the post-join select is ambiguous.
+    d = src_wide.drop("row_hash", *[c for c in carry if c in src_wide.columns])
     b = dirty_ops.select(
         *[F.col(c).alias(f"_b_{c}") for c in key_cols], *carry
     )
@@ -981,6 +985,7 @@ def merge_upsert_partitioned(
     hash_cols: list[str] | None = None,
     num_buckets: int = 64,
     digest_prune: bool = True,
+    src_digest: dict[int, tuple[int, int, int]] | None = None,
 ) -> dict[str, int]:
     """S7 at scale: MERGE that rewrites ONLY the key-hash buckets containing
     changed or new keys, via dynamic partition overwrite.
@@ -1096,6 +1101,7 @@ def merge_upsert_partitioned(
             None if side_loaded else t,
             tgt_digest=side_dig,
             collect_src=side_loaded and _is_tiny_source(src),
+            src_digest=src_digest if side_loaded else None,
         )
         dirty_mb, clean_skip = dcmp.dirty, dcmp.clean_src
         # Kill switch removes the maintenance cost too, not just the save.
@@ -1286,6 +1292,7 @@ def merge_upsert_parquet(
     key_cols: list[str],
     hash_cols: list[str] | None = None,
     digest_prune: bool = True,
+    src_digest: dict[int, tuple[int, int, int]] | None = None,
 ) -> dict[str, int]:
     """S7: staged MERGE into a parquet target; returns bucket counts.
 
@@ -1374,6 +1381,7 @@ def merge_upsert_parquet(
             None if side_loaded else t_kh,
             tgt_digest=side_dig,
             collect_src=side_loaded and _is_tiny_source(src),
+            src_digest=src_digest if side_loaded else None,
         )
         dirty_mb, clean_skip = dcmp.dirty, dcmp.clean_src
         # The kill switch must remove the maintenance cost too (delta

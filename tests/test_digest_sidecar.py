@@ -301,7 +301,9 @@ class TestMicroBatchMaintenance:
         r = merge_upsert_parquet(spark, src, t, ["K"])
         monkeypatch.undo()
         assert r["insert"] == 0 and r["update"] == 0
-        assert tags == ["s"], f"snapshot sync fell back to a target scan: {tags}"
+        # 's' alone = source-side agg against the sidecar; [] = the tiny-
+        # source driver fold. Either way the target was never scanned.
+        assert "t" not in tags, f"snapshot sync fell back to a target scan: {tags}"
 
     def test_flat_subset_merges_keep_sidecar_valid(
         self, spark, tmp_path, monkeypatch

@@ -1,0 +1,186 @@
+"""Engine-to-engine replica sync (plans/replica_sync.py): the no-change
+sync between two managed replicas is proven from the two sidecars with
+ZERO Spark jobs; sparse divergence classifies only the dirty
+micro-buckets with zero digest jobs on either side; everything else
+falls through to the (self-correcting) ordinary merge."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.operators import cdc
+from presencia_etl_spark.plans.replica_sync import (
+    read_managed,
+    sync_replica,
+    table_layout,
+)
+from presencia_etl_spark.sinks import digest_store, mor
+from presencia_etl_spark.sinks.writers import merge_upsert_parquet
+
+
+def _docs(spark, n=300, salt="0", drop_mod=None, extra_mod=None):
+    df = spark.range(n).select(
+        F.col("id"),
+        F.col("id").cast("string").alias("K"),
+        F.concat(F.lit(salt), (F.col("id") % 13).cast("string")).alias("V"),
+    )
+    if extra_mod:
+        df = df.withColumn(
+            "V",
+            F.when(
+                F.col("id") % extra_mod == 0, F.concat(F.col("V"), F.lit("x"))
+            ).otherwise(F.col("V")),
+        )
+    if drop_mod:
+        df = df.filter(F.col("id") % drop_mod != 0)
+    return df.select("K", "V")
+
+
+def _state(df):
+    return {r["K"]: r["V"] for r in df.select("K", "V").collect()}
+
+
+def _seed_mor(spark, path, df, buckets=8):
+    """Load + no-change pass (seeds the sidecar from the scan fallback)."""
+    mor.merge_upsert_mor(spark, df, path, ["K"], num_buckets=buckets,
+                         compact_every=None)
+    mor.merge_upsert_mor(spark, df, path, ["K"], num_buckets=buckets,
+                         compact_every=None)
+    assert digest_store.load(path) is not None
+
+
+def _jobs(spark):
+    tracker = spark.sparkContext.statusTracker()
+    return set(tracker.getJobIdsForGroup() or [])
+
+
+class TestGreenPath:
+    def test_nochange_sync_runs_zero_spark_jobs(self, spark, tmp_path):
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        _seed_mor(spark, src_t, _docs(spark, 300))
+
+        r = sync_replica(spark, src_t, tgt_t, ["K"])  # initial load
+        assert r["insert"] == 300 and r["proven"] is None
+        r = sync_replica(spark, src_t, tgt_t, ["K"])  # seeds target sidecar
+        assert r["insert"] == 0 and r["update"] == 0 and r["delete"] == 0
+        assert digest_store.load(tgt_t) is not None
+
+        j0 = _jobs(spark)
+        r = sync_replica(spark, src_t, tgt_t, ["K"])
+        assert _jobs(spark) == j0, "green-path sync ran Spark jobs"
+        assert r == {
+            "insert": 0, "update": 0, "skip": 300, "delete": 0,
+            "delta_files": 0, "compacted": False, "proven": "sidecar",
+        }
+
+    def test_cow_flat_replicas_green_path(self, spark, tmp_path):
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        df = _docs(spark, 200)
+        merge_upsert_parquet(spark, df, src_t, ["K"])
+        merge_upsert_parquet(spark, df, src_t, ["K"])
+        assert table_layout(src_t) == "flat"
+        sync_replica(spark, src_t, tgt_t, ["K"])
+        sync_replica(spark, src_t, tgt_t, ["K"])  # seeds target sidecar
+        j0 = _jobs(spark)
+        r = sync_replica(spark, src_t, tgt_t, ["K"])
+        assert _jobs(spark) == j0
+        assert r["proven"] == "sidecar" and r["skip"] == 200
+
+
+class TestSparseDivergence:
+    def test_converges_with_zero_digest_jobs(self, spark, tmp_path, monkeypatch):
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        _seed_mor(spark, src_t, _docs(spark, 300))
+        sync_replica(spark, src_t, tgt_t, ["K"])
+        sync_replica(spark, src_t, tgt_t, ["K"])  # target sidecar seeded
+
+        # mutate the SOURCE through its own merge (maintains its sidecar)
+        mut = _docs(spark, 302, extra_mod=150)  # upd 0,150; ins 300,301
+        mor.merge_upsert_mor(spark, mut, src_t, ["K"], num_buckets=8,
+                             compact_every=None)
+        assert digest_store.load(src_t) is not None
+
+        calls = []
+        real = cdc._digest
+
+        def spy(df, hash_col, micro, tag):
+            calls.append(tag)
+            return real(df, hash_col, micro, tag)
+
+        monkeypatch.setattr(cdc, "_digest", spy)
+        r = sync_replica(spark, src_t, tgt_t, ["K"])
+        monkeypatch.undo()
+        assert calls == [], f"replica sync ran digest scans: {calls}"
+        assert r["insert"] == 2 and r["update"] == 2 and r["skip"] == 298
+        assert _state(read_managed(spark, tgt_t)) == _state(
+            read_managed(spark, src_t)
+        )
+
+    def test_source_deletes_propagate(self, spark, tmp_path):
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        _seed_mor(spark, src_t, _docs(spark, 200))
+        sync_replica(spark, src_t, tgt_t, ["K"])
+        sync_replica(spark, src_t, tgt_t, ["K"])
+
+        doomed = _docs(spark, 200).filter(F.col("K").cast("long") % 40 == 0)
+        r = mor.delete_keys_mor(spark, src_t, doomed.select("K"), ["K"],
+                                compact_every=None)
+        assert r["delete"] == 5
+        r = sync_replica(spark, src_t, tgt_t, ["K"])
+        assert r["delete"] == 5 and r["insert"] == 0 and r["update"] == 0
+        assert _state(read_managed(spark, tgt_t)) == _state(
+            read_managed(spark, src_t)
+        )
+        # and the pair is green again
+        r = sync_replica(spark, src_t, tgt_t, ["K"])
+        assert r["proven"] == "sidecar" and r["skip"] == 195
+
+    def test_stale_target_sidecar_falls_back_correctly(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Target touched by a digest-unaware writer: the sync must scan
+        and still converge (src_digest is ignored without a valid
+        target sidecar)."""
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        _seed_mor(spark, src_t, _docs(spark, 150))
+        sync_replica(spark, src_t, tgt_t, ["K"])
+        monkeypatch.setenv("SPARK_GRAFT_DIGEST_SIDECAR", "0")
+        mor.merge_upsert_mor(
+            spark, _docs(spark, 150, extra_mod=50), tgt_t, ["K"],
+            num_buckets=8, compact_every=None,
+        )
+        monkeypatch.delenv("SPARK_GRAFT_DIGEST_SIDECAR")
+        assert digest_store.load(tgt_t) is None
+        r = sync_replica(spark, src_t, tgt_t, ["K"])
+        assert r["update"] == 3  # ids 0,50,100 revert to the source value
+        assert _state(read_managed(spark, tgt_t)) == _state(
+            read_managed(spark, src_t)
+        )
+
+
+class TestGuards:
+    def test_delete_missing_refused_for_cow_target(self, spark, tmp_path):
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        df = _docs(spark, 100)
+        merge_upsert_parquet(spark, df, src_t, ["K"])
+        merge_upsert_parquet(spark, df, tgt_t, ["K"])
+        with pytest.raises(ValueError, match="MOR target"):
+            sync_replica(spark, src_t, tgt_t, ["K"], delete_missing=True)
+
+    def test_cross_layout_mor_source_to_flat_target(self, spark, tmp_path):
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        _seed_mor(spark, src_t, _docs(spark, 120))
+        merge_upsert_parquet(spark, _docs(spark, 118), tgt_t, ["K"])
+        r = sync_replica(spark, src_t, tgt_t, ["K"])
+        assert r["insert"] == 2 and r["proven"] is None
+        tgt = spark.read.parquet(tgt_t)
+        assert "_kb" not in tgt.columns
+        assert _state(tgt) == _state(read_managed(spark, src_t))
