@@ -54,29 +54,49 @@ def enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_DIGEST_SIDECAR", "1") != "0"
 
 
-def table_fingerprint(target_path: str) -> str:
-    """Fingerprint of the table's exact file listing — every file under
-    the target except the sidecar itself (and its temp), hashed as
-    sorted (relpath, size, mtime_ns) triples. Hidden/staging/journal
-    files are deliberately INCLUDED: any in-flight or crashed state
-    must read as "not the state I summarized" (over-invalidation is
-    safe; a missed invalidation is not). Parquet task files carry UUID
-    names, so no two distinct publishes share a listing."""
-    base = target_path.rstrip("/")
-    entries: list[tuple[str, int, int]] = []
+def _local_lister(base: str):
+    """Default listing provider: a local-FS walk yielding one
+    ``(relpath, size, mtime_ns)`` triple per file. mtime_ns is a
+    LOCAL-FILESYSTEM assumption — object stores have no reliable
+    mtime_ns; a production port swaps ``default_lister`` (or passes
+    ``lister=``) for a provider built on the store's own change tokens
+    (S3 ETag/version-id, GCS generation), which serve the same role:
+    any rewrite of a same-named, same-sized object must change its
+    triple. See docs/SCALE.md."""
     for root, _dirs, files in os.walk(base):
         for f in files:
-            if f == SIDE_FILE or f == _TMP:
-                continue
             p = os.path.join(root, f)
             try:
                 st = os.stat(p)
             except OSError:
                 continue
-            entries.append(
-                (os.path.relpath(p, base).replace(os.sep, "/"), st.st_size, st.st_mtime_ns)
+            yield (
+                os.path.relpath(p, base).replace(os.sep, "/"),
+                st.st_size,
+                st.st_mtime_ns,
             )
-    entries.sort()
+
+
+# Deployment-wide seam: swap for an object-store lister in a port.
+default_lister = _local_lister
+
+
+def table_fingerprint(target_path: str, lister=None) -> str:
+    """Fingerprint of the table's exact file listing — every file under
+    the target except the sidecar itself (and its temp), hashed as
+    sorted (relpath, size, change-token) triples from the listing
+    provider (``lister`` arg, else ``default_lister``).
+    Hidden/staging/journal files are deliberately INCLUDED: any
+    in-flight or crashed state must read as "not the state I
+    summarized" (over-invalidation is safe; a missed invalidation is
+    not). Parquet task files carry UUID names, so no two distinct
+    publishes share a listing."""
+    base = target_path.rstrip("/")
+    entries = sorted(
+        e
+        for e in (lister or default_lister)(base)
+        if e[0].rsplit("/", 1)[-1] not in (SIDE_FILE, _TMP)
+    )
     return hashlib.sha256(repr(entries).encode()).hexdigest()
 
 

@@ -111,6 +111,36 @@ class TestFingerprint:
         (t / "b.parquet").write_bytes(b"b")  # external writer touches table
         assert digest_store.load(str(t)) is None
 
+    def test_lister_seam(self, tmp_path, monkeypatch):
+        """The fingerprint consumes an injectable listing provider — the
+        object-store seam: a stubbed lister fully determines the result
+        (no filesystem access), and swapping module-level
+        ``default_lister`` reroutes every internal call."""
+        t = tmp_path / "tbl"
+        t.mkdir()
+        (t / "real.parquet").write_bytes(b"xx")
+
+        def stub_a(base):
+            yield ("a.parquet", 10, 111)
+            yield ("sub/b.parquet", 20, 222)
+            yield (digest_store.SIDE_FILE, 5, 1)  # still excluded
+
+        def stub_b(base):
+            yield ("a.parquet", 10, 999)  # same file, new change token
+
+        fp_a = digest_store.table_fingerprint(str(t), lister=stub_a)
+        assert fp_a == digest_store.table_fingerprint(str(t), lister=stub_a)
+        assert fp_a != digest_store.table_fingerprint(str(t), lister=stub_b)
+        # a real-FS walk of the dir sees real.parquet, not the stub
+        assert fp_a != digest_store.table_fingerprint(str(t))
+        monkeypatch.setattr(digest_store, "default_lister", stub_a)
+        assert digest_store.table_fingerprint(str(t)) == fp_a
+        # save/load ride the swapped provider end-to-end
+        digest_store.save(str(t), {3: (1, 7, 9)})
+        assert digest_store.load(str(t)) == {3: (1, 7, 9)}
+        monkeypatch.setattr(digest_store, "default_lister", stub_b)
+        assert digest_store.load(str(t)) is None  # token changed → stale
+
     def test_disabled_via_env(self, tmp_path, monkeypatch):
         t = tmp_path / "tbl"
         t.mkdir()
