@@ -173,6 +173,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--sample", type=int, default=20, help="max keys printed per kind")
 
+    p = sub.add_parser(
+        "sync-replica",
+        help="converge one managed state dir onto another (replication / "
+        "migration): when both sides carry valid digest sidecars the "
+        "no-change pass is proven with ZERO Spark jobs, and a sparse "
+        "divergence classifies only the differing micro-buckets' rows",
+    )
+    p.add_argument("--source", required=True, help="managed state dir (truth)")
+    p.add_argument("--target", required=True, help="managed state dir to converge")
+    p.add_argument("--key", nargs="+", required=True, help="key columns")
+    p.add_argument(
+        "--no-delete",
+        action="store_true",
+        help="MOR targets only: skip tombstoning keys the source dropped "
+        "(COW targets never delete regardless — trap N6)",
+    )
+
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
@@ -181,6 +198,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--last-n-months", type=int, default=None)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "sync-replica":
+        # Handled BEFORE any session exists: the steady-state (no-change)
+        # sync is proven from the two digest sidecars driver-side, so a
+        # cron's most common pass never pays JVM spin-up at all — a
+        # session is created lazily only when a merge is needed.
+        from presencia_etl_spark.plans.replica_sync import sync_replica
+
+        out = sync_replica(
+            None, args.source, args.target, list(args.key),
+            delete_missing=False if args.no_delete else None,
+        )
+        print(json.dumps({"cmd": "sync-replica", "result": out}))
+        return 0
+
     spark = get_spark(app_name=f"presencia-etl-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
 

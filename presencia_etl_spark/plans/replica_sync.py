@@ -78,7 +78,7 @@ def _num_buckets_of(path: str) -> int | None:
 
 
 def sync_replica(
-    spark: SparkSession,
+    spark: SparkSession | None,
     source_path: str,
     target_path: str,
     key_cols: list[str],
@@ -86,6 +86,10 @@ def sync_replica(
     num_buckets: int | None = None,
 ) -> dict:
     """Converge ``target_path`` onto ``source_path``'s live content.
+
+    ``spark`` may be ``None``: the green path never touches it (the CLI
+    exploits this — a cron's steady-state sync then never even starts a
+    JVM), and a session is created lazily only when a merge is needed.
 
     ``delete_missing`` defaults to True for MOR targets (full replica
     semantics: keys the source dropped are tombstoned) and False for COW
@@ -120,6 +124,10 @@ def sync_replica(
             out.update({"delete": 0, "delta_files": 0, "compacted": False})
         return out
 
+    if spark is None:
+        from presencia_etl_spark.session import get_spark
+
+        spark = get_spark(app_name="replica-sync")
     src = read_managed(spark, source_path)
     # Strip the source's PER-REPLICA surrogates: its bucket column
     # reflects ITS layout/modulus (a flat target must not inherit one),

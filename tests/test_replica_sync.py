@@ -164,6 +164,29 @@ class TestSparseDivergence:
         )
 
 
+class TestCli:
+    def test_sync_replica_subcommand(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from presencia_etl_spark.__main__ import main
+
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        _seed_mor(spark, src_t, _docs(spark, 80))
+        assert main(["sync-replica", "--source", src_t, "--target", tgt_t,
+                     "--key", "K"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["insert"] == 80
+        main(["sync-replica", "--source", src_t, "--target", tgt_t,
+              "--key", "K"])  # seeds target sidecar
+        capsys.readouterr()
+        assert main(["sync-replica", "--source", src_t, "--target", tgt_t,
+                     "--key", "K"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["proven"] == "sidecar"
+        assert out["result"]["skip"] == 80
+
+
 class TestGuards:
     def test_delete_missing_refused_for_cow_target(self, spark, tmp_path):
         src_t = str(tmp_path / "src")
