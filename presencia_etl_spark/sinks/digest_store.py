@@ -17,10 +17,12 @@ Safety model — the sidecar can NEVER make a merge wrong, only slower:
 - The sidecar embeds a fingerprint of the table's exact file listing
   (relpath, size, mtime_ns of every file) in its parquet footer
   metadata. ``load`` re-walks the table and returns ``None`` on any
-  mismatch, so a table touched by ANY other writer (compaction,
-  deletes, TTL, a trickle merge that skips digest maintenance, a crash
-  between table publish and sidecar write) simply falls back to the
-  scan path — which then writes a fresh sidecar, re-amortizing itself.
+  mismatch, so a table touched by ANY digest-unaware writer (an
+  external tool, a manual file copy, a crash between table publish
+  and sidecar write) simply falls back to the scan path — which then
+  writes a fresh sidecar, re-amortizing itself. Every engine writer
+  maintains it: snapshot merges, micro-batch merges (maintenance
+  decoupled from pruning — round 10), deletes/TTL/erasure, compaction.
 - ``save`` runs strictly AFTER the table publish and is atomic
   (temp file + ``os.replace``); a failed or interrupted save leaves
   either no sidecar or the previous one, both of which fail the
