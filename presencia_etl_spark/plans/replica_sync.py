@@ -36,35 +36,20 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 
 from presencia_etl_spark.sinks import digest_store
+from presencia_etl_spark.sinks.lifecycle import table_layout
 
 MOR_META = "_mor_meta.json"
 BUCKET_META = "_bucket_meta.json"
-
-
-def table_layout(path: str) -> str:
-    """'mor' | 'bucketed' | 'flat' for a managed state dir (raises on a
-    path that is none of them)."""
-    if os.path.exists(os.path.join(path, MOR_META)):
-        return "mor"
-    if not os.path.isdir(path):
-        raise ValueError(f"{path!r} is not a managed state dir")
-    if os.path.exists(os.path.join(path, BUCKET_META)) or any(
-        d.startswith("_kb=") for d in os.listdir(path)
-    ):
-        return "bucketed"
-    return "flat"
 
 
 def read_managed(spark: SparkSession, path: str) -> DataFrame:
     """The table's LIVE row view (tombstones resolved for MOR), in the
     persisted layout: data + audit + ``_cdc_key`` (+ ``_kb``). The
     persisted ``row_hash`` rides along, so a downstream merge never
-    re-hashes the rows."""
-    if table_layout(path) == "mor":
-        from presencia_etl_spark.sinks.mor import read_mor
+    re-hashes the rows. (= ``sql.read_state`` — one layout-aware read.)"""
+    from presencia_etl_spark.sql import read_state
 
-        return read_mor(spark, path)
-    return spark.read.parquet(path)
+    return read_state(spark, path)
 
 
 def _num_buckets_of(path: str) -> int | None:
@@ -101,8 +86,11 @@ def sync_replica(
     ``"sidecar"`` when the green path answered without Spark,
     ``None`` otherwise.
     """
+    from presencia_etl_spark.sinks.writers import _state_absent
+
     src_layout = table_layout(source_path)
-    if not os.path.exists(target_path):
+    tgt_exists = not _state_absent(target_path)  # empty dir = no state
+    if not tgt_exists:
         tgt_layout = src_layout  # mirror the source's layout on first sync
     else:
         tgt_layout = table_layout(target_path)
@@ -115,7 +103,7 @@ def sync_replica(
         )
 
     sdig = digest_store.load(source_path)
-    tdig = digest_store.load(target_path) if os.path.exists(target_path) else None
+    tdig = digest_store.load(target_path) if tgt_exists else None
     if sdig is not None and tdig is not None and sdig == tdig:
         # Proven identical from metadata alone — no SparkSession use.
         n = sum(c for c, _x, _y in sdig.values())
@@ -128,6 +116,7 @@ def sync_replica(
         from presencia_etl_spark.session import get_spark
 
         spark = get_spark(app_name="replica-sync")
+        spark.sparkContext.setLogLevel("ERROR")  # CLI parity (lazy path)
     src = read_managed(spark, source_path)
     # Strip the source's PER-REPLICA surrogates: its bucket column
     # reflects ITS layout/modulus (a flat target must not inherit one),
@@ -135,13 +124,27 @@ def sync_replica(
     # replica — the target keeps/assigns its own. row_hash stays: it is
     # data-only and trusted, so the merge never re-hashes the source.
     src = src.drop("_kb", "id", "created_at", "updated_at")
-    nb = num_buckets or _num_buckets_of(source_path) or 256
+    # Bucket count: an EXISTING target's own layout wins (its recorded
+    # meta); only a fresh target mirrors the source's. Passing the
+    # source's modulus at an existing bucketed target would be adopted
+    # by a pre-meta legacy state (_resolve_num_buckets persists the
+    # caller's value) and split keys across two moduli — refuse instead.
+    nb = num_buckets
+    if nb is None and tgt_exists:
+        nb = _num_buckets_of(target_path)
+        if nb is None and tgt_layout == "bucketed":
+            raise ValueError(
+                f"target {target_path!r} is bucketed but records no "
+                "bucket count (pre-meta layout); pass num_buckets= "
+                "matching its actual modulus"
+            )
+    nb = nb or _num_buckets_of(source_path) or 256
     if tgt_layout == "mor":
         from presencia_etl_spark.sinks.mor import merge_upsert_mor
 
         r = merge_upsert_mor(
             spark, src, target_path, key_cols, num_buckets=nb,
-            delete_missing=delete_missing and os.path.exists(target_path),
+            delete_missing=delete_missing and tgt_exists,
             src_digest=sdig,
         )
     elif tgt_layout == "bucketed":

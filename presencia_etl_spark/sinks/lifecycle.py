@@ -28,14 +28,35 @@ from presencia_etl_spark.sinks.writers import (
 )
 
 
-def state_kind(spark: SparkSession, target_path: str) -> str:
-    """'mor' | 'bucketed' | 'parquet' — from metadata only (one schema
-    read at most, no job)."""
-    if os.path.exists(os.path.join(target_path, mor_mod.META_FILE)):
+def table_layout(path: str) -> str:
+    """'mor' | 'bucketed' | 'flat' from FILESYSTEM metadata alone (no
+    SparkSession, no schema read) — THE layout detector; ``state_kind``
+    and the replica sync build on it so the notion of "what kind of
+    state is this dir" cannot drift between callers."""
+    if os.path.exists(os.path.join(path, mor_mod.META_FILE)):
         return "mor"
-    if BUCKET_COL in spark.read.parquet(target_path).columns:
+    if not os.path.isdir(path):
+        if os.path.exists(path):
+            return "flat"  # a bare parquet file — readable as a flat state
+        raise ValueError(f"{path!r} is not a managed state dir")
+    from presencia_etl_spark.sinks.writers import BUCKET_META
+
+    if os.path.exists(os.path.join(path, BUCKET_META)) or any(
+        d.startswith(f"{BUCKET_COL}=") for d in os.listdir(path)
+    ):
         return "bucketed"
-    return "parquet"
+    return "flat"
+
+
+def state_kind(spark: SparkSession, target_path: str) -> str:
+    """'mor' | 'bucketed' | 'parquet' — ``table_layout`` plus one schema
+    read as the bucketed fallback for hand-laid states that carry the
+    ``_kb`` column without hive dirs or the bucket-meta sidecar (none
+    are written by this engine; the fallback keeps the old contract)."""
+    kind = table_layout(target_path)
+    if kind == "flat" and BUCKET_COL in spark.read.parquet(target_path).columns:
+        return "bucketed"
+    return "parquet" if kind == "flat" else kind
 
 
 def delete_rows(

@@ -76,6 +76,9 @@ from presencia_etl_spark.sinks.writers import (
 from presencia_etl_spark.sinks.writers import (
     _is_tiny_source as writers_is_tiny_source,
 )
+from presencia_etl_spark.sinks.writers import (
+    _state_absent as writers_state_absent,
+)
 
 BASE_DIR = "base"
 DELTA_DIR = "deltas"
@@ -334,8 +337,8 @@ def merge_upsert_mor(
     reference's never-delete semantics (trap N6). Idempotent like the
     upserts: replaying the same snapshot finds the erased keys already
     tombstoned (absent from the live view) and writes nothing."""
-    if not os.path.exists(target_path):
-        os.makedirs(target_path)
+    if writers_state_absent(target_path):
+        os.makedirs(target_path, exist_ok=True)
         r = merge_upsert_partitioned(
             spark,
             src,

@@ -152,6 +152,16 @@ def _bucket_meta_path(target_path: str) -> str:
     return os.path.join(target_path, BUCKET_META)
 
 
+def _state_absent(path: str) -> bool:
+    """True when no state exists at ``path`` — missing, or an EMPTY
+    pre-created directory (a mount point / mkdir'd target): initial
+    loads must treat both the same, or the merge skips its initial
+    branch and dies reading schema from nothing."""
+    return not os.path.exists(path) or (
+        os.path.isdir(path) and not os.listdir(path)
+    )
+
+
 def _resolve_num_buckets(target_path: str, requested: int) -> int:
     """The state's stored bucket count wins over the call argument (see
     BUCKET_META). Pre-sidecar states adopt the caller's value — written
@@ -1025,7 +1035,7 @@ def merge_upsert_partitioned(
             F.pmod(F.xxhash64(F.col(cdc.KEY_COL)), F.lit(num_buckets)).cast("int"),
         )
 
-    if not os.path.exists(target_path):
+    if _state_absent(target_path):
         # The normalized _cdc_key is persisted alongside row_hash: later
         # syncs read both from parquet instead of re-running the normalize
         # expression over the whole target.
@@ -1310,7 +1320,7 @@ def merge_upsert_parquet(
     # initial load over a table that still exists (fresh ids/created_at
     # for every row).
     _recover_interrupted_rebucket(target_path)
-    if not os.path.exists(target_path):
+    if _state_absent(target_path):
         hashed = (
             src
             if "row_hash" in src.columns

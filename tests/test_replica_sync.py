@@ -6,6 +6,8 @@ falls through to the (self-correcting) ordinary merge."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -196,6 +198,48 @@ class TestGuards:
         merge_upsert_parquet(spark, df, tgt_t, ["K"])
         with pytest.raises(ValueError, match="MOR target"):
             sync_replica(spark, src_t, tgt_t, ["K"], delete_missing=True)
+
+    def test_empty_precreated_target_dir_runs_initial_load(
+        self, spark, tmp_path
+    ):
+        """mkdir'd-but-empty targets (mount points) must behave like
+        absent ones: mirror the source layout and initial-load, for
+        every merge family."""
+        src_t = str(tmp_path / "src")
+        _seed_mor(spark, src_t, _docs(spark, 90))
+        tgt_t = str(tmp_path / "tgt")
+        os.makedirs(tgt_t)
+        r = sync_replica(spark, src_t, tgt_t, ["K"])
+        assert r["insert"] == 90
+        assert table_layout(tgt_t) == "mor"  # mirrored, not 'flat'
+        # flat family direct: empty dir → initial load, not a schema error
+        flat_src = _docs(spark, 40)
+        flat_t = str(tmp_path / "flat")
+        os.makedirs(flat_t)
+        r = merge_upsert_parquet(spark, flat_src, flat_t, ["K"])
+        assert r["insert"] == 40
+
+    def test_existing_target_bucket_count_wins(self, spark, tmp_path):
+        """A 64-bucket MOR target synced from a 256-bucket source keeps
+        ITS modulus — no cross-modulus adoption, no spurious warning."""
+        import warnings as _warnings
+
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        df = _docs(spark, 120)
+        mor.merge_upsert_mor(spark, df, src_t, ["K"], num_buckets=16,
+                             compact_every=None)
+        mor.merge_upsert_mor(spark, df, src_t, ["K"], num_buckets=16,
+                             compact_every=None)
+        mor.merge_upsert_mor(spark, _docs(spark, 118), tgt_t, ["K"],
+                             num_buckets=4, compact_every=None)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # num_buckets mismatch warns
+            r = sync_replica(spark, src_t, tgt_t, ["K"])
+        assert r["insert"] == 2
+        assert _state(read_managed(spark, tgt_t)) == _state(
+            read_managed(spark, src_t)
+        )
 
     def test_cross_layout_mor_source_to_flat_target(self, spark, tmp_path):
         src_t = str(tmp_path / "src")
