@@ -194,7 +194,8 @@ def main() -> None:
         "scale100": ("full_sec", "full_rows_per_sec", "linear_ratio",
                      "sparse_mor_sec", "nochange_sec", "compact_sec",
                      "cpar_sec", "cpar2_sec", "nochange_managed_sec",
-                     "diff_green_sec", "diff_dirty_sec", "error"),
+                     "diff_green_sec", "diff_dirty_sec",
+                     "sparse_managed_sec", "error"),
     }
     short_pipeline = {k: pipeline[k] for k in TOP_KEYS if k in pipeline}
     for prefix, keys in SUB_KEYS.items():
@@ -1110,6 +1111,18 @@ def _scale100_child(base_rate: int, work: str) -> dict:
         out["diff_dirty_sec"], res = timed_diff()
         if not (res["digest_proven"] and res["counts"] == {"differs": 1}):
             out["diff_dirty_anomaly"] = res["counts"]
+
+        # Sparse MANAGED sync: converge the replica back onto the target
+        # (one dirty micro-bucket). Both sidecars name it driver-side,
+        # so the source read AND the classify's base read are pruned to
+        # a couple of _kb dirs of the 60M pair — no full scan anywhere.
+        t0 = time.perf_counter()
+        rs = sync_replica(spark, target, replica, ["k"])
+        out["sparse_managed_sec"] = round(time.perf_counter() - t0, 3)
+        if rs.get("update") != 1 or rs.get("delete"):
+            out["sparse_managed_anomaly"] = {
+                k: int(rs.get(k, 0)) for k in ("insert", "update", "delete")
+            }
         shutil.rmtree(replica, ignore_errors=True)
 
         # Compaction folds the deltas back: listing-pruned — only the

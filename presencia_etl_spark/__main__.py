@@ -352,8 +352,21 @@ def main(argv: list[str] | None = None) -> int:
                     known_dirty = dirty
                     digest_proven = True
 
-        left = read_state(spark, args.left)
-        right = read_state(spark, args.right)
+        # When the sidecars named the dirty micro-buckets, read ONLY
+        # their _kb= dirs (listing-level for MOR, partition-level for
+        # bucketed COW): diffing two 100 TB replicas over one changed
+        # key reads a handful of buckets, not both tables. diff_states
+        # still filters to the exact dirty micro-buckets.
+        if known_dirty is not None:
+            from presencia_etl_spark.plans.replica_sync import (
+                read_managed_pruned,
+            )
+
+            left = read_managed_pruned(spark, args.left, known_dirty)
+            right = read_managed_pruned(spark, args.right, known_dirty)
+        else:
+            left = read_state(spark, args.left)
+            right = read_state(spark, args.right)
         keys = list(args.key) or [KEY_COL]
         for side, df in (("--left", left), ("--right", right)):
             missing = [k for k in keys if k not in df.columns]

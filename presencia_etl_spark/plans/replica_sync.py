@@ -62,6 +62,39 @@ def _num_buckets_of(path: str) -> int | None:
     return None
 
 
+def read_managed_pruned(
+    spark: SparkSession, path: str, dirty_mb: list[int] | None
+) -> DataFrame:
+    """The live view restricted to a SUPERSET of the dirty micro-buckets'
+    rows — every dirty micro-bucket maps into exactly one ``_kb=`` dir
+    (nested moduli), so the read is pruned at the file LISTING for MOR
+    and at partition level for bucketed COW. At 100 TB this is the
+    difference between "diff two replicas = scan both" and "diff two
+    replicas = read the handful of dirty buckets". Falls back to the
+    full view when pruning can't apply (flat layout, unknown modulus,
+    ``dirty_mb is None``). Callers must still filter to the exact dirty
+    micro-buckets (``diff_states(dirty_mb=...)`` / the merges' ``_mb``
+    filter) — this only narrows the I/O."""
+    if dirty_mb is None:
+        return read_managed(spark, path)
+    from presencia_etl_spark.operators.cdc import DIGEST_MICRO_BUCKETS
+
+    layout = table_layout(path)
+    nb = _num_buckets_of(path)
+    if nb is None or DIGEST_MICRO_BUCKETS % nb:
+        return read_managed(spark, path)
+    kbs = sorted({mb % nb for mb in dirty_mb})
+    if layout == "mor":
+        from presencia_etl_spark.sinks.mor import read_mor
+
+        return read_mor(spark, path, buckets=kbs)
+    if layout == "bucketed":
+        from presencia_etl_spark.functions.pushdown import in_list
+
+        return spark.read.parquet(path).filter(in_list("_kb", kbs))
+    return read_managed(spark, path)
+
+
 def sync_replica(
     spark: SparkSession | None,
     source_path: str,
@@ -117,13 +150,61 @@ def sync_replica(
 
         spark = get_spark(app_name="replica-sync")
         spark.sparkContext.setLogLevel("ERROR")  # CLI parity (lazy path)
-    src = read_managed(spark, source_path)
-    # Strip the source's PER-REPLICA surrogates: its bucket column
-    # reflects ITS layout/modulus (a flat target must not inherit one),
-    # and its audit identity (id/created_at/updated_at) belongs to that
-    # replica — the target keeps/assigns its own. row_hash stays: it is
-    # data-only and trusted, so the merge never re-hashes the source.
-    src = src.drop("_kb", "id", "created_at", "updated_at")
+    from presencia_etl_spark.sinks.locking import state_lock
+
+    # The merge section holds the TARGET's writer lock (reentrant into
+    # the merge's own @single_writer): the target sidecar re-loaded
+    # under the lock cannot be invalidated before the merge loads it
+    # again, which is what makes handing the merge a BUCKET-PRUNED
+    # source safe — a delete_missing classify over a pruned source with
+    # a raced-away target sidecar would otherwise erase every row
+    # outside the pruned buckets.
+    with state_lock(target_path):
+        dirty: list[int] | None = None
+        if (
+            sdig is not None
+            and tgt_exists
+            and os.environ.get("SPARK_GRAFT_DIGEST_PRUNE", "1") != "0"
+        ):
+            # Re-load under the lock; recompute the dirty set fresh.
+            tdig = digest_store.load(target_path)
+            if tdig is not None:
+                if sdig == tdig:
+                    n = sum(c for c, _x, _y in sdig.values())
+                    out = {"insert": 0, "update": 0, "skip": n,
+                           "proven": "sidecar"}
+                    if tgt_layout == "mor":
+                        out.update({"delete": 0, "delta_files": 0,
+                                    "compacted": False})
+                    return out
+                occupied = set(sdig) | set(tdig)
+                d = sorted(
+                    mb for mb in occupied if sdig.get(mb) != tdig.get(mb)
+                )
+                # The same dense-decline rule every digest consumer
+                # applies; the merge will recompute the identical set
+                # from the same two dicts, so pruned-source rows cover
+                # every micro-bucket the merge will classify.
+                if 2 * len(d) < len(occupied):
+                    dirty = d
+        src = read_managed_pruned(spark, source_path, dirty)
+        # Strip the source's PER-REPLICA surrogates: its bucket column
+        # reflects ITS layout/modulus (a flat target must not inherit
+        # one), and its audit identity (id/created_at/updated_at)
+        # belongs to that replica — the target keeps/assigns its own.
+        # row_hash stays: it is data-only and trusted, so the merge
+        # never re-hashes the source.
+        src = src.drop("_kb", "id", "created_at", "updated_at")
+        return _merge_replica(
+            spark, src, source_path, target_path, key_cols, tgt_layout,
+            tgt_exists, delete_missing, num_buckets, sdig,
+        )
+
+
+def _merge_replica(
+    spark, src, source_path, target_path, key_cols, tgt_layout,
+    tgt_exists, delete_missing, num_buckets, sdig,
+) -> dict:
     # Bucket count: an EXISTING target's own layout wins (its recorded
     # meta); only a fresh target mirrors the source's. Passing the
     # source's modulus at an existing bucketed target would be adopted

@@ -554,6 +554,44 @@ class TestDiffCliFastPath:
         assert r["counts"]["differs"] == 4  # ids 0,40,80,120 of 150
         assert "only_left" not in r["counts"]
 
+    def test_mor_pair_mismatch_reads_only_dirty_buckets(
+        self, spark, tmp_path, capsys, monkeypatch
+    ):
+        """MOR replicas: the dirty diff's reads are LISTING-pruned to the
+        dirty micro-buckets' _kb dirs (round 10) — counts unchanged."""
+        import json as _json
+
+        from presencia_etl_spark.__main__ import main
+        from presencia_etl_spark.sinks import mor as mor_mod
+
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        for path, df in ((left, _docs(spark, 200)),
+                         (right, _docs(spark, 201, extra_mod=100))):
+            mor_mod.merge_upsert_mor(spark, df, path, ["K"], num_buckets=16,
+                                     compact_every=None)
+            mor_mod.merge_upsert_mor(spark, df, path, ["K"], num_buckets=16,
+                                     compact_every=None)  # seed sidecar
+            assert digest_store.load(path) is not None
+
+        bucket_args = []
+        real = mor_mod.read_mor
+
+        def spy(spark_, path, as_of_seq=None, buckets=None):
+            bucket_args.append(buckets)
+            return real(spark_, path, as_of_seq=as_of_seq, buckets=buckets)
+
+        monkeypatch.setattr(mor_mod, "read_mor", spy)
+        assert main(["diff", "--left", left, "--right", right]) == 0
+        monkeypatch.undo()
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        r = out["result"]
+        assert r["digest_proven"] is True and r["identical"] is False
+        assert r["counts"]["only_right"] == 1
+        assert r["counts"]["differs"] == 2  # ids 0, 100
+        assert bucket_args and all(
+            b is not None and len(b) < 16 for b in bucket_args
+        ), f"diff reads unpruned: {bucket_args}"
+
     def test_densely_diverged_states_decline_pruning(
         self, spark, tmp_path, capsys
     ):

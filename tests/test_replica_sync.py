@@ -142,6 +142,63 @@ class TestSparseDivergence:
         r = sync_replica(spark, src_t, tgt_t, ["K"])
         assert r["proven"] == "sidecar" and r["skip"] == 195
 
+    def test_sparse_sync_reads_only_dirty_source_buckets(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """With both sidecars valid, the SOURCE read is listing-pruned
+        to the dirty micro-buckets' _kb dirs — not a full table read."""
+        from presencia_etl_spark.sinks import mor as mor_mod
+
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        _seed_mor(spark, src_t, _docs(spark, 300), buckets=16)
+        sync_replica(spark, src_t, tgt_t, ["K"])
+        sync_replica(spark, src_t, tgt_t, ["K"])  # seeds target sidecar
+
+        one = _docs(spark, 300, extra_mod=299).filter(F.col("K") == "299")
+        mor.merge_upsert_mor(spark, one, src_t, ["K"], num_buckets=16,
+                             compact_every=None)
+        bucket_args = []
+        real = mor_mod.read_mor
+
+        def spy(spark_, path, as_of_seq=None, buckets=None):
+            bucket_args.append((path, buckets))
+            return real(spark_, path, as_of_seq=as_of_seq, buckets=buckets)
+
+        monkeypatch.setattr(mor_mod, "read_mor", spy)
+        r = sync_replica(spark, src_t, tgt_t, ["K"])
+        monkeypatch.undo()
+        assert r["update"] == 1 and r["insert"] == 0
+        src_reads = [b for p, b in bucket_args if p == src_t]
+        assert src_reads and src_reads[0] is not None
+        assert len(src_reads[0]) < 16, f"source read unpruned: {src_reads}"
+        assert _state(read_managed(spark, tgt_t)) == _state(
+            read_managed(spark, src_t)
+        )
+
+    def test_prune_killswitch_keeps_delete_sync_correct(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """SPARK_GRAFT_DIGEST_PRUNE=0 forces digest_compare to stand
+        down entirely — the sync must then hand the merge a FULL source
+        (a pruned one would classify everything outside it as missing
+        and mass-delete under delete_missing)."""
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        _seed_mor(spark, src_t, _docs(spark, 200))
+        sync_replica(spark, src_t, tgt_t, ["K"])
+        sync_replica(spark, src_t, tgt_t, ["K"])
+        doomed = _docs(spark, 200).filter(F.col("K") == "7").select("K")
+        mor.delete_keys_mor(spark, src_t, doomed, ["K"], compact_every=None)
+        monkeypatch.setenv("SPARK_GRAFT_DIGEST_PRUNE", "0")
+        r = sync_replica(spark, src_t, tgt_t, ["K"])
+        monkeypatch.delenv("SPARK_GRAFT_DIGEST_PRUNE")
+        assert r["delete"] == 1, f"expected exactly one delete: {r}"
+        assert _state(read_managed(spark, tgt_t)) == _state(
+            read_managed(spark, src_t)
+        )
+        assert read_managed(spark, tgt_t).count() == 199  # no mass delete
+
     def test_stale_target_sidecar_falls_back_correctly(
         self, spark, tmp_path, monkeypatch
     ):
