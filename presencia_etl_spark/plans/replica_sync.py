@@ -139,11 +139,7 @@ def sync_replica(
     tdig = digest_store.load(target_path) if tgt_exists else None
     if sdig is not None and tdig is not None and sdig == tdig:
         # Proven identical from metadata alone — no SparkSession use.
-        n = sum(c for c, _x, _y in sdig.values())
-        out = {"insert": 0, "update": 0, "skip": n, "proven": "sidecar"}
-        if tgt_layout == "mor":
-            out.update({"delete": 0, "delta_files": 0, "compacted": False})
-        return out
+        return _green_result(sum(c for c, _x, _y in sdig.values()), tgt_layout)
 
     if spark is None:
         from presencia_etl_spark.session import get_spark
@@ -161,32 +157,26 @@ def sync_replica(
     # outside the pruned buckets.
     with state_lock(target_path):
         dirty: list[int] | None = None
-        if (
-            sdig is not None
-            and tgt_exists
-            and os.environ.get("SPARK_GRAFT_DIGEST_PRUNE", "1") != "0"
-        ):
-            # Re-load under the lock; recompute the dirty set fresh.
-            tdig = digest_store.load(target_path)
-            if tdig is not None:
-                if sdig == tdig:
-                    n = sum(c for c, _x, _y in sdig.values())
-                    out = {"insert": 0, "update": 0, "skip": n,
-                           "proven": "sidecar"}
-                    if tgt_layout == "mor":
-                        out.update({"delete": 0, "delta_files": 0,
-                                    "compacted": False})
-                    return out
-                occupied = set(sdig) | set(tdig)
-                d = sorted(
-                    mb for mb in occupied if sdig.get(mb) != tdig.get(mb)
-                )
-                # The same dense-decline rule every digest consumer
-                # applies; the merge will recompute the identical set
-                # from the same two dicts, so pruned-source rows cover
-                # every micro-bucket the merge will classify.
-                if 2 * len(d) < len(occupied):
-                    dirty = d
+        tdig = digest_store.load(target_path) if (
+            sdig is not None and tgt_exists
+        ) else None
+        if tdig is not None:
+            # ONE rule source: the exact dict-diff + dense-decline +
+            # kill-switch behavior the merge itself will re-run on
+            # these SAME dicts (tdig is threaded through as the merge's
+            # tgt_digest) — the dirty set below and the merge's are
+            # structurally the same computation, so a pruned source can
+            # never meet a differently-derived dirty set.
+            from presencia_etl_spark.operators import cdc
+
+            dcmp = cdc.digest_compare(
+                None, None, tgt_digest=tdig, src_digest=sdig
+            )
+            if dcmp.dirty == []:
+                return _green_result(dcmp.clean_src, tgt_layout)
+            dirty = dcmp.dirty
+            if dcmp.tgt_digest is None:
+                tdig = None  # kill switch: hand the merge nothing either
         src = read_managed_pruned(spark, source_path, dirty)
         # Strip the source's PER-REPLICA surrogates: its bucket column
         # reflects ITS layout/modulus (a flat target must not inherit
@@ -197,13 +187,20 @@ def sync_replica(
         src = src.drop("_kb", "id", "created_at", "updated_at")
         return _merge_replica(
             spark, src, source_path, target_path, key_cols, tgt_layout,
-            tgt_exists, delete_missing, num_buckets, sdig,
+            tgt_exists, delete_missing, num_buckets, sdig, tdig,
         )
+
+
+def _green_result(skip: int, tgt_layout: str) -> dict:
+    out = {"insert": 0, "update": 0, "skip": skip, "proven": "sidecar"}
+    if tgt_layout == "mor":
+        out.update({"delete": 0, "delta_files": 0, "compacted": False})
+    return out
 
 
 def _merge_replica(
     spark, src, source_path, target_path, key_cols, tgt_layout,
-    tgt_exists, delete_missing, num_buckets, sdig,
+    tgt_exists, delete_missing, num_buckets, sdig, tdig,
 ) -> dict:
     # Bucket count: an EXISTING target's own layout wins (its recorded
     # meta); only a fresh target mirrors the source's. Passing the
@@ -226,20 +223,21 @@ def _merge_replica(
         r = merge_upsert_mor(
             spark, src, target_path, key_cols, num_buckets=nb,
             delete_missing=delete_missing and tgt_exists,
-            src_digest=sdig,
+            src_digest=sdig, tgt_digest=tdig,
         )
     elif tgt_layout == "bucketed":
         from presencia_etl_spark.sinks.writers import merge_upsert_partitioned
 
         r = merge_upsert_partitioned(
             spark, src, target_path, key_cols, num_buckets=nb,
-            src_digest=sdig,
+            src_digest=sdig, tgt_digest=tdig,
         )
     else:
         from presencia_etl_spark.sinks.writers import merge_upsert_parquet
 
         r = merge_upsert_parquet(
-            spark, src, target_path, key_cols, src_digest=sdig
+            spark, src, target_path, key_cols,
+            src_digest=sdig, tgt_digest=tdig,
         )
     if sdig is not None and digest_store.load(source_path) != sdig:
         warnings.warn(

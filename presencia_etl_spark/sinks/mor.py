@@ -309,6 +309,7 @@ def merge_upsert_mor(
     delete_missing: bool = False,
     digest_prune: bool = True,
     src_digest: dict[int, tuple[int, int, int]] | None = None,
+    tgt_digest: dict[int, tuple[int, int, int]] | None = None,
 ) -> dict[str, int]:
     """Upsert ``src`` writing ONLY the changed rows (a new delta dir).
 
@@ -319,6 +320,16 @@ def merge_upsert_mor(
     learning the dirty set on either side. The caller vouches the map
     describes exactly ``src``'s rows; ignored when the target sidecar
     is stale/absent (the scan compare re-learns everything itself).
+
+    ``tgt_digest``: a target digest the caller ALREADY validated — the
+    replica sync loads it under the target's writer lock (this merge
+    re-enters the same lock, so no writer can have invalidated it) and
+    passes it here, which (a) saves a second fingerprint walk of the
+    table and, more importantly, (b) makes the compare run on the
+    exact dicts the caller pruned its source from: the dirty set the
+    merge derives is then structurally identical to the caller's, so a
+    bucket-pruned source can never meet a differently-computed dirty
+    set under ``delete_missing``.
 
     Initial load delegates to the COW bucketed writer (the base layout is
     byte-compatible). Returns the usual {insert, update, skip} counts plus
@@ -466,7 +477,11 @@ def merge_upsert_mor(
         # listing — then the LIVE (base ∪ delta-latest) view is never
         # scanned at all; otherwise one narrow scan computes it and the
         # merge saves a fresh sidecar after the delta commits.
-        side_dig = digest_store.load(target_path)
+        side_dig = (
+            tgt_digest
+            if tgt_digest is not None
+            else digest_store.load(target_path)
+        )
         side_loaded = side_dig is not None
         dcmp = cdc.digest_compare(
             s_narrow.select(cdc.KEY_COL, "row_hash"),

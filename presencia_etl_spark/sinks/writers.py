@@ -996,6 +996,7 @@ def merge_upsert_partitioned(
     num_buckets: int = 64,
     digest_prune: bool = True,
     src_digest: dict[int, tuple[int, int, int]] | None = None,
+    tgt_digest: dict[int, tuple[int, int, int]] | None = None,
 ) -> dict[str, int]:
     """S7 at scale: MERGE that rewrites ONLY the key-hash buckets containing
     changed or new keys, via dynamic partition overwrite.
@@ -1104,7 +1105,14 @@ def merge_upsert_partitioned(
         # and the store is cheap (see DIGEST_PERSIST_MAX_BYTES).
         if _should_persist_narrow(target_path):
             s_narrow = s_narrow.persist()
-        side_dig = digest_store.load(target_path)
+        # tgt_digest: caller-validated under the target's writer lock
+        # (replica sync) — same dict the caller pruned from, and one
+        # fewer fingerprint walk. See merge_upsert_mor's docstring.
+        side_dig = (
+            tgt_digest
+            if tgt_digest is not None
+            else digest_store.load(target_path)
+        )
         side_loaded = side_dig is not None
         dcmp = cdc.digest_compare(
             s_narrow.select(cdc.KEY_COL, "row_hash"),
@@ -1303,6 +1311,7 @@ def merge_upsert_parquet(
     hash_cols: list[str] | None = None,
     digest_prune: bool = True,
     src_digest: dict[int, tuple[int, int, int]] | None = None,
+    tgt_digest: dict[int, tuple[int, int, int]] | None = None,
 ) -> dict[str, int]:
     """S7: staged MERGE into a parquet target; returns bucket counts.
 
@@ -1384,7 +1393,13 @@ def merge_upsert_parquet(
         # DIGEST_PERSIST_MAX_BYTES on the bucketed variant).
         if _should_persist_narrow(target_path):
             narrow = narrow.persist()
-        side_dig = digest_store.load(target_path)
+        # tgt_digest: caller-validated under the target's writer lock
+        # (replica sync) — see merge_upsert_mor's docstring.
+        side_dig = (
+            tgt_digest
+            if tgt_digest is not None
+            else digest_store.load(target_path)
+        )
         side_loaded = side_dig is not None
         dcmp = cdc.digest_compare(
             narrow.select(cdc.KEY_COL, "row_hash"),
