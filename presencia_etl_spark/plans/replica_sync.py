@@ -185,10 +185,47 @@ def sync_replica(
         # row_hash stays: it is data-only and trusted, so the merge
         # never re-hashes the source.
         src = src.drop("_kb", "id", "created_at", "updated_at")
-        return _merge_replica(
-            spark, src, source_path, target_path, key_cols, tgt_layout,
-            tgt_exists, delete_missing, num_buckets, sdig, tdig,
+
+        # Conf regime, decided from the DIGESTS (pure metadata, before
+        # any job — the CLAUDE.md trickle rule): a sparse managed sync's
+        # classify touches only the dirty micro-buckets' rows, known
+        # here per bucket, and its strategy is static — under session
+        # conf a ONE-KEY sync at 60M ran 38 AQE re-plan jobs with
+        # 256-task exchanges (initialPartitionNum, sized for corpus
+        # joins). Tiny dirty sets take trickle conf; everything else
+        # holds the corpus section so no scope flips conf mid-merge.
+        # Degrades to corpus conf (never an error) when composed under
+        # a fan-out worker.
+        from presencia_etl_spark import session as _sess
+
+        est_rows = (
+            sum(
+                max(sdig.get(mb, (0, 0, 0))[0], tdig.get(mb, (0, 0, 0))[0])
+                for mb in dirty
+            )
+            if dirty is not None and tdig is not None
+            else None
         )
+        if (
+            est_rows is not None
+            and est_rows <= _trickle_sync_max_rows()
+            and _sess.trickle_allowed()
+        ):
+            with _sess.trickle_scope(spark):
+                return _merge_replica(
+                    spark, src, source_path, target_path, key_cols,
+                    tgt_layout, tgt_exists, delete_missing, num_buckets,
+                    sdig, tdig,
+                )
+        with _sess.corpus_section():
+            return _merge_replica(
+                spark, src, source_path, target_path, key_cols, tgt_layout,
+                tgt_exists, delete_missing, num_buckets, sdig, tdig,
+            )
+
+
+def _trickle_sync_max_rows() -> int:
+    return int(os.environ.get("SPARK_GRAFT_TRICKLE_SYNC_ROWS", "65536"))
 
 
 def _green_result(skip: int, tgt_layout: str) -> dict:

@@ -257,6 +257,19 @@ def corpus_barrier() -> None:
         pass
 
 
+def trickle_allowed() -> bool:
+    """True when THIS thread may open a ``trickle_scope`` without
+    raising: not inside its own ``corpus_section`` and not marked as a
+    corpus work unit (a ``run_per_table`` worker). Operators that
+    decide trickle-vs-corpus from metadata use this to degrade to
+    session conf instead of erroring when composed under a fan-out —
+    the conf win is forfeited there, never correctness."""
+    return (
+        threading.get_ident() not in _READERS
+        and getattr(_CORPUS_WORK, "depth", 0) == 0
+    )
+
+
 @contextlib.contextmanager
 def trickle_scope(spark: SparkSession):
     """Conf scope for TRICKLE-BATCH plans — the steady-state loops (the

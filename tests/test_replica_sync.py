@@ -176,6 +176,32 @@ class TestSparseDivergence:
             read_managed(spark, src_t)
         )
 
+    def test_sync_composes_under_corpus_fanout_marker(
+        self, spark, tmp_path
+    ):
+        """A sparse sync called from a run_per_table-style worker
+        (corpus-work marker set) must DEGRADE to session conf, not
+        raise from trickle_scope — the conf win is forfeited, never
+        correctness or composability."""
+        from presencia_etl_spark.session import corpus_work_marker
+
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        _seed_mor(spark, src_t, _docs(spark, 150))
+        sync_replica(spark, src_t, tgt_t, ["K"])
+        sync_replica(spark, src_t, tgt_t, ["K"])
+        mor.merge_upsert_mor(
+            spark,
+            _docs(spark, 150, extra_mod=149).filter(F.col("K") == "149"),
+            src_t, ["K"], num_buckets=8, compact_every=None,
+        )
+        with corpus_work_marker():
+            r = sync_replica(spark, src_t, tgt_t, ["K"])
+        assert r["update"] == 1
+        assert _state(read_managed(spark, tgt_t)) == _state(
+            read_managed(spark, src_t)
+        )
+
     def test_prune_killswitch_keeps_delete_sync_correct(
         self, spark, tmp_path, monkeypatch
     ):
