@@ -1,0 +1,582 @@
+"""Incremental materialized JOIN views over merge-on-read states.
+
+The reference re-runs its reconciliation joins against the full MySQL
+tables every sync (the compare scripts join Socios x Liquidaciones from
+scratch each run — `compare_noviembre_2025.py:62-87` issues the full
+filtered SELECT, `context/context.md:795-831` documents the validated
+star joins). Fine at 100K rows; at 100 TB a maintained join view must be
+refreshed from the CHANGE FEEDS, not recomputed. This plan is the join
+rung of the incremental-view-maintenance ladder (`plans/incremental_agg`
+is the aggregate rung): classic delta-propagation for inner equi-joins
+(Blakeley, Larson & Tompa, "Efficiently Updating Materialized Views",
+SIGMOD 1986; Gupta & Mumick 1995), expressed Spark-first.
+
+Algebra: with signed deltas (insert = +row, delete = -row, update =
+-old +new), for cursors moving A: s_a -> c_a and B: s_b -> c_b,
+
+    V_new - V_old = dA |><| B@c_b  +  A@s_a |><| dB
+
+(expand A@c_a = A@s_a + dA and B@c_b = B@s_b + dB to verify — the
+cross term dA |><| dB lands inside the first product). Both signed
+delta sides are O(changes):
+
+- the +rows are exactly ``read_mor_changes`` (never scans the base);
+- the -rows (retractions) read the changed keys' OLD versions from the
+  ``as_of_seq`` snapshot, pruned to the dirty ``_kb=`` buckets at the
+  file listing and In()-pushed below the row-group level — the
+  ``incremental_agg`` retraction discipline;
+- each product joins a BIG side against a (broadcast) signed delta: the
+  big table is scanned narrowly, never shuffled. When the big side's
+  join columns ARE its primary key (the star FK->PK shape: fact delta
+  probing a dimension), the big scan itself is pruned to the probed
+  keys' buckets — O(changes) end to end. A dimension delta probing the
+  fact side has no such index; that term is an honest narrow fact scan
+  (rare in practice: dims change orders of magnitude less often, and a
+  side with NO changes contributes no term at all — fs-metadata check,
+  no job).
+
+The view is itself a **merge-on-read table** (``sinks/mor.py``) keyed by
+the pair key (a_key_cols + b_key_cols): net +rows upsert, net -rows
+tombstone. That choice is what makes the ladder COMPOSE — the view has
+its own change feed, so a downstream ``plans/incremental_agg`` snapshot
+over the view gives an O(changes) star-schema rollup: fact merge ->
+view refresh folds only the changed pairs -> agg refresh folds only the
+changed groups; nothing downstream ever rescans the fact table.
+
+Correctness boundaries (raise or rebuild, never silently wrong):
+- a source cursor behind its table's compaction floor means the change
+  history was folded away -> full rebuild. The rebuild is a
+  ``delete_missing`` snapshot merge INTO the existing view state, so
+  the view's own sequence/feed stays continuous: downstream consumers
+  keep refreshing incrementally across an upstream rebuild.
+- the two view commits of one refresh (upsert delta, tombstone delta)
+  are separate sequences; the source cursors advance only after BOTH.
+  A crash between them replays the same signed delta on the next
+  refresh: the upserts re-classify as skips (hash-identical), the
+  tombstones re-apply — convergent, like the MOR drift path's
+  documented two-sequence window.
+- join-key NULLs never match (plain SQL inner-join equality) — in the
+  terms exactly as in a recompute. View PAIR keys, by contrast, use
+  null-safe matching everywhere a pair is compared to a pair.
+
+State layout: ``view_path`` IS the MOR state dir (base/ + deltas/ +
+``_mor_meta.json``), plus ``_join_meta.json`` (underscore prefix —
+invisible to Spark readers) holding {a_path, b_path, on, key/projection
+lists, a_seq, b_seq}. Cursor updates are atomic (tmp + rename) and
+follow the data commits — see the crash-window note above.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.functions.pushdown import in_list
+from presencia_etl_spark.operators import cdc
+from presencia_etl_spark.sinks.locking import single_writer
+from presencia_etl_spark.sinks.mor import (
+    DELETED_COL,
+    KEY_PUSHDOWN_LIMIT,
+    SEQ_COL,
+    delete_keys_mor,
+    delta_bytes_in_range,
+    merge_upsert_mor,
+    mor_history,
+    read_mor,
+    read_mor_changes,
+)
+from presencia_etl_spark.sinks.writers import (
+    AUDIT_COLS,
+    BUCKET_COL,
+    _maybe_broadcast,
+)
+
+META_FILE = "_join_meta.json"
+W_COL = "_ivm_w"
+# Same trickle/corpus boundary as the aggregate rung: pending delta BYTES
+# across BOTH sources, read from fs metadata before any job.
+TRICKLE_DELTA_MAX_BYTES = 16 << 20
+
+_INFRA = set(AUDIT_COLS) | {BUCKET_COL, cdc.KEY_COL, SEQ_COL, DELETED_COL}
+
+
+def _meta_path(view_path: str) -> str:
+    return os.path.join(view_path, META_FILE)
+
+
+def _read_meta(view_path: str) -> dict:
+    try:
+        with open(_meta_path(view_path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{view_path!r} is not a maintained join view (no {META_FILE}); "
+            "create it with build_join_view."
+        ) from None
+
+
+def _write_meta(view_path: str, meta: dict) -> None:
+    tmp = _meta_path(view_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _meta_path(view_path))
+
+
+def _data_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c not in _INFRA and c != "row_hash"]
+
+
+def _norm_on(on) -> list[tuple[str, str]]:
+    pairs = [tuple(p) for p in on]
+    if not pairs or any(len(p) != 2 for p in pairs):
+        raise ValueError("on must be a non-empty list of (a_col, b_col) pairs")
+    return pairs
+
+
+def _check_spec(
+    a_key_cols, b_key_cols, a_cols, b_cols, on: list[tuple[str, str]]
+) -> None:
+    overlap = set(a_cols) & set(b_cols)
+    if overlap:
+        raise ValueError(
+            f"view projection collides across sides: {sorted(overlap)}; "
+            "project/rename one side (a_cols / b_cols) so every view "
+            "column name is unique."
+        )
+    if not set(a_key_cols) <= set(a_cols) or not set(b_key_cols) <= set(b_cols):
+        raise ValueError(
+            "the pair key (a_key_cols + b_key_cols) must be part of the "
+            "view projection — it is the view's MOR merge key."
+        )
+
+
+def _join_frames(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    l_keep: list[str],
+    r_keep: list[str],
+) -> DataFrame:
+    """Inner equi-join via collision-proof temp columns. Join columns may
+    share a name across sides (on=[("nationkey", "nationkey")]) or
+    collide with the OTHER side's projection — each side is cut down to
+    its projected columns (``l_keep``/``r_keep``, disjoint by the spec
+    check) plus its temps before the join, so the joined namespace is
+    exactly the view's, unambiguous by construction."""
+    conds = []
+    l_temps, r_temps = [], []
+    lt, rt = left, right
+    for i, (a_c, b_c) in enumerate(on):
+        la, rb = f"__ja{i}", f"__jb{i}"
+        lt = lt.withColumn(la, F.col(a_c))
+        rt = rt.withColumn(rb, F.col(b_c))
+        conds.append(F.col(la) == F.col(rb))
+        l_temps.append(la)
+        r_temps.append(rb)
+    lt = lt.select(*l_keep, *l_temps)
+    rt = rt.select(*r_keep, *r_temps)
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return lt.join(rt, cond, "inner").drop(*l_temps, *r_temps)
+
+
+def _signed_delta(
+    spark: SparkSession,
+    path: str,
+    since: int,
+    upto: int,
+    need_cols: list[str],
+):
+    """The side's signed delta over (since, upto]: +new versions from the
+    change feed, -old versions of the changed keys from the ``as_of``
+    snapshot (bucket-pruned listing + In()-pushed keys — the
+    incremental_agg retraction shape). Returns (frame, n_changes) with
+    the frame CACHED (caller unpersists), or (None, 0)."""
+    feed = read_mor_changes(spark, path, since_seq=since, as_of_seq=upto).cache()
+    try:
+        sample = (
+            feed.select(cdc.KEY_COL, BUCKET_COL)
+            .limit(KEY_PUSHDOWN_LIMIT + 1)
+            .collect()
+        )
+        if len(sample) <= KEY_PUSHDOWN_LIMIT:
+            n = len(sample)
+            dirty = sorted({r[BUCKET_COL] for r in sample})
+            pushed = [r[cdc.KEY_COL] for r in sample]
+        else:
+            counts = (
+                feed.groupBy(BUCKET_COL).agg(F.count(F.lit(1)).alias("_n")).collect()
+            )
+            n = sum(r["_n"] for r in counts)
+            dirty = [r[BUCKET_COL] for r in counts]
+            pushed = None
+        if n == 0:
+            return None, 0
+        old = read_mor(spark, path, as_of_seq=since, buckets=dirty)
+        if pushed is not None:
+            old = old.filter(in_list(cdc.KEY_COL, pushed))
+        else:
+            old = old.join(
+                _maybe_broadcast(feed.select(cdc.KEY_COL).distinct(), n),
+                cdc.KEY_COL,
+                "left_semi",
+            )
+        plus = (
+            feed.filter(~F.col(DELETED_COL))
+            .select(*need_cols)
+            .withColumn(W_COL, F.lit(1))
+        )
+        minus = old.select(*need_cols).withColumn(W_COL, F.lit(-1))
+        signed = plus.unionByName(minus).cache()
+        return signed, n
+    finally:
+        # the signed frame's `plus` leg reads through the cached feed;
+        # caching `signed` itself makes the feed cache droppable as soon
+        # as `signed` materializes, and every downstream use (probe
+        # collect, both join terms, the netting) hits one O(changes)
+        # cache. Unpersisting the feed here is safe: the signed cache
+        # keeps the lineage alive and recomputation is bounded either way.
+        feed.unpersist()
+
+
+def _big_side(
+    spark: SparkSession,
+    path: str,
+    as_of: int,
+    key_cols: list[str],
+    own_on: list[str],
+    probe: DataFrame | None,
+    n_probe: int,
+):
+    """Read one product's big side, pruned when its join columns are its
+    primary key: the probe's join values ARE target keys, so the read is
+    bucket-pruned at the listing and In()-pushed into the key-sorted
+    files — the star FK->PK fast path. Otherwise an honest full (narrow,
+    never shuffled) scan of the ``as_of`` snapshot. Returns (frame,
+    pruned_bool)."""
+    prunable = (
+        probe is not None
+        and 0 < n_probe <= KEY_PUSHDOWN_LIMIT
+        and set(own_on) == set(key_cols)
+    )
+    if not prunable:
+        return read_mor(spark, path, as_of_seq=as_of), False
+    nb = mor_history(path)["num_buckets"]
+    keyed = (
+        cdc.with_cdc_key(probe.distinct(), key_cols)
+        .withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(cdc.KEY_COL)), F.lit(nb)).cast("int"),
+        )
+        .select(cdc.KEY_COL, BUCKET_COL)
+        .distinct()
+        .collect()
+    )
+    if not keyed:
+        return read_mor(spark, path, as_of_seq=as_of, buckets=[]), True
+    buckets = sorted({r[BUCKET_COL] for r in keyed})
+    keys = [r[cdc.KEY_COL] for r in keyed]
+    big = read_mor(spark, path, as_of_seq=as_of, buckets=buckets)
+    return big.filter(in_list(cdc.KEY_COL, keys)), True
+
+
+def read_join_view(spark: SparkSession, view_path: str) -> DataFrame:
+    """The maintained view: one row per live (a_key, b_key) pair, in the
+    declared projection (audit/infra columns dropped)."""
+    meta = _read_meta(view_path)
+    cols = list(meta["a_cols"]) + list(meta["b_cols"])
+    return read_mor(spark, view_path).select(*cols)
+
+
+def join_view_info(view_path: str) -> dict:
+    """Cursor + spec bookkeeping (no Spark job)."""
+    return _read_meta(view_path)
+
+
+def _materialize(
+    spark: SparkSession, meta: dict, a_seq: int, b_seq: int
+) -> DataFrame:
+    a = read_mor(spark, meta["a_path"], as_of_seq=a_seq).select(
+        *dict.fromkeys(meta["a_cols"] + [p[0] for p in meta["on"]])
+    )
+    b = read_mor(spark, meta["b_path"], as_of_seq=b_seq).select(
+        *dict.fromkeys(meta["b_cols"] + [p[1] for p in meta["on"]])
+    )
+    cols = list(meta["a_cols"]) + list(meta["b_cols"])
+    return _join_frames(
+        a, b, [tuple(p) for p in meta["on"]], meta["a_cols"], meta["b_cols"]
+    ).select(*cols)
+
+
+@single_writer("view_path")
+def build_join_view(
+    spark: SparkSession,
+    a_path: str,
+    b_path: str,
+    view_path: str,
+    on,
+    a_key_cols: list[str],
+    b_key_cols: list[str],
+    a_cols: list[str] | None = None,
+    b_cols: list[str] | None = None,
+    num_buckets: int = 64,
+    compact_every: int | None = 16,
+    compact_keep_last: int = 0,
+) -> dict:
+    """Full materialization of ``A inner-join B`` into a MOR view state;
+    records both sources' sequences as the refresh cursors. A full build
+    scans both bases — corpus-scale by definition — so it holds the
+    shared conf-lock side throughout (also covers the rebuild fallback
+    of ``refresh_join_view``)."""
+    from presencia_etl_spark.session import corpus_section
+
+    pairs = _norm_on(on)
+    with corpus_section():
+        ha, hb = mor_history(a_path), mor_history(b_path)
+        if a_cols is None or b_cols is None:
+            a_probe = read_mor(spark, a_path, buckets=[])
+            b_probe = read_mor(spark, b_path, buckets=[])
+            if a_cols is None:
+                a_cols = _data_cols(a_probe)
+            if b_cols is None:
+                b_cols = _data_cols(b_probe)
+        a_cols, b_cols = list(dict.fromkeys(a_cols)), list(dict.fromkeys(b_cols))
+        _check_spec(a_key_cols, b_key_cols, a_cols, b_cols, pairs)
+        meta = {
+            "a_path": a_path,
+            "b_path": b_path,
+            "on": [list(p) for p in pairs],
+            "a_key_cols": list(a_key_cols),
+            "b_key_cols": list(b_key_cols),
+            "a_cols": a_cols,
+            "b_cols": b_cols,
+            "num_buckets": num_buckets,
+            "compact_every": compact_every,
+            "compact_keep_last": compact_keep_last,
+            "a_seq": ha["seq"],
+            "b_seq": hb["seq"],
+        }
+        joined = _materialize(spark, meta, ha["seq"], hb["seq"])
+        r = merge_upsert_mor(
+            spark,
+            joined,
+            view_path,
+            key_cols=list(a_key_cols) + list(b_key_cols),
+            num_buckets=num_buckets,
+            compact_every=compact_every,
+            compact_keep_last=compact_keep_last,
+            # a full snapshot merge into a (possibly re-built) view is the
+            # delete_missing shape: vanished pairs tombstone atomically
+            # with the upserts.
+            delete_missing=True,
+        )
+        _write_meta(view_path, meta)
+    return {"mode": "build", "a_seq": ha["seq"], "b_seq": hb["seq"], **r}
+
+
+@single_writer("view_path")
+def refresh_join_view(spark: SparkSession, view_path: str) -> dict:
+    """Fold both sources' change feeds since the view's cursors into the
+    materialized join — O(changes) on the delta sides, narrow (pruned
+    where the join key is the probed side's primary key) on the big
+    sides. Falls back to a full rebuild when either source compacted
+    past its cursor (mode="rebuild"; the rebuild is a delete_missing
+    merge, so the VIEW's own feed stays continuous for downstream
+    consumers).
+
+    Trickle-sized refreshes (pending source delta bytes ≤
+    ``TRICKLE_DELTA_MAX_BYTES``, fs metadata, decided before any job)
+    run under ``session.trickle_scope`` — every frame is O(changes) and
+    the strategy is static. Corpus-sized ones hold ``corpus_section``
+    for the duration (the noop/rebuild decisions are fs-metadata-only
+    and stay unscoped)."""
+    from presencia_etl_spark.session import corpus_section, trickle_scope
+
+    meta = _read_meta(view_path)
+    ha, hb = mor_history(meta["a_path"]), mor_history(meta["b_path"])
+    a_since, b_since = meta["a_seq"], meta["b_seq"]
+    if ha["seq"] == a_since and hb["seq"] == b_since:
+        return {"mode": "noop", "a_seq": a_since, "b_seq": b_since}
+    if a_since < ha["compacted_through"] or b_since < hb["compacted_through"]:
+        r = build_join_view(
+            spark,
+            meta["a_path"],
+            meta["b_path"],
+            view_path,
+            [tuple(p) for p in meta["on"]],
+            meta["a_key_cols"],
+            meta["b_key_cols"],
+            meta["a_cols"],
+            meta["b_cols"],
+            meta["num_buckets"],
+            meta.get("compact_every", 16),
+            meta.get("compact_keep_last", 0),
+        )
+        return {**r, "mode": "rebuild"}
+    pending = delta_bytes_in_range(
+        meta["a_path"], a_since, ha["seq"]
+    ) + delta_bytes_in_range(meta["b_path"], b_since, hb["seq"])
+    if pending <= TRICKLE_DELTA_MAX_BYTES:
+        with trickle_scope(spark):
+            return _refresh_inner(spark, view_path, meta, ha, hb)
+    with corpus_section():
+        return _refresh_inner(spark, view_path, meta, ha, hb)
+
+
+def _refresh_inner(
+    spark: SparkSession, view_path: str, meta: dict, ha: dict, hb: dict
+) -> dict:
+    pairs = [tuple(p) for p in meta["on"]]
+    a_on = [p[0] for p in pairs]
+    b_on = [p[1] for p in pairs]
+    a_need = list(dict.fromkeys(meta["a_cols"] + a_on))
+    b_need = list(dict.fromkeys(meta["b_cols"] + b_on))
+    view_cols = list(meta["a_cols"]) + list(meta["b_cols"])
+    key_cols = list(meta["a_key_cols"]) + list(meta["b_key_cols"])
+    a_since, b_since = meta["a_seq"], meta["b_seq"]
+
+    da = db = None
+    try:
+        n_a = n_b = 0
+        if ha["seq"] > a_since:
+            da, n_a = _signed_delta(
+                spark, meta["a_path"], a_since, ha["seq"], a_need
+            )
+        if hb["seq"] > b_since:
+            db, n_b = _signed_delta(
+                spark, meta["b_path"], b_since, hb["seq"], b_need
+            )
+        terms = []
+        pruned = {}
+        if da is not None:
+            # term 1: dA |><| B@c_b — B probed on the delta's join values.
+            probe = da.select(*[F.col(a).alias(b) for a, b in pairs])
+            big_b, pruned["b"] = _big_side(
+                spark,
+                meta["b_path"],
+                hb["seq"],
+                meta["b_key_cols"],
+                b_on,
+                probe,
+                n_a,
+            )
+            t1 = _join_frames(
+                _maybe_broadcast(da, n_a),
+                big_b.select(*b_need),
+                pairs,
+                list(meta["a_cols"]) + [W_COL],
+                list(meta["b_cols"]),
+            )
+            terms.append(t1.select(*view_cols, W_COL))
+        if db is not None:
+            # term 2: A@s_a |><| dB — the OLD A snapshot, per the algebra.
+            probe = db.select(*[F.col(b).alias(a) for a, b in pairs])
+            big_a, pruned["a"] = _big_side(
+                spark,
+                meta["a_path"],
+                a_since,
+                meta["a_key_cols"],
+                a_on,
+                probe,
+                n_b,
+            )
+            t2 = _join_frames(
+                big_a.select(*a_need),
+                _maybe_broadcast(db, n_b),
+                pairs,
+                list(meta["a_cols"]),
+                list(meta["b_cols"]) + [W_COL],
+            )
+            terms.append(t2.select(*view_cols, W_COL))
+        if not terms:
+            # merges happened but every row was a SKIP on both sides —
+            # move only the cursors (contents unchanged => any crash
+            # ordering of old/new cursors is a consistent pair).
+            _write_meta(
+                view_path, {**meta, "a_seq": ha["seq"], "b_seq": hb["seq"]}
+            )
+            return {
+                "mode": "incremental",
+                "a_seq": ha["seq"],
+                "b_seq": hb["seq"],
+                "a_changes": 0,
+                "b_changes": 0,
+                "upserts": 0,
+                "deletes": 0,
+            }
+        dv = terms[0]
+        for t in terms[1:]:
+            dv = dv.unionByName(t)
+        # Net per FULL view row: a pair version present in both V_old and
+        # V_new cancels to 0; each surviving row nets exactly +1 (to
+        # upsert) or -1 (to retract). The frame is O(changes * fanout)
+        # and feeds three consumers — snapshot it once.
+        net = (
+            dv.groupBy(*view_cols)
+            .agg(F.sum(W_COL).alias(W_COL))
+            .filter(F.col(W_COL) != 0)
+            .localCheckpoint(eager=True)
+        )
+        ups = net.filter(F.col(W_COL) > 0).drop(W_COL)
+        # A pair both retracted (old version) and re-asserted (new
+        # version) is an UPDATE: the upsert wins, no tombstone. Pair
+        # matching is null-safe — a NULL source key normalizes into the
+        # pair key, and plain equality would phantom-delete it.
+        neg = net.filter(F.col(W_COL) < 0).select(*key_cols)
+        pos = net.filter(F.col(W_COL) > 0).select(*key_cols)
+        n_, p_ = neg.alias("n"), pos.alias("p")
+        cond = None
+        for k in key_cols:
+            c = F.col(f"n.{k}").eqNullSafe(F.col(f"p.{k}"))
+            cond = c if cond is None else (cond & c)
+        dels = n_.join(F.broadcast(p_), cond, "left_anti").select(
+            *[F.col(f"n.{k}").alias(k) for k in key_cols]
+        )
+        counts = net.agg(
+            F.count(F.when(F.col(W_COL) > 0, 1)).alias("u"),
+            F.count(F.when(F.col(W_COL) < 0, 1)).alias("d"),
+        ).collect()[0]
+        n_del = 0
+        if counts["u"]:
+            merge_upsert_mor(
+                spark,
+                ups,
+                view_path,
+                key_cols=key_cols,
+                num_buckets=meta["num_buckets"],
+                compact_every=meta.get("compact_every", 16),
+                compact_keep_last=meta.get("compact_keep_last", 0),
+                # a known-subset batch: digest pruning would learn nothing
+                # (the micro-batch discipline); sidecar MAINTENANCE still
+                # happens when a valid sidecar is present.
+                digest_prune=False,
+            )
+        if counts["d"]:
+            r = delete_keys_mor(
+                spark,
+                view_path,
+                dels,
+                key_cols,
+                compact_every=meta.get("compact_every", 16),
+                compact_keep_last=meta.get("compact_keep_last", 0),
+            )
+            n_del = r["delete"]
+        _write_meta(view_path, {**meta, "a_seq": ha["seq"], "b_seq": hb["seq"]})
+        return {
+            "mode": "incremental",
+            "a_seq": ha["seq"],
+            "b_seq": hb["seq"],
+            "a_changes": n_a,
+            "b_changes": n_b,
+            "upserts": int(counts["u"]),
+            "deletes": n_del,
+            "pruned_big_side": pruned,
+        }
+    finally:
+        for d in (da, db):
+            if d is not None:
+                d.unpersist()

@@ -1,0 +1,452 @@
+"""Incremental materialized join views (plans/incremental_join) — every
+refresh is differential-tested against a full recompute of the inner
+join from the two MOR states, across fact-side and dim-side changes,
+join-key moves, deletes on both sides, randomized mixed sequences, the
+compaction-floor rebuild, the crash window between the two view
+commits, and the composition with plans/incremental_agg (the O(changes)
+star-rollup ladder)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from presencia_etl_spark.plans import incremental_agg as ia
+from presencia_etl_spark.plans import incremental_join as ij
+from presencia_etl_spark.sinks import mor
+
+FACT_SCHEMA = StructType(
+    [
+        StructField("f_id", LongType()),
+        StructField("f_did", StringType()),
+        StructField("f_amt", DoubleType()),
+    ]
+)
+DIM_SCHEMA = StructType(
+    [
+        StructField("d_id", StringType()),
+        StructField("d_name", StringType()),
+        StructField("d_rank", LongType()),
+    ]
+)
+
+DIM_IDS = [f"d{i}" for i in range(12)]
+
+
+def _facts(rng, keys):
+    return [
+        (int(k), rng.choice(DIM_IDS), round(rng.uniform(-50, 50), 2))
+        for k in keys
+    ]
+
+
+def _dims(rng, ids):
+    return [(d, f"name-{rng.randrange(1000)}", rng.randrange(5)) for d in ids]
+
+
+def _fdf(spark, rows):
+    return spark.createDataFrame(rows, FACT_SCHEMA)
+
+
+def _ddf(spark, rows):
+    return spark.createDataFrame(rows, DIM_SCHEMA)
+
+
+def _seed(spark, tmp_path, rng, n_facts=300, buckets=8):
+    a, b = str(tmp_path / "fact"), str(tmp_path / "dim")
+    mor.merge_upsert_mor(
+        spark, _fdf(spark, _facts(rng, range(n_facts))), a, ["f_id"],
+        num_buckets=buckets, compact_every=None,
+    )
+    mor.merge_upsert_mor(
+        spark, _ddf(spark, _dims(rng, DIM_IDS)), b, ["d_id"],
+        num_buckets=4, compact_every=None,
+    )
+    return a, b
+
+
+def _build(spark, tmp_path, a, b, **kw):
+    v = str(tmp_path / "view")
+    kw.setdefault("compact_every", None)
+    r = ij.build_join_view(
+        spark, a, b, v,
+        on=[("f_did", "d_id")],
+        a_key_cols=["f_id"],
+        b_key_cols=["d_id"],
+        a_cols=["f_id", "f_did", "f_amt"],
+        b_cols=["d_id", "d_name", "d_rank"],
+        num_buckets=8,
+        **kw,
+    )
+    assert r["mode"] == "build"
+    return v
+
+
+def _canon(df):
+    out = []
+    for r in df.collect():
+        vals = []
+        for c in sorted(df.columns):
+            v = r[c]
+            vals.append(round(v, 6) if isinstance(v, float) else v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def _assert_matches_recompute(spark, view_path):
+    meta = ij.join_view_info(view_path)
+    ha = mor.mor_history(meta["a_path"])
+    hb = mor.mor_history(meta["b_path"])
+    # the cursors must have caught up to the sources
+    assert (meta["a_seq"], meta["b_seq"]) == (ha["seq"], hb["seq"])
+    want = ij._materialize(spark, meta, ha["seq"], hb["seq"])
+    got = ij.read_join_view(spark, view_path)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _canon(got.select(*want.columns)) == _canon(want)
+
+
+class TestBuildAndBasics:
+    def test_build_matches_full_join(self, spark, tmp_path):
+        rng = random.Random(11)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        _assert_matches_recompute(spark, v)
+
+    def test_noop_refresh_writes_nothing(self, spark, tmp_path):
+        rng = random.Random(12)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        seq0 = mor.mor_history(v)["seq"]
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "noop"
+        assert mor.mor_history(v)["seq"] == seq0
+
+    def test_all_skip_merge_moves_only_cursors(self, spark, tmp_path):
+        rng = random.Random(13)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        # replay identical fact rows: the source commits a sequence but
+        # every row classifies SKIP -> empty feed -> cursor-only refresh
+        cur = mor.read_mor(spark, a).select("f_id", "f_did", "f_amt")
+        mor.merge_upsert_mor(spark, cur, a, ["f_id"], compact_every=None)
+        seq0 = mor.mor_history(v)["seq"]
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] in ("noop", "incremental")
+        if r["mode"] == "incremental":
+            assert r["upserts"] == 0 and r["deletes"] == 0
+        assert mor.mor_history(v)["seq"] == seq0
+        assert ij.join_view_info(v)["a_seq"] == mor.mor_history(a)["seq"]
+        _assert_matches_recompute(spark, v)
+
+    def test_projection_collision_raises(self, spark, tmp_path):
+        rng = random.Random(14)
+        a, b = _seed(spark, tmp_path, rng)
+        with pytest.raises(ValueError, match="collides"):
+            ij.build_join_view(
+                spark, a, b, str(tmp_path / "v2"),
+                on=[("f_did", "d_id")],
+                a_key_cols=["f_id"], b_key_cols=["d_id"],
+                a_cols=["f_id", "d_id"], b_cols=["d_id"],
+            )
+
+    def test_key_outside_projection_raises(self, spark, tmp_path):
+        rng = random.Random(15)
+        a, b = _seed(spark, tmp_path, rng)
+        with pytest.raises(ValueError, match="pair key"):
+            ij.build_join_view(
+                spark, a, b, str(tmp_path / "v2"),
+                on=[("f_did", "d_id")],
+                a_key_cols=["f_id"], b_key_cols=["d_id"],
+                a_cols=["f_did", "f_amt"], b_cols=["d_id"],
+            )
+
+
+class TestIncrementalRefresh:
+    def test_fact_changes_prune_dim_probe(self, spark, tmp_path):
+        rng = random.Random(21)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        upd = _facts(rng, rng.sample(range(300), 15))
+        ins = _facts(rng, range(300, 320))
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, upd + ins), a, ["f_id"], compact_every=None
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        assert r["a_changes"] <= 35 and r["b_changes"] == 0
+        # star FK->PK: the dim side's join cols ARE its key -> pruned read
+        assert r["pruned_big_side"] == {"b": True}
+        _assert_matches_recompute(spark, v)
+
+    def test_dim_change_fans_out_to_pairs(self, spark, tmp_path):
+        rng = random.Random(22)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        mor.merge_upsert_mor(
+            spark,
+            _ddf(spark, [(DIM_IDS[0], "renamed", 9)]),
+            b, ["d_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        assert r["b_changes"] == 1 and r["a_changes"] == 0
+        # the fact side's join col is NOT its key -> honest narrow scan
+        assert r["pruned_big_side"] == {"a": False}
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v).filter(F.col("d_id") == DIM_IDS[0])
+        assert {r2["d_name"] for r2 in got.collect()} == {"renamed"}
+
+    def test_join_key_update_moves_pairs(self, spark, tmp_path):
+        rng = random.Random(23)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        old = mor.read_mor(spark, a).filter(F.col("f_id") == 7).collect()[0]
+        new_did = DIM_IDS[0] if old["f_did"] != DIM_IDS[0] else DIM_IDS[1]
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, [(7, new_did, old["f_amt"])]), a, ["f_id"],
+            compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        assert r["upserts"] == 1 and r["deletes"] == 1
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v).filter(F.col("f_id") == 7).collect()
+        assert len(got) == 1 and got[0]["f_did"] == new_did
+
+    def test_deletes_on_both_sides(self, spark, tmp_path):
+        rng = random.Random(24)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        mor.delete_keys_mor(
+            spark, a,
+            spark.createDataFrame([(3,), (4,)], "f_id long"),
+            ["f_id"], compact_every=None,
+        )
+        mor.delete_keys_mor(
+            spark, b,
+            spark.createDataFrame([(DIM_IDS[5],)], "d_id string"),
+            ["d_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        assert r["upserts"] == 0 and r["deletes"] >= 2
+        _assert_matches_recompute(spark, v)
+        left = ij.read_join_view(spark, v)
+        assert left.filter(F.col("f_id").isin(3, 4)).count() == 0
+        assert left.filter(F.col("d_id") == DIM_IDS[5]).count() == 0
+
+    def test_null_join_keys_never_match(self, spark, tmp_path):
+        rng = random.Random(25)
+        a, b = _seed(spark, tmp_path, rng, n_facts=50)
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, [(900, None, 1.0)]), a, ["f_id"],
+            compact_every=None,
+        )
+        v = _build(spark, tmp_path, a, b)
+        assert (
+            ij.read_join_view(spark, v).filter(F.col("f_id") == 900).count()
+            == 0
+        )
+        # and a NULL arriving incrementally also joins nothing
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, [(901, None, 2.0)]), a, ["f_id"],
+            compact_every=None,
+        )
+        ij.refresh_join_view(spark, v)
+        _assert_matches_recompute(spark, v)
+
+    def test_randomized_differential(self, spark, tmp_path):
+        rng = random.Random(26)
+        a, b = _seed(spark, tmp_path, rng, n_facts=200)
+        v = _build(spark, tmp_path, a, b)
+        live_facts = set(range(200))
+        next_id = 200
+        for _ in range(5):
+            # fact: some updates (possibly moving join keys), some inserts
+            upd = _facts(rng, rng.sample(sorted(live_facts), 10))
+            ins = _facts(rng, range(next_id, next_id + 5))
+            live_facts |= set(range(next_id, next_id + 5))
+            next_id += 5
+            mor.merge_upsert_mor(
+                spark, _fdf(spark, upd + ins), a, ["f_id"], compact_every=None
+            )
+            # fact: a couple of deletes
+            dels = rng.sample(sorted(live_facts), 2)
+            live_facts -= set(dels)
+            mor.delete_keys_mor(
+                spark, a,
+                spark.createDataFrame([(int(k),) for k in dels], "f_id long"),
+                ["f_id"], compact_every=None,
+            )
+            # dim: occasionally rename one
+            if rng.random() < 0.6:
+                mor.merge_upsert_mor(
+                    spark, _ddf(spark, _dims(rng, [rng.choice(DIM_IDS)])),
+                    b, ["d_id"], compact_every=None,
+                )
+            r = ij.refresh_join_view(spark, v)
+            assert r["mode"] == "incremental"
+            _assert_matches_recompute(spark, v)
+
+    def test_mn_join_on_nonkey_both_sides(self, spark, tmp_path):
+        """General m:n equi-join (join cols are keys on NEITHER side):
+        no pruning anywhere, same algebra, same differential bar."""
+        rng = random.Random(27)
+        a, b = str(tmp_path / "fa"), str(tmp_path / "fb")
+        # fact join col f_did cycles 3 values; dim join col d_name (NOT
+        # the dim key) carries two rows per value -> genuine m:n fan-out
+        mor.merge_upsert_mor(
+            spark,
+            _fdf(spark, [(i, f"g{i % 3}", float(i)) for i in range(60)]),
+            a, ["f_id"], num_buckets=4, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark,
+            _ddf(spark, [(f"k{i}", f"g{i % 3}", i % 4) for i in range(6)]),
+            b, ["d_id"], num_buckets=4, compact_every=None,
+        )
+        v = str(tmp_path / "view")
+        ij.build_join_view(
+            spark, a, b, v,
+            on=[("f_did", "d_name")],
+            a_key_cols=["f_id"], b_key_cols=["d_id"],
+            a_cols=["f_id", "f_did", "f_amt"],
+            b_cols=["d_id", "d_name", "d_rank"],
+            num_buckets=4, compact_every=None,
+        )
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v).filter(F.col("f_did") == "g1")
+        per_fact = got.groupBy("f_id").count().collect()
+        assert per_fact and all(r2["count"] == 2 for r2 in per_fact)
+        # change one fact row's join value and one dim row's join value
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, [(0, "g1", 99.0)]), a, ["f_id"],
+            compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, _ddf(spark, [("k2", "g0", 7)]), b, ["d_id"],
+            compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        # neither big side is keyed by its join cols -> no pruning
+        assert r["pruned_big_side"] == {"a": False, "b": False}
+        _assert_matches_recompute(spark, v)
+
+
+class TestRebuildAndCrash:
+    def test_rebuild_on_compaction_floor(self, spark, tmp_path):
+        rng = random.Random(31)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, _facts(rng, range(300, 310))), a, ["f_id"],
+            compact_every=None,
+        )
+        mor.compact_mor(spark, a)  # floor passes the view's cursor
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "rebuild"
+        _assert_matches_recompute(spark, v)
+
+    def test_rebuild_keeps_view_feed_continuous(self, spark, tmp_path):
+        """The rebuild is a delete_missing merge INTO the view state: a
+        downstream consumer's cursor on the VIEW survives an upstream
+        rebuild (the view's own floor does not move)."""
+        rng = random.Random(32)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        cursor = mor.mor_history(v)["seq"]
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, _facts(rng, range(5))), a, ["f_id"],
+            compact_every=None,
+        )
+        mor.compact_mor(spark, a)
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "rebuild"
+        assert mor.mor_history(v)["compacted_through"] <= cursor
+        # the change feed from the pre-rebuild cursor still reads
+        feed = mor.read_mor_changes(spark, v, since_seq=cursor)
+        assert feed.count() >= 0
+
+    def test_crash_between_view_commits_converges(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Upsert delta committed, tombstone commit crashed: the cursors
+        never advanced, so the NEXT refresh replays the same signed
+        delta — upserts re-classify as skips, tombstones apply."""
+        rng = random.Random(33)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        # a join-key move generates exactly one upsert AND one delete
+        old = mor.read_mor(spark, a).filter(F.col("f_id") == 9).collect()[0]
+        new_did = DIM_IDS[2] if old["f_did"] != DIM_IDS[2] else DIM_IDS[3]
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, [(9, new_did, old["f_amt"])]), a, ["f_id"],
+            compact_every=None,
+        )
+        real_delete = ij.delete_keys_mor
+
+        def boom(*args, **kw):
+            raise RuntimeError("injected crash before tombstone commit")
+
+        monkeypatch.setattr(ij, "delete_keys_mor", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            ij.refresh_join_view(spark, v)
+        # cursors must NOT have advanced past the torn refresh
+        assert ij.join_view_info(v)["a_seq"] < mor.mor_history(a)["seq"]
+        monkeypatch.setattr(ij, "delete_keys_mor", real_delete)
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        assert r["deletes"] == 1
+        _assert_matches_recompute(spark, v)
+
+
+class TestComposition:
+    def test_star_rollup_is_o_changes_end_to_end(self, spark, tmp_path):
+        """fact merge -> view refresh -> agg refresh: the downstream
+        aggregate folds only the view's change feed, and the result
+        matches a from-scratch join+group recompute every round."""
+        rng = random.Random(41)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        agg = str(tmp_path / "agg")
+        ia.build_agg_snapshot(spark, v, agg, ["d_name"], ["f_amt"])
+        for i in range(3):
+            mor.merge_upsert_mor(
+                spark,
+                _fdf(spark, _facts(rng, rng.sample(range(300), 8))),
+                a, ["f_id"], compact_every=None,
+            )
+            if i == 1:  # a dim rename regroups every pair it touches
+                mor.merge_upsert_mor(
+                    spark, _ddf(spark, _dims(rng, [DIM_IDS[1]])),
+                    b, ["d_id"], compact_every=None,
+                )
+            rv = ij.refresh_join_view(spark, v)
+            assert rv["mode"] == "incremental"
+            ra = ia.refresh_agg_snapshot(spark, v, agg)
+            assert ra["mode"] == "incremental"
+            got = ia.read_agg_snapshot(spark, agg)
+            meta = ij.join_view_info(v)
+            want = (
+                ij._materialize(
+                    spark, meta,
+                    mor.mor_history(a)["seq"], mor.mor_history(b)["seq"],
+                )
+                .groupBy("d_name")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("f_amt").cast("double")).alias("sum_f_amt"),
+                    F.count(F.col("f_amt")).alias("nn_f_amt"),
+                )
+            )
+            assert _canon(got.select(*want.columns)) == _canon(want)
