@@ -410,6 +410,164 @@ class TestRebuildAndCrash:
         _assert_matches_recompute(spark, v)
 
 
+class TestPlanShape:
+    """Pin the physical properties the 100 TB story rests on: the star
+    probe's big-side read is pruned at the file LISTING with the key set
+    pushed into the scan, and each product joins the big side against a
+    BROADCAST delta — the big table is never shuffled."""
+
+    def test_star_probe_big_side_listing_pruned_and_key_pushed(
+        self, spark, tmp_path
+    ):
+        import io
+        from contextlib import redirect_stdout
+
+        rng = random.Random(51)
+        a, b = _seed(spark, tmp_path, rng)
+        hb = mor.mor_history(b)
+        probe = spark.createDataFrame([(DIM_IDS[0],), (DIM_IDS[1],)], "d_id string")
+        big, pruned = ij._big_side(
+            spark, b, hb["seq"], ["d_id"], ["d_id"], probe, 2
+        )
+        assert pruned
+        files = big.inputFiles()
+        assert files, "pruned read should still see the probed buckets"
+        # at most 2 probed keys -> at most 2 bucket dirs enumerated
+        kbs = {f.split("_kb=")[1].split("/")[0] for f in files if "_kb=" in f}
+        assert len(kbs) <= 2
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            big.explain("formatted")
+        assert "In(_cdc_key" in buf.getvalue()
+
+    def test_products_broadcast_the_delta_never_shuffle_the_big_side(
+        self, spark, tmp_path
+    ):
+        import io
+        from contextlib import redirect_stdout
+
+        rng = random.Random(52)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, _facts(rng, range(3))), a, ["f_id"],
+            compact_every=None,
+        )
+        meta = ij.join_view_info(v)
+        ha, hb = mor.mor_history(a), mor.mor_history(b)
+        da, n_a = ij._signed_delta(
+            spark, a, meta["a_seq"], ha["seq"], ["f_id", "f_did", "f_amt"]
+        )
+        try:
+            big_b, _ = ij._big_side(
+                spark, b, hb["seq"], ["d_id"], ["d_id"],
+                da.select(F.col("f_did").alias("d_id")), n_a,
+            )
+            from presencia_etl_spark.sinks.writers import _maybe_broadcast
+
+            t1 = ij._join_frames(
+                _maybe_broadcast(da, n_a),
+                big_b.select("d_id", "d_name", "d_rank"),
+                [("f_did", "d_id")],
+                ["f_id", "f_did", "f_amt", ij.W_COL],
+                ["d_id", "d_name", "d_rank"],
+            )
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                t1.explain("formatted")
+            p = buf.getvalue()
+            assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+        finally:
+            da.unpersist()
+
+
+class TestChaining:
+    def test_three_table_star_via_view_over_view(self, spark, tmp_path):
+        """N-way incremental star: the view is a MOR table, so a second
+        view can join IT against another dimension — and both stay
+        O(changes) because each refresh feeds on the upstream's change
+        feed. fact merge -> view1 refresh (incremental) -> view2 refresh
+        (incremental) -> matches the 3-way recompute."""
+        from pyspark.sql.types import StructField, StructType
+
+        f_schema = StructType(
+            [
+                StructField("f_id", LongType()),
+                StructField("f_did", StringType()),
+                StructField("f_eid", StringType()),
+                StructField("f_amt", DoubleType()),
+            ]
+        )
+        e_ids = [f"e{i}" for i in range(5)]
+        rng = random.Random(61)
+
+        def facts3(keys):
+            return [
+                (
+                    int(k),
+                    rng.choice(DIM_IDS),
+                    rng.choice(e_ids),
+                    round(rng.uniform(0, 10), 2),
+                )
+                for k in keys
+            ]
+
+        a = str(tmp_path / "fact3")
+        b = str(tmp_path / "dimd")
+        e2 = str(tmp_path / "dime")
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(facts3(range(200)), f_schema),
+            a, ["f_id"], num_buckets=8, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, _ddf(spark, _dims(rng, DIM_IDS)), b, ["d_id"],
+            num_buckets=4, compact_every=None,
+        )
+        e2_schema = StructType(
+            [
+                StructField("e_id", StringType()),
+                StructField("e_name", StringType()),
+            ]
+        )
+        mor.merge_upsert_mor(
+            spark,
+            spark.createDataFrame([(x, f"ename-{x}") for x in e_ids], e2_schema),
+            e2, ["e_id"], compact_every=None, num_buckets=4,
+        )
+        v1 = str(tmp_path / "v1")
+        v2 = str(tmp_path / "v2")
+        ij.build_join_view(
+            spark, a, b, v1,
+            on=[("f_did", "d_id")],
+            a_key_cols=["f_id"], b_key_cols=["d_id"],
+            a_cols=["f_id", "f_did", "f_eid", "f_amt"],
+            b_cols=["d_id", "d_name"],
+            num_buckets=8, compact_every=None,
+        )
+        ij.build_join_view(
+            spark, v1, e2, v2,
+            on=[("f_eid", "e_id")],
+            a_key_cols=["f_id", "d_id"], b_key_cols=["e_id"],
+            a_cols=["f_id", "d_id", "f_did", "f_eid", "f_amt", "d_name"],
+            b_cols=["e_id", "e_name"],
+            num_buckets=8, compact_every=None,
+        )
+        for _ in range(3):
+            mor.merge_upsert_mor(
+                spark,
+                spark.createDataFrame(
+                    facts3(rng.sample(range(200), 6)), f_schema
+                ),
+                a, ["f_id"], compact_every=None,
+            )
+            r1 = ij.refresh_join_view(spark, v1)
+            r2 = ij.refresh_join_view(spark, v2)
+            assert r1["mode"] == "incremental"
+            assert r2["mode"] == "incremental"
+            _assert_matches_recompute(spark, v1)
+            _assert_matches_recompute(spark, v2)
+
+
 class TestComposition:
     def test_star_rollup_is_o_changes_end_to_end(self, spark, tmp_path):
         """fact merge -> view refresh -> agg refresh: the downstream
