@@ -180,6 +180,7 @@ def main() -> None:
         "cdc_nochange_sec", "cdc_nochange_rows_per_sec",
         "cdc_mutated_sec", "cdc_sparse_sec", "cdc_sparse_buckets_rewritten",
         "cdc_sparse_mor_sec", "agg_refresh_sec", "agg_recompute_sec",
+        "ivm_join_refresh_sec", "ivm_join_rebuild_sec",
         "delete_sparse_mor_sec", "delete_sparse_cow_sec",
         "admit_batch_marginal_sec", "pack_batch_marginal_sec",
         "admit_e2e_marginal_sec", "admit_marginal_docs_per_sec", "error",
@@ -189,6 +190,7 @@ def main() -> None:
                       "incr_sparse_sec", "error"),
         "scale10": ("full_sec", "full_rows_per_sec", "linear_ratio",
                     "sparse_mor_sec", "agg_refresh_sec", "agg_recompute_sec",
+                    "ivm_build_sec", "ivm_refresh_sec",
                     "admit10_batch_marginal_sec",
                     "admit_corpus_docs_per_sec", "cpar_sec", "error"),
         "scale100": ("full_sec", "full_rows_per_sec", "linear_ratio",
@@ -228,6 +230,7 @@ def main() -> None:
             "cdc_mutated_sec", "delete_sparse_mor_sec", "delete_sparse_cow_sec",
             "pack_batch_marginal_sec", "admit_e2e_marginal_sec",
             "scale10_agg_recompute_sec", "scale10_full_sec", "scale100_full_sec",
+            "ivm_join_rebuild_sec", "scale10_ivm_build_sec",
         }
         short["pipeline"] = {
             k: v for k, v in short_pipeline.items() if k not in SECONDARY
@@ -530,6 +533,66 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         ).collect()
         out["agg_recompute_sec"] = round(time.perf_counter() - t0, 3)
 
+        # Incremental JOIN-view maintenance (plans/incremental_join): the
+        # materialized star view lineitem |><| orders refreshed from the
+        # fact's change feed — O(changes) fold, dim probe bucket-pruned —
+        # vs the non-incremental alternative, re-materializing the view
+        # from a full join (build_join_view over the same state). The
+        # sparse selector is DISJOINT from the agg stage's (l_orderkey in
+        # [40,60)) so each rep's update set is constant and nothing
+        # reverts the earlier stages' rows.
+        from presencia_etl_spark.plans.incremental_join import (
+            build_join_view,
+            refresh_join_view,
+        )
+
+        omor = f"{work}/orders_mor"
+        merge_upsert_mor(
+            spark, read_table(spark, sf_dir, "orders"), omor,
+            ["o_orderkey"], num_buckets=64,
+        )
+        view_t = f"{work}/li_ord_view"
+        build_join_view(
+            spark, mtarget, omor, view_t,
+            on=[("l_orderkey", "o_orderkey")],
+            a_key_cols=["l_key"], b_key_cols=["o_orderkey"],
+            a_cols=["l_key", "l_orderkey", "l_quantity", "l_returnflag"],
+            b_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+            num_buckets=64,
+        )
+
+        def ivm_sparse_of(step):
+            return li.withColumn(
+                "l_quantity",
+                F.when(
+                    (F.col("l_orderkey") >= 40) & (F.col("l_orderkey") < 60),
+                    F.col("l_quantity") + 3 * step,
+                ).otherwise(F.col("l_quantity")),
+            )
+
+        ivm_secs = []
+        n_pairs = 0
+        for step in (1, 2, 3):
+            merge_upsert_mor(
+                spark, ivm_sparse_of(step), mtarget, ["l_key"], num_buckets=256
+            )
+            t0 = time.perf_counter()
+            rv = refresh_join_view(spark, view_t)
+            ivm_secs.append(time.perf_counter() - t0)
+            n_pairs += int(rv.get("upserts", 0))
+        out["ivm_join_refresh_sec"] = round(sorted(ivm_secs)[1], 3)
+        out["ivm_join_refresh_pairs"] = n_pairs
+        t0 = time.perf_counter()
+        build_join_view(
+            spark, mtarget, omor, view_t,
+            on=[("l_orderkey", "o_orderkey")],
+            a_key_cols=["l_key"], b_key_cols=["o_orderkey"],
+            a_cols=["l_key", "l_orderkey", "l_quantity", "l_returnflag"],
+            b_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+            num_buckets=64,
+        )
+        out["ivm_join_rebuild_sec"] = round(time.perf_counter() - t0, 3)
+
         # Sparse row-level delete (the GDPR-erasure / TTL shape): key-set
         # tombstone delete through the MOR path — O(matches) write, zero
         # base churn — vs the bucket-rewrite COW delete on the same keys.
@@ -819,7 +882,39 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
 
         agg_t = f"{work}/agg"
         build_agg_snapshot(spark, mor_target, agg_t, ["v1"], ["v2"])
-        refresh_secs, recompute_secs = [], []
+
+        # The JOIN-view rung at the same decade: the fact's v3 column is
+        # a natural 100K-key foreign key, so dim(100K) |><| fact(6M) is
+        # the star shape. Build once (timed — this IS the cost of the
+        # non-incremental alternative, a full re-materialization), then
+        # refresh from the same point-sparse merges the agg crossover
+        # folds: the refresh is O(changes) with the dim probe pruned to
+        # the changed rows' v3 keys, while the view itself holds 6M rows.
+        from presencia_etl_spark.plans.incremental_join import (
+            build_join_view,
+            refresh_join_view,
+        )
+
+        dim_t = f"{work}/dim_mor"
+        dim = spark.range(100_000).select(
+            F.col("id").alias("d_id"),
+            F.pmod(F.xxhash64("id", F.lit(9)), F.lit(50)).cast("string").alias(
+                "d_grp"
+            ),
+        )
+        merge_upsert_mor(spark, dim, dim_t, ["d_id"], num_buckets=32)
+        view_t = f"{work}/fact_dim_view"
+        t0 = time.perf_counter()
+        build_join_view(
+            spark, mor_target, dim_t, view_t,
+            on=[("v3", "d_id")],
+            a_key_cols=["k"], b_key_cols=["d_id"],
+            a_cols=["k", "v2", "v3"], b_cols=["d_id", "d_grp"],
+            num_buckets=256,
+        )
+        out["ivm_build_sec"] = round(time.perf_counter() - t0, 3)
+
+        refresh_secs, recompute_secs, ivm_secs = [], [], []
         changed = 0
         for step in (1, 2, 3):
             sparse_n = df.withColumn(
@@ -840,9 +935,14 @@ def bench_scale_stress(spark, base_pipeline: dict) -> dict:
                 F.count(F.lit(1)), F.sum("v2")
             ).collect()
             recompute_secs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            refresh_join_view(spark, view_t)
+            ivm_secs.append(time.perf_counter() - t0)
         out["agg_refresh_sec"] = round(sorted(refresh_secs)[1], 3)
         out["agg_recompute_sec"] = round(sorted(recompute_secs)[1], 3)
         out["agg_refresh_changed_rows"] = changed
+        out["ivm_refresh_sec"] = round(sorted(ivm_secs)[1], 3)
+        out["ivm_refresh_secs"] = [round(s, 3) for s in ivm_secs]
 
         # Admit-loop flatness at 10x HISTORY: the probe is O(|batch|) by
         # design (band In-pushdown, file-skipping index reads) — this
