@@ -37,7 +37,10 @@ delta sides are O(changes):
 
 The view is itself a **merge-on-read table** (``sinks/mor.py``) keyed by
 the pair key (a_key_cols + b_key_cols): net +rows upsert, net -rows
-tombstone. That choice is what makes the ladder COMPOSE — the view has
+tombstone — both landed in ONE delta commit (``merge_upsert_mor``'s
+``delete_keys`` path), so a refresh is a single sequence number and a
+crash can never apply half of it. That choice is what makes the ladder
+COMPOSE — the view has
 its own change feed, so a downstream ``plans/incremental_agg`` snapshot
 over the view gives an O(changes) star-schema rollup: fact merge ->
 view refresh folds only the changed pairs -> agg refresh folds only the
@@ -49,12 +52,11 @@ Correctness boundaries (raise or rebuild, never silently wrong):
   ``delete_missing`` snapshot merge INTO the existing view state, so
   the view's own sequence/feed stays continuous: downstream consumers
   keep refreshing incrementally across an upstream rebuild.
-- the two view commits of one refresh (upsert delta, tombstone delta)
-  are separate sequences; the source cursors advance only after BOTH.
-  A crash between them replays the same signed delta on the next
-  refresh: the upserts re-classify as skips (hash-identical), the
-  tombstones re-apply — convergent, like the MOR drift path's
-  documented two-sequence window.
+- a refresh's upserts and tombstones commit ATOMICALLY as one delta
+  sequence; the source cursors advance after it. A crash between the
+  commit and the cursor write replays the same signed delta on the
+  next refresh, where everything re-classifies as a skip (the merge's
+  idempotent-replay discipline) — convergent, nothing double-applied.
 - join-key NULLs never match (plain SQL inner-join equality) — in the
   terms exactly as in a recompute. View PAIR keys, by contrast, use
   null-safe matching everywhere a pair is compared to a pair.
@@ -81,7 +83,6 @@ from presencia_etl_spark.sinks.mor import (
     DELETED_COL,
     KEY_PUSHDOWN_LIMIT,
     SEQ_COL,
-    delete_keys_mor,
     delta_bytes_in_range,
     merge_upsert_mor,
     mor_history,
@@ -521,28 +522,18 @@ def _refresh_inner(
             .filter(F.col(W_COL) != 0)
             .localCheckpoint(eager=True)
         )
-        ups = net.filter(F.col(W_COL) > 0).drop(W_COL)
-        # A pair both retracted (old version) and re-asserted (new
-        # version) is an UPDATE: the upsert wins, no tombstone. Pair
-        # matching is null-safe — a NULL source key normalizes into the
-        # pair key, and plain equality would phantom-delete it.
-        neg = net.filter(F.col(W_COL) < 0).select(*key_cols)
-        pos = net.filter(F.col(W_COL) > 0).select(*key_cols)
-        n_, p_ = neg.alias("n"), pos.alias("p")
-        cond = None
-        for k in key_cols:
-            c = F.col(f"n.{k}").eqNullSafe(F.col(f"p.{k}"))
-            cond = c if cond is None else (cond & c)
-        dels = n_.join(F.broadcast(p_), cond, "left_anti").select(
-            *[F.col(f"n.{k}").alias(k) for k in key_cols]
-        )
-        counts = net.agg(
-            F.count(F.when(F.col(W_COL) > 0, 1)).alias("u"),
-            F.count(F.when(F.col(W_COL) < 0, 1)).alias("d"),
-        ).collect()[0]
-        n_del = 0
-        if counts["u"]:
-            merge_upsert_mor(
+        n_up = n_del = 0
+        if net.count() > 0:
+            ups = net.filter(F.col(W_COL) > 0).drop(W_COL)
+            # Net -rows are retractions; a pair BOTH retracted (old
+            # version) and re-asserted (new version) is an update — the
+            # merge's explicit delete_keys path already lets the upsert
+            # win (src keys are subtracted from the tombstone set), so
+            # the negative pairs pass through unfiltered. Upserts and
+            # tombstones land in ONE delta — one sequence, no torn
+            # refresh.
+            dels = net.filter(F.col(W_COL) < 0).select(*key_cols)
+            r = merge_upsert_mor(
                 spark,
                 ups,
                 view_path,
@@ -550,21 +541,14 @@ def _refresh_inner(
                 num_buckets=meta["num_buckets"],
                 compact_every=meta.get("compact_every", 16),
                 compact_keep_last=meta.get("compact_keep_last", 0),
-                # a known-subset batch: digest pruning would learn nothing
+                # known-subset batch: digest pruning would learn nothing
                 # (the micro-batch discipline); sidecar MAINTENANCE still
                 # happens when a valid sidecar is present.
                 digest_prune=False,
+                delete_keys=dels,
             )
-        if counts["d"]:
-            r = delete_keys_mor(
-                spark,
-                view_path,
-                dels,
-                key_cols,
-                compact_every=meta.get("compact_every", 16),
-                compact_keep_last=meta.get("compact_keep_last", 0),
-            )
-            n_del = r["delete"]
+            n_up = int(r["insert"]) + int(r["update"])
+            n_del = int(r["delete"])
         _write_meta(view_path, {**meta, "a_seq": ha["seq"], "b_seq": hb["seq"]})
         return {
             "mode": "incremental",
@@ -572,7 +556,7 @@ def _refresh_inner(
             "b_seq": hb["seq"],
             "a_changes": n_a,
             "b_changes": n_b,
-            "upserts": int(counts["u"]),
+            "upserts": n_up,
             "deletes": n_del,
             "pruned_big_side": pruned,
         }

@@ -310,8 +310,21 @@ def merge_upsert_mor(
     digest_prune: bool = True,
     src_digest: dict[int, tuple[int, int, int]] | None = None,
     tgt_digest: dict[int, tuple[int, int, int]] | None = None,
+    delete_keys: DataFrame | None = None,
 ) -> dict[str, int]:
     """Upsert ``src`` writing ONLY the changed rows (a new delta dir).
+
+    ``delete_keys``: an EXPLICIT tombstone key set committed atomically
+    with the upserts — the mixed change-batch shape (a CDC feed apply, an
+    incremental view refresh: some keys upserted, some deleted, one
+    sequence number). The keys' live rows are fetched bucket-pruned +
+    In-pushed (the ``delete_keys_mor`` discipline) and land as tombstones
+    IN THE SAME delta dir as the upserts, so a crash can never apply half
+    the batch. Keys also present in ``src`` are ignored (the upsert
+    wins); keys not live in the target are no-ops (idempotent replay).
+    Mutually exclusive with ``delete_missing``; forces the known-subset
+    discipline (digest pruning off — the caller already knows the change
+    set — while sidecar MAINTENANCE still folds both sides).
 
     ``src_digest``: the source's own per-micro-bucket digests, when the
     caller already knows them (a managed replica's validated sidecar —
@@ -348,6 +361,16 @@ def merge_upsert_mor(
     reference's never-delete semantics (trap N6). Idempotent like the
     upserts: replaying the same snapshot finds the erased keys already
     tombstoned (absent from the live view) and writes nothing."""
+    if delete_keys is not None:
+        if delete_missing:
+            raise ValueError(
+                "delete_keys and delete_missing are mutually exclusive: "
+                "one names the tombstones explicitly, the other infers "
+                "them from a full source snapshot."
+            )
+        # Known-subset batch: the digest compare would learn nothing (its
+        # dirty set IS the batch); maintenance still runs below.
+        digest_prune = False
     if writers_state_absent(target_path):
         os.makedirs(target_path, exist_ok=True)
         r = merge_upsert_partitioned(
@@ -433,24 +456,61 @@ def merge_upsert_mor(
             victims = post.join(gone, cdc.KEY_COL, "left_semi")  # AQE sizes it
             r = _tombstone_commit(spark, target_path, victims, None, 0)
             n_delete = r["delete"]
+        elif delete_keys is not None:
+            # Same rare-drift caveat as delete_missing: the fold and the
+            # tombstones take two sequence numbers; replays converge.
+            r = delete_keys_mor(
+                spark, target_path, delete_keys, key_cols, compact_every=None
+            )
+            n_delete = r["delete"]
         return {
             **result, "delete": n_delete, "delta_files": 0, "compacted": True,
         }
 
     deltas = _read_deltas(spark, target_path)
+    # KNOWN-SUBSET classify prune: a merge that opted out of digest
+    # pruning and is NOT a snapshot-diff sync (streaming micro-batches,
+    # explicit delete_keys change batches, the view-refresh apply) only
+    # needs the target keys that could MATCH the source's — any target
+    # key outside the source keys' buckets classifies nothing. One
+    # bounded probe collect (the _signed_delta/refresh discipline) turns
+    # the classify's target side from a full narrow scan into a
+    # listing-pruned, In-pushed read of O(changes) buckets; batches past
+    # the pushdown bound keep the full scan. delete_missing must see the
+    # whole live universe and never takes this path.
+    subset_keys = None
+    if not digest_prune and not delete_missing:
+        ksample = (
+            keyed.select(cdc.KEY_COL, BUCKET_COL)
+            .limit(KEY_PUSHDOWN_LIMIT + 1)
+            .collect()
+        )
+        if len(ksample) <= KEY_PUSHDOWN_LIMIT:
+            subset_keys = [r[cdc.KEY_COL] for r in ksample]
+            subset_buckets = sorted({r[BUCKET_COL] for r in ksample})
     # Current (key → hash) view: base overridden by the latest delta. A
     # key whose latest version is a TOMBSTONE is absent from the view —
     # its base row is still anti-joined away, and it contributes no hash —
     # so a re-submitted deleted key classifies as INSERT (fresh identity),
     # never as an UPDATE of the erased row.
-    base_kh = base.select(cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash"))
+    base_src = base
+    if subset_keys is not None:
+        base_src = base.filter(in_list(BUCKET_COL, subset_buckets)).filter(
+            in_list(cdc.KEY_COL, subset_keys)
+        )
+    base_kh = base_src.select(cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash"))
     if deltas is not None:
         dlatest = _delta_latest(deltas)
-        dl = dlatest.filter(~F.col(DELETED_COL)).select(
+        dl_src = dlatest
+        if subset_keys is not None:
+            # same universe restriction on the delta side — the pruned
+            # view stays exactly filter-equivalent for the source's keys
+            dl_src = dlatest.filter(in_list(cdc.KEY_COL, subset_keys))
+        dl = dl_src.filter(~F.col(DELETED_COL)).select(
             cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash")
         )
         base_kh = base_kh.join(
-            F.broadcast(dlatest.select(cdc.KEY_COL)), cdc.KEY_COL, "left_anti"
+            F.broadcast(dl_src.select(cdc.KEY_COL)), cdc.KEY_COL, "left_anti"
         ).unionByName(dl)
 
     # Micro-bucket digest prune (operators/cdc.py): summarize incoming vs
@@ -556,6 +616,8 @@ def merge_upsert_mor(
     upd_keys = None
     missing = None
     new_dig = None
+    del_victim_src = None
+    keyed_del_cache = None
     try:
         # ONE bounded collect (≤ 3·num_buckets rows) yields op counts AND
         # the per-op dirty buckets while materializing the classify cache.
@@ -598,6 +660,53 @@ def merge_upsert_mor(
                     "intended, run delete_where_mor(spark, target, "
                     "F.lit(True)) explicitly."
                 )
+        elif delete_keys is not None:
+            # Explicit tombstone keys: fetch their LIVE rows bucket-pruned
+            # at the listing (+ In-pushed below the pushdown bound — the
+            # delete_keys_mor discipline), minus any key the batch also
+            # upserts (the upsert wins; symmetric with delete_missing,
+            # whose source keys are never "missing"). No empty-source
+            # refusal here: a delete-only batch is explicit intent, not a
+            # failed export.
+            keyed_del = (
+                cdc.with_cdc_key(delete_keys, key_cols)
+                .select(cdc.KEY_COL)
+                .distinct()
+                .withColumn(
+                    BUCKET_COL,
+                    F.pmod(
+                        F.xxhash64(F.col(cdc.KEY_COL)),
+                        F.lit(meta["num_buckets"]),
+                    ).cast("int"),
+                )
+            )
+            del_sample = keyed_del.limit(KEY_PUSHDOWN_LIMIT + 1).collect()
+            if len(del_sample) <= KEY_PUSHDOWN_LIMIT:
+                del_buckets = sorted({r[BUCKET_COL] for r in del_sample})
+                live_del = read_mor(spark, target_path, buckets=del_buckets)
+                live_del = live_del.filter(
+                    in_list(cdc.KEY_COL, [r[cdc.KEY_COL] for r in del_sample])
+                )
+            else:
+                keyed_del = keyed_del_cache = keyed_del.cache()
+                del_buckets = [
+                    r[BUCKET_COL]
+                    for r in keyed_del.select(BUCKET_COL).distinct().collect()
+                ]
+                live_del = read_mor(
+                    spark, target_path, buckets=del_buckets
+                ).join(keyed_del.select(cdc.KEY_COL), cdc.KEY_COL, "left_semi")
+            missing = (
+                live_del.select(
+                    cdc.KEY_COL, F.col("row_hash").alias("_tgt_hash")
+                )
+                .join(src_key_set.distinct(), cdc.KEY_COL, "left_anti")
+                .cache()
+            )
+            n_delete = missing.count()
+            # the victims fetch below re-reads through this pruned frame
+            # instead of a full-table read_mor
+            del_victim_src = live_del
         if n_insert == 0 and n_update == 0 and n_delete == 0:
             # Idempotent replay / no-op: NOTHING is written — not even an
             # empty delta dir (which would still cost a file open per scan).
@@ -735,7 +844,12 @@ def merge_upsert_mor(
             # upserts (one snapshot = one atomic sequence number). The
             # upsert parts gain an explicit false flag so the dir stays
             # single-schema.
-            victims = read_mor(spark, target_path).join(
+            victim_src = (
+                del_victim_src
+                if del_victim_src is not None
+                else read_mor(spark, target_path)
+            )
+            victims = victim_src.join(
                 _maybe_broadcast(missing, n_delete), cdc.KEY_COL, "left_semi"
             )
             tomb = victims.withColumn("updated_at", F.current_timestamp())
@@ -765,6 +879,8 @@ def merge_upsert_mor(
             upd_keys.unpersist()
         if missing is not None:
             missing.unpersist()
+        if keyed_del_cache is not None:
+            keyed_del_cache.unpersist()
 
     compacted = False
     if compact_every is not None and len(_delta_seqs(target_path)) >= compact_every:

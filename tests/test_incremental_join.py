@@ -215,9 +215,13 @@ class TestIncrementalRefresh:
             spark, _fdf(spark, [(7, new_did, old["f_amt"])]), a, ["f_id"],
             compact_every=None,
         )
+        seq0 = mor.mor_history(v)["seq"]
         r = ij.refresh_join_view(spark, v)
         assert r["mode"] == "incremental"
         assert r["upserts"] == 1 and r["deletes"] == 1
+        # ATOMIC: the pair's upsert and the old pair's tombstone land in
+        # ONE delta commit — exactly one sequence number per refresh.
+        assert mor.mor_history(v)["seq"] == seq0 + 1
         _assert_matches_recompute(spark, v)
         got = ij.read_join_view(spark, v).filter(F.col("f_id") == 7).collect()
         assert len(got) == 1 and got[0]["f_did"] == new_did
@@ -377,12 +381,15 @@ class TestRebuildAndCrash:
         feed = mor.read_mor_changes(spark, v, since_seq=cursor)
         assert feed.count() >= 0
 
-    def test_crash_between_view_commits_converges(
+    def test_crash_before_cursor_write_converges(
         self, spark, tmp_path, monkeypatch
     ):
-        """Upsert delta committed, tombstone commit crashed: the cursors
-        never advanced, so the NEXT refresh replays the same signed
-        delta — upserts re-classify as skips, tombstones apply."""
+        """The refresh's data commit is ATOMIC (one delta); the remaining
+        crash window is between that commit and the cursor write. A
+        replay then re-derives the same signed delta and the merge's
+        idempotent-replay discipline writes NOTHING (upserts classify
+        skip, tombstoned keys are no longer live) — the view ends
+        correct with exactly ONE delta for the whole episode."""
         rng = random.Random(33)
         a, b = _seed(spark, tmp_path, rng)
         v = _build(spark, tmp_path, a, b)
@@ -393,20 +400,25 @@ class TestRebuildAndCrash:
             spark, _fdf(spark, [(9, new_did, old["f_amt"])]), a, ["f_id"],
             compact_every=None,
         )
-        real_delete = ij.delete_keys_mor
+        seq0 = mor.mor_history(v)["seq"]
+        real_write = ij._write_meta
 
         def boom(*args, **kw):
-            raise RuntimeError("injected crash before tombstone commit")
+            raise RuntimeError("injected crash before cursor write")
 
-        monkeypatch.setattr(ij, "delete_keys_mor", boom)
+        monkeypatch.setattr(ij, "_write_meta", boom)
         with pytest.raises(RuntimeError, match="injected"):
             ij.refresh_join_view(spark, v)
-        # cursors must NOT have advanced past the torn refresh
+        # data committed, cursors did not advance
+        assert mor.mor_history(v)["seq"] == seq0 + 1
         assert ij.join_view_info(v)["a_seq"] < mor.mor_history(a)["seq"]
-        monkeypatch.setattr(ij, "delete_keys_mor", real_delete)
+        monkeypatch.setattr(ij, "_write_meta", real_write)
         r = ij.refresh_join_view(spark, v)
         assert r["mode"] == "incremental"
-        assert r["deletes"] == 1
+        # idempotent replay: nothing re-applied, no second delta
+        assert r["upserts"] == 0 and r["deletes"] == 0
+        assert mor.mor_history(v)["seq"] == seq0 + 1
+        assert ij.join_view_info(v)["a_seq"] == mor.mor_history(a)["seq"]
         _assert_matches_recompute(spark, v)
 
 

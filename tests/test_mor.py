@@ -1312,3 +1312,149 @@ class TestCompactCrashWindows:
         (base / "_kb=0").mkdir()
         (base / "_kb=0" / "part-2.parquet").write_bytes(b"x")
         assert mor._has_parquet_files(str(base))
+
+
+class TestMixedChangeBatch:
+    """merge_upsert_mor(delete_keys=...): an explicit upsert+delete batch
+    committed as ONE delta sequence — the CDC-feed-apply / view-refresh
+    shape."""
+
+    def _seeded(self, spark, tmp_path, n=2000):
+        t = str(tmp_path / "mixed")
+        mor.merge_upsert_mor(
+            spark, _src(spark, n), t, ["K"], num_buckets=16,
+            compact_every=None,
+        )
+        return t
+
+    def test_upserts_and_deletes_in_one_sequence(self, spark, tmp_path):
+        t = self._seeded(spark, tmp_path)
+        ups = _src(spark, 2010, salt="9").filter(
+            (F.col("K").cast("long") % 500 == 0)
+            | (F.col("K").cast("long") >= 2000)
+        )  # 4 updates + 10 inserts
+        dels = spark.createDataFrame([("7",), ("13",)], "K string")
+        seq0 = mor.mor_history(t)["seq"]
+        r = mor.merge_upsert_mor(
+            spark, ups, t, ["K"], compact_every=None, delete_keys=dels
+        )
+        assert (r["insert"], r["update"], r["delete"]) == (10, 4, 2)
+        assert mor.mor_history(t)["seq"] == seq0 + 1  # ONE atomic commit
+        st = _state(mor.read_mor(spark, t))
+        assert "7" not in st and "13" not in st
+        assert st["2005"].startswith("9") and st["500"].startswith("9")
+        assert len(st) == 2000 - 2 + 10
+
+    def test_upsert_wins_over_delete_of_same_key(self, spark, tmp_path):
+        t = self._seeded(spark, tmp_path, n=100)
+        ups = _src(spark, 100, salt="z").filter(F.col("K") == "42")
+        dels = spark.createDataFrame([("42",), ("43",)], "K string")
+        r = mor.merge_upsert_mor(
+            spark, ups, t, ["K"], compact_every=None, delete_keys=dels
+        )
+        assert r["update"] == 1 and r["delete"] == 1
+        st = _state(mor.read_mor(spark, t))
+        assert st["42"].startswith("z") and "43" not in st
+
+    def test_pure_delete_batch_and_idempotent_replay(self, spark, tmp_path):
+        t = self._seeded(spark, tmp_path, n=100)
+        empty = _src(spark, 0)
+        dels = spark.createDataFrame([("5",), ("6",), ("999",)], "K string")
+        r = mor.merge_upsert_mor(
+            spark, empty, t, ["K"], compact_every=None, delete_keys=dels
+        )
+        # key 999 is not live -> no-op for it
+        assert r["delete"] == 2 and r["insert"] == 0 and r["update"] == 0
+        seq1 = mor.mor_history(t)["seq"]
+        # replay: tombstoned keys are no longer live; NOTHING written
+        r2 = mor.merge_upsert_mor(
+            spark, empty, t, ["K"], compact_every=None, delete_keys=dels
+        )
+        assert r2["delete"] == 0 and r2["delta_files"] == 0
+        assert mor.mor_history(t)["seq"] == seq1
+        assert len(_state(mor.read_mor(spark, t))) == 98
+
+    def test_mutually_exclusive_with_delete_missing(self, spark, tmp_path):
+        import pytest
+
+        t = self._seeded(spark, tmp_path, n=50)
+        dels = spark.createDataFrame([("1",)], "K string")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            mor.merge_upsert_mor(
+                spark, _src(spark, 50), t, ["K"],
+                delete_missing=True, delete_keys=dels,
+            )
+
+    def test_change_feed_carries_both_sides(self, spark, tmp_path):
+        """The mixed delta feeds downstream consumers correctly: deletes
+        come back flagged with the pre-delete image, upserts unflagged."""
+        t = self._seeded(spark, tmp_path, n=100)
+        since = mor.mor_history(t)["seq"]
+        ups = _src(spark, 100, salt="w").filter(F.col("K") == "10")
+        dels = spark.createDataFrame([("20",)], "K string")
+        mor.merge_upsert_mor(
+            spark, ups, t, ["K"], compact_every=None, delete_keys=dels
+        )
+        feed = mor.read_mor_changes(spark, t, since_seq=since).collect()
+        by_key = {r["K"]: r for r in feed}
+        assert set(by_key) == {"10", "20"}
+        assert not by_key["10"][mor.DELETED_COL]
+        assert by_key["20"][mor.DELETED_COL] and by_key["20"]["V"] is not None
+
+    def test_sidecar_stays_valid_across_mixed_batch(self, spark, tmp_path):
+        from presencia_etl_spark.sinks import digest_store
+
+        t = self._seeded(spark, tmp_path, n=400)
+        # second merge seeds the sidecar (first classify pass saves it)
+        mor.merge_upsert_mor(
+            spark, _src(spark, 400), t, ["K"], compact_every=None
+        )
+        assert digest_store.load(t) is not None
+        ups = _src(spark, 410, salt="q").filter(F.col("K").cast("long") >= 400)
+        dels = spark.createDataFrame([("3",), ("4",)], "K string")
+        mor.merge_upsert_mor(
+            spark, ups, t, ["K"], compact_every=None, delete_keys=dels
+        )
+        side = digest_store.load(t)
+        assert side is not None
+        # maintained digest == digest recomputed from the live view
+        live = mor.read_mor(spark, t)
+        rows = cdc._digest(
+            live.select(cdc.KEY_COL, "row_hash"), "row_hash",
+            cdc.DIGEST_MICRO_BUCKETS, "s",
+        ).collect()
+        scan = {r[cdc.MB_COL]: (r["_cs"], r["_xs"], r["_ys"]) for r in rows}
+        assert side == scan
+
+    def test_classify_prune_differential(self, spark, tmp_path, monkeypatch):
+        """The known-subset classify prune (source-bucket + In-pushed
+        target read) must be exactly filter-equivalent: the same mixed
+        batch applied with the prune forced OFF (KEY_PUSHDOWN_LIMIT=0)
+        lands the identical state and counts."""
+        results = []
+        for tag, limit in (("pruned", None), ("full", 0)):
+            if limit is not None:
+                monkeypatch.setattr(mor, "KEY_PUSHDOWN_LIMIT", limit)
+            else:
+                monkeypatch.undo()
+            t = str(tmp_path / f"st_{tag}")
+            mor.merge_upsert_mor(
+                spark, _src(spark, 300), t, ["K"], num_buckets=8,
+                compact_every=None,
+            )
+            ups = _src(spark, 310, salt="p").filter(
+                (F.col("K").cast("long") % 50 == 0)
+                | (F.col("K").cast("long") >= 300)
+            )
+            dels = spark.createDataFrame([("17",), ("18",), ("888",)], "K string")
+            r = mor.merge_upsert_mor(
+                spark, ups, t, ["K"], compact_every=None,
+                digest_prune=False, delete_keys=dels,
+            )
+            results.append(
+                (
+                    (r["insert"], r["update"], r["delete"], r["skip"]),
+                    _state(mor.read_mor(spark, t)),
+                )
+            )
+        assert results[0] == results[1]
