@@ -190,6 +190,18 @@ def main(argv: list[str] | None = None) -> int:
         "(COW targets never delete regardless — trap N6)",
     )
 
+    p = sub.add_parser(
+        "replicate",
+        help="log-shipping catch-up: apply the source MOR table's change "
+        "feed since the replica's cursor as ONE atomic mixed batch "
+        "(upserts + tombstones, no source base scan); first call / "
+        "compacted-away history fall back to a snapshot sync-replica "
+        "pass and re-pin the cursor",
+    )
+    p.add_argument("--source", required=True, help="MOR state dir (truth)")
+    p.add_argument("--target", required=True, help="MOR replica state dir")
+    p.add_argument("--key", nargs="+", required=True, help="key columns")
+
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
@@ -211,6 +223,15 @@ def main(argv: list[str] | None = None) -> int:
             delete_missing=False if args.no_delete else None,
         )
         print(json.dumps({"cmd": "sync-replica", "result": out}))
+        return 0
+
+    if args.cmd == "replicate":
+        # Also pre-session: the steady-state pass (cursor == source seq,
+        # pure fs metadata) returns without starting a JVM.
+        from presencia_etl_spark.plans.replica_sync import replicate_changes
+
+        out = replicate_changes(None, args.source, args.target, list(args.key))
+        print(json.dumps({"cmd": "replicate", "result": out}))
         return 0
 
     spark = get_spark(app_name=f"presencia-etl-{args.cmd}")

@@ -228,6 +228,122 @@ def _trickle_sync_max_rows() -> int:
     return int(os.environ.get("SPARK_GRAFT_TRICKLE_SYNC_ROWS", "65536"))
 
 
+REPLICATE_META = "_replicate_meta.json"
+
+
+def _replicate_cursor(target_path: str) -> int | None:
+    import json
+
+    try:
+        with open(os.path.join(target_path, REPLICATE_META)) as fh:
+            return int(json.load(fh)["src_seq"])
+    except FileNotFoundError:
+        return None
+
+
+def _write_replicate_cursor(target_path: str, src_seq: int) -> None:
+    import json
+
+    p = os.path.join(target_path, REPLICATE_META)
+    with open(p + ".tmp", "w") as fh:
+        json.dump({"src_seq": src_seq}, fh)
+    os.replace(p + ".tmp", p)
+
+
+def replicate_changes(
+    spark: SparkSession | None,
+    source_path: str,
+    target_path: str,
+    key_cols: list[str],
+    num_buckets: int | None = None,
+) -> dict:
+    """Log-shipping replica catch-up: apply the source's CHANGE FEED
+    since the replica's cursor — upserts and tombstones in ONE atomic
+    mixed batch (``merge_upsert_mor(delete_keys=...)``).
+
+    Complements ``sync_replica`` (snapshot convergence): a feed pass
+    reads ONLY the source's delta files in range — no source base scan,
+    no digests required on either side — so steady replication cost is
+    O(changes in range) regardless of both table sizes, and each pass is
+    one target sequence (a crash can never half-apply a pass; replays
+    re-classify as skips). The feed's per-key latest-version semantics
+    make passes collapse: N source merges apply as one batch.
+
+    Falls back to a full ``sync_replica`` snapshot pass when there is no
+    cursor yet (first call) or the source compacted past the cursor —
+    the cursor is then re-pinned at the sequence observed BEFORE the
+    snapshot read, so changes racing the snapshot replay harmlessly on
+    the next pass. MOR on both sides (the feed and tombstones only exist
+    there). ``spark`` may be None: a no-change pass (cursor == source
+    seq, fs metadata) returns without starting a session."""
+    from presencia_etl_spark.sinks.mor import (
+        delta_bytes_in_range,
+        merge_upsert_mor,
+        mor_history,
+        read_mor_changes,
+    )
+    from presencia_etl_spark.sinks.writers import _state_absent
+
+    if table_layout(source_path) != "mor":
+        raise ValueError(
+            f"replicate_changes needs a MOR source (change feed); "
+            f"{source_path!r} is {table_layout(source_path)}"
+        )
+    hist = mor_history(source_path)
+    cursor = _replicate_cursor(target_path)
+    tgt_exists = not _state_absent(target_path)
+    if cursor is not None and tgt_exists and cursor == hist["seq"]:
+        return {
+            "mode": "noop", "insert": 0, "update": 0, "skip": 0,
+            "delete": 0, "src_seq": cursor,
+        }
+    if cursor is None or not tgt_exists or cursor < hist["compacted_through"]:
+        # No cursor / fresh target / history folded away: snapshot pass.
+        # The cursor pins the seq observed BEFORE the read — a merge
+        # racing the snapshot lands again next pass as skips.
+        r = sync_replica(
+            spark, source_path, target_path, key_cols,
+            num_buckets=num_buckets,
+        )
+        _write_replicate_cursor(target_path, hist["seq"])
+        return {**r, "mode": "snapshot", "src_seq": hist["seq"]}
+
+    if spark is None:
+        from presencia_etl_spark.session import get_spark
+
+        spark = get_spark(app_name="replicate-changes")
+        spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql.functions import col as F_col
+
+    from presencia_etl_spark import session as _sess
+    from presencia_etl_spark.sinks.mor import DELETED_COL, SEQ_COL
+
+    def _apply() -> dict:
+        feed = read_mor_changes(
+            spark, source_path, since_seq=cursor, as_of_seq=hist["seq"]
+        )
+        # Per-replica surrogates are the target's business (the
+        # sync_replica discipline); row_hash stays so nothing re-hashes.
+        drop = [SEQ_COL, DELETED_COL, "_kb", "id", "created_at", "updated_at"]
+        ups = feed.filter(~F_col(DELETED_COL)).drop(*drop)
+        dels = feed.filter(F_col(DELETED_COL)).select(*key_cols)
+        r = merge_upsert_mor(
+            spark, ups, target_path, key_cols,
+            num_buckets=num_buckets or _num_buckets_of(source_path) or 256,
+            digest_prune=False,
+            delete_keys=dels,
+        )
+        _write_replicate_cursor(target_path, hist["seq"])
+        return {**r, "mode": "feed", "src_seq": hist["seq"]}
+
+    pending = delta_bytes_in_range(source_path, cursor, hist["seq"])
+    if pending <= (16 << 20) and _sess.trickle_allowed():
+        with _sess.trickle_scope(spark):
+            return _apply()
+    with _sess.corpus_section():
+        return _apply()
+
+
 def _green_result(skip: int, tgt_layout: str) -> dict:
     out = {"insert": 0, "update": 0, "skip": skip, "proven": "sidecar"}
     if tgt_layout == "mor":

@@ -271,6 +271,36 @@ class TestCli:
         assert out["result"]["proven"] == "sidecar"
         assert out["result"]["skip"] == 80
 
+    def test_replicate_subcommand(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from presencia_etl_spark.__main__ import main
+
+        src_t = str(tmp_path / "src")
+        tgt_t = str(tmp_path / "tgt")
+        _seed_mor(spark, src_t, _docs(spark, 60))
+        assert main(["replicate", "--source", src_t, "--target", tgt_t,
+                     "--key", "K"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["mode"] == "snapshot"
+        # steady state: cursor at source seq, pre-session noop
+        assert main(["replicate", "--source", src_t, "--target", tgt_t,
+                     "--key", "K"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["mode"] == "noop"
+        # evolve source, catch up via the feed
+        mor.merge_upsert_mor(
+            spark, _docs(spark, 61, salt="c", extra_mod=15), src_t, ["K"],
+            compact_every=None,
+        )
+        assert main(["replicate", "--source", src_t, "--target", tgt_t,
+                     "--key", "K"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["result"]["mode"] == "feed"
+        assert _state(mor.read_mor(spark, tgt_t)) == _state(
+            mor.read_mor(spark, src_t)
+        )
+
 
 class TestGuards:
     def test_delete_missing_refused_for_cow_target(self, spark, tmp_path):
@@ -334,3 +364,159 @@ class TestGuards:
         tgt = spark.read.parquet(tgt_t)
         assert "_kb" not in tgt.columns
         assert _state(tgt) == _state(read_managed(spark, src_t))
+
+
+class TestReplicateChanges:
+    """Log-shipping catch-up (replicate_changes): the replica follows the
+    source's change feed — no source base scan, one atomic target
+    sequence per pass."""
+
+    def test_first_pass_snapshots_then_feed_follows(self, spark, tmp_path):
+        from presencia_etl_spark.plans.replica_sync import replicate_changes
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        _seed_mor(spark, src, _docs(spark, 300))
+        r = replicate_changes(spark, src, dst, ["K"])
+        assert r["mode"] == "snapshot"
+        assert _state(mor.read_mor(spark, dst)) == _state(
+            mor.read_mor(spark, src)
+        )
+        # source evolves: updates + an insert + a delete, over TWO merges
+        mor.merge_upsert_mor(
+            spark, _docs(spark, 305, salt="1", extra_mod=50), src, ["K"],
+            compact_every=None,
+        )
+        mor.delete_keys_mor(
+            spark, src, spark.createDataFrame([("9",)], "K string"), ["K"],
+            compact_every=None,
+        )
+        seq0 = mor.mor_history(dst)["seq"]
+        r = replicate_changes(spark, src, dst, ["K"])
+        assert r["mode"] == "feed"
+        assert r["delete"] == 1 and (r["insert"] + r["update"]) > 0
+        # N source merges collapse into ONE atomic replica sequence
+        assert mor.mor_history(dst)["seq"] == seq0 + 1
+        assert _state(mor.read_mor(spark, dst)) == _state(
+            mor.read_mor(spark, src)
+        )
+
+    def test_noop_pass_never_needs_spark(self, spark, tmp_path):
+        from presencia_etl_spark.plans.replica_sync import replicate_changes
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        _seed_mor(spark, src, _docs(spark, 100))
+        replicate_changes(spark, src, dst, ["K"])
+        # cursor at source seq: spark=None proves no session is touched
+        r = replicate_changes(None, src, dst, ["K"])
+        assert r["mode"] == "noop"
+
+    def test_feed_pass_reads_no_source_base_files(self, spark, tmp_path):
+        """The catch-up is log shipping: only delta files in range are
+        read from the source — never its base buckets."""
+        from presencia_etl_spark.plans.replica_sync import replicate_changes
+        from presencia_etl_spark.sinks.mor import read_mor_changes
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        _seed_mor(spark, src, _docs(spark, 200))
+        replicate_changes(spark, src, dst, ["K"])
+        mor.merge_upsert_mor(
+            spark, _docs(spark, 200, salt="2", extra_mod=40), src, ["K"],
+            compact_every=None,
+        )
+        cursor = mor.mor_history(src)["seq"]
+        feed = read_mor_changes(spark, src, since_seq=cursor - 1)
+        files = feed.inputFiles()
+        assert files and all("/deltas/" in f for f in files)
+
+    def test_replay_after_cursor_crash_is_idempotent(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from presencia_etl_spark.plans import replica_sync as rs
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        _seed_mor(spark, src, _docs(spark, 150))
+        rs.replicate_changes(spark, src, dst, ["K"])
+        mor.merge_upsert_mor(
+            spark, _docs(spark, 150, salt="3", extra_mod=30), src, ["K"],
+            compact_every=None,
+        )
+        real = rs._write_replicate_cursor
+        calls = {"n": 0}
+
+        def crash_once(path, seq):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected cursor crash")
+            real(path, seq)
+
+        monkeypatch.setattr(rs, "_write_replicate_cursor", crash_once)
+        with pytest.raises(RuntimeError, match="injected"):
+            rs.replicate_changes(spark, src, dst, ["K"])
+        seq_after_crash = mor.mor_history(dst)["seq"]
+        r = rs.replicate_changes(spark, src, dst, ["K"])
+        assert r["mode"] == "feed"
+        # replay: everything skips, no second delta lands
+        assert r["insert"] == 0 and r["update"] == 0 and r["delete"] == 0
+        assert mor.mor_history(dst)["seq"] == seq_after_crash
+        assert _state(mor.read_mor(spark, dst)) == _state(
+            mor.read_mor(spark, src)
+        )
+
+    def test_compaction_past_cursor_falls_back_to_snapshot(
+        self, spark, tmp_path
+    ):
+        from presencia_etl_spark.plans.replica_sync import replicate_changes
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        _seed_mor(spark, src, _docs(spark, 120))
+        replicate_changes(spark, src, dst, ["K"])
+        mor.merge_upsert_mor(
+            spark, _docs(spark, 125, salt="4", extra_mod=20), src, ["K"],
+            compact_every=None,
+        )
+        mor.compact_mor(spark, src)  # floor passes the replica's cursor
+        r = replicate_changes(spark, src, dst, ["K"])
+        assert r["mode"] == "snapshot"
+        assert _state(mor.read_mor(spark, dst)) == _state(
+            mor.read_mor(spark, src)
+        )
+        # and the cursor re-pins: the next pass is a noop
+        assert replicate_changes(None, src, dst, ["K"])["mode"] == "noop"
+
+    def test_randomized_feed_replication_differential(self, spark, tmp_path):
+        import random
+
+        from presencia_etl_spark.plans.replica_sync import replicate_changes
+
+        rng = random.Random(77)
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        _seed_mor(spark, src, _docs(spark, 200))
+        replicate_changes(spark, src, dst, ["K"])
+        live = set(str(i) for i in range(200))
+        for round_i in range(4):
+            for _ in range(rng.randrange(1, 3)):
+                salt = f"r{round_i}"
+                mor.merge_upsert_mor(
+                    spark,
+                    _docs(spark, 210 + round_i, salt=salt,
+                          extra_mod=rng.choice([10, 25])),
+                    src, ["K"], compact_every=None,
+                )
+            doomed = rng.sample(sorted(live), 3)
+            live -= set(doomed)
+            mor.delete_keys_mor(
+                spark, src,
+                spark.createDataFrame([(k,) for k in doomed], "K string"),
+                ["K"], compact_every=None,
+            )
+            r = replicate_changes(spark, src, dst, ["K"])
+            assert r["mode"] == "feed"
+            assert _state(mor.read_mor(spark, dst)) == _state(
+                mor.read_mor(spark, src)
+            )
