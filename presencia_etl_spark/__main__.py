@@ -202,6 +202,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target", required=True, help="MOR replica state dir")
     p.add_argument("--key", nargs="+", required=True, help="key columns")
 
+    p = sub.add_parser(
+        "maintain",
+        help="inspect a managed state and run the nightly-optimize "
+        "policy: compact a deep MOR delta log (consumer-lag-guarded) "
+        "and seed an absent/stale digest sidecar; --dry-run reports "
+        "without a JVM",
+    )
+    p.add_argument("--target", required=True, help="managed state dir")
+    p.add_argument("--compact-threshold", type=int, default=16)
+    p.add_argument("--keep-last", type=int, default=0)
+    p.add_argument(
+        "--consumer-checkpoint", action="append", default=[],
+        help="change-feed consumer checkpoint dir (repeatable); "
+        "compaction keeps every delta an unfinished consumer still needs",
+    )
+    p.add_argument("--no-seed", action="store_true")
+    p.add_argument("--dry-run", action="store_true")
+
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
@@ -232,6 +250,23 @@ def main(argv: list[str] | None = None) -> int:
 
         out = replicate_changes(None, args.source, args.target, list(args.key))
         print(json.dumps({"cmd": "replicate", "result": out}))
+        return 0
+
+    if args.cmd == "maintain":
+        # Pre-session: inspection is fs metadata; a session is created
+        # lazily only when an action fires (never under --dry-run).
+        from presencia_etl_spark.sinks.maintenance import maintain
+
+        out = maintain(
+            None,
+            args.target,
+            compact_threshold=args.compact_threshold,
+            keep_last=args.keep_last,
+            consumer_checkpoints=args.consumer_checkpoint or None,
+            seed=not args.no_seed,
+            dry_run=args.dry_run,
+        )
+        print(json.dumps({"cmd": "maintain", "result": out}))
         return 0
 
     spark = get_spark(app_name=f"presencia-etl-{args.cmd}")

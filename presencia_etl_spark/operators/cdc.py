@@ -98,6 +98,21 @@ def _digest(df: DataFrame, hash_col: str, micro: int, tag: str) -> DataFrame:
     )
 
 
+def state_digest(
+    df: DataFrame, hash_col: str = "row_hash"
+) -> dict[int, tuple[int, int, int]]:
+    """The per-micro-bucket digest map of a LIVE keyed state (``df`` must
+    carry ``_cdc_key`` + the persisted row hash — what every merge target
+    stores). One narrow aggregation job, ≤ ``DIGEST_MICRO_BUCKETS`` rows
+    collected. This is the map ``sinks.digest_store`` persists: explicit
+    seeding (``sinks/maintenance.py``) and the test suite's
+    maintained-vs-scan parity checks both read the digest through it."""
+    rows = _digest(
+        df.select(KEY_COL, hash_col), hash_col, DIGEST_MICRO_BUCKETS, "s"
+    ).collect()
+    return {r[MB_COL]: (r["_cs"], r["_xs"], r["_ys"]) for r in rows}
+
+
 @dataclass
 class DigestCompare:
     """Result of a micro-bucket digest compare.
