@@ -46,6 +46,27 @@ over the view gives an O(changes) star-schema rollup: fact merge ->
 view refresh folds only the changed pairs -> agg refresh folds only the
 changed groups; nothing downstream ever rescans the fact table.
 
+**Left outer joins** (``how="left"``) add the NULL-extension layer on
+the same signed algebra. With ``M(v)`` = the count of B rows at join
+value ``v``, the left view is ``V_L = V_inner + N`` where
+``N = {(a, NULL) : M(a.j) = 0 or a.j has a NULL component}``. Then
+
+    dN = alpha + beta
+    alpha = sum over a in dA of  +-[M@c_b(a.j) = 0] (a, NULL)
+    beta  = sum over a in A@s_a of
+            ([M@c_b(a.j) = 0] - [M@s_b(a.j) = 0]) (a, NULL)
+
+alpha is the A-side membership change under the NEW match counts; beta
+is the matched<->unmatched TRANSITION sweep (a dimension gaining its
+first / losing its last row at ``v`` flips every fact at ``v``). The
+match counts are read from two narrow B scans restricted to the
+affected join values (key-pruned in the star shape, where M is 0/1 by
+construction); the transition sweep reads A@s_a restricted to the
+transitioning values. Affected-value sets beyond the pushdown bound
+(a dense re-key of the dimension) decline to a REBUILD rather than pay
+unbounded probes — the incremental path stays O(changes), the dense
+path stays one honest rebuild.
+
 Correctness boundaries (raise or rebuild, never silently wrong):
 - a source cursor behind its table's compaction floor means the change
   history was folded away -> full rebuild. The rebuild is a
@@ -154,12 +175,19 @@ def _check_spec(
         )
 
 
+class _DenseRefresh(Exception):
+    """Raised inside a scoped refresh when the affected join-value set
+    exceeds the pushdown bound (left views only) — caught OUTSIDE the
+    conf scope and answered with a rebuild."""
+
+
 def _join_frames(
     left: DataFrame,
     right: DataFrame,
     on: list[tuple[str, str]],
     l_keep: list[str],
     r_keep: list[str],
+    how: str = "inner",
 ) -> DataFrame:
     """Inner equi-join via collision-proof temp columns. Join columns may
     share a name across sides (on=[("nationkey", "nationkey")]) or
@@ -182,7 +210,7 @@ def _join_frames(
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c
-    return lt.join(rt, cond, "inner").drop(*l_temps, *r_temps)
+    return lt.join(rt, cond, how).drop(*l_temps, *r_temps)
 
 
 def _signed_delta(
@@ -285,6 +313,126 @@ def _big_side(
     return big.filter(in_list(cdc.KEY_COL, keys)), True
 
 
+def _null_extension_terms(
+    spark: SparkSession,
+    meta: dict,
+    pairs: list[tuple[str, str]],
+    da: DataFrame | None,
+    db: DataFrame | None,
+    a_since: int,
+    hb: dict,
+    view_cols: list[str],
+) -> list[DataFrame]:
+    """The left-join correction layer: signed (a, NULL) rows — alpha
+    (dA membership under the new match counts) and beta (the
+    matched<->unmatched transition sweep over A@s_a). See the module
+    docstring for the algebra. Raises ``_DenseRefresh`` when the
+    affected join-value set exceeds the pushdown bound."""
+    a_on = [p[0] for p in pairs]
+    b_on = [p[1] for p in pairs]
+    a_path, b_path = meta["a_path"], meta["b_path"]
+
+    probes = []
+    if da is not None:
+        probes.append(da.select(*[F.col(a).alias(b) for a, b in pairs]))
+    if db is not None:
+        probes.append(db.select(*b_on))
+    probe = probes[0]
+    for p_ in probes[1:]:
+        probe = probe.unionByName(p_)
+    probe = probe.distinct()
+    vals = probe.limit(KEY_PUSHDOWN_LIMIT + 1).collect()
+    if len(vals) > KEY_PUSHDOWN_LIMIT:
+        raise _DenseRefresh()
+    nn_vals = [tuple(r) for r in vals if all(x is not None for x in tuple(r))]
+
+    def counts_at(seq: int) -> dict:
+        if not nn_vals:
+            return {}
+        big, _p = _big_side(
+            spark, b_path, seq, meta["b_key_cols"], b_on, probe, len(vals)
+        )
+        restricted = big.select(*b_on).join(
+            F.broadcast(probe), on=list(b_on), how="left_semi"
+        )
+        rows = (
+            restricted.groupBy(*b_on).agg(F.count(F.lit(1)).alias("_n")).collect()
+        )
+        return {tuple(r[c] for c in b_on): r["_n"] for r in rows}
+
+    m_new = counts_at(hb["seq"])
+    # B unchanged => the match counts cannot have transitioned.
+    m_old = m_new if db is None else counts_at(meta["b_seq"])
+    zero_new = [v for v in nn_vals if m_new.get(v, 0) == 0]
+    to_plus = [v for v in nn_vals if m_old.get(v, 0) == 0 < m_new.get(v, 0)]
+    to_zero = [v for v in nn_vals if m_old.get(v, 0) > 0 == m_new.get(v, 0)]
+
+    b_schema = {
+        f.name: f.dataType
+        for f in read_mor(spark, b_path, buckets=[]).schema.fields
+    }
+    null_b = [
+        F.lit(None).cast(b_schema[c]).alias(c) for c in meta["b_cols"]
+    ]
+    a_cols = list(meta["a_cols"])
+    out: list[DataFrame] = []
+
+    if da is not None:
+        null_j = None
+        for c in a_on:
+            cnd = F.col(c).isNull()
+            null_j = cnd if null_j is None else (null_j | cnd)
+        # a NULL join component never matches -> always NULL-extended
+        alpha = da.filter(null_j)
+        if zero_new:
+            zdf = spark.createDataFrame(zero_new, schema=probe.schema).toDF(
+                *a_on
+            )
+            alpha = alpha.unionByName(
+                da.filter(~null_j).join(
+                    F.broadcast(zdf), on=list(a_on), how="left_semi"
+                )
+            )
+        out.append(
+            alpha.select(*a_cols, *null_b, F.col(W_COL)).select(
+                *view_cols, W_COL
+            )
+        )
+
+    if to_plus or to_zero:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        sign_schema = StructType(
+            list(probe.schema.fields) + [StructField("_ns", IntegerType())]
+        )
+        # gained first match -> the old NULL row retracts (-1);
+        # lost last match -> it comes back (+1)
+        rows = [tuple(v) + (-1,) for v in to_plus] + [
+            tuple(v) + (1,) for v in to_zero
+        ]
+        tdf = spark.createDataFrame(rows, schema=sign_schema).toDF(
+            *a_on, "_ns"
+        )
+        a_old_big, _p = _big_side(
+            spark,
+            a_path,
+            a_since,
+            meta["a_key_cols"],
+            a_on,
+            tdf.select(*a_on),
+            len(rows),
+        )
+        swept = a_old_big.select(
+            *dict.fromkeys(a_cols + a_on)
+        ).join(F.broadcast(tdf), on=list(a_on), how="inner")
+        out.append(
+            swept.select(
+                *a_cols, *null_b, F.col("_ns").cast("int").alias(W_COL)
+            ).select(*view_cols, W_COL)
+        )
+    return out
+
+
 def read_join_view(spark: SparkSession, view_path: str) -> DataFrame:
     """The maintained view: one row per live (a_key, b_key) pair, in the
     declared projection (audit/infra columns dropped)."""
@@ -309,7 +457,12 @@ def _materialize(
     )
     cols = list(meta["a_cols"]) + list(meta["b_cols"])
     return _join_frames(
-        a, b, [tuple(p) for p in meta["on"]], meta["a_cols"], meta["b_cols"]
+        a,
+        b,
+        [tuple(p) for p in meta["on"]],
+        meta["a_cols"],
+        meta["b_cols"],
+        how=meta.get("how", "inner"),
     ).select(*cols)
 
 
@@ -327,8 +480,10 @@ def build_join_view(
     num_buckets: int = 64,
     compact_every: int | None = 16,
     compact_keep_last: int = 0,
+    how: str = "inner",
 ) -> dict:
-    """Full materialization of ``A inner-join B`` into a MOR view state;
+    """Full materialization of ``A inner-join B`` (or ``how="left"``:
+    left outer, unmatched A rows NULL-extended) into a MOR view state;
     records both sources' sequences as the refresh cursors. A full build
     scans both bases — corpus-scale by definition — so it holds the
     shared conf-lock side throughout (also covers the rebuild fallback
@@ -336,6 +491,8 @@ def build_join_view(
     from presencia_etl_spark.session import corpus_section
 
     pairs = _norm_on(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     with corpus_section():
         ha, hb = mor_history(a_path), mor_history(b_path)
         if a_cols is None or b_cols is None:
@@ -358,6 +515,7 @@ def build_join_view(
             "num_buckets": num_buckets,
             "compact_every": compact_every,
             "compact_keep_last": compact_keep_last,
+            "how": how,
             "a_seq": ha["seq"],
             "b_seq": hb["seq"],
         }
@@ -402,7 +560,7 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> dict:
     a_since, b_since = meta["a_seq"], meta["b_seq"]
     if ha["seq"] == a_since and hb["seq"] == b_since:
         return {"mode": "noop", "a_seq": a_since, "b_seq": b_since}
-    if a_since < ha["compacted_through"] or b_since < hb["compacted_through"]:
+    def _rebuild() -> dict:
         r = build_join_view(
             spark,
             meta["a_path"],
@@ -416,16 +574,25 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> dict:
             meta["num_buckets"],
             meta.get("compact_every", 16),
             meta.get("compact_keep_last", 0),
+            how=meta.get("how", "inner"),
         )
         return {**r, "mode": "rebuild"}
+
+    if a_since < ha["compacted_through"] or b_since < hb["compacted_through"]:
+        return _rebuild()
     pending = delta_bytes_in_range(
         meta["a_path"], a_since, ha["seq"]
     ) + delta_bytes_in_range(meta["b_path"], b_since, hb["seq"])
-    if pending <= TRICKLE_DELTA_MAX_BYTES:
-        with trickle_scope(spark):
+    try:
+        if pending <= TRICKLE_DELTA_MAX_BYTES:
+            with trickle_scope(spark):
+                return _refresh_inner(spark, view_path, meta, ha, hb)
+        with corpus_section():
             return _refresh_inner(spark, view_path, meta, ha, hb)
-    with corpus_section():
-        return _refresh_inner(spark, view_path, meta, ha, hb)
+    except _DenseRefresh:
+        # dense change-value set on a LEFT view: unbounded match-count
+        # probes would not pay — one honest rebuild (outside any scope).
+        return _rebuild()
 
 
 def _refresh_inner(
@@ -493,6 +660,14 @@ def _refresh_inner(
                 list(meta["b_cols"]) + [W_COL],
             )
             terms.append(t2.select(*view_cols, W_COL))
+        if meta.get("how", "inner") == "left" and (
+            da is not None or db is not None
+        ):
+            if max(n_a, n_b) > KEY_PUSHDOWN_LIMIT:
+                raise _DenseRefresh()
+            terms += _null_extension_terms(
+                spark, meta, pairs, da, db, a_since, hb, view_cols
+            )
         if not terms:
             # merges happened but every row was a SKIP on both sides —
             # move only the cursors (contents unchanged => any crash

@@ -347,6 +347,179 @@ class TestIncrementalRefresh:
         _assert_matches_recompute(spark, v)
 
 
+class TestLeftJoin:
+    """how="left": the NULL-extension layer (alpha/beta) over the same
+    signed algebra, differential-tested against a LEFT-join recompute."""
+
+    POOL = DIM_IDS + ["zz0", "zz1", "zz2"]  # zz* have no dim row
+
+    def _lfacts(self, rng, keys):
+        return [
+            (int(k), rng.choice(self.POOL), round(rng.uniform(-9, 9), 2))
+            for k in keys
+        ]
+
+    def _lseed(self, spark, tmp_path, rng, n=200):
+        a, b = str(tmp_path / "lf"), str(tmp_path / "ld")
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, self._lfacts(rng, range(n))), a, ["f_id"],
+            num_buckets=8, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, _ddf(spark, _dims(rng, DIM_IDS)), b, ["d_id"],
+            num_buckets=4, compact_every=None,
+        )
+        v = str(tmp_path / "lview")
+        r = ij.build_join_view(
+            spark, a, b, v,
+            on=[("f_did", "d_id")],
+            a_key_cols=["f_id"], b_key_cols=["d_id"],
+            a_cols=["f_id", "f_did", "f_amt"],
+            b_cols=["d_id", "d_name", "d_rank"],
+            num_buckets=8, compact_every=None, how="left",
+        )
+        assert r["mode"] == "build"
+        return a, b, v
+
+    def test_build_keeps_unmatched_and_null_j_rows(self, spark, tmp_path):
+        rng = random.Random(71)
+        a, b, v = self._lseed(spark, tmp_path, rng)
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, [(900, None, 1.5)]), a, ["f_id"],
+            compact_every=None,
+        )
+        ij.refresh_join_view(spark, v)
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v)
+        unmatched = got.filter(F.col("f_did").startswith("zz"))
+        assert unmatched.count() > 0
+        assert unmatched.filter(F.col("d_id").isNotNull()).count() == 0
+        assert got.filter(F.col("f_id") == 900).count() == 1
+
+    def test_dim_gains_first_and_loses_last_match(self, spark, tmp_path):
+        rng = random.Random(72)
+        a, b, v = self._lseed(spark, tmp_path, rng)
+        n_zz0 = (
+            ij.read_join_view(spark, v).filter(F.col("f_did") == "zz0").count()
+        )
+        assert n_zz0 > 0
+        # dimension gains its FIRST row at zz0: every zz0 fact flips
+        mor.merge_upsert_mor(
+            spark, _ddf(spark, [("zz0", "late-dim", 1)]), b, ["d_id"],
+            compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v).filter(F.col("f_did") == "zz0")
+        assert got.count() == n_zz0
+        assert got.filter(F.col("d_name") == "late-dim").count() == n_zz0
+        # and loses it again: back to NULL-extended
+        mor.delete_keys_mor(
+            spark, b, spark.createDataFrame([("zz0",)], "d_id string"),
+            ["d_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v).filter(F.col("f_did") == "zz0")
+        assert got.count() == n_zz0
+        assert got.filter(F.col("d_id").isNull()).count() == n_zz0
+
+    def test_fact_moves_between_matched_and_unmatched(self, spark, tmp_path):
+        rng = random.Random(73)
+        a, b, v = self._lseed(spark, tmp_path, rng)
+        old = mor.read_mor(spark, a).filter(F.col("f_id") == 5).collect()[0]
+        # move to an unmatched value, then back to a matched one
+        for target in ("zz1", DIM_IDS[0]):
+            mor.merge_upsert_mor(
+                spark, _fdf(spark, [(5, target, old["f_amt"])]), a, ["f_id"],
+                compact_every=None,
+            )
+            r = ij.refresh_join_view(spark, v)
+            assert r["mode"] == "incremental"
+            _assert_matches_recompute(spark, v)
+            got = ij.read_join_view(spark, v).filter(F.col("f_id") == 5)
+            assert got.count() == 1
+            assert got.collect()[0]["f_did"] == target
+
+    def test_randomized_left_differential(self, spark, tmp_path):
+        rng = random.Random(74)
+        a, b, v = self._lseed(spark, tmp_path, rng, n=150)
+        live_dims = set(DIM_IDS)
+        for _ in range(4):
+            mor.merge_upsert_mor(
+                spark,
+                _fdf(spark, self._lfacts(rng, rng.sample(range(150), 8))),
+                a, ["f_id"], compact_every=None,
+            )
+            roll = rng.random()
+            if roll < 0.4 and live_dims:
+                doomed = rng.choice(sorted(live_dims))
+                live_dims.discard(doomed)
+                mor.delete_keys_mor(
+                    spark, b,
+                    spark.createDataFrame([(doomed,)], "d_id string"),
+                    ["d_id"], compact_every=None,
+                )
+            elif roll < 0.8:
+                gained = rng.choice(self.POOL)
+                live_dims.add(gained)
+                mor.merge_upsert_mor(
+                    spark, _ddf(spark, _dims(rng, [gained])), b, ["d_id"],
+                    compact_every=None,
+                )
+            r = ij.refresh_join_view(spark, v)
+            assert r["mode"] == "incremental"
+            _assert_matches_recompute(spark, v)
+
+    def test_dense_change_declines_to_rebuild(
+        self, spark, tmp_path, monkeypatch
+    ):
+        rng = random.Random(75)
+        a, b, v = self._lseed(spark, tmp_path, rng, n=60)
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, self._lfacts(rng, range(5))), a, ["f_id"],
+            compact_every=None,
+        )
+        monkeypatch.setattr(ij, "KEY_PUSHDOWN_LIMIT", 0)
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "rebuild"
+        monkeypatch.undo()
+        _assert_matches_recompute(spark, v)
+
+    def test_left_view_feeds_downstream_agg(self, spark, tmp_path):
+        """The NULL-dim group is a first-class group downstream: the
+        composed rollup counts unmatched facts under d_name NULL."""
+        rng = random.Random(76)
+        a, b, v = self._lseed(spark, tmp_path, rng)
+        agg = str(tmp_path / "lagg")
+        ia.build_agg_snapshot(spark, v, agg, ["d_name"], ["f_amt"])
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, self._lfacts(rng, rng.sample(range(200), 6))),
+            a, ["f_id"], compact_every=None,
+        )
+        assert ij.refresh_join_view(spark, v)["mode"] == "incremental"
+        assert ia.refresh_agg_snapshot(spark, v, agg)["mode"] == "incremental"
+        got = ia.read_agg_snapshot(spark, agg)
+        meta = ij.join_view_info(v)
+        want = (
+            ij._materialize(
+                spark, meta,
+                mor.mor_history(a)["seq"], mor.mor_history(b)["seq"],
+            )
+            .groupBy("d_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("f_amt").cast("double")).alias("sum_f_amt"),
+                F.count(F.col("f_amt")).alias("nn_f_amt"),
+            )
+        )
+        assert _canon(got.select(*want.columns)) == _canon(want)
+        null_grp = got.filter(F.col("d_name").isNull()).collect()
+        assert null_grp and null_grp[0]["n_rows"] > 0
+
+
 class TestRebuildAndCrash:
     def test_rebuild_on_compaction_floor(self, spark, tmp_path):
         rng = random.Random(31)
