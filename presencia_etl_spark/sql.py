@@ -109,7 +109,15 @@ def register_state_views(
         ):
             continue
         is_mor = os.path.exists(os.path.join(path, "_mor_meta.json"))
-        is_state = is_mor or any(
+        # A maintained aggregate snapshot (plans/incremental_agg) is a
+        # warehouse table too: the IVM ladder's results stay SQL-visible
+        # (join views are MOR states and register through the normal
+        # path already). Reads the CURRENT snapshot; generation pinning
+        # applies to base tables, not derived ones.
+        is_agg = os.path.exists(
+            os.path.join(path, "snapshot", "_agg_meta.json")
+        )
+        is_state = is_mor or is_agg or any(
             c.startswith(f"{BUCKET_COL}=") or c.endswith(".parquet")
             for c in os.listdir(path)
         )
@@ -124,6 +132,14 @@ def register_state_views(
                 f"both normalize to view name {name!r}; rename one dir "
                 "or register them under different prefixes."
             )
+        if is_agg:
+            from presencia_etl_spark.plans.incremental_agg import (
+                read_agg_snapshot,
+            )
+
+            read_agg_snapshot(spark, path).createOrReplaceTempView(name)
+            out[name] = path
+            continue
         if is_mor and pinned_mor is not None and d not in pinned_mor:
             # Created after the pinned generation: not part of that
             # snapshot. Excluding beats silently serving current state —

@@ -753,6 +753,56 @@ class TestChaining:
             _assert_matches_recompute(spark, v2)
 
 
+class TestSqlIntegration:
+    def test_ivm_ladder_is_sql_queryable(self, spark, tmp_path):
+        """The whole ladder is warehouse-visible: the join view (a MOR
+        state) and the maintained aggregate snapshot both register as
+        SQL views, so BI consumers read maintained results by name."""
+        import os
+
+        from presencia_etl_spark.sql import register_state_views
+
+        rng = random.Random(81)
+        wh = str(tmp_path / "wh")
+        os.makedirs(wh)
+        a, b = f"{wh}/fact", f"{wh}/dim"
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, _facts(rng, range(120))), a, ["f_id"],
+            num_buckets=8, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, _ddf(spark, _dims(rng, DIM_IDS)), b, ["d_id"],
+            num_buckets=4, compact_every=None,
+        )
+        v = f"{wh}/fact_dim_view"
+        ij.build_join_view(
+            spark, a, b, v,
+            on=[("f_did", "d_id")],
+            a_key_cols=["f_id"], b_key_cols=["d_id"],
+            a_cols=["f_id", "f_did", "f_amt"],
+            b_cols=["d_id", "d_name", "d_rank"],
+            num_buckets=8, compact_every=None,
+        )
+        agg = f"{wh}/amt_by_dim"
+        ia.build_agg_snapshot(spark, v, agg, ["d_name"], ["f_amt"])
+        views = register_state_views(spark, wh)
+        assert {"fact", "dim", "fact_dim_view", "amt_by_dim"} <= set(views)
+        got = {
+            r["d_name"]: r["n_rows"]
+            for r in spark.sql(
+                "SELECT d_name, n_rows FROM amt_by_dim"
+            ).collect()
+        }
+        want = {
+            r["d_name"]: r["cnt"]
+            for r in spark.sql(
+                "SELECT d_name, COUNT(*) cnt FROM fact_dim_view "
+                "GROUP BY d_name"
+            ).collect()
+        }
+        assert got == want and sum(got.values()) == 120
+
+
 class TestComposition:
     def test_star_rollup_is_o_changes_end_to_end(self, spark, tmp_path):
         """fact merge -> view refresh -> agg refresh: the downstream
