@@ -1,10 +1,10 @@
 """Incremental materialized join views (plans/incremental_join) — every
-refresh is differential-tested against a full recompute of the inner
-join from the two MOR states, across fact-side and dim-side changes,
-join-key moves, deletes on both sides, randomized mixed sequences, the
-compaction-floor rebuild, the crash window between the two view
-commits, and the composition with plans/incremental_agg (the O(changes)
-star-rollup ladder)."""
+refresh is differential-tested against a full recompute of the join
+(inner and left) from the two MOR states, across fact-side and dim-side
+changes, join-key moves, deletes on both sides, randomized mixed
+sequences, the compaction-floor rebuild, the crash window between the
+atomic view commit and the cursor write, and the composition with
+plans/incremental_agg (the O(changes) star-rollup ladder)."""
 
 from __future__ import annotations
 
