@@ -197,7 +197,8 @@ def main() -> None:
                      "sparse_mor_sec", "nochange_sec", "compact_sec",
                      "cpar_sec", "cpar2_sec", "nochange_managed_sec",
                      "diff_green_sec", "diff_dirty_sec",
-                     "sparse_managed_sec", "error"),
+                     "sparse_managed_sec", "ivm_build_sec",
+                     "ivm_refresh_sec", "error"),
     }
     short_pipeline = {k: pipeline[k] for k in TOP_KEYS if k in pipeline}
     for prefix, keys in SUB_KEYS.items():
@@ -1224,6 +1225,49 @@ def _scale100_child(base_rate: int, work: str) -> dict:
                 k: int(rs.get(k, 0)) for k in ("insert", "update", "delete")
             }
         shutil.rmtree(replica, ignore_errors=True)
+
+        # The JOIN-view rung at the biggest decade: materializing
+        # fact(60M) |><| dim(100K) pays the full join AND the 60M-row
+        # view write (ivm_build_sec = what a non-incremental consumer
+        # pays per refresh); folding one more ~600-key sparse merge
+        # through the maintained view is O(changes) + fixed
+        # (ivm_refresh_sec). Runs BEFORE the compaction stage — the
+        # floor move would otherwise force the refresh onto the rebuild
+        # path by design.
+        from presencia_etl_spark.plans.incremental_join import (
+            build_join_view,
+            refresh_join_view,
+        )
+
+        dim_t = f"{work}/dim_mor"
+        merge_upsert_mor(
+            spark,
+            spark.range(100_000).select(
+                F.col("id").alias("d_id"),
+                F.pmod(F.xxhash64("id", F.lit(9)), F.lit(50))
+                .cast("string")
+                .alias("d_grp"),
+            ),
+            dim_t, ["d_id"], num_buckets=32,
+        )
+        view_t = f"{work}/fact_dim_view"
+        t0 = time.perf_counter()
+        build_join_view(
+            spark, target, dim_t, view_t,
+            on=[("v3", "d_id")],
+            a_key_cols=["k"], b_key_cols=["d_id"],
+            a_cols=["k", "v2", "v3"], b_cols=["d_id", "d_grp"],
+            num_buckets=256, compact_every=None,
+        )
+        out["ivm_build_sec"] = round(time.perf_counter() - t0, 3)
+        merge_upsert_mor(spark, _sparse_mutation(df, 4), target, ["k"],
+                         num_buckets=256, compact_every=None)
+        t0 = time.perf_counter()
+        rv = refresh_join_view(spark, view_t)
+        out["ivm_refresh_sec"] = round(time.perf_counter() - t0, 3)
+        out["ivm_refresh_changed"] = int(rv.get("a_changes", -1))
+        shutil.rmtree(view_t, ignore_errors=True)
+        shutil.rmtree(dim_t, ignore_errors=True)
 
         # Compaction folds the deltas back: listing-pruned — only the
         # dirty buckets' dirs are enumerated and rewritten.
