@@ -904,3 +904,30 @@ class TestStreamingFreshness:
             .collect()[0]["n"]
         )
         assert total == 110
+
+
+class TestJobBudget:
+    def test_trickle_refresh_job_budget(self, spark, tmp_path):
+        """Fixed-cost regression guard: a 1-key trickle refresh (feed
+        read, retraction, probe, net checkpoint, ONE atomic mixed-batch
+        merge) stays inside a pinned job budget — the steady-state loop
+        the 60M `ivm_refresh_sec` row measures."""
+        rng = random.Random(95)
+        a, b = _seed(spark, tmp_path, rng, n_facts=500)
+        v = _build(spark, tmp_path, a, b)
+        # warm one refresh (JIT, codegen, first-touch listings)
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, _facts(rng, [1])), a, ["f_id"],
+            compact_every=None,
+        )
+        ij.refresh_join_view(spark, v)
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, _facts(rng, [2])), a, ["f_id"],
+            compact_every=None,
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup() or [])
+        r = ij.refresh_join_view(spark, v)
+        n_jobs = len(set(tracker.getJobIdsForGroup() or []) - before)
+        assert r["mode"] == "incremental"
+        assert n_jobs <= 35, f"trickle view refresh ran {n_jobs} jobs"

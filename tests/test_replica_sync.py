@@ -520,3 +520,33 @@ class TestReplicateChanges:
             assert _state(mor.read_mor(spark, dst)) == _state(
                 mor.read_mor(spark, src)
             )
+
+    def test_replication_chain_source_to_replica_to_replica(
+        self, spark, tmp_path
+    ):
+        """Log shipping composes: replica1 follows the source, replica2
+        follows replica1 — each hop reads only its upstream's delta
+        files, and the tail converges to the head."""
+        from presencia_etl_spark.plans.replica_sync import replicate_changes
+
+        src = str(tmp_path / "src")
+        r1 = str(tmp_path / "r1")
+        r2 = str(tmp_path / "r2")
+        _seed_mor(spark, src, _docs(spark, 120))
+        replicate_changes(spark, src, r1, ["K"])
+        replicate_changes(spark, r1, r2, ["K"])
+        for i in range(2):
+            mor.merge_upsert_mor(
+                spark, _docs(spark, 122 + i, salt=f"h{i}", extra_mod=25),
+                src, ["K"], compact_every=None,
+            )
+            mor.delete_keys_mor(
+                spark, src,
+                spark.createDataFrame([(str(40 + i),)], "K string"),
+                ["K"], compact_every=None,
+            )
+            assert replicate_changes(spark, src, r1, ["K"])["mode"] == "feed"
+            assert replicate_changes(spark, r1, r2, ["K"])["mode"] == "feed"
+            assert _state(mor.read_mor(spark, r2)) == _state(
+                mor.read_mor(spark, src)
+            )
