@@ -110,23 +110,40 @@ def _nn_name(col: str) -> str:
     return f"nn_{col}"
 
 
-def _agg_exprs(sum_cols: list[str]) -> list:
+def _min_name(col: str) -> str:
+    return f"min_{col}"
+
+
+def _max_name(col: str) -> str:
+    return f"max_{col}"
+
+
+def _agg_exprs(sum_cols: list[str], minmax_cols: list[str] | None = None) -> list:
     """COUNT(*), and per sum column: SUM (float64) + the NON-NULL count
     that makes incremental SUM exact — SQL's SUM is NULL iff no non-null
     value remains in the group, which plain add/subtract of sums cannot
     represent (a group retracted down to only-NULL values must flip back
-    to NULL, not 0)."""
+    to NULL, not 0). Per min/max column: MIN and MAX in the column's own
+    type (the reference's A5 min/max dates) — monotone under inserts,
+    recomputed per dirty group under displacing retractions (see
+    ``refresh_agg_snapshot``)."""
     exprs = [F.count(F.lit(1)).alias(COUNT_COL)]
     for c in sum_cols:
         exprs.append(F.sum(F.col(c).cast("double")).alias(_sum_name(c)))
         exprs.append(F.count(F.col(c)).alias(_nn_name(c)))
+    for c in minmax_cols or []:
+        exprs.append(F.min(F.col(c)).alias(_min_name(c)))
+        exprs.append(F.max(F.col(c)).alias(_max_name(c)))
     return exprs
 
 
 def _full_aggregate(
-    df: DataFrame, group_cols: list[str], sum_cols: list[str]
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
 ) -> DataFrame:
-    return df.groupBy(*group_cols).agg(*_agg_exprs(sum_cols))
+    return df.groupBy(*group_cols).agg(*_agg_exprs(sum_cols, minmax_cols))
 
 
 def _recover_interrupted_refresh(agg_path: str) -> bool:
@@ -209,6 +226,7 @@ def build_agg_snapshot(
     agg_path: str,
     group_cols: list[str],
     sum_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
 ) -> dict:
     """Full compute of the aggregate from the MOR state's current
     snapshot; records the state's sequence as the refresh cursor. A full
@@ -220,15 +238,19 @@ def build_agg_snapshot(
     from presencia_etl_spark.session import corpus_section
 
     sum_cols = list(sum_cols or [])
+    minmax_cols = list(minmax_cols or [])
     os.makedirs(agg_path, exist_ok=True)
     _recover_interrupted_refresh(agg_path)
     with corpus_section():
         hist = mor_history(mor_path)
-        out = _full_aggregate(read_mor(spark, mor_path), group_cols, sum_cols)
+        out = _full_aggregate(
+            read_mor(spark, mor_path), group_cols, sum_cols, minmax_cols
+        )
         meta = {
             "as_of_seq": hist["seq"],
             "group_cols": list(group_cols),
             "sum_cols": sum_cols,
+            "minmax_cols": minmax_cols,
         }
         _write_snapshot(out, agg_path, meta)
     return {"mode": "build", "as_of_seq": hist["seq"]}
@@ -260,6 +282,7 @@ def refresh_agg_snapshot(
     meta = _read_meta(agg_path)
     since = meta["as_of_seq"]
     group_cols, sum_cols = meta["group_cols"], meta["sum_cols"]
+    minmax_cols = meta.get("minmax_cols", [])
     hist = mor_history(mor_path)
     cur = hist["seq"]
     if cur == since:
@@ -267,12 +290,15 @@ def refresh_agg_snapshot(
     if since < hist["compacted_through"]:
         # Changes ≤ the floor were folded into the base (compaction or a
         # schema-drift COW fold) — they can no longer be separated out.
-        r = build_agg_snapshot(spark, mor_path, agg_path, group_cols, sum_cols)
+        r = build_agg_snapshot(
+            spark, mor_path, agg_path, group_cols, sum_cols, minmax_cols
+        )
         return {**r, "mode": "rebuild"}
     if delta_bytes_in_range(mor_path, since, cur) <= TRICKLE_DELTA_MAX_BYTES:
         with trickle_scope(spark):
             return _refresh_agg_snapshot_inner(
-                spark, mor_path, agg_path, meta, since, cur, group_cols, sum_cols
+                spark, mor_path, agg_path, meta, since, cur, group_cols,
+                sum_cols, minmax_cols,
             )
     # Corpus-sized fold: the shared conf-lock side guarantees SESSION
     # defaults for the whole multi-GB run, not just at entry — a trickle
@@ -280,7 +306,8 @@ def refresh_agg_snapshot(
     # it to AQE-off / 8 shuffle partitions.
     with corpus_section():
         return _refresh_agg_snapshot_inner(
-            spark, mor_path, agg_path, meta, since, cur, group_cols, sum_cols
+            spark, mor_path, agg_path, meta, since, cur, group_cols,
+            sum_cols, minmax_cols,
         )
 
 
@@ -293,7 +320,9 @@ def _refresh_agg_snapshot_inner(
     cur: int,
     group_cols: list[str],
     sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
 ) -> dict:
+    minmax_cols = list(minmax_cols or [])
     # Bounded at BOTH ends: as_of_seq pins the feed to the sequence we
     # record as the new cursor, so a merge landing mid-refresh is neither
     # half-applied now nor skipped by the next refresh.
@@ -353,7 +382,7 @@ def _refresh_agg_snapshot_inner(
                 "left_semi",
             )
 
-        cols = list(group_cols) + list(sum_cols)
+        cols = list(dict.fromkeys(list(group_cols) + list(sum_cols) + minmax_cols))
         # Tombstoned keys (row-level deletes) contribute NO +1 row — their
         # change-feed entry is the pre-delete image flagged `_deleted`, and
         # the only arithmetic effect of a delete is the retraction of the
@@ -376,6 +405,18 @@ def _refresh_agg_snapshot_inner(
                 .cast("bigint")
                 .alias(_nn_name(c))
             )
+        for c in minmax_cols:
+            # the +side extremes fold monotonically; the RETRACTED-side
+            # extremes only decide whether a group's stored extreme might
+            # have been displaced (-> recompute that group)
+            ins = F.when(F.col("_w") > 0, F.col(c))
+            ret = F.when(F.col("_w") < 0, F.col(c))
+            delta_exprs += [
+                F.min(ins).alias(_min_name(c)),
+                F.max(ins).alias(_max_name(c)),
+                F.min(ret).alias(f"_rmn_{c}"),
+                F.max(ret).alias(f"_rmx_{c}"),
+            ]
         # The delta feeds THREE plan branches (the broadcast merge join,
         # the touched-groups semi probe, and the fresh-groups anti probe
         # side). The broadcast exchange is reused across the first two,
@@ -415,6 +456,33 @@ def _refresh_agg_snapshot_inner(
                 F.when(nn > 0, s).otherwise(F.lit(None)).alias(_sum_name(c))
             )
             merged_cols.append(nn.alias(_nn_name(c)))
+        mm_dirty = F.lit(False)
+        for c in minmax_cols:
+            # inserts fold monotonically (least/greatest skip NULLs); a
+            # retraction can only DISPLACE a stored extreme when it ties
+            # or beats it — those groups get an exact recompute below.
+            merged_cols.append(
+                F.least(prev[_min_name(c)], d[_min_name(c)]).alias(_min_name(c))
+            )
+            merged_cols.append(
+                F.greatest(prev[_max_name(c)], d[_max_name(c)]).alias(
+                    _max_name(c)
+                )
+            )
+            rmn, rmx = d[f"_rmn_{c}"], d[f"_rmx_{c}"]
+            mm_dirty = (
+                mm_dirty
+                | (
+                    rmn.isNotNull()
+                    & (prev[_min_name(c)].isNull() | (rmn <= prev[_min_name(c)]))
+                )
+                | (
+                    rmx.isNotNull()
+                    & (prev[_max_name(c)].isNull() | (rmx >= prev[_max_name(c)]))
+                )
+            )
+        if minmax_cols:
+            merged_cols.append(mm_dirty.alias("_mmd"))
         existing = prev.join(d, join_cond, "left_outer").select(*merged_cols)
         # Brand-new groups: in the delta, absent from the snapshot (their
         # delta rows are all +1 — retractions only hit groups the snapshot
@@ -427,6 +495,9 @@ def _refresh_agg_snapshot_inner(
         snap_cols = [COUNT_COL]
         for c in sum_cols:
             snap_cols += [_sum_name(c), _nn_name(c)]
+        for c in minmax_cols:
+            # a brand-new group's extremes ARE its insert-side extremes
+            snap_cols += [_min_name(c), _max_name(c)]
         touched = prev.join(d, join_cond, "left_semi").select(*group_cols)
         dd, t = delta.alias("dd"), touched.alias("t")
         anti_cond = None
@@ -436,7 +507,69 @@ def _refresh_agg_snapshot_inner(
         fresh = dd.join(F.broadcast(t), anti_cond, "left_anti").select(
             *group_cols, *snap_cols
         )
+        n_mmd = 0
+        if minmax_cols:
+            fresh = fresh.withColumn("_mmd", F.lit(False))
         out = existing.unionByName(fresh).filter(F.col(COUNT_COL) > 0)
+        if minmax_cols:
+            # Displaced-extreme groups (bounded by the delta's groups):
+            # recompute exactly those from the base — ONE narrow scan
+            # restricted by a broadcast semi join, the documented honest
+            # cost of non-invertible aggregates under retraction. Groups
+            # cannot be pruned by bucket (they are not the key); a
+            # refresh with no displacing retraction never pays this.
+            dirty_rows = existing.filter(F.col("_mmd")).select(
+                *group_cols
+            ).collect()
+            n_mmd = len(dirty_rows)
+            if n_mmd:
+                gdf = spark.createDataFrame(
+                    dirty_rows, existing.select(*group_cols).schema
+                )
+                base = read_mor(spark, mor_path, as_of_seq=cur)
+                bb, gg = base.alias("bb"), gdf.alias("gg")
+                sc = None
+                for g in group_cols:
+                    c_ = F.col(f"bb.{g}").eqNullSafe(F.col(f"gg.{g}"))
+                    sc = c_ if sc is None else (sc & c_)
+                rc_exprs = []
+                for c in minmax_cols:
+                    rc_exprs.append(F.min(F.col(c)).alias(f"_rc_min_{c}"))
+                    rc_exprs.append(F.max(F.col(c)).alias(f"_rc_max_{c}"))
+                rc = (
+                    bb.join(F.broadcast(gg), sc, "left_semi")
+                    .groupBy(*group_cols)
+                    .agg(*rc_exprs)
+                    .withColumn("_rc", F.lit(True))
+                )
+                o, r_ = out.alias("o"), rc.alias("r")
+                oc = None
+                for g in group_cols:
+                    c_ = F.col(f"o.{g}").eqNullSafe(F.col(f"r.{g}"))
+                    oc = c_ if oc is None else (oc & c_)
+                final_cols = [F.col(f"o.{g}").alias(g) for g in group_cols]
+                final_cols.append(F.col(f"o.{COUNT_COL}").alias(COUNT_COL))
+                for c in sum_cols:
+                    final_cols.append(F.col(f"o.{_sum_name(c)}").alias(_sum_name(c)))
+                    final_cols.append(F.col(f"o.{_nn_name(c)}").alias(_nn_name(c)))
+                for c in minmax_cols:
+                    # _rc distinguishes "recomputed to NULL" (all values
+                    # gone/NULL now) from "not recomputed"
+                    final_cols.append(
+                        F.when(
+                            F.col("r._rc"), F.col(f"r._rc_min_{c}")
+                        ).otherwise(F.col(f"o.{_min_name(c)}")).alias(_min_name(c))
+                    )
+                    final_cols.append(
+                        F.when(
+                            F.col("r._rc"), F.col(f"r._rc_max_{c}")
+                        ).otherwise(F.col(f"o.{_max_name(c)}")).alias(_max_name(c))
+                    )
+                out = o.join(F.broadcast(r_), oc, "left_outer").select(
+                    *final_cols
+                )
+            else:
+                out = out.drop("_mmd")
         _write_snapshot(out, agg_path, {**meta, "as_of_seq": cur})
         delta.unpersist()
     finally:
@@ -446,4 +579,5 @@ def _refresh_agg_snapshot_inner(
         "as_of_seq": cur,
         "changed_rows": n_changes,
         "dirty_buckets": len(dirty),
+        "minmax_recomputed_groups": n_mmd,
     }

@@ -52,7 +52,10 @@ def _df(spark, rows):
 def _expected(spark, mor_path, agg_path):
     meta = ia.agg_snapshot_info(agg_path)
     return ia._full_aggregate(
-        mor.read_mor(spark, mor_path), meta["group_cols"], meta["sum_cols"]
+        mor.read_mor(spark, mor_path),
+        meta["group_cols"],
+        meta["sum_cols"],
+        meta.get("minmax_cols"),
     )
 
 
@@ -371,3 +374,144 @@ class TestIncrementalAggDeletes:
         got = ia.read_agg_snapshot(spark, agg_t)
         assert got.filter(F.col("cat") == "solo").count() == 0
         _assert_matches_recompute(spark, mor_t, agg_t)
+
+
+class TestMinMaxMaintenance:
+    """MIN/MAX columns (the reference's A5 min/max dates) maintained
+    incrementally: inserts fold monotonically; retractions that tie or
+    beat a stored extreme trigger an exact per-group recompute (one
+    narrow broadcast-semi scan); everything differential vs recompute."""
+
+    def _seeded(self, spark, tmp_path, rng, n=400):
+        mor_t = str(tmp_path / "mor")
+        agg_t = str(tmp_path / "agg")
+        mor.merge_upsert_mor(
+            spark, _df(spark, _rows(rng, range(n))), mor_t, ["K"],
+            num_buckets=8, compact_every=None,
+        )
+        r = ia.build_agg_snapshot(
+            spark, mor_t, agg_t, ["cat"], ["qty"], minmax_cols=["amount"]
+        )
+        assert r["mode"] == "build"
+        _assert_matches_recompute(spark, mor_t, agg_t)
+        return mor_t, agg_t
+
+    def test_inserts_fold_without_recompute(self, spark, tmp_path):
+        rng = random.Random(101)
+        mor_t, agg_t = self._seeded(spark, tmp_path, rng)
+        mor.merge_upsert_mor(
+            spark, _df(spark, _rows(rng, range(400, 430))), mor_t, ["K"],
+            compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        assert r["minmax_recomputed_groups"] == 0
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_displacing_delete_recomputes_exactly(self, spark, tmp_path):
+        rng = random.Random(102)
+        mor_t, agg_t = self._seeded(spark, tmp_path, rng)
+        # delete the global-maximum row of one group: its stored max is
+        # displaced -> that group recomputes; other groups fold
+        snap = ia.read_agg_snapshot(spark, agg_t).collect()
+        target_cat = next(r["cat"] for r in snap if r["max_amount"] is not None)
+        victim = (
+            mor.read_mor(spark, mor_t)
+            .filter(
+                F.col("cat").eqNullSafe(F.lit(target_cat))
+                & F.col("amount").isNotNull()
+            )
+            .orderBy(F.col("amount").desc())
+            .limit(1)
+            .collect()[0]["K"]
+        )
+        mor.delete_keys_mor(
+            spark, mor_t, spark.createDataFrame([(victim,)], "K string"),
+            ["K"], compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        assert r["minmax_recomputed_groups"] >= 1
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_interior_update_folds_without_recompute(self, spark, tmp_path):
+        """An update strictly inside the (min, max) interval retracts a
+        non-extreme value — no recompute fires."""
+        rng = random.Random(103)
+        mor_t = str(tmp_path / "mor")
+        agg_t = str(tmp_path / "agg")
+        rows = [(str(i), "g", float(i), 1) for i in range(100)]
+        mor.merge_upsert_mor(
+            spark, _df(spark, rows), mor_t, ["K"], num_buckets=4,
+            compact_every=None,
+        )
+        ia.build_agg_snapshot(
+            spark, mor_t, agg_t, ["cat"], [], minmax_cols=["amount"]
+        )
+        mor.merge_upsert_mor(
+            spark, _df(spark, [("50", "g", 51.5, 2)]), mor_t, ["K"],
+            compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["minmax_recomputed_groups"] == 0
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_group_emptying_and_nulls(self, spark, tmp_path):
+        rng = random.Random(104)
+        mor_t = str(tmp_path / "mor")
+        agg_t = str(tmp_path / "agg")
+        rows = [("a", "only", 5.0, 1), ("b", "only", None, 1),
+                ("c", "other", 1.0, 1)]
+        mor.merge_upsert_mor(
+            spark, _df(spark, rows), mor_t, ["K"], num_buckets=4,
+            compact_every=None,
+        )
+        ia.build_agg_snapshot(
+            spark, mor_t, agg_t, ["cat"], [], minmax_cols=["amount"]
+        )
+        # delete the only non-NULL value of 'only': min/max flip to NULL
+        mor.delete_keys_mor(
+            spark, mor_t, spark.createDataFrame([("a",)], "K string"),
+            ["K"], compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["minmax_recomputed_groups"] >= 1
+        _assert_matches_recompute(spark, mor_t, agg_t)
+        only = (
+            ia.read_agg_snapshot(spark, agg_t)
+            .filter(F.col("cat") == "only")
+            .collect()[0]
+        )
+        assert only["min_amount"] is None and only["n_rows"] == 1
+        # now empty the group entirely
+        mor.delete_keys_mor(
+            spark, mor_t, spark.createDataFrame([("b",)], "K string"),
+            ["K"], compact_every=None,
+        )
+        ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        _assert_matches_recompute(spark, mor_t, agg_t)
+
+    def test_randomized_minmax_differential(self, spark, tmp_path):
+        rng = random.Random(105)
+        mor_t, agg_t = self._seeded(spark, tmp_path, rng, n=300)
+        live = set(str(i) for i in range(300))
+        nxt = 300
+        for _ in range(4):
+            upd = _rows(rng, rng.sample(sorted(live), 12))
+            ins = _rows(rng, range(nxt, nxt + 6))
+            live |= set(str(i) for i in range(nxt, nxt + 6))
+            nxt += 6
+            mor.merge_upsert_mor(
+                spark, _df(spark, upd + ins), mor_t, ["K"],
+                compact_every=None,
+            )
+            doomed = rng.sample(sorted(live), 4)
+            live -= set(doomed)
+            mor.delete_keys_mor(
+                spark, mor_t,
+                spark.createDataFrame([(k,) for k in doomed], "K string"),
+                ["K"], compact_every=None,
+            )
+            r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+            assert r["mode"] == "incremental"
+            _assert_matches_recompute(spark, mor_t, agg_t)
