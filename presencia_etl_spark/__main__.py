@@ -220,6 +220,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-seed", action="store_true")
     p.add_argument("--dry-run", action="store_true")
 
+    p = sub.add_parser(
+        "refresh-view",
+        help="fold both sources' change feeds into a maintained join "
+        "view (plans/incremental_join); noop when neither source moved "
+        "(fs metadata — no JVM)",
+    )
+    p.add_argument("--view", required=True, help="join-view state dir")
+
+    p = sub.add_parser(
+        "refresh-agg",
+        help="fold the source's change feed into a maintained GROUP BY "
+        "snapshot (plans/incremental_agg); noop when the cursor is "
+        "current (fs metadata — no JVM)",
+    )
+    p.add_argument("--agg", required=True, help="aggregate snapshot dir")
+    p.add_argument("--source", required=True, help="source MOR state dir")
+
     p = sub.add_parser("reconcile")
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
@@ -250,6 +267,49 @@ def main(argv: list[str] | None = None) -> int:
 
         out = replicate_changes(None, args.source, args.target, list(args.key))
         print(json.dumps({"cmd": "replicate", "result": out}))
+        return 0
+
+    if args.cmd == "refresh-view":
+        # Pre-session noop: both cursors current is pure fs metadata.
+        from presencia_etl_spark.plans.incremental_join import (
+            join_view_info,
+        )
+        from presencia_etl_spark.sinks.mor import mor_history
+
+        meta = join_view_info(args.view)
+        ha = mor_history(meta["a_path"])
+        hb = mor_history(meta["b_path"])
+        if ha["seq"] == meta["a_seq"] and hb["seq"] == meta["b_seq"]:
+            out = {"mode": "noop", "a_seq": meta["a_seq"], "b_seq": meta["b_seq"]}
+        else:
+            from presencia_etl_spark.plans.incremental_join import (
+                refresh_join_view,
+            )
+
+            spark = get_spark(app_name="refresh-view")
+            spark.sparkContext.setLogLevel("ERROR")
+            out = refresh_join_view(spark, args.view)
+        print(json.dumps({"cmd": "refresh-view", "result": out}))
+        return 0
+
+    if args.cmd == "refresh-agg":
+        from presencia_etl_spark.plans.incremental_agg import (
+            agg_snapshot_info,
+        )
+        from presencia_etl_spark.sinks.mor import mor_history
+
+        info = agg_snapshot_info(args.agg)
+        if mor_history(args.source)["seq"] == info["as_of_seq"]:
+            out = {"mode": "noop", "as_of_seq": info["as_of_seq"]}
+        else:
+            from presencia_etl_spark.plans.incremental_agg import (
+                refresh_agg_snapshot,
+            )
+
+            spark = get_spark(app_name="refresh-agg")
+            spark.sparkContext.setLogLevel("ERROR")
+            out = refresh_agg_snapshot(spark, args.source, args.agg)
+        print(json.dumps({"cmd": "refresh-agg", "result": out}))
         return 0
 
     if args.cmd == "maintain":

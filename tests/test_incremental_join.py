@@ -931,3 +931,40 @@ class TestJobBudget:
         n_jobs = len(set(tracker.getJobIdsForGroup() or []) - before)
         assert r["mode"] == "incremental"
         assert n_jobs <= 35, f"trickle view refresh ran {n_jobs} jobs"
+
+
+class TestRefreshCli:
+    def test_refresh_view_and_agg_subcommands(self, spark, tmp_path, capsys):
+        """The cron's maintained-result loop from the command line:
+        refresh-view / refresh-agg fold the pending feeds; their
+        steady-state passes (cursors current — fs metadata) answer
+        noop before any session would be needed."""
+        import json as _json
+
+        from presencia_etl_spark.__main__ import main
+
+        rng = random.Random(97)
+        a, b = _seed(spark, tmp_path, rng, n_facts=150)
+        v = _build(spark, tmp_path, a, b)
+        agg = str(tmp_path / "agg")
+        ia.build_agg_snapshot(spark, v, agg, ["d_name"], ["f_amt"])
+
+        def run(args):
+            assert main(args) == 0
+            return _json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1]
+            )["result"]
+
+        # steady state: both noop
+        assert run(["refresh-view", "--view", v])["mode"] == "noop"
+        assert run(["refresh-agg", "--agg", agg, "--source", v])["mode"] == "noop"
+        # fact moves -> view refresh -> agg refresh, all via CLI
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, _facts(rng, range(150, 155))), a, ["f_id"],
+            compact_every=None,
+        )
+        rv = run(["refresh-view", "--view", v])
+        assert rv["mode"] == "incremental" and rv["upserts"] == 5
+        ra = run(["refresh-agg", "--agg", agg, "--source", v])
+        assert ra["mode"] == "incremental" and ra["changed_rows"] == 5
+        _assert_matches_recompute(spark, v)
