@@ -121,6 +121,16 @@ W_COL = "_ivm_w"
 # Same trickle/corpus boundary as the aggregate rung: pending delta BYTES
 # across BOTH sources, read from fs metadata before any job.
 TRICKLE_DELTA_MAX_BYTES = 16 << 20
+# Below this pending-bytes bound the refresh first ATTEMPTS the zero-job
+# driver path (sinks/driver_mor): the whole signed-delta fold runs on
+# the driver with pyarrow point reads and lands one delta — no Spark
+# jobs at all. Declines (non-key-joined probe sides, unsupported types,
+# oversized change sets) fall through to the Spark path below.
+DRIVER_DELTA_MAX_BYTES = 4 << 20
+
+
+def _driver_trickle_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_DRIVER_TRICKLE", "1") != "0"
 
 _INFRA = set(AUDIT_COLS) | {BUCKET_COL, cdc.KEY_COL, SEQ_COL, DELETED_COL}
 
@@ -583,6 +593,23 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> dict:
     pending = delta_bytes_in_range(
         meta["a_path"], a_since, ha["seq"]
     ) + delta_bytes_in_range(meta["b_path"], b_since, hb["seq"])
+    if pending <= DRIVER_DELTA_MAX_BYTES and _driver_trickle_enabled():
+        from presencia_etl_spark.sinks.driver_mor import DriverDecline
+
+        try:
+            r = _refresh_driver(view_path, meta, ha, hb, jvm=spark._jvm)
+            if r.pop("compaction_due", False):
+                from presencia_etl_spark.sinks.mor import compact_mor
+
+                compact_mor(
+                    spark,
+                    view_path,
+                    keep_last=meta.get("compact_keep_last", 0),
+                )
+                r["compacted"] = True
+            return r
+        except DriverDecline:
+            pass  # shape/type outside the exact driver path — Spark path
     try:
         if pending <= TRICKLE_DELTA_MAX_BYTES:
             with trickle_scope(spark):
@@ -593,6 +620,249 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> dict:
         # dense change-value set on a LEFT view: unbounded match-count
         # probes would not pay — one honest rebuild (outside any scope).
         return _rebuild()
+
+
+def _canon(v):
+    """Hash/compare canonicalization matching Spark's grouping & join
+    equality: all NaNs equal (and equal to themselves), -0.0 == 0.0."""
+    if isinstance(v, float):
+        if v != v:
+            return "\x00__nan__"
+        if v == 0.0:
+            return 0.0
+    return v
+
+
+def _canon_row(vals: tuple) -> tuple:
+    return tuple(_canon(v) for v in vals)
+
+
+def _repr_row(vals: tuple) -> tuple:
+    """The representative values a net row is WRITTEN with — Spark's
+    group keys are normalized (-0.0 → 0.0, one canonical NaN), so the
+    driver path writes the same normalization."""
+    out = []
+    for v in vals:
+        if isinstance(v, float):
+            if v != v:
+                v = float("nan")
+            elif v == 0.0:
+                v = 0.0
+        out.append(v)
+    return tuple(out)
+
+
+def _driver_signed(path: str, since: int, upto: int) -> tuple[list, int]:
+    """Driver-side ``_signed_delta``: [(row_dict, weight)] over
+    ``(since, upto]`` — +new versions from the delta files, -old
+    versions of the changed keys point-read at the ``since`` snapshot.
+    Returns (signed_rows, n_changes)."""
+    from presencia_etl_spark.sinks import driver_mor as dm
+
+    feed = dm.latest_per_key(dm.read_delta_range_rows(path, since, upto))
+    n = len(feed)
+    if n == 0:
+        return [], 0
+    if n > dm.DRIVER_BATCH_MAX_KEYS:
+        raise dm.DriverDecline("change set exceeds the driver bound")
+    signed = [
+        (r, 1) for r in feed.values() if not r[DELETED_COL]
+    ]
+    old = dm.read_live_rows_for_keys(path, list(feed), as_of_seq=since)
+    signed += [(r, -1) for r in old.values()]
+    return signed, n
+
+
+def _probe_map(
+    path: str,
+    on_cols: list[str],
+    values: set[tuple],
+    kinds: dict,
+    as_of: int,
+    jvm,
+) -> dict:
+    """Point-read the key-joined big side: the probed join values ARE its
+    primary key, so each value is one normalized-key lookup. Returns
+    canonical-join-tuple → row (≤1 per value by key uniqueness)."""
+    from presencia_etl_spark.functions import driver_parity as dp
+    from presencia_etl_spark.sinks import driver_mor as dm
+
+    on_kinds = [kinds[c] for c in on_cols]
+    keys = {
+        dp.composite_key(list(v), on_kinds, jvm): v
+        for v in values
+        if all(x is not None for x in v)
+    }
+    if len(keys) > dm.DRIVER_BATCH_MAX_KEYS:
+        raise dm.DriverDecline("probe value set exceeds the driver bound")
+    rows = dm.read_live_rows_for_keys(path, list(keys), as_of_seq=as_of)
+    out = {}
+    for row in rows.values():
+        out[_canon_row(tuple(row[c] for c in on_cols))] = row
+    return out
+
+
+def _refresh_driver(
+    view_path: str, meta: dict, ha: dict, hb: dict, jvm=None
+) -> dict:
+    """The KB-sized steady state, zero Spark jobs: both signed deltas are
+    read with pyarrow, the delta-propagation products are folded as
+    driver hash joins against point-read big sides (key-joined sides
+    only — the star FK→PK shape), the net lands through
+    ``driver_mor.trickle_merge`` as ONE atomic mixed delta, and the
+    digest sidecar stays maintained. Anything outside the exactly-
+    reproducible shape raises ``DriverDecline`` and the caller runs the
+    Spark path — same algebra, same result, more jobs.
+
+    Supported here: inner views with each CHANGED side's opposite probe
+    side key-joined; left views additionally require the B side
+    unchanged (the matched↔unmatched transition sweep needs A probed by
+    join value — only key-addressable in shapes the Spark path handles)."""
+    from presencia_etl_spark.functions import driver_parity as dp
+    from presencia_etl_spark.sinks import driver_mor as dm
+
+    how = meta.get("how", "inner")
+    if how not in ("inner", "left"):
+        raise dm.DriverDecline(f"driver refresh does not cover how={how!r}")
+    pairs = [tuple(p) for p in meta["on"]]
+    a_on = [p[0] for p in pairs]
+    b_on = [p[1] for p in pairs]
+    a_since, b_since = meta["a_seq"], meta["b_seq"]
+    a_kinds = dm.table_kinds(meta["a_path"])
+    b_kinds = dm.table_kinds(meta["b_path"])
+    for a_c, b_c in pairs:
+        if a_kinds[a_c] != b_kinds[b_c]:
+            raise dm.DriverDecline(
+                f"join pair ({a_c}, {b_c}) differs in type — Spark-side "
+                "coercion isn't reproduced here"
+            )
+
+    da = db = None
+    n_a = n_b = 0
+    if ha["seq"] > a_since:
+        da, n_a = _driver_signed(meta["a_path"], a_since, ha["seq"])
+    if hb["seq"] > b_since:
+        db, n_b = _driver_signed(meta["b_path"], b_since, hb["seq"])
+    if max(n_a, n_b) > min(KEY_PUSHDOWN_LIMIT, dm.DRIVER_BATCH_MAX_KEYS):
+        # same dense boundary as the Spark path's probe pushdown — a
+        # dense change set must reach ITS decline logic (rebuild), not
+        # be absorbed here
+        raise dm.DriverDecline("change set exceeds the pushdown bound")
+    if da and set(b_on) != set(meta["b_key_cols"]):
+        raise dm.DriverDecline("B side is not key-joined; honest scan needed")
+    if db and set(a_on) != set(meta["a_key_cols"]):
+        raise dm.DriverDecline("A side is not key-joined; honest scan needed")
+    if how == "left" and db:
+        raise dm.DriverDecline(
+            "left view with dimension changes needs the transition sweep"
+        )
+
+    a_cols, b_cols = list(meta["a_cols"]), list(meta["b_cols"])
+    view_cols = a_cols + b_cols
+    net: dict[tuple, int] = {}
+    reps: dict[tuple, tuple] = {}
+
+    def _fold(vals: tuple, w: int) -> None:
+        ck = _canon_row(vals)
+        net[ck] = net.get(ck, 0) + w
+        if ck not in reps:
+            reps[ck] = _repr_row(vals)
+
+    if da:
+        bmap = _probe_map(
+            meta["b_path"],
+            b_on,
+            {tuple(r[c] for c in a_on) for r, _w in da},
+            b_kinds,
+            hb["seq"],
+            jvm,
+        )
+        for r, w in da:
+            jv = tuple(r[c] for c in a_on)
+            hit = (
+                bmap.get(_canon_row(jv))
+                if all(x is not None for x in jv)
+                else None
+            )
+            if hit is not None:
+                _fold(
+                    tuple(r[c] for c in a_cols)
+                    + tuple(hit[c] for c in b_cols),
+                    w,
+                )
+            elif how == "left":
+                # alpha: B unchanged (db declined above), so M@c_b is
+                # also M@s_b — no transition sweep exists by construction
+                _fold(
+                    tuple(r[c] for c in a_cols) + (None,) * len(b_cols), w
+                )
+    if db:
+        amap = _probe_map(
+            meta["a_path"],
+            a_on,
+            {tuple(r[c] for c in b_on) for r, _w in db},
+            a_kinds,
+            a_since,  # A at the OLD snapshot, per the algebra
+            jvm,
+        )
+        for r, w in db:
+            jv = tuple(r[c] for c in b_on)
+            hit = (
+                amap.get(_canon_row(jv))
+                if all(x is not None for x in jv)
+                else None
+            )
+            if hit is not None:
+                _fold(
+                    tuple(hit[c] for c in a_cols)
+                    + tuple(r[c] for c in b_cols),
+                    w,
+                )
+
+    new_meta = {**meta, "a_seq": ha["seq"], "b_seq": hb["seq"]}
+    ups = [
+        dict(zip(view_cols, reps[ck])) for ck, w in net.items() if w > 0
+    ]
+    key_cols = list(meta["a_key_cols"]) + list(meta["b_key_cols"])
+    vkinds = dm.table_kinds(view_path)
+    kkinds = [vkinds[c] for c in key_cols]
+    kidx = [view_cols.index(c) for c in key_cols]
+    dels = [
+        dp.composite_key([reps[ck][i] for i in kidx], kkinds, jvm)
+        for ck, w in net.items()
+        if w < 0
+    ]
+    pruned = {}
+    if da:
+        pruned["b"] = True  # point reads ARE the key-pruned probe
+    if db:
+        pruned["a"] = True
+    out = {
+        "mode": "incremental",
+        "a_seq": ha["seq"],
+        "b_seq": hb["seq"],
+        "a_changes": n_a,
+        "b_changes": n_b,
+        "upserts": 0,
+        "deletes": 0,
+        "path": "driver",
+        "pruned_big_side": pruned,
+        "compaction_due": False,
+    }
+    if ups or dels:
+        r = dm.trickle_merge(
+            view_path,
+            ups,
+            key_cols,
+            delete_keys=dels,
+            compact_every=meta.get("compact_every", 16),
+            jvm=jvm,
+        )
+        out["upserts"] = int(r["insert"]) + int(r["update"])
+        out["deletes"] = int(r["delete"])
+        out["compaction_due"] = bool(r.get("compaction_due"))
+    _write_meta(view_path, new_meta)
+    return out
 
 
 def _refresh_inner(

@@ -907,11 +907,29 @@ class TestStreamingFreshness:
 
 
 class TestJobBudget:
-    def test_trickle_refresh_job_budget(self, spark, tmp_path):
-        """Fixed-cost regression guard: a 1-key trickle refresh (feed
-        read, retraction, probe, net checkpoint, ONE atomic mixed-batch
-        merge) stays inside a pinned job budget — the steady-state loop
-        the 60M `ivm_refresh_sec` row measures."""
+    def test_trickle_refresh_runs_zero_jobs(self, spark, tmp_path):
+        """The cron steady state: a 1-key trickle refresh folds entirely
+        on the driver (signed deltas, key-pruned probes, atomic mixed
+        merge, digest upkeep) — ZERO Spark jobs."""
+        rng = random.Random(95)
+        a, b = _seed(spark, tmp_path, rng, n_facts=500)
+        v = _build(spark, tmp_path, a, b)
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, _facts(rng, [2])), a, ["f_id"],
+            compact_every=None,
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup() or [])
+        r = ij.refresh_join_view(spark, v)
+        n_jobs = len(set(tracker.getJobIdsForGroup() or []) - before)
+        assert r["mode"] == "incremental" and r.get("path") == "driver"
+        assert n_jobs == 0, f"driver trickle refresh ran {n_jobs} jobs"
+        _assert_matches_recompute(spark, v)
+
+    def test_spark_fallback_job_budget(self, spark, tmp_path, monkeypatch):
+        """With the driver path disabled (kill switch), the Spark trickle
+        refresh stays inside its pinned job budget."""
+        monkeypatch.setenv("SPARK_GRAFT_DRIVER_TRICKLE", "0")
         rng = random.Random(95)
         a, b = _seed(spark, tmp_path, rng, n_facts=500)
         v = _build(spark, tmp_path, a, b)
@@ -929,8 +947,66 @@ class TestJobBudget:
         before = set(tracker.getJobIdsForGroup() or [])
         r = ij.refresh_join_view(spark, v)
         n_jobs = len(set(tracker.getJobIdsForGroup() or []) - before)
-        assert r["mode"] == "incremental"
+        assert r["mode"] == "incremental" and r.get("path") != "driver"
         assert n_jobs <= 35, f"trickle view refresh ran {n_jobs} jobs"
+
+
+class TestDriverSparkEquivalence:
+    def test_twin_views_bitwise_equal(self, spark, tmp_path, monkeypatch):
+        """The SAME change sequence applied to twin views — one refreshed
+        driver-side, one with the driver path killed — must publish
+        identical view content and identical maintained digests."""
+        from presencia_etl_spark.operators import cdc
+        from presencia_etl_spark.sinks import digest_store
+
+        rng = random.Random(96)
+        a, b = _seed(spark, tmp_path, rng, n_facts=120)
+        v1 = _build(spark, tmp_path, a, b)
+        v2 = str(tmp_path / "view2")
+        ij.build_join_view(
+            spark, a, b, v2,
+            on=[("f_did", "d_id")],
+            a_key_cols=["f_id"], b_key_cols=["d_id"],
+            a_cols=["f_id", "f_did", "f_amt"],
+            b_cols=["d_id", "d_name", "d_rank"],
+            num_buckets=8, compact_every=None,
+        )
+        for step in range(4):
+            batch = _facts(rng, rng.sample(range(200), 5))
+            mor.merge_upsert_mor(
+                spark, _fdf(spark, batch), a, ["f_id"], compact_every=None
+            )
+            if step == 2:
+                mor.delete_keys_mor(
+                    spark, a, spark.createDataFrame([(3,)], "f_id long"),
+                    ["f_id"], compact_every=None,
+                )
+            r1 = ij.refresh_join_view(spark, v1)
+            assert r1.get("path") == "driver", "expected the driver path"
+            monkeypatch.setenv("SPARK_GRAFT_DRIVER_TRICKLE", "0")
+            r2 = ij.refresh_join_view(spark, v2)
+            monkeypatch.delenv("SPARK_GRAFT_DRIVER_TRICKLE")
+            assert r2.get("path") != "driver"
+            assert (r1["upserts"], r1["deletes"]) == (
+                r2["upserts"], r2["deletes"],
+            )
+            got1 = _canon(ij.read_join_view(spark, v1))
+            got2 = _canon(ij.read_join_view(spark, v2))
+            assert got1 == got2, f"step {step}"
+            # stored hashes (and hence digests) must agree bit-for-bit
+            d1 = cdc.state_digest(
+                mor.read_mor(spark, v1).select(cdc.KEY_COL, "row_hash")
+            )
+            d2 = cdc.state_digest(
+                mor.read_mor(spark, v2).select(cdc.KEY_COL, "row_hash")
+            )
+            assert d1 == d2
+            for vv in (v1, v2):
+                side = digest_store.load(vv)
+                if side is not None:
+                    assert side == d1
+        _assert_matches_recompute(spark, v1)
+        _assert_matches_recompute(spark, v2)
 
 
 class TestRefreshCli:
