@@ -67,6 +67,14 @@ transitioning values. Affected-value sets beyond the pushdown bound
 unbounded probes — the incremental path stays O(changes), the dense
 path stays one honest rebuild.
 
+**Right and full outer joins** reuse the same layer under reflection:
+the right-outer correction is exactly the left-outer correction of the
+MIRRORED spec (sides swapped — ``_mirror_meta``), and ``how="full"``
+runs both layers; they are independent because each concerns one side's
+match status. A maintained full-outer view is the EP4 month-reconcile
+shape (``compare_historico_mensual.py:95-143``) kept fresh as a table
+instead of recomputed per run.
+
 Correctness boundaries (raise or rebuild, never silently wrong):
 - a source cursor behind its table's compaction floor means the change
   history was folded away -> full rebuild. The rebuild is a
@@ -443,6 +451,26 @@ def _null_extension_terms(
     return out
 
 
+def _mirror_meta(meta: dict) -> dict:
+    """The view spec with the sides swapped — the right-outer layer IS
+    the left-outer layer of the mirrored spec, so ``how="right"`` (and
+    the B-side half of ``how="full"``) reuses ``_null_extension_terms``
+    verbatim under this reflection. Column ORDER is restored later by
+    the name-based ``select(*view_cols)``."""
+    return {
+        **meta,
+        "a_path": meta["b_path"],
+        "b_path": meta["a_path"],
+        "a_key_cols": meta["b_key_cols"],
+        "b_key_cols": meta["a_key_cols"],
+        "a_cols": meta["b_cols"],
+        "b_cols": meta["a_cols"],
+        "a_seq": meta["b_seq"],
+        "b_seq": meta["a_seq"],
+        "on": [[p[1], p[0]] for p in meta["on"]],
+    }
+
+
 def read_join_view(spark: SparkSession, view_path: str) -> DataFrame:
     """The maintained view: one row per live (a_key, b_key) pair, in the
     declared projection (audit/infra columns dropped)."""
@@ -492,8 +520,9 @@ def build_join_view(
     compact_keep_last: int = 0,
     how: str = "inner",
 ) -> dict:
-    """Full materialization of ``A inner-join B`` (or ``how="left"``:
-    left outer, unmatched A rows NULL-extended) into a MOR view state;
+    """Full materialization of ``A inner-join B`` (``how`` in
+    {"inner", "left", "right", "full"} — outer rows NULL-extended on the
+    missing side) into a MOR view state;
     records both sources' sequences as the refresh cursors. A full build
     scans both bases — corpus-scale by definition — so it holds the
     shared conf-lock side throughout (also covers the rebuild fallback
@@ -501,8 +530,10 @@ def build_join_view(
     from presencia_etl_spark.session import corpus_section
 
     pairs = _norm_on(on)
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'right' or 'full', got {how!r}"
+        )
     with corpus_section():
         ha, hb = mor_history(a_path), mor_history(b_path)
         if a_cols is None or b_cols is None:
@@ -930,14 +961,28 @@ def _refresh_inner(
                 list(meta["b_cols"]) + [W_COL],
             )
             terms.append(t2.select(*view_cols, W_COL))
-        if meta.get("how", "inner") == "left" and (
-            da is not None or db is not None
-        ):
+        how = meta.get("how", "inner")
+        if how != "inner" and (da is not None or db is not None):
             if max(n_a, n_b) > KEY_PUSHDOWN_LIMIT:
                 raise _DenseRefresh()
-            terms += _null_extension_terms(
-                spark, meta, pairs, da, db, a_since, hb, view_cols
-            )
+            if how in ("left", "full"):
+                terms += _null_extension_terms(
+                    spark, meta, pairs, da, db, a_since, hb, view_cols
+                )
+            if how in ("right", "full"):
+                # the A-side NULL-extension of the mirrored spec IS the
+                # right-outer layer; both layers are independent (each
+                # concerns one side's match status), so "full" runs both.
+                terms += _null_extension_terms(
+                    spark,
+                    _mirror_meta(meta),
+                    [(p[1], p[0]) for p in pairs],
+                    db,
+                    da,
+                    b_since,
+                    ha,
+                    view_cols,
+                )
         if not terms:
             # merges happened but every row was a SKIP on both sides —
             # move only the cursors (contents unchanged => any crash

@@ -56,6 +56,43 @@ def monthly_reconcile(
     return out.orderBy("month")
 
 
+def reconcile_from_snapshots(
+    spark,
+    agg_src_path: str,
+    agg_tgt_path: str,
+    group_col: str = "month",
+) -> DataFrame:
+    """EP4 as a MAINTAINED pipeline: the month diff computed from two
+    ``plans/incremental_agg`` snapshots instead of two full source
+    scans. Each side's rollup is kept fresh in O(changes) by its own
+    ``refresh_agg_snapshot`` loop; THIS read touches only the snapshots
+    (O(groups) rows — dozens of months at any source scale), so the
+    reference's per-run full-table reconcile (compare_historico_mensual
+    .py:95-143) becomes a metadata-priced report. Measure columns are
+    matched by name: every non-group snapshot column present on both
+    sides gets ``<col>_src / <col>_tgt / <col>_diff``; one-sided months
+    coalesce the missing side to 0."""
+    from presencia_etl_spark.plans.incremental_agg import read_agg_snapshot
+
+    s = read_agg_snapshot(spark, agg_src_path)
+    t = read_agg_snapshot(spark, agg_tgt_path)
+    common = [
+        c for c in s.columns if c != group_col and c in set(t.columns)
+    ]
+    s = s.select(group_col, *[F.col(c).alias(f"{c}_src") for c in common])
+    t = t.select(group_col, *[F.col(c).alias(f"{c}_tgt") for c in common])
+    out = s.join(t, on=group_col, how="full_outer")
+    for c in common:
+        sv = F.coalesce(F.col(f"{c}_src"), F.lit(0))
+        tv = F.coalesce(F.col(f"{c}_tgt"), F.lit(0))
+        out = (
+            out.withColumn(f"{c}_src", sv)
+            .withColumn(f"{c}_tgt", tv)
+            .withColumn(f"{c}_diff", sv - tv)
+        )
+    return out.orderBy(group_col)
+
+
 def reconcile_report(
     src: DataFrame,
     tgt: DataFrame,

@@ -520,6 +520,148 @@ class TestLeftJoin:
         assert null_grp and null_grp[0]["n_rows"] > 0
 
 
+class TestRightFullJoin:
+    """how="right"/"full": the NULL-extension layer under reflection
+    (right IS left of the mirrored spec; full runs both layers),
+    differential-tested against the outer-join recompute. A maintained
+    full-outer view is the EP4 month-reconcile shape."""
+
+    POOL = DIM_IDS + ["zz0", "zz1", "zz2"]  # zz* facts match no dim
+    EXTRA_DIMS = ["qq0", "qq1", "qq2"]  # dims no fact points at
+
+    def _facts(self, rng, keys):
+        return [
+            (int(k), rng.choice(self.POOL), round(rng.uniform(-9, 9), 2))
+            for k in keys
+        ]
+
+    def _seed(self, spark, tmp_path, rng, how, n=150):
+        a, b = str(tmp_path / f"{how}_f"), str(tmp_path / f"{how}_d")
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, self._facts(rng, range(n))), a, ["f_id"],
+            num_buckets=8, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, _ddf(spark, _dims(rng, DIM_IDS + self.EXTRA_DIMS)), b,
+            ["d_id"], num_buckets=4, compact_every=None,
+        )
+        v = str(tmp_path / f"{how}_view")
+        r = ij.build_join_view(
+            spark, a, b, v,
+            on=[("f_did", "d_id")],
+            a_key_cols=["f_id"], b_key_cols=["d_id"],
+            a_cols=["f_id", "f_did", "f_amt"],
+            b_cols=["d_id", "d_name", "d_rank"],
+            num_buckets=8, compact_every=None, how=how,
+        )
+        assert r["mode"] == "build"
+        return a, b, v
+
+    def test_right_build_keeps_unmatched_dims(self, spark, tmp_path):
+        rng = random.Random(81)
+        a, b, v = self._seed(spark, tmp_path, rng, "right")
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v)
+        orphans = got.filter(F.col("d_id").isin(self.EXTRA_DIMS))
+        assert orphans.count() == len(self.EXTRA_DIMS)
+        assert orphans.filter(F.col("f_id").isNotNull()).count() == 0
+        # right drops unmatched FACTS
+        assert got.filter(F.col("f_did").startswith("zz")).count() == 0
+
+    def test_right_dim_gains_and_loses_first_fact(self, spark, tmp_path):
+        rng = random.Random(82)
+        a, b, v = self._seed(spark, tmp_path, rng, "right")
+        # a fact arrives at qq0: its NULL-extended dim row flips to matched
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, [(900, "qq0", 4.5)]), a, ["f_id"],
+            compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v).filter(F.col("d_id") == "qq0")
+        assert got.count() == 1 and got.collect()[0]["f_id"] == 900
+        # ... and leaves again: back to NULL-extended
+        mor.delete_keys_mor(
+            spark, a, spark.createDataFrame([(900,)], "f_id long"),
+            ["f_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v).filter(F.col("d_id") == "qq0")
+        assert got.count() == 1 and got.collect()[0]["f_id"] is None
+
+    def test_full_keeps_both_sides(self, spark, tmp_path):
+        rng = random.Random(83)
+        a, b, v = self._seed(spark, tmp_path, rng, "full")
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v)
+        assert got.filter(F.col("f_did").startswith("zz")).count() > 0
+        assert got.filter(F.col("d_id").isin(self.EXTRA_DIMS)).count() == len(
+            self.EXTRA_DIMS
+        )
+
+    def test_full_randomized_differential(self, spark, tmp_path):
+        rng = random.Random(84)
+        a, b, v = self._seed(spark, tmp_path, rng, "full", n=120)
+        live_dims = set(DIM_IDS + self.EXTRA_DIMS)
+        pool = DIM_IDS + self.EXTRA_DIMS + ["zz9"]
+        for step in range(4):
+            mor.merge_upsert_mor(
+                spark,
+                _fdf(spark, self._facts(rng, rng.sample(range(160), 7))),
+                a, ["f_id"], compact_every=None,
+            )
+            roll = rng.random()
+            if roll < 0.4 and live_dims:
+                doomed = rng.choice(sorted(live_dims))
+                live_dims.discard(doomed)
+                mor.delete_keys_mor(
+                    spark, b,
+                    spark.createDataFrame([(doomed,)], "d_id string"),
+                    ["d_id"], compact_every=None,
+                )
+            elif roll < 0.8:
+                gained = rng.choice(pool)
+                live_dims.add(gained)
+                mor.merge_upsert_mor(
+                    spark, _ddf(spark, _dims(rng, [gained])), b, ["d_id"],
+                    compact_every=None,
+                )
+            r = ij.refresh_join_view(spark, v)
+            assert r["mode"] == "incremental", f"step {step}: {r}"
+            _assert_matches_recompute(spark, v)
+
+    def test_full_null_join_keys_stay_both_sides(self, spark, tmp_path):
+        rng = random.Random(85)
+        a, b, v = self._seed(spark, tmp_path, rng, "full")
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, [(901, None, 2.25)]), a, ["f_id"],
+            compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v).filter(F.col("f_id") == 901)
+        assert got.count() == 1 and got.collect()[0]["d_id"] is None
+
+    def test_right_dense_declines_to_rebuild(
+        self, spark, tmp_path, monkeypatch
+    ):
+        rng = random.Random(86)
+        a, b, v = self._seed(spark, tmp_path, rng, "right", n=60)
+        mor.merge_upsert_mor(
+            spark, _fdf(spark, self._facts(rng, range(5))), a, ["f_id"],
+            compact_every=None,
+        )
+        monkeypatch.setattr(ij, "KEY_PUSHDOWN_LIMIT", 0)
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "rebuild"
+        monkeypatch.undo()
+        _assert_matches_recompute(spark, v)
+
+
 class TestRebuildAndCrash:
     def test_rebuild_on_compaction_floor(self, spark, tmp_path):
         rng = random.Random(31)

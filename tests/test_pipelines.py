@@ -237,6 +237,74 @@ class TestReconcileReport:
                                 state_col="o_orderstatus")
         assert all(r["diff"] == "OK" for r in rep2.collect())
 
+    def test_reconcile_from_maintained_snapshots(self, spark, tmp_path):
+        """EP4 as a maintained pipeline: two month rollups kept fresh by
+        the agg rung, diffed in O(months) — the result must equal a
+        from-scratch reconcile of the live states."""
+        from pyspark.sql import functions as F
+
+        from presencia_etl_spark.plans import incremental_agg as ia
+        from presencia_etl_spark.plans.reconcile import (
+            reconcile_from_snapshots,
+        )
+        from presencia_etl_spark.sinks import mor
+
+        def rows(n, drop=()):
+            return [
+                (i, f"2024-{1 + i % 3:02d}", float(i))
+                for i in range(n)
+                if i not in drop
+            ]
+
+        schema = "k long, month string, amt double"
+        src_t, tgt_t = str(tmp_path / "rs"), str(tmp_path / "rt")
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(rows(40), schema), src_t, ["k"],
+            num_buckets=4, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(rows(40, drop={7, 8}), schema),
+            tgt_t, ["k"], num_buckets=4, compact_every=None,
+        )
+        agg_s, agg_t = str(tmp_path / "ras"), str(tmp_path / "rat")
+        ia.build_agg_snapshot(spark, src_t, agg_s, ["month"], ["amt"])
+        ia.build_agg_snapshot(spark, tgt_t, agg_t, ["month"], ["amt"])
+        # drift: src gains rows, tgt catches one up
+        mor.merge_upsert_mor(
+            spark,
+            spark.createDataFrame([(100, "2024-02", 5.0)], schema),
+            src_t, ["k"], compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame([(7, "2024-02", 7.0)], schema),
+            tgt_t, ["k"], compact_every=None,
+        )
+        assert ia.refresh_agg_snapshot(spark, src_t, agg_s)["mode"] == "incremental"
+        assert ia.refresh_agg_snapshot(spark, tgt_t, agg_t)["mode"] == "incremental"
+        got = {
+            r["month"]: (r["n_rows_src"], r["n_rows_tgt"], r["n_rows_diff"])
+            for r in reconcile_from_snapshots(spark, agg_s, agg_t).collect()
+        }
+        want = {
+            r["month"]: (r["ns"] or 0, r["nt"] or 0)
+            for r in mor.read_mor(spark, src_t)
+            .groupBy("month")
+            .agg(F.count(F.lit(1)).alias("ns"))
+            .join(
+                mor.read_mor(spark, tgt_t)
+                .groupBy("month")
+                .agg(F.count(F.lit(1)).alias("nt")),
+                on="month",
+                how="full_outer",
+            )
+            .collect()
+        }
+        assert {m: (s, t) for m, (s, t, _d) in got.items()} == want
+        assert all(d == s - t for s, t, d in got.values())
+        # the sum measure rides along
+        sums = reconcile_from_snapshots(spark, agg_s, agg_t).columns
+        assert {"sum_amt_src", "sum_amt_tgt", "sum_amt_diff"} <= set(sums)
+
 
 class TestSociosDocsVariant:
     def test_docs_filter_shape(self, spark):
