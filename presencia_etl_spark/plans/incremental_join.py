@@ -472,10 +472,14 @@ def _mirror_meta(meta: dict) -> dict:
 
 
 def read_join_view(spark: SparkSession, view_path: str) -> DataFrame:
-    """The maintained view: one row per live (a_key, b_key) pair, in the
-    declared projection (audit/infra columns dropped)."""
+    """The maintained view: one row per live key combination, in the
+    declared projection (audit/infra columns dropped). Works for both
+    2-way and native N-way views."""
     meta = _read_meta(view_path)
-    cols = list(meta["a_cols"]) + list(meta["b_cols"])
+    if meta.get("nway"):
+        cols = [c for s in meta["sources"] for c in s["cols"]]
+    else:
+        cols = list(meta["a_cols"]) + list(meta["b_cols"])
     return read_mor(spark, view_path).select(*cols)
 
 
@@ -597,6 +601,12 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> dict:
     from presencia_etl_spark.session import corpus_section, trickle_scope
 
     meta = _read_meta(view_path)
+    if meta.get("nway"):
+        from presencia_etl_spark.plans.incremental_join_nway import (
+            refresh_join_view_nway,
+        )
+
+        return refresh_join_view_nway(spark, view_path)
     ha, hb = mor_history(meta["a_path"]), mor_history(meta["b_path"])
     a_since, b_since = meta["a_seq"], meta["b_seq"]
     if ha["seq"] == a_since and hb["seq"] == b_since:

@@ -1,0 +1,372 @@
+"""Native N-way incremental join views — one view, N source cursors.
+
+Round 10 chained 3-table stars as view-over-view, which works but
+materializes the intermediate pair state: double storage and a second
+refresh latency on every tick. This module propagates signed deltas
+through an N-way inner equi-join NATIVELY (the reference's own 3-table
+star is the shape users build — ``context/context.md:795-831``):
+
+    V = T_0 |><| T_1 |><| ... |><| T_{N-1}
+
+    dV = sum over i of
+         (T_0..T_{i-1})@c  |><|  dT_i  |><|  (T_{i+1}..T_{N-1})@s
+
+i.e. each changed source contributes ONE term: its signed delta joined
+against the earlier sources at their NEW sequences and the later ones at
+their OLD sequences (telescoping — expand each T@c = T@s + dT to verify;
+every cross term lands in exactly one product). All terms net into one
+frame and land as ONE atomic mixed merge into the view (upserts +
+tombstones, single sequence number), so a crash can never apply half a
+refresh and the view's own change feed stays a valid input for a
+downstream ``plans/incremental_agg`` rollup.
+
+Join topology: an arbitrary connected equi-join GRAPH declared
+per-source (``on=[(other_col, own_col), ...]`` — each ``other_col``
+must be a projection column of exactly one OTHER source). A term is
+assembled by traversing the graph outward from the changed source,
+probing each neighbor with the join values accumulated so far — the
+same ``_big_side`` discipline as the 2-way rung: a neighbor whose join
+columns ARE its primary key (star FK→PK) is bucket-pruned at the file
+listing and In()-pushed; anything else is an honest narrow scan, never
+a shuffle of the big side. A source with no changes contributes no term
+at all (fs metadata, no job).
+
+Inner joins only — the N-way NULL-extension algebra (which unmatched
+combination to materialize when several sides dangle) has no canonical
+SQL answer; outer shapes stay on the 2-way rung (``how="left"/"right"/
+"full"``), chaining where needed.
+
+State layout mirrors the 2-way rung: ``view_path`` is a MOR state plus
+``_join_meta.json`` with ``{"nway": true, "sources": [...], "seqs":
+[...]}``; ``refresh_join_view`` (2-way module) dispatches here on the
+flag, so one CLI/cron entry point drives both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presencia_etl_spark.plans.incremental_join import (
+    TRICKLE_DELTA_MAX_BYTES,
+    W_COL,
+    _join_frames,
+    _read_meta,
+    _signed_delta,
+    _big_side,
+    _write_meta,
+)
+from presencia_etl_spark.sinks.locking import single_writer
+from presencia_etl_spark.sinks.mor import (
+    delta_bytes_in_range,
+    merge_upsert_mor,
+    mor_history,
+    read_mor,
+)
+from presencia_etl_spark.sinks.writers import _maybe_broadcast
+
+
+def _check_nway_spec(sources: list[dict]) -> list[dict]:
+    """Validate + resolve the join graph. Returns the sources with each
+    ``on`` pair resolved to ``edges: [(other_idx, other_col, own_col)]``.
+    Requirements: ≥2 sources; pairwise-disjoint projections; keys inside
+    projections; every ``other_col`` owned by exactly one other source;
+    the edge graph connected."""
+    if len(sources) < 2:
+        raise ValueError("an N-way view needs at least two sources")
+    owner: dict[str, int] = {}
+    for i, s in enumerate(sources):
+        cols = list(dict.fromkeys(s["cols"]))
+        s["cols"] = cols
+        if not set(s["key_cols"]) <= set(cols):
+            raise ValueError(
+                f"source {i}: key_cols must be part of its projection"
+            )
+        for c in cols:
+            if c in owner:
+                raise ValueError(
+                    f"view projection collides across sources: {c!r} is in "
+                    f"source {owner[c]} and source {i}; rename one side."
+                )
+            owner[c] = i
+    if sources[0].get("on"):
+        raise ValueError("source 0 anchors the graph and takes no 'on'")
+    adj: dict[int, set[int]] = {i: set() for i in range(len(sources))}
+    for i, s in enumerate(sources[1:], start=1):
+        pairs = [tuple(p) for p in (s.get("on") or [])]
+        if not pairs:
+            raise ValueError(f"source {i} needs on=[(other_col, own_col)]")
+        edges = []
+        for oc, own in pairs:
+            if own not in set(s["cols"]):
+                raise ValueError(
+                    f"source {i}: own join column {own!r} not in its cols"
+                )
+            k = owner.get(oc)
+            if k is None or k == i:
+                raise ValueError(
+                    f"source {i}: join column {oc!r} is not a projection "
+                    "column of another source"
+                )
+            if k > i:
+                raise ValueError(
+                    f"source {i}: join column {oc!r} belongs to source {k} "
+                    "— edges must reference EARLIER sources (declare the "
+                    "sources in join order, like a SQL FROM chain)"
+                )
+            edges.append((k, oc, own))
+            adj[i].add(k)
+            adj[k].add(i)
+        s["edges"] = edges
+    seen = {0}
+    frontier = [0]
+    while frontier:
+        n = frontier.pop()
+        for m in adj[n]:
+            if m not in seen:
+                seen.add(m)
+                frontier.append(m)
+    if len(seen) != len(sources):
+        raise ValueError("the join graph is not connected")
+    return sources
+
+
+def _all_edges(meta: dict) -> list[tuple[int, int, str, str]]:
+    """Undirected edge list: (i, j, col_on_i, col_on_j)."""
+    out = []
+    for j, s in enumerate(meta["sources"]):
+        for k, oc, own in s.get("edges", []):
+            out.append((k, j, oc, own))
+    return out
+
+
+def _materialize_nway(
+    spark: SparkSession, meta: dict, seqs: list[int]
+) -> DataFrame:
+    srcs = meta["sources"]
+    frame = read_mor(spark, srcs[0]["path"], as_of_seq=seqs[0]).select(
+        *srcs[0]["cols"]
+    )
+    have = list(srcs[0]["cols"])
+    for i, s in enumerate(srcs[1:], start=1):
+        right = read_mor(spark, s["path"], as_of_seq=seqs[i]).select(
+            *s["cols"]
+        )
+        pairs = [(oc, own) for _k, oc, own in s["edges"]]
+        frame = _join_frames(frame, right, pairs, have, s["cols"])
+        have = list(dict.fromkeys(have + s["cols"]))
+    view_cols = [c for s in srcs for c in s["cols"]]
+    return frame.select(*view_cols)
+
+
+@single_writer("view_path")
+def build_join_view_nway(
+    spark: SparkSession,
+    sources: list[dict],
+    view_path: str,
+    num_buckets: int = 64,
+    compact_every: int | None = 16,
+    compact_keep_last: int = 0,
+) -> dict:
+    """Full materialization of the N-way inner join into a MOR view
+    state keyed by the concatenation of every source's key columns;
+    records each source's sequence as its refresh cursor.
+
+    ``sources``: ``[{path, key_cols, cols}, {path, key_cols, cols,
+    on=[(other_col, own_col), ...]}, ...]`` — source 0 anchors the
+    graph; every other source declares equi-join edges to columns owned
+    by other sources (star, chain, or any connected shape)."""
+    from presencia_etl_spark.session import corpus_section
+
+    sources = _check_nway_spec([dict(s) for s in sources])
+    with corpus_section():
+        seqs = [mor_history(s["path"])["seq"] for s in sources]
+        meta = {
+            "nway": True,
+            "sources": [
+                {
+                    "path": s["path"],
+                    "key_cols": list(s["key_cols"]),
+                    "cols": list(s["cols"]),
+                    "on": [list(p) for p in (s.get("on") or [])],
+                    "edges": [list(e) for e in s.get("edges", [])],
+                }
+                for s in sources
+            ],
+            "num_buckets": num_buckets,
+            "compact_every": compact_every,
+            "compact_keep_last": compact_keep_last,
+            "seqs": seqs,
+        }
+        joined = _materialize_nway(spark, meta, seqs)
+        key_cols = [c for s in sources for c in s["key_cols"]]
+        r = merge_upsert_mor(
+            spark,
+            joined,
+            view_path,
+            key_cols=key_cols,
+            num_buckets=num_buckets,
+            compact_every=compact_every,
+            compact_keep_last=compact_keep_last,
+            delete_missing=True,
+        )
+        _write_meta(view_path, meta)
+    return {"mode": "build", "seqs": seqs, **r}
+
+
+@single_writer("view_path")
+def refresh_join_view_nway(spark: SparkSession, view_path: str) -> dict:
+    """Fold every source's change feed since its cursor into the
+    N-way view — one signed-delta term per changed source, assembled by
+    graph traversal with key-pruned big-side probes, netted, and landed
+    as ONE atomic mixed merge. Falls back to a full rebuild when any
+    source compacted past its cursor (the rebuild is a delete_missing
+    merge — the view's own feed stays continuous)."""
+    from presencia_etl_spark.session import corpus_section, trickle_scope
+
+    meta = _read_meta(view_path)
+    if not meta.get("nway"):
+        raise ValueError(
+            f"{view_path!r} is a 2-way view; use refresh_join_view"
+        )
+    srcs = meta["sources"]
+    hists = [mor_history(s["path"]) for s in srcs]
+    old = list(meta["seqs"])
+    new = [h["seq"] for h in hists]
+    if new == old:
+        return {"mode": "noop", "seqs": old}
+    if any(o < h["compacted_through"] for o, h in zip(old, hists)):
+        r = build_join_view_nway(
+            spark,
+            [dict(s) for s in srcs],
+            view_path,
+            meta["num_buckets"],
+            meta.get("compact_every", 16),
+            meta.get("compact_keep_last", 0),
+        )
+        return {**r, "mode": "rebuild"}
+    pending = sum(
+        delta_bytes_in_range(s["path"], o, n)
+        for s, o, n in zip(srcs, old, new)
+    )
+    if pending <= TRICKLE_DELTA_MAX_BYTES:
+        with trickle_scope(spark):
+            return _refresh_nway_inner(spark, view_path, meta, old, new)
+    with corpus_section():
+        return _refresh_nway_inner(spark, view_path, meta, old, new)
+
+
+def _refresh_nway_inner(
+    spark: SparkSession, view_path: str, meta: dict, old: list, new: list
+) -> dict:
+    srcs = meta["sources"]
+    view_cols = [c for s in srcs for c in s["cols"]]
+    key_cols = [c for s in srcs for c in s["key_cols"]]
+    edges = _all_edges(meta)
+    need = [list(s["cols"]) for s in srcs]
+
+    deltas: dict[int, tuple] = {}
+    try:
+        for i, s in enumerate(srcs):
+            if new[i] > old[i]:
+                d, n = _signed_delta(spark, s["path"], old[i], new[i], need[i])
+                if d is not None:
+                    deltas[i] = (d, n)
+        terms = []
+        for i, (d, n) in deltas.items():
+            frame = _maybe_broadcast(d, n)
+            have_cols = need[i] + [W_COL]
+            joined_nodes = {i}
+            remaining = set(range(len(srcs))) - joined_nodes
+            while remaining:
+                cand = None
+                for j in sorted(remaining):
+                    js = [
+                        (a, b, ca, cb)
+                        for (a, b, ca, cb) in edges
+                        if (a == j and b in joined_nodes)
+                        or (b == j and a in joined_nodes)
+                    ]
+                    if js:
+                        cand = (j, js)
+                        break
+                if cand is None:  # unreachable: spec is connected
+                    raise ValueError("join graph became disconnected")
+                j, js = cand
+                # pairs as (frame_col, j_col)
+                pairs = []
+                for a, b, ca, cb in js:
+                    if a == j:
+                        pairs.append((cb, ca))
+                    else:
+                        pairs.append((ca, cb))
+                as_of = new[j] if j < i else old[j]
+                own_on = [p[1] for p in pairs]
+                probe = frame.select(
+                    *[F.col(fc).alias(jc) for fc, jc in pairs]
+                )
+                big, _pr = _big_side(
+                    spark,
+                    srcs[j]["path"],
+                    as_of,
+                    srcs[j]["key_cols"],
+                    own_on,
+                    probe,
+                    n,
+                )
+                frame = _join_frames(
+                    frame,
+                    big.select(*need[j]),
+                    pairs,
+                    have_cols,
+                    need[j],
+                )
+                have_cols = list(dict.fromkeys(have_cols + need[j]))
+                joined_nodes.add(j)
+                remaining.discard(j)
+            terms.append(frame.select(*view_cols, W_COL))
+
+        if not terms:
+            _write_meta(view_path, {**meta, "seqs": new})
+            return {
+                "mode": "incremental", "seqs": new,
+                "changes": {i: 0 for i in range(len(srcs))},
+                "upserts": 0, "deletes": 0,
+            }
+        dv = terms[0]
+        for t in terms[1:]:
+            dv = dv.unionByName(t)
+        net = (
+            dv.groupBy(*view_cols)
+            .agg(F.sum(W_COL).alias(W_COL))
+            .filter(F.col(W_COL) != 0)
+            .localCheckpoint(eager=True)
+        )
+        n_up = n_del = 0
+        if net.count() > 0:
+            ups = net.filter(F.col(W_COL) > 0).drop(W_COL)
+            dels = net.filter(F.col(W_COL) < 0).select(*key_cols)
+            r = merge_upsert_mor(
+                spark,
+                ups,
+                view_path,
+                key_cols=key_cols,
+                num_buckets=meta["num_buckets"],
+                compact_every=meta.get("compact_every", 16),
+                compact_keep_last=meta.get("compact_keep_last", 0),
+                digest_prune=False,
+                delete_keys=dels,
+            )
+            n_up = int(r["insert"]) + int(r["update"])
+            n_del = int(r["delete"])
+        _write_meta(view_path, {**meta, "seqs": new})
+        return {
+            "mode": "incremental",
+            "seqs": new,
+            "changes": {i: n for i, (_d, n) in deltas.items()},
+            "upserts": n_up,
+            "deletes": n_del,
+        }
+    finally:
+        for d, _n in deltas.values():
+            d.unpersist()

@@ -1,0 +1,386 @@
+"""Native N-way incremental join views (plans/incremental_join_nway):
+one view, N cursors — differential-tested against a full N-way join
+recompute across fact/dim changes, deletes, simultaneous multi-source
+change batches, randomized sequences, the rebuild floor, and the
+composition with the aggregate rung. Also proves the headline claim:
+the native 3-table view refreshes in ONE pass with no intermediate pair
+state, matching the chained view-over-view content exactly."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from presencia_etl_spark.plans import incremental_agg as ia
+from presencia_etl_spark.plans import incremental_join as ij
+from presencia_etl_spark.plans import incremental_join_nway as nw
+from presencia_etl_spark.sinks import mor
+
+FACT_SCHEMA = StructType(
+    [
+        StructField("f_id", LongType()),
+        StructField("f_did", StringType()),
+        StructField("f_sid", StringType()),
+        StructField("f_amt", DoubleType()),
+    ]
+)
+D_SCHEMA = StructType(
+    [StructField("d_id", StringType()), StructField("d_name", StringType())]
+)
+S_SCHEMA = StructType(
+    [
+        StructField("s_id", StringType()),
+        StructField("s_name", StringType()),
+        StructField("s_ref", StringType()),  # chain tests: points at d_id
+    ]
+)
+
+D_IDS = [f"d{i}" for i in range(8)]
+S_IDS = [f"s{i}" for i in range(6)]
+
+
+def _facts(rng, keys):
+    return [
+        (int(k), rng.choice(D_IDS), rng.choice(S_IDS),
+         round(rng.uniform(-20, 20), 2))
+        for k in keys
+    ]
+
+
+def _dims(rng, ids):
+    return [(d, f"dn{rng.randrange(100)}") for d in ids]
+
+
+def _sups(rng, ids):
+    return [(s, f"sn{rng.randrange(100)}", rng.choice(D_IDS)) for s in ids]
+
+
+def _seed(spark, tmp_path, rng, n_facts=200):
+    a = str(tmp_path / "fact")
+    b = str(tmp_path / "dim")
+    c = str(tmp_path / "sup")
+    mor.merge_upsert_mor(
+        spark, spark.createDataFrame(_facts(rng, range(n_facts)), FACT_SCHEMA),
+        a, ["f_id"], num_buckets=8, compact_every=None,
+    )
+    mor.merge_upsert_mor(
+        spark, spark.createDataFrame(_dims(rng, D_IDS), D_SCHEMA),
+        b, ["d_id"], num_buckets=4, compact_every=None,
+    )
+    mor.merge_upsert_mor(
+        spark, spark.createDataFrame(_sups(rng, S_IDS), S_SCHEMA),
+        c, ["s_id"], num_buckets=4, compact_every=None,
+    )
+    return a, b, c
+
+
+def _star_sources(a, b, c):
+    return [
+        {"path": a, "key_cols": ["f_id"],
+         "cols": ["f_id", "f_did", "f_sid", "f_amt"]},
+        {"path": b, "key_cols": ["d_id"], "cols": ["d_id", "d_name"],
+         "on": [("f_did", "d_id")]},
+        {"path": c, "key_cols": ["s_id"], "cols": ["s_id", "s_name"],
+         "on": [("f_sid", "s_id")]},
+    ]
+
+
+def _build_star(spark, tmp_path, a, b, c, name="nview"):
+    v = str(tmp_path / name)
+    r = nw.build_join_view_nway(
+        spark, _star_sources(a, b, c), v, num_buckets=8, compact_every=None
+    )
+    assert r["mode"] == "build"
+    return v
+
+
+def _canon(df):
+    out = []
+    for r in df.collect():
+        vals = []
+        for col in sorted(df.columns):
+            x = r[col]
+            vals.append(round(x, 6) if isinstance(x, float) else x)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def _assert_matches_recompute(spark, view_path):
+    meta = nw._read_meta(view_path)
+    hists = [mor.mor_history(s["path"]) for s in meta["sources"]]
+    assert meta["seqs"] == [h["seq"] for h in hists]
+    want = nw._materialize_nway(spark, meta, meta["seqs"])
+    got = ij.read_join_view(spark, view_path)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _canon(got.select(*want.columns)) == _canon(want)
+
+
+class TestBuildAndRefresh:
+    def test_build_matches_three_way_join(self, spark, tmp_path):
+        rng = random.Random(301)
+        a, b, c = _seed(spark, tmp_path, rng)
+        v = _build_star(spark, tmp_path, a, b, c)
+        _assert_matches_recompute(spark, v)
+
+    def test_noop_and_dispatch(self, spark, tmp_path):
+        rng = random.Random(302)
+        a, b, c = _seed(spark, tmp_path, rng)
+        v = _build_star(spark, tmp_path, a, b, c)
+        # the 2-way entry point dispatches on the nway flag
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "noop"
+
+    def test_fact_changes_fold_incrementally(self, spark, tmp_path):
+        rng = random.Random(303)
+        a, b, c = _seed(spark, tmp_path, rng)
+        v = _build_star(spark, tmp_path, a, b, c)
+        mor.merge_upsert_mor(
+            spark,
+            spark.createDataFrame(
+                _facts(rng, list(range(5)) + [900, 901]), FACT_SCHEMA
+            ),
+            a, ["f_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        assert r["changes"][0] == 7 and 1 not in r["changes"]
+        _assert_matches_recompute(spark, v)
+
+    def test_each_dim_changes_fold(self, spark, tmp_path):
+        rng = random.Random(304)
+        a, b, c = _seed(spark, tmp_path, rng)
+        v = _build_star(spark, tmp_path, a, b, c)
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(_dims(rng, ["d1"]), D_SCHEMA),
+            b, ["d_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental" and 1 in r["changes"]
+        _assert_matches_recompute(spark, v)
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(_sups(rng, ["s2"]), S_SCHEMA),
+            c, ["s_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental" and 2 in r["changes"]
+        _assert_matches_recompute(spark, v)
+
+    def test_simultaneous_multi_source_batch(self, spark, tmp_path):
+        """All three sources move between refreshes — the cross terms
+        (dFact against the NEW dims, dDim against the OLD fact) must
+        telescope exactly."""
+        rng = random.Random(305)
+        a, b, c = _seed(spark, tmp_path, rng)
+        v = _build_star(spark, tmp_path, a, b, c)
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(_facts(rng, range(8)), FACT_SCHEMA),
+            a, ["f_id"], compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(_dims(rng, ["d0", "d3"]), D_SCHEMA),
+            b, ["d_id"], compact_every=None,
+        )
+        mor.delete_keys_mor(
+            spark, c, spark.createDataFrame([("s0",)], "s_id string"),
+            ["s_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        assert set(r["changes"]) == {0, 1, 2}
+        _assert_matches_recompute(spark, v)
+
+    def test_deletes_both_directions(self, spark, tmp_path):
+        rng = random.Random(306)
+        a, b, c = _seed(spark, tmp_path, rng)
+        v = _build_star(spark, tmp_path, a, b, c)
+        mor.delete_keys_mor(
+            spark, a, spark.createDataFrame([(3,), (4,)], "f_id long"),
+            ["f_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental" and r["deletes"] >= 0
+        _assert_matches_recompute(spark, v)
+        got = ij.read_join_view(spark, v)
+        assert got.filter(F.col("f_id").isin(3, 4)).count() == 0
+
+    def test_randomized_differential(self, spark, tmp_path):
+        rng = random.Random(307)
+        a, b, c = _seed(spark, tmp_path, rng, n_facts=120)
+        v = _build_star(spark, tmp_path, a, b, c)
+        for step in range(5):
+            mor.merge_upsert_mor(
+                spark,
+                spark.createDataFrame(
+                    _facts(rng, rng.sample(range(160), 6)), FACT_SCHEMA
+                ),
+                a, ["f_id"], compact_every=None,
+            )
+            roll = rng.random()
+            if roll < 0.35:
+                mor.merge_upsert_mor(
+                    spark,
+                    spark.createDataFrame(
+                        _dims(rng, [rng.choice(D_IDS)]), D_SCHEMA
+                    ),
+                    b, ["d_id"], compact_every=None,
+                )
+            elif roll < 0.7:
+                mor.merge_upsert_mor(
+                    spark,
+                    spark.createDataFrame(
+                        _sups(rng, [rng.choice(S_IDS)]), S_SCHEMA
+                    ),
+                    c, ["s_id"], compact_every=None,
+                )
+            r = ij.refresh_join_view(spark, v)
+            assert r["mode"] == "incremental", f"step {step}: {r}"
+            _assert_matches_recompute(spark, v)
+
+    def test_floor_rebuild_keeps_feed_continuous(self, spark, tmp_path):
+        rng = random.Random(308)
+        a, b, c = _seed(spark, tmp_path, rng)
+        v = _build_star(spark, tmp_path, a, b, c)
+        vseq0 = mor.mor_history(v)["seq"]
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(_facts(rng, range(4)), FACT_SCHEMA),
+            a, ["f_id"], compact_every=None,
+        )
+        mor.compact_mor(spark, a)  # folds history past the cursor
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "rebuild"
+        _assert_matches_recompute(spark, v)
+        # the view state was merged INTO, not recreated: seq advanced
+        assert mor.mor_history(v)["seq"] > vseq0
+
+
+class TestChainTopology:
+    def test_chain_joins_through_middle_table(self, spark, tmp_path):
+        """T0 -> T2 via T2.on referencing T1's column (fact → sup →
+        dim): a CHAIN, not a star — the middle table's projection
+        carries the link column."""
+        rng = random.Random(309)
+        a, b, c = _seed(spark, tmp_path, rng)
+        v = str(tmp_path / "chain")
+        r = nw.build_join_view_nway(
+            spark,
+            [
+                {"path": a, "key_cols": ["f_id"],
+                 "cols": ["f_id", "f_sid", "f_amt"]},
+                {"path": c, "key_cols": ["s_id"],
+                 "cols": ["s_id", "s_name", "s_ref"],
+                 "on": [("f_sid", "s_id")]},
+                {"path": b, "key_cols": ["d_id"],
+                 "cols": ["d_id", "d_name"],
+                 "on": [("s_ref", "d_id")]},
+            ],
+            v, num_buckets=8, compact_every=None,
+        )
+        assert r["mode"] == "build"
+        _assert_matches_recompute(spark, v)
+        # middle-table change: its term probes BOTH directions
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(_sups(rng, ["s1"]), S_SCHEMA),
+            c, ["s_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        _assert_matches_recompute(spark, v)
+        # end-table (dim) change folds too
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(_dims(rng, ["d2"]), D_SCHEMA),
+            b, ["d_id"], compact_every=None,
+        )
+        assert ij.refresh_join_view(spark, v)["mode"] == "incremental"
+        _assert_matches_recompute(spark, v)
+
+
+class TestSpecValidation:
+    def test_spec_errors(self, spark, tmp_path):
+        rng = random.Random(310)
+        a, b, c = _seed(spark, tmp_path, rng, n_facts=20)
+        base = _star_sources(a, b, c)
+        with pytest.raises(ValueError, match="at least two"):
+            nw.build_join_view_nway(spark, base[:1], str(tmp_path / "x1"))
+        bad = [dict(s) for s in base]
+        bad[1] = {**bad[1], "cols": ["d_id", "f_amt"]}  # collision
+        with pytest.raises(ValueError, match="collides"):
+            nw.build_join_view_nway(spark, bad, str(tmp_path / "x2"))
+        bad = [dict(s) for s in base]
+        bad[1] = {**bad[1], "on": [("s_name", "d_id")]}  # later source ref
+        with pytest.raises(ValueError, match="EARLIER"):
+            nw.build_join_view_nway(spark, bad, str(tmp_path / "x3"))
+        bad = [dict(s) for s in base]
+        bad[1] = {**bad[1], "on": [("nope", "d_id")]}
+        with pytest.raises(ValueError, match="not a projection"):
+            nw.build_join_view_nway(spark, bad, str(tmp_path / "x4"))
+
+
+class TestNativeVsChained:
+    def test_native_equals_chained_and_feeds_agg(self, spark, tmp_path):
+        """The native 3-way view's content equals the chained
+        view-over-view construction, with NO intermediate pair state,
+        and its change feed drives the aggregate rung end-to-end."""
+        rng = random.Random(311)
+        a, b, c = _seed(spark, tmp_path, rng, n_facts=100)
+        v_n = _build_star(spark, tmp_path, a, b, c, "native")
+        # chained: (fact ⋈ dim) materialized, then ⋈ sup
+        v_p = str(tmp_path / "pair")
+        ij.build_join_view(
+            spark, a, b, v_p,
+            on=[("f_did", "d_id")],
+            a_key_cols=["f_id"], b_key_cols=["d_id"],
+            a_cols=["f_id", "f_did", "f_sid", "f_amt"],
+            b_cols=["d_id", "d_name"],
+            num_buckets=8, compact_every=None,
+        )
+        v_c = str(tmp_path / "chained")
+        ij.build_join_view(
+            spark, v_p, c, v_c,
+            on=[("f_sid", "s_id")],
+            a_key_cols=["f_id", "d_id"], b_key_cols=["s_id"],
+            a_cols=["f_id", "f_did", "f_sid", "f_amt", "d_id", "d_name"],
+            b_cols=["s_id", "s_name"],
+            num_buckets=8, compact_every=None,
+        )
+        agg = str(tmp_path / "nagg")
+        ia.build_agg_snapshot(spark, v_n, agg, ["d_name"], ["f_amt"])
+        for step in range(3):
+            mor.merge_upsert_mor(
+                spark,
+                spark.createDataFrame(
+                    _facts(rng, rng.sample(range(140), 5)), FACT_SCHEMA
+                ),
+                a, ["f_id"], compact_every=None,
+            )
+            assert ij.refresh_join_view(spark, v_n)["mode"] == "incremental"
+            assert ij.refresh_join_view(spark, v_p)["mode"] == "incremental"
+            assert ij.refresh_join_view(spark, v_c)["mode"] == "incremental"
+            got_n = ij.read_join_view(spark, v_n)
+            got_c = ij.read_join_view(spark, v_c).select(*got_n.columns)
+            assert _canon(got_n) == _canon(got_c), f"step {step}"
+            assert (
+                ia.refresh_agg_snapshot(spark, v_n, agg)["mode"]
+                == "incremental"
+            )
+        want = (
+            nw._materialize_nway(
+                spark, nw._read_meta(v_n), nw._read_meta(v_n)["seqs"]
+            )
+            .groupBy("d_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("f_amt").cast("double")).alias("sum_f_amt"),
+                F.count(F.col("f_amt")).alias("nn_f_amt"),
+            )
+        )
+        got = ia.read_agg_snapshot(spark, agg)
+        assert _canon(got.select(*want.columns)) == _canon(want)
