@@ -114,11 +114,19 @@ def _min_name(col: str) -> str:
     return f"min_{col}"
 
 
+def _hll_name(col: str) -> str:
+    return f"hll_{col}"
+
+
 def _max_name(col: str) -> str:
     return f"max_{col}"
 
 
-def _agg_exprs(sum_cols: list[str], minmax_cols: list[str] | None = None) -> list:
+def _agg_exprs(
+    sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
+    hll_cols: list[str] | None = None,
+) -> list:
     """COUNT(*), and per sum column: SUM (float64) + the NON-NULL count
     that makes incremental SUM exact — SQL's SUM is NULL iff no non-null
     value remains in the group, which plain add/subtract of sums cannot
@@ -126,7 +134,11 @@ def _agg_exprs(sum_cols: list[str], minmax_cols: list[str] | None = None) -> lis
     to NULL, not 0). Per min/max column: MIN and MAX in the column's own
     type (the reference's A5 min/max dates) — monotone under inserts,
     recomputed per dirty group under displacing retractions (see
-    ``refresh_agg_snapshot``)."""
+    ``refresh_agg_snapshot``). Per hll column: a Datasketches HLL sketch
+    (``hll_sketch_agg``) — the MERGEABLE form of COUNT DISTINCT (the
+    reference's A6 distinct-days): inserts fold by ``hll_union``,
+    retractions flag the group for the same narrow recompute MIN/MAX
+    displacement pays (sketches are not invertible)."""
     exprs = [F.count(F.lit(1)).alias(COUNT_COL)]
     for c in sum_cols:
         exprs.append(F.sum(F.col(c).cast("double")).alias(_sum_name(c)))
@@ -134,6 +146,8 @@ def _agg_exprs(sum_cols: list[str], minmax_cols: list[str] | None = None) -> lis
     for c in minmax_cols or []:
         exprs.append(F.min(F.col(c)).alias(_min_name(c)))
         exprs.append(F.max(F.col(c)).alias(_max_name(c)))
+    for c in hll_cols or []:
+        exprs.append(F.hll_sketch_agg(F.col(c)).alias(_hll_name(c)))
     return exprs
 
 
@@ -142,8 +156,11 @@ def _full_aggregate(
     group_cols: list[str],
     sum_cols: list[str],
     minmax_cols: list[str] | None = None,
+    hll_cols: list[str] | None = None,
 ) -> DataFrame:
-    return df.groupBy(*group_cols).agg(*_agg_exprs(sum_cols, minmax_cols))
+    return df.groupBy(*group_cols).agg(
+        *_agg_exprs(sum_cols, minmax_cols, hll_cols)
+    )
 
 
 def _recover_interrupted_refresh(agg_path: str) -> bool:
@@ -206,11 +223,27 @@ def _write_snapshot(
     _swap_in(agg_path, write_staged)
 
 
-def read_agg_snapshot(spark: SparkSession, agg_path: str) -> DataFrame:
+def read_agg_snapshot(
+    spark: SparkSession, agg_path: str, estimate: bool = False
+) -> DataFrame:
     """The maintained aggregate: one row per group, ``n_rows`` +
-    ``sum_<col>`` columns."""
+    ``sum_<col>``/``min_``/``max_``/``hll_`` columns. ``estimate=True``
+    additionally renders each maintained HLL sketch as an
+    ``apx_distinct_<col>`` estimate column (the A6 distinct-count read
+    shape)."""
     _recover_interrupted_refresh(agg_path)
-    return spark.read.parquet(_snap_path(agg_path))
+    df = spark.read.parquet(_snap_path(agg_path))
+    if estimate:
+        meta = _read_meta(agg_path)
+        for c in meta.get("hll_cols", []):
+            df = df.withColumn(
+                f"apx_distinct_{c}",
+                F.when(
+                    F.col(_hll_name(c)).isNotNull(),
+                    F.hll_sketch_estimate(F.col(_hll_name(c))),
+                ),
+            )
+    return df
 
 
 def agg_snapshot_info(agg_path: str) -> dict:
@@ -227,6 +260,7 @@ def build_agg_snapshot(
     group_cols: list[str],
     sum_cols: list[str] | None = None,
     minmax_cols: list[str] | None = None,
+    hll_cols: list[str] | None = None,
 ) -> dict:
     """Full compute of the aggregate from the MOR state's current
     snapshot; records the state's sequence as the refresh cursor. A full
@@ -239,18 +273,21 @@ def build_agg_snapshot(
 
     sum_cols = list(sum_cols or [])
     minmax_cols = list(minmax_cols or [])
+    hll_cols = list(hll_cols or [])
     os.makedirs(agg_path, exist_ok=True)
     _recover_interrupted_refresh(agg_path)
     with corpus_section():
         hist = mor_history(mor_path)
         out = _full_aggregate(
-            read_mor(spark, mor_path), group_cols, sum_cols, minmax_cols
+            read_mor(spark, mor_path), group_cols, sum_cols, minmax_cols,
+            hll_cols,
         )
         meta = {
             "as_of_seq": hist["seq"],
             "group_cols": list(group_cols),
             "sum_cols": sum_cols,
             "minmax_cols": minmax_cols,
+            "hll_cols": hll_cols,
         }
         _write_snapshot(out, agg_path, meta)
     return {"mode": "build", "as_of_seq": hist["seq"]}
@@ -283,6 +320,7 @@ def refresh_agg_snapshot(
     since = meta["as_of_seq"]
     group_cols, sum_cols = meta["group_cols"], meta["sum_cols"]
     minmax_cols = meta.get("minmax_cols", [])
+    hll_cols = meta.get("hll_cols", [])
     hist = mor_history(mor_path)
     cur = hist["seq"]
     if cur == since:
@@ -291,14 +329,15 @@ def refresh_agg_snapshot(
         # Changes ≤ the floor were folded into the base (compaction or a
         # schema-drift COW fold) — they can no longer be separated out.
         r = build_agg_snapshot(
-            spark, mor_path, agg_path, group_cols, sum_cols, minmax_cols
+            spark, mor_path, agg_path, group_cols, sum_cols, minmax_cols,
+            hll_cols,
         )
         return {**r, "mode": "rebuild"}
     if delta_bytes_in_range(mor_path, since, cur) <= TRICKLE_DELTA_MAX_BYTES:
         with trickle_scope(spark):
             return _refresh_agg_snapshot_inner(
                 spark, mor_path, agg_path, meta, since, cur, group_cols,
-                sum_cols, minmax_cols,
+                sum_cols, minmax_cols, hll_cols,
             )
     # Corpus-sized fold: the shared conf-lock side guarantees SESSION
     # defaults for the whole multi-GB run, not just at entry — a trickle
@@ -307,7 +346,7 @@ def refresh_agg_snapshot(
     with corpus_section():
         return _refresh_agg_snapshot_inner(
             spark, mor_path, agg_path, meta, since, cur, group_cols,
-            sum_cols, minmax_cols,
+            sum_cols, minmax_cols, hll_cols,
         )
 
 
@@ -321,8 +360,10 @@ def _refresh_agg_snapshot_inner(
     group_cols: list[str],
     sum_cols: list[str],
     minmax_cols: list[str] | None = None,
+    hll_cols: list[str] | None = None,
 ) -> dict:
     minmax_cols = list(minmax_cols or [])
+    hll_cols = list(hll_cols or [])
     # Bounded at BOTH ends: as_of_seq pins the feed to the sequence we
     # record as the new cursor, so a merge landing mid-refresh is neither
     # half-applied now nor skipped by the next refresh.
@@ -382,7 +423,11 @@ def _refresh_agg_snapshot_inner(
                 "left_semi",
             )
 
-        cols = list(dict.fromkeys(list(group_cols) + list(sum_cols) + minmax_cols))
+        cols = list(
+            dict.fromkeys(
+                list(group_cols) + list(sum_cols) + minmax_cols + hll_cols
+            )
+        )
         # Tombstoned keys (row-level deletes) contribute NO +1 row — their
         # change-feed entry is the pre-delete image flagged `_deleted`, and
         # the only arithmetic effect of a delete is the retraction of the
@@ -416,6 +461,20 @@ def _refresh_agg_snapshot_inner(
                 F.max(ins).alias(_max_name(c)),
                 F.min(ret).alias(f"_rmn_{c}"),
                 F.max(ret).alias(f"_rmx_{c}"),
+            ]
+        for c in hll_cols:
+            # insert-side values fold into a mergeable sketch; ANY
+            # retracted non-null value flags the group for recompute
+            # (HLL is not invertible — the MIN/MAX displacement rule,
+            # conservative: a retraction of a still-present value also
+            # recomputes, bounded by the delta's groups either way)
+            delta_exprs += [
+                F.hll_sketch_agg(F.when(F.col("_w") > 0, F.col(c))).alias(
+                    _hll_name(c)
+                ),
+                F.max(
+                    (F.col("_w") < 0) & F.col(c).isNotNull()
+                ).alias(f"_hd_{c}"),
             ]
         # The delta feeds THREE plan branches (the broadcast merge join,
         # the touched-groups semi probe, and the fresh-groups anti probe
@@ -457,6 +516,15 @@ def _refresh_agg_snapshot_inner(
             )
             merged_cols.append(nn.alias(_nn_name(c)))
         mm_dirty = F.lit(False)
+        for c in hll_cols:
+            hn = _hll_name(c)
+            merged_cols.append(
+                F.when(d[hn].isNull(), prev[hn])
+                .when(prev[hn].isNull(), d[hn])
+                .otherwise(F.hll_union(prev[hn], d[hn]))
+                .alias(hn)
+            )
+            mm_dirty = mm_dirty | F.coalesce(d[f"_hd_{c}"], F.lit(False))
         for c in minmax_cols:
             # inserts fold monotonically (least/greatest skip NULLs); a
             # retraction can only DISPLACE a stored extreme when it ties
@@ -481,7 +549,7 @@ def _refresh_agg_snapshot_inner(
                     & (prev[_max_name(c)].isNull() | (rmx >= prev[_max_name(c)]))
                 )
             )
-        if minmax_cols:
+        if minmax_cols or hll_cols:
             merged_cols.append(mm_dirty.alias("_mmd"))
         existing = prev.join(d, join_cond, "left_outer").select(*merged_cols)
         # Brand-new groups: in the delta, absent from the snapshot (their
@@ -498,6 +566,9 @@ def _refresh_agg_snapshot_inner(
         for c in minmax_cols:
             # a brand-new group's extremes ARE its insert-side extremes
             snap_cols += [_min_name(c), _max_name(c)]
+        for c in hll_cols:
+            # a brand-new group's sketch IS its insert-side sketch
+            snap_cols += [_hll_name(c)]
         touched = prev.join(d, join_cond, "left_semi").select(*group_cols)
         dd, t = delta.alias("dd"), touched.alias("t")
         anti_cond = None
@@ -508,10 +579,10 @@ def _refresh_agg_snapshot_inner(
             *group_cols, *snap_cols
         )
         n_mmd = 0
-        if minmax_cols:
+        if minmax_cols or hll_cols:
             fresh = fresh.withColumn("_mmd", F.lit(False))
         out = existing.unionByName(fresh).filter(F.col(COUNT_COL) > 0)
-        if minmax_cols:
+        if minmax_cols or hll_cols:
             # Displaced-extreme groups (bounded by the delta's groups):
             # recompute exactly those from the base — ONE narrow scan
             # restricted by a broadcast semi join, the documented honest
@@ -536,6 +607,10 @@ def _refresh_agg_snapshot_inner(
                 for c in minmax_cols:
                     rc_exprs.append(F.min(F.col(c)).alias(f"_rc_min_{c}"))
                     rc_exprs.append(F.max(F.col(c)).alias(f"_rc_max_{c}"))
+                for c in hll_cols:
+                    rc_exprs.append(
+                        F.hll_sketch_agg(F.col(c)).alias(f"_rc_hll_{c}")
+                    )
                 rc = (
                     bb.join(F.broadcast(gg), sc, "left_semi")
                     .groupBy(*group_cols)
@@ -564,6 +639,12 @@ def _refresh_agg_snapshot_inner(
                         F.when(
                             F.col("r._rc"), F.col(f"r._rc_max_{c}")
                         ).otherwise(F.col(f"o.{_max_name(c)}")).alias(_max_name(c))
+                    )
+                for c in hll_cols:
+                    final_cols.append(
+                        F.when(
+                            F.col("r._rc"), F.col(f"r._rc_hll_{c}")
+                        ).otherwise(F.col(f"o.{_hll_name(c)}")).alias(_hll_name(c))
                     )
                 out = o.join(F.broadcast(r_), oc, "left_outer").select(
                     *final_cols

@@ -515,3 +515,169 @@ class TestMinMaxMaintenance:
             r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
             assert r["mode"] == "incremental"
             _assert_matches_recompute(spark, mor_t, agg_t)
+
+
+class TestHllMaintenance:
+    """Mergeable-sketch COUNT DISTINCT (hll_cols): inserts fold by
+    hll_union; retractions trigger the same narrow per-group recompute
+    MIN/MAX displacement uses. The invariant tested everywhere: the
+    MAINTAINED sketch's estimate equals the estimate of a sketch
+    recomputed from scratch (identical register state), and both stay
+    within HLL tolerance of the exact distinct count."""
+
+    HSCHEMA = StructType(
+        [
+            StructField("K", StringType()),
+            StructField("cat", StringType()),
+            StructField("day", StringType()),
+        ]
+    )
+    DAYS = [f"2024-01-{d:02d}" for d in range(1, 15)] + [None]
+
+    def _hrows(self, rng, keys):
+        return [
+            (str(k), rng.choice(["a", "b", None]), rng.choice(self.DAYS))
+            for k in keys
+        ]
+
+    def _hdf(self, spark, rows):
+        return spark.createDataFrame(rows, self.HSCHEMA)
+
+    def _assert_hll_matches(self, spark, mor_t, agg_t):
+        got = (
+            ia.read_agg_snapshot(spark, agg_t, estimate=True)
+            .select("cat", "n_rows", "apx_distinct_day")
+        )
+        meta = ia.agg_snapshot_info(agg_t)
+        want = ia._full_aggregate(
+            mor.read_mor(spark, mor_t), meta["group_cols"], [],
+            hll_cols=meta["hll_cols"],
+        ).select(
+            "cat",
+            "n_rows",
+            F.when(
+                F.col("hll_day").isNotNull(),
+                F.hll_sketch_estimate("hll_day"),
+            ).alias("apx_distinct_day"),
+        )
+        assert _canon(got) == _canon(want)
+        # ... and the estimate is within HLL tolerance of exact
+        exact = {
+            r["cat"]: r["d"]
+            for r in mor.read_mor(spark, mor_t)
+            .groupBy("cat")
+            .agg(F.countDistinct("day").alias("d"))
+            .collect()
+        }
+        for r in got.collect():
+            e = exact.get(r["cat"], 0)
+            a = r["apx_distinct_day"]
+            if e == 0:
+                assert a is None
+            else:
+                assert abs(a - e) <= max(1.0, 0.05 * e), (r["cat"], a, e)
+
+    def test_build_and_insert_only_fold(self, spark, tmp_path):
+        rng = random.Random(201)
+        mor_t, agg_t = str(tmp_path / "hm"), str(tmp_path / "ha")
+        mor.merge_upsert_mor(
+            spark, self._hdf(spark, self._hrows(rng, range(80))), mor_t,
+            ["K"], num_buckets=4, compact_every=None,
+        )
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], hll_cols=["day"])
+        self._assert_hll_matches(spark, mor_t, agg_t)
+        # pure inserts: sketches union, no recompute
+        mor.merge_upsert_mor(
+            spark, self._hdf(spark, self._hrows(rng, range(100, 120))),
+            mor_t, ["K"], compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        assert r["minmax_recomputed_groups"] == 0
+        self._assert_hll_matches(spark, mor_t, agg_t)
+
+    def test_retraction_recomputes_group(self, spark, tmp_path):
+        rng = random.Random(202)
+        mor_t, agg_t = str(tmp_path / "rm"), str(tmp_path / "ra")
+        mor.merge_upsert_mor(
+            spark, self._hdf(spark, self._hrows(rng, range(60))), mor_t,
+            ["K"], num_buckets=4, compact_every=None,
+        )
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], hll_cols=["day"])
+        # move one key to a different day (retraction + insert)
+        old = mor.read_mor(spark, mor_t).filter(
+            F.col("day").isNotNull()
+        ).limit(1).collect()[0]
+        newday = "2024-02-28"
+        mor.merge_upsert_mor(
+            spark, self._hdf(spark, [(old["K"], old["cat"], newday)]),
+            mor_t, ["K"], compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        assert r["minmax_recomputed_groups"] >= 1
+        self._assert_hll_matches(spark, mor_t, agg_t)
+        # row-level delete retracts too
+        mor.delete_keys_mor(
+            spark, mor_t, spark.createDataFrame([(old["K"],)], "K string"),
+            ["K"], compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        self._assert_hll_matches(spark, mor_t, agg_t)
+
+    def test_randomized_hll_differential(self, spark, tmp_path):
+        rng = random.Random(203)
+        mor_t, agg_t = str(tmp_path / "zm"), str(tmp_path / "za")
+        mor.merge_upsert_mor(
+            spark, self._hdf(spark, self._hrows(rng, range(70))), mor_t,
+            ["K"], num_buckets=4, compact_every=None,
+        )
+        # sums + minmax + hll together: one snapshot, all three kinds
+        mor.merge_upsert_mor(
+            spark, self._hdf(spark, self._hrows(rng, range(70))), mor_t,
+            ["K"], compact_every=None,
+        )
+        ia.build_agg_snapshot(
+            spark, mor_t, agg_t, ["cat"], minmax_cols=["day"],
+            hll_cols=["day"],
+        )
+        for step in range(4):
+            ups = self._hrows(rng, rng.sample(range(90), 6))
+            mor.merge_upsert_mor(
+                spark, self._hdf(spark, ups), mor_t, ["K"],
+                compact_every=None,
+            )
+            if rng.random() < 0.5:
+                doomed = str(rng.randrange(70))
+                mor.delete_keys_mor(
+                    spark, mor_t,
+                    spark.createDataFrame([(doomed,)], "K string"),
+                    ["K"], compact_every=None,
+                )
+            r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+            assert r["mode"] == "incremental", f"step {step}"
+            self._assert_hll_matches(spark, mor_t, agg_t)
+            # min/max stays correct alongside
+            got = ia.read_agg_snapshot(spark, agg_t)
+            want = ia._full_aggregate(
+                mor.read_mor(spark, mor_t), ["cat"], [], ["day"], ["day"]
+            )
+            assert _canon(
+                got.select("cat", "min_day", "max_day")
+            ) == _canon(want.select("cat", "min_day", "max_day"))
+
+    def test_distinct_days_a6_shape(self, spark, tmp_path):
+        """The reference's A6 (global distinct-days) maintained as a
+        sketch: exact at these cardinalities, O(changes) to refresh."""
+        rng = random.Random(204)
+        mor_t, agg_t = str(tmp_path / "a6m"), str(tmp_path / "a6a")
+        rows = [(str(k), "all", self.DAYS[k % 14]) for k in range(50)]
+        mor.merge_upsert_mor(
+            spark, self._hdf(spark, rows), mor_t, ["K"], num_buckets=4,
+            compact_every=None,
+        )
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], hll_cols=["day"])
+        got = ia.read_agg_snapshot(spark, agg_t, estimate=True).collect()
+        assert len(got) == 1
+        assert round(got[0]["apx_distinct_day"]) == 14
