@@ -141,6 +141,71 @@ class TestFingerprint:
         monkeypatch.setattr(digest_store, "default_lister", stub_b)
         assert digest_store.load(str(t)) is None  # token changed → stale
 
+    @pytest.mark.parametrize(
+        "lister",
+        [digest_store._local_lister, digest_store._content_token_lister],
+        ids=["mtime", "content"],
+    )
+    def test_provider_conformance(self, tmp_path, lister):
+        """The contract EVERY listing provider must meet: the
+        fingerprint changes on file add / remove / rename / resize /
+        same-size rewrite, and is deterministic for an untouched
+        table."""
+        t = tmp_path / "tbl"
+        sub = t / "_kb=3"
+        sub.mkdir(parents=True)
+        (sub / "a.parquet").write_bytes(b"A" * 100)
+        (t / "b.parquet").write_bytes(b"B" * 50)
+
+        def fp():
+            return digest_store.table_fingerprint(str(t), lister=lister)
+
+        base = fp()
+        assert base == fp()  # deterministic
+        (t / "c.parquet").write_bytes(b"C")  # add
+        f_add = fp()
+        assert f_add != base
+        os.remove(t / "c.parquet")  # remove -> back to base content set
+        os.rename(sub / "a.parquet", sub / "a2.parquet")  # rename
+        f_ren = fp()
+        assert f_ren != base
+        os.rename(sub / "a2.parquet", sub / "a.parquet")
+        (t / "b.parquet").write_bytes(b"B" * 51)  # resize
+        f_size = fp()
+        assert f_size not in (base, f_ren)
+        (t / "b.parquet").write_bytes(b"X" * 51)  # same-size rewrite
+        assert fp() != f_size
+
+    def test_content_lister_survives_mtime_scramble(
+        self, tmp_path, monkeypatch
+    ):
+        """The advertised win of the content provider: a copy that
+        scrambles mtimes (rsync without -t, an image round-trip) keeps
+        the sidecar VALID — while the mtime provider correctly goes
+        stale on the same scramble."""
+        t = tmp_path / "tbl"
+        t.mkdir()
+        (t / "a.parquet").write_bytes(b"payload-1" * 100)
+        (t / "b.parquet").write_bytes(b"payload-2" * 9000)
+        dig = {7: (2, 11, -13)}
+        monkeypatch.setenv("SPARK_GRAFT_DIGEST_LISTER", "content")
+        digest_store.save(str(t), dig)
+        assert digest_store.load(str(t)) == dig
+        for f in ("a.parquet", "b.parquet"):
+            os.utime(t / f, (12345, 67890))  # the scramble
+        assert digest_store.load(str(t)) == dig, (
+            "content tokens must not depend on mtime"
+        )
+        # a REAL rewrite (same size, different bytes) still invalidates
+        (t / "a.parquet").write_bytes(b"payload-9" * 100)
+        assert digest_store.load(str(t)) is None
+        # the mtime provider, by contrast, is scramble-sensitive
+        monkeypatch.setenv("SPARK_GRAFT_DIGEST_LISTER", "mtime")
+        digest_store.save(str(t), dig)
+        assert digest_store.load(str(t)) == dig
+        os.utime(t / "b.parquet", (11111, 22222))
+        assert digest_store.load(str(t)) is None
+
     def test_disabled_via_env(self, tmp_path, monkeypatch):
         t = tmp_path / "tbl"
         t.mkdir()
