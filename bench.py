@@ -90,8 +90,28 @@ def main() -> None:
         next(iter(queries.values()))(spark, sf_dir).collect()
     except Exception:
         pass
+    # Interleaved ambient probes (r10 advice #2): the pre-sweep
+    # calibration can miss contention that arrives DURING the sweep
+    # (r10: calibration got FASTER while every query drifted +0.05-0.1 s
+    # — only a SCALE.md note could say "ambient"). A 1/10-length sample
+    # of the SAME fixed loop every ~10 queries makes the sweep carry its
+    # own drift record: ambient_sweep_ratio vs the r7 anchor, and a
+    # second normalized total computed against the DURING-sweep ambient.
+    probe_samples: list[float] = []
+
+    def _ambient_probe() -> None:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(200_000):
+            x = (x * 1103515245 + i) & 0xFFFFFFFF
+        probe_samples.append((time.perf_counter() - t0) * 10)
+
+    timings_min: dict[str, float] = {}
+    _ambient_probe()
+    probe_samples.clear()  # first run absorbs interpreter warmup — discard
+    _ambient_probe()
     t_all = time.perf_counter()
-    for name, fn in queries.items():
+    for qi, (name, fn) in enumerate(queries.items()):
         runs: list[float] = []
         for _ in range(REPS):
             t0 = time.perf_counter()
@@ -106,11 +126,25 @@ def main() -> None:
         if runs:
             runs.sort()
             timings[name] = round(runs[len(runs) // 2], 3)
+            timings_min[name] = round(runs[0], 3)
             spread[name] = round(runs[-1] - runs[0], 3)
+        if qi % 10 == 9:
+            _ambient_probe()
+    _ambient_probe()
     wall = round(time.perf_counter() - t_all, 3)
+    # Parallel anchor AFTER the sweep too: pre/post bracket multi-core
+    # contention the single-thread probes cannot see.
+    calib_par_post = _calibration_par_sec(spark)
+    amb_sorted = sorted(probe_samples)
+    amb_med = amb_sorted[len(amb_sorted) // 2]
+    ambient_ratio = round(amb_med / R7_CALIBRATION_SEC, 3)
+    ambient_spread = round(
+        (amb_sorted[-1] - amb_sorted[0]) / amb_med, 3
+    ) if amb_med else None
     # `value` is the sum of per-query medians so it (a) equals the sum of
     # the `queries` map and (b) is load-robust; raw wall is in the detail.
     total = round(sum(timings.values()), 3)
+    total_min = round(sum(timings_min.values()), 3)
 
     try:
         pipeline = bench_pipelines(spark, sf_dir)
@@ -146,6 +180,14 @@ def main() -> None:
     # The r7 anchors were measured at sf0.1; normalizing any other sf
     # against them would print a confidently wrong cross-sf ratio.
     norm = _normalize_vs_r7(calibration, short_queries) if sf == 0.1 else {}
+    # The same normalization against the DURING-sweep ambient: when
+    # norm_total_r7 moves but norm_total_r7_amb stays ~1.0, the move is
+    # ambient drift the interleaved probes measured, not code.
+    norm_amb = (
+        _normalize_vs_r7(round(amb_med, 3), short_queries)
+        if sf == 0.1
+        else {}
+    )
 
     # Full payload to a detail file the judge can read directly.
     detail = {
@@ -156,8 +198,15 @@ def main() -> None:
         "wall_sec": wall,
         "calibration_sec": calibration,
         "calib_par_sec": calib_par,
+        "calib_par_post_sec": calib_par_post,
+        "calib_sweep_samples": [round(x, 3) for x in probe_samples],
+        "ambient_sweep_ratio_r7": ambient_ratio,
+        "ambient_sweep_spread": ambient_spread,
+        "total_min_sec": total_min,
         **norm,
+        "norm_total_r7_amb": norm_amb.get("normalized_total_ratio_vs_r7"),
         "queries": timings,
+        "queries_min": timings_min,
         "spread": spread,
         "rows_out": rows_out,
         "errors": errors,
@@ -194,7 +243,8 @@ def main() -> None:
                     "admit10_batch_marginal_sec",
                     "admit_corpus_docs_per_sec", "cpar_sec", "error"),
         "scale100": ("full_sec", "full_rows_per_sec", "linear_ratio",
-                     "sparse_mor_sec", "nochange_sec", "compact_sec",
+                     "sparse_mor_sec", "nochange_sec", "nochange_min_sec",
+                     "compact_sec",
                      "cpar_sec", "cpar2_sec", "nochange_managed_sec",
                      "diff_green_sec", "diff_dirty_sec",
                      "sparse_managed_sec", "ivm_build_sec",
@@ -220,6 +270,10 @@ def main() -> None:
         "calib_ratio_r7": norm.get("calibration_ratio_vs_r7"),
         "norm_total_r7": norm.get("normalized_total_ratio_vs_r7"),
         "norm_median_r7": norm.get("normalized_median_ratio_vs_r7"),
+        "ambient_r7": ambient_ratio,
+        "ambient_spread": ambient_spread,
+        "norm_total_r7_amb": norm_amb.get("normalized_total_ratio_vs_r7"),
+        "total_min_sec": total_min,
         "queries": short_queries,
         "errors": errors,
         "pipeline": short_pipeline,
@@ -573,16 +627,23 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
 
         ivm_secs = []
         n_pairs = 0
+        tracker = spark.sparkContext.statusTracker()
         for step in (1, 2, 3):
             merge_upsert_mor(
                 spark, ivm_sparse_of(step), mtarget, ["l_key"], num_buckets=256
             )
+            before_jobs = set(tracker.getJobIdsForGroup() or [])
             t0 = time.perf_counter()
             rv = refresh_join_view(spark, view_t)
             ivm_secs.append(time.perf_counter() - t0)
+            n_jobs = len(set(tracker.getJobIdsForGroup() or []) - before_jobs)
             n_pairs += int(rv.get("upserts", 0))
         out["ivm_join_refresh_sec"] = round(sorted(ivm_secs)[1], 3)
         out["ivm_join_refresh_pairs"] = n_pairs
+        # the zero-job driver path is the steady state being measured —
+        # record which path ran and its Spark-job count (0 = driver)
+        out["ivm_join_refresh_path"] = rv.get("path", "spark")
+        out["ivm_join_refresh_jobs"] = n_jobs
         t0 = time.perf_counter()
         build_join_view(
             spark, mtarget, omor, view_t,
@@ -1159,6 +1220,7 @@ def _scale100_child(base_rate: int, work: str) -> dict:
             out["nochange_anomaly"] = anomaly
         out["nochange_sec"] = round(sorted(nc_secs)[1], 3)
         out["nochange_min_sec"] = round(min(nc_secs), 3)
+        out["nochange_secs"] = [round(x, 3) for x in nc_secs]
 
         # ---- managed-replica pair: the engine-to-engine green path ----
         # A byte-identical copy (copy2 preserves mtime_ns, so the copied
@@ -1266,6 +1328,7 @@ def _scale100_child(base_rate: int, work: str) -> dict:
         rv = refresh_join_view(spark, view_t)
         out["ivm_refresh_sec"] = round(time.perf_counter() - t0, 3)
         out["ivm_refresh_changed"] = int(rv.get("a_changes", -1))
+        out["ivm_refresh_path"] = rv.get("path", "spark")
         shutil.rmtree(view_t, ignore_errors=True)
         shutil.rmtree(dim_t, ignore_errors=True)
 
