@@ -721,16 +721,21 @@ def _probe_map(
     kinds: dict,
     as_of: int,
     jvm,
+    key_cols: list[str],
 ) -> dict:
     """Point-read the key-joined big side: the probed join values ARE its
-    primary key, so each value is one normalized-key lookup. Returns
-    canonical-join-tuple → row (≤1 per value by key uniqueness)."""
+    primary key, so each value is one normalized-key lookup. The lookup
+    key is composited in the TARGET's ``key_cols`` declaration order
+    (what its stored ``_cdc_key`` was built with), which may differ from
+    the join-pair order. Returns canonical-join-tuple → row (≤1 per
+    value by key uniqueness)."""
     from presencia_etl_spark.functions import driver_parity as dp
     from presencia_etl_spark.sinks import driver_mor as dm
 
-    on_kinds = [kinds[c] for c in on_cols]
+    order = [on_cols.index(k) for k in key_cols]
+    key_kinds = [kinds[k] for k in key_cols]
     keys = {
-        dp.composite_key(list(v), on_kinds, jvm): v
+        dp.composite_key([v[i] for i in order], key_kinds, jvm): v
         for v in values
         if all(x is not None for x in v)
     }
@@ -817,6 +822,7 @@ def _refresh_driver(
             b_kinds,
             hb["seq"],
             jvm,
+            meta["b_key_cols"],
         )
         for r, w in da:
             jv = tuple(r[c] for c in a_on)
@@ -845,6 +851,7 @@ def _refresh_driver(
             a_kinds,
             a_since,  # A at the OLD snapshot, per the algebra
             jvm,
+            meta["a_key_cols"],
         )
         for r, w in db:
             jv = tuple(r[c] for c in b_on)

@@ -249,11 +249,172 @@ def refresh_join_view_nway(spark: SparkSession, view_path: str) -> dict:
         delta_bytes_in_range(s["path"], o, n)
         for s, o, n in zip(srcs, old, new)
     )
+    from presencia_etl_spark.plans.incremental_join import (
+        DRIVER_DELTA_MAX_BYTES,
+        _driver_trickle_enabled,
+    )
+
+    if pending <= DRIVER_DELTA_MAX_BYTES and _driver_trickle_enabled():
+        from presencia_etl_spark.sinks.driver_mor import DriverDecline
+
+        try:
+            r = _refresh_driver_nway(view_path, meta, old, new, spark._jvm)
+            if r.pop("compaction_due", False):
+                from presencia_etl_spark.sinks.mor import compact_mor
+
+                compact_mor(
+                    spark,
+                    view_path,
+                    keep_last=meta.get("compact_keep_last", 0),
+                )
+            return r
+        except DriverDecline:
+            pass  # shape/type outside the exact driver path — Spark path
     if pending <= TRICKLE_DELTA_MAX_BYTES:
         with trickle_scope(spark):
             return _refresh_nway_inner(spark, view_path, meta, old, new)
     with corpus_section():
         return _refresh_nway_inner(spark, view_path, meta, old, new)
+
+
+def _refresh_driver_nway(
+    view_path: str, meta: dict, old: list, new: list, jvm=None
+) -> dict:
+    """The N-way zero-job steady state: every term assembled on the
+    driver — signed deltas via pyarrow, each graph neighbor point-read
+    by its primary key (required: every crossing edge's far-side columns
+    ARE that source's key — the star/chain FK→PK shape), net landed as
+    one atomic mixed merge. Raises ``DriverDecline`` outside that shape
+    (the Spark term assembly below covers it)."""
+    from presencia_etl_spark.functions import driver_parity as dp
+    from presencia_etl_spark.plans.incremental_join import (
+        _canon_row,
+        _driver_signed,
+        _probe_map,
+        _repr_row,
+    )
+    from presencia_etl_spark.sinks import driver_mor as dm
+    from presencia_etl_spark.sinks.mor import KEY_PUSHDOWN_LIMIT
+
+    srcs = meta["sources"]
+    kinds = [dm.table_kinds(s["path"]) for s in srcs]
+    edges = _all_edges(meta)
+    for i, j, ci, cj in edges:
+        if kinds[i][ci] != kinds[j][cj]:
+            raise dm.DriverDecline(
+                f"edge ({ci}, {cj}) differs in type — Spark-side coercion "
+                "isn't reproduced here"
+            )
+    deltas: dict[int, list] = {}
+    ns: dict[int, int] = {}
+    for idx, s in enumerate(srcs):
+        if new[idx] > old[idx]:
+            signed, n = _driver_signed(s["path"], old[idx], new[idx])
+            if n:
+                deltas[idx] = signed
+                ns[idx] = n
+    if sum(ns.values()) > min(KEY_PUSHDOWN_LIMIT, dm.DRIVER_BATCH_MAX_KEYS):
+        raise dm.DriverDecline("change set exceeds the pushdown bound")
+
+    view_cols = [c for s in srcs for c in s["cols"]]
+    key_cols = [c for s in srcs for c in s["key_cols"]]
+    net: dict[tuple, int] = {}
+    reps: dict[tuple, tuple] = {}
+    for i, signed in deltas.items():
+        assembled = [
+            ({c: r[c] for c in srcs[i]["cols"]}, w) for r, w in signed
+        ]
+        joined_nodes = {i}
+        remaining = set(range(len(srcs))) - joined_nodes
+        while remaining and assembled:
+            cand = None
+            for j in sorted(remaining):
+                js = [
+                    (a, b, ca, cb)
+                    for (a, b, ca, cb) in edges
+                    if (a == j and b in joined_nodes)
+                    or (b == j and a in joined_nodes)
+                ]
+                if js:
+                    cand = (j, js)
+                    break
+            if cand is None:
+                raise ValueError("join graph became disconnected")
+            j, js = cand
+            pairs = [
+                (cb, ca) if a == j else (ca, cb) for a, b, ca, cb in js
+            ]
+            if set(p[1] for p in pairs) != set(srcs[j]["key_cols"]):
+                raise dm.DriverDecline(
+                    f"source {j} is not key-joined; honest scan needed"
+                )
+            as_of = new[j] if j < i else old[j]
+            on_cols = [p[1] for p in pairs]
+            vals = {
+                tuple(row[fc] for fc, _jc in pairs)
+                for row, _w in assembled
+            }
+            jmap = _probe_map(
+                srcs[j]["path"],
+                on_cols,
+                vals,
+                kinds[j],
+                as_of,
+                jvm,
+                srcs[j]["key_cols"],
+            )
+            nxt = []
+            for row, w in assembled:
+                jv = tuple(row[fc] for fc, _jc in pairs)
+                if any(x is None for x in jv):
+                    continue  # inner join: NULL components never match
+                hit = jmap.get(_canon_row(jv))
+                if hit is not None:
+                    merged = dict(row)
+                    merged.update({c: hit[c] for c in srcs[j]["cols"]})
+                    nxt.append((merged, w))
+            assembled = nxt
+            joined_nodes.add(j)
+            remaining.discard(j)
+        for row, w in assembled:
+            vals = tuple(row[c] for c in view_cols)
+            ck = _canon_row(vals)
+            net[ck] = net.get(ck, 0) + w
+            if ck not in reps:
+                reps[ck] = _repr_row(vals)
+
+    ups = [dict(zip(view_cols, reps[ck])) for ck, w in net.items() if w > 0]
+    vkinds = dm.table_kinds(view_path)
+    kidx = [view_cols.index(c) for c in key_cols]
+    kkinds = [vkinds[c] for c in key_cols]
+    dels = [
+        dp.composite_key([reps[ck][i] for i in kidx], kkinds, jvm)
+        for ck, w in net.items()
+        if w < 0
+    ]
+    out = {
+        "mode": "incremental",
+        "seqs": new,
+        "changes": dict(ns),
+        "upserts": 0,
+        "deletes": 0,
+        "path": "driver",
+        "compaction_due": False,
+    }
+    if ups or dels:
+        r = dm.trickle_merge(
+            view_path,
+            ups,
+            key_cols,
+            delete_keys=dels,
+            compact_every=meta.get("compact_every", 16),
+            jvm=jvm,
+        )
+        out["upserts"] = int(r["insert"]) + int(r["update"])
+        out["deletes"] = int(r["delete"])
+        out["compaction_due"] = bool(r.get("compaction_due"))
+    _write_meta(view_path, {**meta, "seqs": new})
+    return out
 
 
 def _refresh_nway_inner(

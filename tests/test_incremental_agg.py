@@ -65,7 +65,9 @@ def _canon(df):
         vals = []
         for c in sorted(df.columns):
             v = r[c]
-            vals.append(round(v, 6) if isinstance(v, float) else v)
+            # + 0.0 folds -0.0 into 0.0: grouping-normalized refresh
+            # output vs raw recompute would otherwise str-sort apart
+            vals.append(round(v, 6) + 0.0 if isinstance(v, float) else v)
         out.append(tuple(vals))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 

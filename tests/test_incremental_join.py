@@ -97,7 +97,9 @@ def _canon(df):
         vals = []
         for c in sorted(df.columns):
             v = r[c]
-            vals.append(round(v, 6) if isinstance(v, float) else v)
+            # + 0.0 folds -0.0 into 0.0: grouping-normalized refresh
+            # output vs raw recompute would otherwise str-sort apart
+            vals.append(round(v, 6) + 0.0 if isinstance(v, float) else v)
         out.append(tuple(vals))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
@@ -1185,4 +1187,52 @@ class TestRefreshCli:
         assert rv["mode"] == "incremental" and rv["upserts"] == 5
         ra = run(["refresh-agg", "--agg", agg, "--source", v])
         assert ra["mode"] == "incremental" and ra["changed_rows"] == 5
+        _assert_matches_recompute(spark, v)
+
+
+class TestCompositeKeyProbeOrder:
+    def test_driver_probe_respects_key_declaration_order(
+        self, spark, tmp_path
+    ):
+        """Regression: the driver path's point probe must composite the
+        lookup key in the TARGET's key_cols order, not the join-pair
+        declaration order — here the `on` pairs are deliberately
+        REVERSED relative to b_key_cols."""
+        a, b = str(tmp_path / "cf"), str(tmp_path / "cd")
+        facts = [(i, f"x{i % 3}", f"y{i % 2}", float(i)) for i in range(30)]
+        mor.merge_upsert_mor(
+            spark,
+            spark.createDataFrame(
+                facts, "f_id long, f_k1 string, f_k2 string, f_amt double"
+            ),
+            a, ["f_id"], num_buckets=4, compact_every=None,
+        )
+        dims = [
+            (f"x{i}", f"y{j}", f"n{i}{j}") for i in range(3) for j in range(2)
+        ]
+        mor.merge_upsert_mor(
+            spark,
+            spark.createDataFrame(dims, "d_k1 string, d_k2 string, d_name string"),
+            b, ["d_k1", "d_k2"], num_buckets=4, compact_every=None,
+        )
+        v = str(tmp_path / "cview")
+        ij.build_join_view(
+            spark, a, b, v,
+            on=[("f_k2", "d_k2"), ("f_k1", "d_k1")],  # reversed vs keys
+            a_key_cols=["f_id"], b_key_cols=["d_k1", "d_k2"],
+            a_cols=["f_id", "f_k1", "f_k2", "f_amt"],
+            b_cols=["d_k1", "d_k2", "d_name"],
+            num_buckets=4, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark,
+            spark.createDataFrame(
+                [(2, "x1", "y0", 99.0), (50, "x0", "y1", 1.0)],
+                "f_id long, f_k1 string, f_k2 string, f_amt double",
+            ),
+            a, ["f_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental" and r.get("path") == "driver"
+        assert r["upserts"] == 2, "both changed facts must re-match"
         _assert_matches_recompute(spark, v)
