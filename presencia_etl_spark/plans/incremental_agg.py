@@ -333,7 +333,23 @@ def refresh_agg_snapshot(
             hll_cols,
         )
         return {**r, "mode": "rebuild"}
-    if delta_bytes_in_range(mor_path, since, cur) <= TRICKLE_DELTA_MAX_BYTES:
+    pending = delta_bytes_in_range(mor_path, since, cur)
+    from presencia_etl_spark.plans.incremental_join import (
+        DRIVER_DELTA_MAX_BYTES,
+        _driver_trickle_enabled,
+    )
+
+    if (
+        pending <= min(DRIVER_DELTA_MAX_BYTES, TRICKLE_DELTA_MAX_BYTES)
+        and _driver_trickle_enabled()
+    ):
+        from presencia_etl_spark.sinks.driver_mor import DriverDecline
+
+        try:
+            return _refresh_agg_driver(mor_path, agg_path, meta, since, cur)
+        except DriverDecline:
+            pass  # shape outside the exact driver fold — Spark path
+    if pending <= TRICKLE_DELTA_MAX_BYTES:
         with trickle_scope(spark):
             return _refresh_agg_snapshot_inner(
                 spark, mor_path, agg_path, meta, since, cur, group_cols,
@@ -348,6 +364,240 @@ def refresh_agg_snapshot(
             spark, mor_path, agg_path, meta, since, cur, group_cols,
             sum_cols, minmax_cols, hll_cols,
         )
+
+
+# Driver fast-path bounds: the pending change feed must be KB-sized AND
+# the snapshot itself small enough to rewrite with one pyarrow pass.
+AGG_DRIVER_SNAPSHOT_MAX_BYTES = 32 << 20
+
+
+def _snapshot_bytes(agg_path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(_snap_path(agg_path)):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _cmp_lt(a, b):
+    """Spark-consistent ``a < b`` for minmax folds. Declines (raises)
+    where Python ordering could diverge from the JVM's: NaN doubles
+    (Spark orders NaN largest) and non-BMP strings (Java compares
+    UTF-16 code units, Python code points)."""
+    from presencia_etl_spark.sinks.driver_mor import DriverDecline
+
+    for v in (a, b):
+        if isinstance(v, float) and v != v:
+            raise DriverDecline("NaN ordering differs from the JVM")
+        if isinstance(v, str) and any(ord(ch) > 0xFFFF for ch in v):
+            raise DriverDecline("non-BMP string ordering differs from JVM")
+    return a < b
+
+
+def _refresh_agg_driver(
+    mor_path: str,
+    agg_path: str,
+    meta: dict,
+    since: int,
+    cur: int,
+) -> dict:
+    """The aggregate rung's zero-job steady state: the change feed and
+    the retraction point-reads come from pyarrow, the COUNT/SUM/nn (and
+    monotone MIN/MAX) folds run in Python, and the (small) snapshot is
+    rewritten through the same journaled swap as the Spark path. Raises
+    ``DriverDecline`` — caller falls back to the Spark fold — for:
+    oversized feeds/snapshots, HLL columns (the sketch algebra lives in
+    the JVM), a retraction that could DISPLACE a stored extreme (needs
+    the per-group recompute), NaN/non-BMP minmax orderings, and
+    unsupported column types. Float SUMs may differ from the Spark fold
+    in the last ulp (addition order), exactly as two Spark runs may —
+    the documented incremental-float-SUM contract."""
+    from presencia_etl_spark.sinks import driver_mor as dm
+    from presencia_etl_spark.sinks.driver_mor import DriverDecline
+
+    group_cols = meta["group_cols"]
+    sum_cols = meta["sum_cols"]
+    minmax_cols = meta.get("minmax_cols", [])
+    if meta.get("hll_cols"):
+        raise DriverDecline("HLL sketch folds need the JVM")
+    if _snapshot_bytes(agg_path) > AGG_DRIVER_SNAPSHOT_MAX_BYTES:
+        raise DriverDecline("snapshot too large for a driver rewrite")
+    dm.table_kinds(mor_path)  # raises on unsupported source column types
+
+    feed = dm.latest_per_key(dm.read_delta_range_rows(mor_path, since, cur))
+    if len(feed) > dm.DRIVER_BATCH_MAX_KEYS:
+        raise DriverDecline("change set exceeds the driver bound")
+    n_changes = len(feed)
+    mpath = os.path.join(_snap_path(agg_path), META_FILE)
+    if n_changes == 0:
+        with open(mpath + ".tmp", "w") as fh:
+            json.dump({**meta, "as_of_seq": cur}, fh)
+        os.replace(mpath + ".tmp", mpath)
+        return {
+            "mode": "incremental", "as_of_seq": cur, "changed_rows": 0,
+            "path": "driver",
+        }
+    old = dm.read_live_rows_for_keys(mor_path, list(feed), as_of_seq=since)
+
+    def _gkey(row):
+        return tuple(
+            _nz(row.get(g)) for g in group_cols
+        )
+
+    def _nz(v):
+        if isinstance(v, float):
+            if v != v:
+                return "\x00__nan__"
+            if v == 0.0:
+                return 0.0
+        return v
+
+    # per-group deltas: [count, {c: (dsum, dnn)}, {c: (ins_min, ins_max)}]
+    delta: dict[tuple, list] = {}
+
+    def _acc(row, w):
+        k = _gkey(row)
+        d = delta.get(k)
+        if d is None:
+            d = [0, {c: [0.0, 0] for c in sum_cols},
+                 {c: [None, None] for c in minmax_cols}]
+            delta[k] = d
+        d[0] += w
+        for c in sum_cols:
+            x = row.get(c)
+            if x is not None:
+                d[1][c][0] += w * float(x)
+                d[1][c][1] += w
+        for c in minmax_cols:
+            x = row.get(c)
+            if x is None:
+                continue
+            if w > 0:
+                mnmx = d[2][c]
+                if mnmx[0] is None or _cmp_lt(x, mnmx[0]):
+                    mnmx[0] = x
+                if mnmx[1] is None or _cmp_lt(mnmx[1], x):
+                    mnmx[1] = x
+        return k
+
+    touched: set[tuple] = set()
+    retr: dict[tuple, dict] = {}  # group -> {col: [ret_min, ret_max]}
+    for r in feed.values():
+        if not r[DELETED_COL]:
+            touched.add(_acc(r, 1))
+    for r in old.values():
+        k = _acc(r, -1)
+        touched.add(k)
+        for c in minmax_cols:
+            x = r.get(c)
+            if x is None:
+                continue
+            g = retr.setdefault(k, {})
+            mn = g.setdefault(c, [None, None])
+            if mn[0] is None or _cmp_lt(x, mn[0]):
+                mn[0] = x
+            if mn[1] is None or _cmp_lt(mn[1], x):
+                mn[1] = x
+
+    # snapshot rewrite: pyarrow read, python fold, journaled swap
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    snap_files = [
+        os.path.join(root, f)
+        for root, _d, fs in os.walk(_snap_path(agg_path))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    if not snap_files:
+        raise DriverDecline("no snapshot parquet files")
+    tbl = pads.dataset(snap_files, format="parquet").to_table()
+    sch = pq.read_schema(snap_files[0]).remove_metadata()
+    names = list(tbl.schema.names)
+    rows = [dict(zip(names, vals)) for vals in zip(*[
+        tbl.column(n).to_pylist() for n in names
+    ])] if tbl.num_rows else []
+
+    out_rows = []
+    seen: set[tuple] = set()
+    for row in rows:
+        k = _gkey(row)
+        if k not in delta:
+            out_rows.append(row)
+            continue
+        seen.add(k)
+        d = delta[k]
+        # retraction displacement check: a retracted extreme that ties
+        # or beats the stored one needs the Spark recompute path
+        for c, mn in retr.get(k, {}).items():
+            lo, hi = row.get(_min_name(c)), row.get(_max_name(c))
+            if mn[0] is not None and (lo is None or not _cmp_lt(lo, mn[0])):
+                raise DriverDecline("retraction may displace a stored MIN")
+            if mn[1] is not None and (hi is None or not _cmp_lt(mn[1], hi)):
+                raise DriverDecline("retraction may displace a stored MAX")
+        new = dict(row)
+        new[COUNT_COL] = row[COUNT_COL] + d[0]
+        if new[COUNT_COL] <= 0:
+            continue  # group emptied
+        for c in sum_cols:
+            nn = row[_nn_name(c)] + d[1][c][1]
+            s = (row[_sum_name(c)] or 0.0) + d[1][c][0]
+            new[_nn_name(c)] = nn
+            new[_sum_name(c)] = s if nn > 0 else None
+        for c in minmax_cols:
+            imn, imx = delta[k][2][c]
+            lo, hi = row.get(_min_name(c)), row.get(_max_name(c))
+            if imn is not None and (lo is None or _cmp_lt(imn, lo)):
+                new[_min_name(c)] = imn
+            if imx is not None and (hi is None or _cmp_lt(hi, imx)):
+                new[_max_name(c)] = imx
+        out_rows.append(new)
+    for k, d in delta.items():
+        if k in seen or d[0] <= 0:
+            continue  # brand-new groups only ever have +rows
+        new = {
+            g: (float("nan") if v == "\x00__nan__" else v)
+            for g, v in zip(group_cols, k)
+        }
+        new[COUNT_COL] = d[0]
+        for c in sum_cols:
+            nn = d[1][c][1]
+            new[_nn_name(c)] = nn
+            new[_sum_name(c)] = d[1][c][0] if nn > 0 else None
+        for c in minmax_cols:
+            new[_min_name(c)], new[_max_name(c)] = d[2][c]
+        out_rows.append(new)
+
+    def write_staged(staged: str) -> None:
+        os.makedirs(staged, exist_ok=True)
+        data = {n: [r.get(n) for r in out_rows] for n in sch.names}
+        pq.write_table(
+            pa.Table.from_pydict(data, schema=sch),
+            os.path.join(staged, "part-00000.parquet"),
+            use_deprecated_int96_timestamps=True,
+            compression="snappy",
+        )
+        with open(os.path.join(staged, META_FILE + ".tmp"), "w") as fh:
+            json.dump({**meta, "as_of_seq": cur}, fh)
+        os.replace(
+            os.path.join(staged, META_FILE + ".tmp"),
+            os.path.join(staged, META_FILE),
+        )
+
+    _swap_in(agg_path, write_staged)
+    return {
+        "mode": "incremental",
+        "as_of_seq": cur,
+        "changed_rows": n_changes,
+        "dirty_buckets": len({r.get(BUCKET_COL) for r in feed.values()}),
+        # a successful driver fold is by definition non-displacing
+        "minmax_recomputed_groups": 0,
+        "path": "driver",
+    }
 
 
 def _refresh_agg_snapshot_inner(

@@ -634,7 +634,10 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> dict:
     pending = delta_bytes_in_range(
         meta["a_path"], a_since, ha["seq"]
     ) + delta_bytes_in_range(meta["b_path"], b_since, hb["seq"])
-    if pending <= DRIVER_DELTA_MAX_BYTES and _driver_trickle_enabled():
+    if (
+        pending <= min(DRIVER_DELTA_MAX_BYTES, TRICKLE_DELTA_MAX_BYTES)
+        and _driver_trickle_enabled()
+    ):
         from presencia_etl_spark.sinks.driver_mor import DriverDecline
 
         try:

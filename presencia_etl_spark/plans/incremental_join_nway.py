@@ -254,7 +254,10 @@ def refresh_join_view_nway(spark: SparkSession, view_path: str) -> dict:
         _driver_trickle_enabled,
     )
 
-    if pending <= DRIVER_DELTA_MAX_BYTES and _driver_trickle_enabled():
+    if (
+        pending <= min(DRIVER_DELTA_MAX_BYTES, TRICKLE_DELTA_MAX_BYTES)
+        and _driver_trickle_enabled()
+    ):
         from presencia_etl_spark.sinks.driver_mor import DriverDecline
 
         try:
