@@ -230,6 +230,7 @@ def main() -> None:
         "cdc_mutated_sec", "cdc_sparse_sec", "cdc_sparse_buckets_rewritten",
         "cdc_sparse_mor_sec", "agg_refresh_sec", "agg_recompute_sec",
         "ivm_join_refresh_sec", "ivm_join_rebuild_sec",
+        "nway3_native_refresh_sec", "nway3_chained_refresh_sec",
         "delete_sparse_mor_sec", "delete_sparse_cow_sec",
         "admit_batch_marginal_sec", "pack_batch_marginal_sec",
         "admit_e2e_marginal_sec", "admit_marginal_docs_per_sec", "error",
@@ -654,6 +655,85 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
             num_buckets=64,
         )
         out["ivm_join_rebuild_sec"] = round(time.perf_counter() - t0, 3)
+
+        # Native 3-way view vs the chained view-over-view construction
+        # (round 11): same star extended by customer — ONE state + one
+        # refresh per tick vs an intermediate pair state + two refreshes
+        # and double storage. The chained leg reuses view_t (just
+        # rebuilt above) as its pair state, so chained build cost =
+        # ivm_join_rebuild_sec + the extra build below.
+        from presencia_etl_spark.plans.incremental_join_nway import (
+            build_join_view_nway,
+        )
+
+        cmor = f"{work}/customer_mor"
+        merge_upsert_mor(
+            spark, read_table(spark, sf_dir, "customer"), cmor,
+            ["c_custkey"], num_buckets=32,
+        )
+        nview = f"{work}/nway_view"
+        t0 = time.perf_counter()
+        build_join_view_nway(
+            spark,
+            [
+                {"path": mtarget, "key_cols": ["l_key"],
+                 "cols": ["l_key", "l_orderkey", "l_quantity"]},
+                {"path": omor, "key_cols": ["o_orderkey"],
+                 "cols": ["o_orderkey", "o_custkey"],
+                 "on": [("l_orderkey", "o_orderkey")]},
+                {"path": cmor, "key_cols": ["c_custkey"],
+                 "cols": ["c_custkey", "c_mktsegment"],
+                 "on": [("o_custkey", "c_custkey")]},
+            ],
+            nview, num_buckets=64, compact_every=None,
+        )
+        out["nway3_native_build_sec"] = round(time.perf_counter() - t0, 3)
+        chain_t = f"{work}/chain_view"
+        t0 = time.perf_counter()
+        build_join_view(
+            spark, view_t, cmor, chain_t,
+            on=[("o_custkey", "c_custkey")],
+            a_key_cols=["l_key", "o_orderkey"], b_key_cols=["c_custkey"],
+            a_cols=["l_key", "l_orderkey", "l_quantity", "l_returnflag",
+                    "o_orderkey", "o_custkey", "o_totalprice"],
+            b_cols=["c_custkey", "c_mktsegment"],
+            num_buckets=64, compact_every=None,
+        )
+        out["nway3_chained_extra_build_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        nat_secs, chn_secs = [], []
+        for step in (4, 5, 6):
+            merge_upsert_mor(
+                spark, ivm_sparse_of(step), mtarget, ["l_key"],
+                num_buckets=256,
+            )
+            t0 = time.perf_counter()
+            rn = refresh_join_view(spark, nview)
+            nat_secs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            refresh_join_view(spark, view_t)
+            refresh_join_view(spark, chain_t)
+            chn_secs.append(time.perf_counter() - t0)
+        out["nway3_native_refresh_sec"] = round(sorted(nat_secs)[1], 3)
+        out["nway3_chained_refresh_sec"] = round(sorted(chn_secs)[1], 3)
+        out["nway3_native_refresh_path"] = rn.get("path", "spark")
+
+        def _du(p: str) -> int:
+            total = 0
+            for root, _d, fs in os.walk(p):
+                for f in fs:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        out["nway3_native_bytes"] = _du(nview)
+        out["nway3_chained_bytes"] = _du(view_t) + _du(chain_t)
+        shutil.rmtree(nview, ignore_errors=True)
+        shutil.rmtree(chain_t, ignore_errors=True)
+        shutil.rmtree(cmor, ignore_errors=True)
 
         # Sparse row-level delete (the GDPR-erasure / TTL shape): key-set
         # tombstone delete through the MOR path — O(matches) write, zero
