@@ -409,3 +409,63 @@ class TestConsumerLagSizedCompaction:
             for row in spark.read.parquet(sink).collect()
         }
         assert got == {("3", 1): "m1", ("4", 2): "m2", ("5", 3): "m3"}
+
+
+class TestDriverMicroBatch:
+    def test_tiny_batch_driver_merge_matches_spark(self, spark, tmp_path):
+        """A KB-sized micro-batch applies through the driver merge
+        (collect + zero-job trickle_merge) and produces the same state
+        a Spark-path twin gets; oversized/duplicate-key/absent-state
+        shapes decline."""
+        from presencia_etl_spark.operators import cdc
+        from presencia_etl_spark.sinks.mor import merge_upsert_mor, read_mor
+        from presencia_etl_spark.streaming import micro_batch as mb
+
+        t1, t2 = str(tmp_path / "drv"), str(tmp_path / "spk")
+        base = spark.createDataFrame(
+            [(i, f"t{i % 4}", float(i)) for i in range(200)],
+            "event_id long, event_type string, v double",
+        )
+        for t in (t1, t2):
+            merge_upsert_mor(spark, base, t, ["event_id"], num_buckets=8,
+                             compact_every=None)
+        batch = spark.createDataFrame(
+            [(5, "mut", 9.5), (500, "new", 1.0)],
+            "event_id long, event_type string, v double",
+        )
+        # absent state declines (returns False)
+        assert not mb._try_driver_micro_merge(
+            spark, batch, str(tmp_path / "nope"), ["event_id"]
+        )
+        assert mb._try_driver_micro_merge(spark, batch, t1, ["event_id"])
+        merge_upsert_mor(spark, batch, t2, ["event_id"], digest_prune=False,
+                         compact_every=None)
+        v1 = {
+            r["event_id"]: (r["event_type"], r["row_hash"])
+            for r in read_mor(spark, t1).collect()
+        }
+        v2 = {
+            r["event_id"]: (r["event_type"], r["row_hash"])
+            for r in read_mor(spark, t2).collect()
+        }
+        assert v1 == v2 and v1[5][0] == "mut" and 500 in v1
+        d1 = cdc.state_digest(
+            read_mor(spark, t1).select(cdc.KEY_COL, "row_hash")
+        )
+        d2 = cdc.state_digest(
+            read_mor(spark, t2).select(cdc.KEY_COL, "row_hash")
+        )
+        assert d1 == d2
+        # duplicate keys within a batch decline to the Spark merge
+        dup = spark.createDataFrame(
+            [(7, "a", 1.0), (7, "b", 2.0)],
+            "event_id long, event_type string, v double",
+        )
+        assert not mb._try_driver_micro_merge(spark, dup, t1, ["event_id"])
+        # oversized batch declines before collecting everything
+        big = spark.range(mb.DRIVER_MICRO_BATCH_MAX_ROWS + 10).select(
+            F.col("id").alias("event_id"),
+            F.lit("x").alias("event_type"),
+            F.lit(0.5).alias("v"),
+        )
+        assert not mb._try_driver_micro_merge(spark, big, t1, ["event_id"])
