@@ -308,6 +308,60 @@ def replicate_changes(
         _write_replicate_cursor(target_path, hist["seq"])
         return {**r, "mode": "snapshot", "src_seq": hist["seq"]}
 
+    pending_bytes = delta_bytes_in_range(source_path, cursor, hist["seq"])
+    if (
+        pending_bytes <= (4 << 20)
+        and table_layout(target_path) == "mor"
+        and os.environ.get("SPARK_GRAFT_DRIVER_TRICKLE", "1") != "0"
+    ):
+        # KB-sized feed: the whole catch-up runs driver-side — pyarrow
+        # feed read, trusted stored hashes/keys (never recomputed over
+        # typed values), one atomic mixed delta — with NO SparkSession
+        # at all (``spark`` may stay None): the cron replication loop's
+        # steady state is a sub-second pure-Python process.
+        from presencia_etl_spark.sinks import driver_mor as dm
+
+        try:
+            feed_rows = dm.latest_per_key(
+                dm.read_delta_range_rows(source_path, cursor, hist["seq"])
+            )
+            if len(feed_rows) <= dm.DRIVER_BATCH_MAX_KEYS:
+                from presencia_etl_spark.operators import cdc as _cdc
+                from presencia_etl_spark.sinks.mor import (
+                    DELETED_COL as _DEL,
+                    SEQ_COL as _SEQ,
+                )
+
+                drop = {_SEQ, _DEL, "_kb", "id", "created_at", "updated_at"}
+                ups = [
+                    {c: v for c, v in r.items() if c not in drop}
+                    for r in feed_rows.values()
+                    if not r[_DEL]
+                ]
+                dels = [
+                    r[_cdc.KEY_COL]
+                    for r in feed_rows.values()
+                    if r[_DEL]
+                ]
+                r = dm.trickle_merge(
+                    target_path, ups, key_cols, delete_keys=dels
+                )
+                if r.get("compaction_due"):
+                    if spark is None:
+                        from presencia_etl_spark.session import get_spark
+
+                        spark = get_spark(app_name="replicate-changes")
+                        spark.sparkContext.setLogLevel("ERROR")
+                    from presencia_etl_spark.sinks.mor import compact_mor
+
+                    compact_mor(spark, target_path)
+                    r["compacted"] = True
+                _write_replicate_cursor(target_path, hist["seq"])
+                r.pop("compaction_due", None)
+                return {**r, "mode": "feed", "src_seq": hist["seq"]}
+        except dm.DriverDecline:
+            pass  # outside the exact driver shape — the Spark feed apply
+
     if spark is None:
         from presencia_etl_spark.session import get_spark
 

@@ -378,7 +378,11 @@ def trickle_merge(
             and c not in (BUCKET_COL, cdc.KEY_COL, SEQ_COL, DELETED_COL)
         ]
         if upserts:
-            batch_cols = set(upserts[0])
+            # a batch may carry PRE-COMPUTED row_hash/_cdc_key (the
+            # replication feed: hashes were computed over the source's
+            # RAW strings and must be trusted, never recomputed over
+            # typed values — cdc_classify's trust rule)
+            batch_cols = set(upserts[0]) - {"row_hash", cdc.KEY_COL}
             if batch_cols != set(data_cols):
                 raise DriverDecline(
                     f"schema drift: batch columns {sorted(batch_cols)} != "
@@ -390,8 +394,12 @@ def trickle_merge(
         # hash + key + bucket, the Spark merge's `keyed` frame in Python
         staged = []
         for row in upserts:
-            k = dp.composite_key([row[c] for c in key_cols], key_kinds, jvm)
-            h = dp.row_hash_value(row, hcols, kinds, "sha256", jvm)
+            k = row.get(cdc.KEY_COL) or dp.composite_key(
+                [row[c] for c in key_cols], key_kinds, jvm
+            )
+            h = row.get("row_hash") or dp.row_hash_value(
+                row, hcols, kinds, "sha256", jvm
+            )
             staged.append((k, h, row))
         up_keys = {k for k, _h, _r in staged}
         if len(up_keys) < len(staged):

@@ -550,3 +550,75 @@ class TestReplicateChanges:
             assert _state(mor.read_mor(spark, r2)) == _state(
                 mor.read_mor(spark, src)
             )
+
+
+class TestSessionlessTrickleReplication:
+    def test_kb_feed_applies_without_any_spark_session(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The cron replication steady state: a KB-sized feed pass runs
+        entirely driver-side — pyarrow feed read, trusted stored hashes,
+        one atomic mixed delta — with spark=None and session creation
+        BLOCKED, proving no JVM is needed."""
+        from presencia_etl_spark import session as sess
+        from presencia_etl_spark.plans.replica_sync import replicate_changes
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        _seed_mor(spark, src, _docs(spark, 200))
+        replicate_changes(spark, src, dst, ["K"])
+        mor.merge_upsert_mor(
+            spark, _docs(spark, 203, salt="z", extra_mod=40), src, ["K"],
+            compact_every=None,
+        )
+        mor.delete_keys_mor(
+            spark, src, spark.createDataFrame([("7",)], "K string"), ["K"],
+            compact_every=None,
+        )
+
+        def _no_session(*a, **k):
+            raise AssertionError("driver feed pass must not start Spark")
+
+        monkeypatch.setattr(sess, "get_spark", _no_session)
+        r = replicate_changes(None, src, dst, ["K"])
+        monkeypatch.undo()
+        assert r["mode"] == "feed" and r.get("driver") is True
+        assert r["delete"] == 1 and (r["insert"] + r["update"]) > 0
+        assert _state(mor.read_mor(spark, dst)) == _state(
+            mor.read_mor(spark, src)
+        )
+        # idempotent replay: a second pass is a pure-fs noop
+        r2 = replicate_changes(None, src, dst, ["K"])
+        assert r2["mode"] == "noop"
+
+    def test_trusted_hashes_never_recomputed(self, spark, tmp_path):
+        """The feed pass must carry the source's STORED row hashes to
+        the replica verbatim (they were computed over raw pre-cast
+        strings; recomputing over typed values would change them and
+        reclassify everything). Pinned with sentinel hashes no renderer
+        would ever produce."""
+        from presencia_etl_spark.plans.replica_sync import replicate_changes
+
+        src = str(tmp_path / "hsrc")
+        dst = str(tmp_path / "hdst")
+        df = spark.createDataFrame(
+            [(str(i), f"v{i}", f"RAWHASH-{i}") for i in range(50)],
+            "K string, V string, row_hash string",
+        )
+        mor.merge_upsert_mor(spark, df, src, ["K"], num_buckets=4,
+                             compact_every=None)
+        replicate_changes(spark, src, dst, ["K"])
+        df2 = spark.createDataFrame(
+            [("3", "v3x", "RAWHASH-3x"), ("99", "new", "RAWHASH-99")],
+            "K string, V string, row_hash string",
+        )
+        mor.merge_upsert_mor(spark, df2, src, ["K"], compact_every=None)
+        r = replicate_changes(None, src, dst, ["K"])
+        assert r["mode"] == "feed" and r.get("driver") is True
+        got = {
+            row["K"]: row["row_hash"]
+            for row in mor.read_mor(spark, dst)
+            .filter(F.col("K").isin("3", "99"))
+            .collect()
+        }
+        assert got == {"3": "RAWHASH-3x", "99": "RAWHASH-99"}
