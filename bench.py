@@ -257,8 +257,8 @@ def main() -> None:
                      "compact_sec",
                      "cpar_sec", "cpar2_sec", "nochange_managed_sec",
                      "diff_green_sec", "diff_dirty_sec",
-                     "sparse_managed_sec", "ivm_build_sec",
-                     "ivm_refresh_sec", "error"),
+                     "sparse_managed_sec", "replicate_feed_sec",
+                     "ivm_build_sec", "ivm_refresh_sec", "error"),
     }
     short_pipeline = {k: pipeline[k] for k in TOP_KEYS if k in pipeline}
     for prefix, keys in SUB_KEYS.items():
@@ -1259,7 +1259,11 @@ def _scale100_child(base_rate: int, work: str) -> dict:
 
     from pyspark.sql import functions as F
 
-    from presencia_etl_spark.sinks.mor import compact_mor, merge_upsert_mor
+    from presencia_etl_spark.sinks.mor import (
+        compact_mor,
+        merge_upsert_mor,
+        mor_history,
+    )
 
     spark = get_spark(
         app_name="presencia-etl-bench-scale100",
@@ -1389,6 +1393,27 @@ def _scale100_child(base_rate: int, work: str) -> dict:
             out["sparse_managed_anomaly"] = {
                 k: int(rs.get(k, 0)) for k in ("insert", "update", "delete")
             }
+
+        # Log-shipping feed catch-up at 60M (round 11): with a cursor in
+        # place (the steady state), a sparse source merge replicates via
+        # the SESSIONLESS driver path — pyarrow feed read + trusted
+        # hashes + one atomic mixed delta, zero Spark jobs.
+        from presencia_etl_spark.plans.replica_sync import (
+            _write_replicate_cursor,
+            replicate_changes,
+        )
+
+        _write_replicate_cursor(replica, mor_history(target)["seq"])
+        merge_upsert_mor(spark, _sparse_mutation(df, 7), target, ["k"],
+                         num_buckets=256, compact_every=None)
+        t0 = time.perf_counter()
+        rr = replicate_changes(spark, target, replica, ["k"])
+        out["replicate_feed_sec"] = round(time.perf_counter() - t0, 3)
+        out["replicate_feed_path"] = (
+            "driver" if rr.get("driver") else rr.get("mode")
+        )
+        if rr.get("mode") != "feed":
+            out["replicate_feed_anomaly"] = str(rr)[:120]
         shutil.rmtree(replica, ignore_errors=True)
 
         # The JOIN-view rung at the biggest decade: materializing
