@@ -268,21 +268,42 @@ def cast_to_string(value, kind: str, jvm=None) -> str | None:
 # Java Double.parseDouble (for normalize_key's try_cast('double'))
 # --------------------------------------------------------------------------
 
-_DEC_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?[dDfF]?$")
+# re.ASCII: Java digits are '0'-'9' ONLY. Python's unicode-aware \d
+# matches e.g. Arabic-Indic '٣' (and float('٣') == 3.0), which
+# Java rejects — letting those through silently diverged the driver-path
+# _cdc_key/bucket/digest from the Spark path's raw-string key.
+_DEC_RE = re.compile(
+    r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?[dDfF]?$", re.ASCII
+)
 _HEX_RE = re.compile(
     r"^[+-]?0[xX]([0-9a-fA-F]+(\.[0-9a-fA-F]*)?|\.[0-9a-fA-F]+)"
-    r"[pP][+-]?\d+[dDfF]?$"
+    r"[pP][+-]?\d+[dDfF]?$",
+    re.ASCII,
 )
+
+
+def _java_trim(s: str) -> str:
+    """Java ``String.trim``: strip only chars <= U+0020. NOT unicode
+    whitespace — NBSP '\\u00a0' etc. stay, exactly as
+    ``Double.parseDouble`` sees them (Python ``str.strip()`` would eat
+    them and parse strings Java throws on)."""
+    b, e = 0, len(s)
+    while b < e and s[b] <= " ":
+        b += 1
+    while e > b and s[e - 1] <= " ":
+        e -= 1
+    return s[b:e]
 
 
 def java_parse_double(s: str) -> float | None:
     """``Double.parseDouble`` semantics (what Spark's string→double cast
-    runs): leading/trailing whitespace tolerated, optional d/D/f/F
-    suffix, hex floats, NO underscore separators (Python ``float``
-    accepts those — a parity trap). Returns None where Java throws.
+    runs): leading/trailing chars <= U+0020 trimmed (Java ``trim``, not
+    unicode whitespace), ASCII digits only, optional d/D/f/F suffix, hex
+    floats, NO underscore separators (Python ``float`` accepts those — a
+    parity trap). Returns None where Java throws.
     Infinity/NaN literals return their values (the normalize branch
     discards non-finite parses either way)."""
-    t = s.strip()
+    t = _java_trim(s)
     if not t:
         return None
     body = t[1:] if t[0] in "+-" else t

@@ -118,6 +118,10 @@ def _hll_name(col: str) -> str:
     return f"hll_{col}"
 
 
+def _kll_name(col: str) -> str:
+    return f"kll_{col}"
+
+
 def _max_name(col: str) -> str:
     return f"max_{col}"
 
@@ -126,6 +130,7 @@ def _agg_exprs(
     sum_cols: list[str],
     minmax_cols: list[str] | None = None,
     hll_cols: list[str] | None = None,
+    kll_cols: list[str] | None = None,
 ) -> list:
     """COUNT(*), and per sum column: SUM (float64) + the NON-NULL count
     that makes incremental SUM exact — SQL's SUM is NULL iff no non-null
@@ -138,7 +143,15 @@ def _agg_exprs(
     (``hll_sketch_agg``) — the MERGEABLE form of COUNT DISTINCT (the
     reference's A6 distinct-days): inserts fold by ``hll_union``,
     retractions flag the group for the same narrow recompute MIN/MAX
-    displacement pays (sketches are not invertible)."""
+    displacement pays (sketches are not invertible). Per kll column: a
+    Datasketches KLL sketch (``kll_sketch_agg_double`` over the value
+    cast to double) — the MERGEABLE form of quantiles/median (q41's
+    percentile family kept FRESH): inserts fold by pairwise
+    ``kll_sketch_merge_double``, retractions take the displaced-recompute
+    path, reads render ``apx_p50_<col>`` etc. Unlike HLL (deterministic
+    registers), KLL compaction is randomized, so the maintained
+    guarantee is estimate-level (exact below the sketch's k=200 items,
+    rank-error-bounded above), not byte-level."""
     exprs = [F.count(F.lit(1)).alias(COUNT_COL)]
     for c in sum_cols:
         exprs.append(F.sum(F.col(c).cast("double")).alias(_sum_name(c)))
@@ -148,6 +161,12 @@ def _agg_exprs(
         exprs.append(F.max(F.col(c)).alias(_max_name(c)))
     for c in hll_cols or []:
         exprs.append(F.hll_sketch_agg(F.col(c)).alias(_hll_name(c)))
+    for c in kll_cols or []:
+        exprs.append(
+            F.kll_sketch_agg_double(F.col(c).cast("double")).alias(
+                _kll_name(c)
+            )
+        )
     return exprs
 
 
@@ -157,9 +176,10 @@ def _full_aggregate(
     sum_cols: list[str],
     minmax_cols: list[str] | None = None,
     hll_cols: list[str] | None = None,
+    kll_cols: list[str] | None = None,
 ) -> DataFrame:
     return df.groupBy(*group_cols).agg(
-        *_agg_exprs(sum_cols, minmax_cols, hll_cols)
+        *_agg_exprs(sum_cols, minmax_cols, hll_cols, kll_cols)
     )
 
 
@@ -334,21 +354,16 @@ def refresh_agg_snapshot(
         )
         return {**r, "mode": "rebuild"}
     pending = delta_bytes_in_range(mor_path, since, cur)
-    from presencia_etl_spark.plans.incremental_join import (
-        DRIVER_DELTA_MAX_BYTES,
-        _driver_trickle_enabled,
+    from presencia_etl_spark.plans.incremental_join import DRIVER_DELTA_MAX_BYTES
+    from presencia_etl_spark.sinks import driver_mor as dm
+
+    r = dm.try_trickle(
+        lambda: _refresh_agg_driver(mor_path, agg_path, meta, since, cur),
+        pending_bytes=pending,
+        max_bytes=min(DRIVER_DELTA_MAX_BYTES, TRICKLE_DELTA_MAX_BYTES),
     )
-
-    if (
-        pending <= min(DRIVER_DELTA_MAX_BYTES, TRICKLE_DELTA_MAX_BYTES)
-        and _driver_trickle_enabled()
-    ):
-        from presencia_etl_spark.sinks.driver_mor import DriverDecline
-
-        try:
-            return _refresh_agg_driver(mor_path, agg_path, meta, since, cur)
-        except DriverDecline:
-            pass  # shape outside the exact driver fold — Spark path
+    if r is not None:
+        return r
     if pending <= TRICKLE_DELTA_MAX_BYTES:
         with trickle_scope(spark):
             return _refresh_agg_snapshot_inner(
@@ -391,9 +406,11 @@ def _cmp_lt(a, b):
 
     for v in (a, b):
         if isinstance(v, float) and v != v:
-            raise DriverDecline("NaN ordering differs from the JVM")
+            raise DriverDecline("NaN ordering differs from the JVM", reason="nan_order")
         if isinstance(v, str) and any(ord(ch) > 0xFFFF for ch in v):
-            raise DriverDecline("non-BMP string ordering differs from JVM")
+            raise DriverDecline(
+            "non-BMP string ordering differs from JVM", reason="nonbmp_order"
+        )
     return a < b
 
 
@@ -422,14 +439,18 @@ def _refresh_agg_driver(
     sum_cols = meta["sum_cols"]
     minmax_cols = meta.get("minmax_cols", [])
     if meta.get("hll_cols"):
-        raise DriverDecline("HLL sketch folds need the JVM")
+        raise DriverDecline("HLL sketch folds need the JVM", reason="hll")
     if _snapshot_bytes(agg_path) > AGG_DRIVER_SNAPSHOT_MAX_BYTES:
-        raise DriverDecline("snapshot too large for a driver rewrite")
+        raise DriverDecline(
+            "snapshot too large for a driver rewrite", reason="batch_too_big"
+        )
     dm.table_kinds(mor_path)  # raises on unsupported source column types
 
     feed = dm.latest_per_key(dm.read_delta_range_rows(mor_path, since, cur))
     if len(feed) > dm.DRIVER_BATCH_MAX_KEYS:
-        raise DriverDecline("change set exceeds the driver bound")
+        raise DriverDecline(
+            "change set exceeds the driver bound", reason="batch_too_big"
+        )
     n_changes = len(feed)
     mpath = os.path.join(_snap_path(agg_path), META_FILE)
     if n_changes == 0:
@@ -514,7 +535,7 @@ def _refresh_agg_driver(
         if f.endswith(".parquet")
     ]
     if not snap_files:
-        raise DriverDecline("no snapshot parquet files")
+        raise DriverDecline("no snapshot parquet files", reason="no_footers")
     tbl = pads.dataset(snap_files, format="parquet").to_table()
     sch = pq.read_schema(snap_files[0]).remove_metadata()
     names = list(tbl.schema.names)
@@ -536,9 +557,13 @@ def _refresh_agg_driver(
         for c, mn in retr.get(k, {}).items():
             lo, hi = row.get(_min_name(c)), row.get(_max_name(c))
             if mn[0] is not None and (lo is None or not _cmp_lt(lo, mn[0])):
-                raise DriverDecline("retraction may displace a stored MIN")
+                raise DriverDecline(
+                    "retraction may displace a stored MIN", reason="displacement"
+                )
             if mn[1] is not None and (hi is None or not _cmp_lt(mn[1], hi)):
-                raise DriverDecline("retraction may displace a stored MAX")
+                raise DriverDecline(
+                    "retraction may displace a stored MAX", reason="displacement"
+                )
         new = dict(row)
         new[COUNT_COL] = row[COUNT_COL] + d[0]
         if new[COUNT_COL] <= 0:

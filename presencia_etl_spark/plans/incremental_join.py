@@ -136,10 +136,6 @@ TRICKLE_DELTA_MAX_BYTES = 16 << 20
 # oversized change sets) fall through to the Spark path below.
 DRIVER_DELTA_MAX_BYTES = 4 << 20
 
-
-def _driver_trickle_enabled() -> bool:
-    return os.environ.get("SPARK_GRAFT_DRIVER_TRICKLE", "1") != "0"
-
 _INFRA = set(AUDIT_COLS) | {BUCKET_COL, cdc.KEY_COL, SEQ_COL, DELETED_COL}
 
 
@@ -634,26 +630,21 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> dict:
     pending = delta_bytes_in_range(
         meta["a_path"], a_since, ha["seq"]
     ) + delta_bytes_in_range(meta["b_path"], b_since, hb["seq"])
-    if (
-        pending <= min(DRIVER_DELTA_MAX_BYTES, TRICKLE_DELTA_MAX_BYTES)
-        and _driver_trickle_enabled()
-    ):
-        from presencia_etl_spark.sinks.driver_mor import DriverDecline
+    from presencia_etl_spark.sinks import driver_mor as dm
 
-        try:
-            r = _refresh_driver(view_path, meta, ha, hb, jvm=spark._jvm)
-            if r.pop("compaction_due", False):
-                from presencia_etl_spark.sinks.mor import compact_mor
+    def _compact() -> None:
+        from presencia_etl_spark.sinks.mor import compact_mor
 
-                compact_mor(
-                    spark,
-                    view_path,
-                    keep_last=meta.get("compact_keep_last", 0),
-                )
-                r["compacted"] = True
-            return r
-        except DriverDecline:
-            pass  # shape/type outside the exact driver path — Spark path
+        compact_mor(spark, view_path, keep_last=meta.get("compact_keep_last", 0))
+
+    r = dm.try_trickle(
+        lambda: _refresh_driver(view_path, meta, ha, hb, jvm=spark._jvm),
+        pending_bytes=pending,
+        max_bytes=min(DRIVER_DELTA_MAX_BYTES, TRICKLE_DELTA_MAX_BYTES),
+        on_compact=_compact,
+    )
+    if r is not None:
+        return r
     try:
         if pending <= TRICKLE_DELTA_MAX_BYTES:
             with trickle_scope(spark):
@@ -708,7 +699,9 @@ def _driver_signed(path: str, since: int, upto: int) -> tuple[list, int]:
     if n == 0:
         return [], 0
     if n > dm.DRIVER_BATCH_MAX_KEYS:
-        raise dm.DriverDecline("change set exceeds the driver bound")
+        raise dm.DriverDecline(
+            "change set exceeds the driver bound", reason="batch_too_big"
+        )
     signed = [
         (r, 1) for r in feed.values() if not r[DELETED_COL]
     ]
@@ -743,7 +736,9 @@ def _probe_map(
         if all(x is not None for x in v)
     }
     if len(keys) > dm.DRIVER_BATCH_MAX_KEYS:
-        raise dm.DriverDecline("probe value set exceeds the driver bound")
+        raise dm.DriverDecline(
+            "probe value set exceeds the driver bound", reason="batch_too_big"
+        )
     rows = dm.read_live_rows_for_keys(path, list(keys), as_of_seq=as_of)
     out = {}
     for row in rows.values():
@@ -772,7 +767,9 @@ def _refresh_driver(
 
     how = meta.get("how", "inner")
     if how not in ("inner", "left"):
-        raise dm.DriverDecline(f"driver refresh does not cover how={how!r}")
+        raise dm.DriverDecline(
+            f"driver refresh does not cover how={how!r}", reason="shape"
+        )
     pairs = [tuple(p) for p in meta["on"]]
     a_on = [p[0] for p in pairs]
     b_on = [p[1] for p in pairs]
@@ -796,11 +793,17 @@ def _refresh_driver(
         # same dense boundary as the Spark path's probe pushdown — a
         # dense change set must reach ITS decline logic (rebuild), not
         # be absorbed here
-        raise dm.DriverDecline("change set exceeds the pushdown bound")
+        raise dm.DriverDecline(
+            "change set exceeds the pushdown bound", reason="batch_too_big"
+        )
     if da and set(b_on) != set(meta["b_key_cols"]):
-        raise dm.DriverDecline("B side is not key-joined; honest scan needed")
+        raise dm.DriverDecline(
+            "B side is not key-joined; honest scan needed", reason="shape"
+        )
     if db and set(a_on) != set(meta["a_key_cols"]):
-        raise dm.DriverDecline("A side is not key-joined; honest scan needed")
+        raise dm.DriverDecline(
+            "A side is not key-joined; honest scan needed", reason="shape"
+        )
     if how == "left" and db:
         raise dm.DriverDecline(
             "left view with dimension changes needs the transition sweep"

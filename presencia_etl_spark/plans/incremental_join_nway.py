@@ -31,10 +31,23 @@ listing and In()-pushed; anything else is an honest narrow scan, never
 a shuffle of the big side. A source with no changes contributes no term
 at all (fs metadata, no job).
 
-Inner joins only — the N-way NULL-extension algebra (which unmatched
-combination to materialize when several sides dangle) has no canonical
-SQL answer; outer shapes stay on the 2-way rung (``how="left"/"right"/
-"full"``), chaining where needed.
+Join kinds: ``how="inner"`` (any connected graph) and ``how="left"``
+(STAR topology only — the reference's own 3-table LEFT JOIN,
+``context/context.md:795-831``, is a fact with optional dims). The
+general N-way NULL-extension algebra (which unmatched combination to
+materialize when several sides dangle) has no canonical SQL answer,
+but a left-star DOES: source 0 is the spine, every other source is a
+dimension joined FK→PK (its join columns are its primary key, so each
+fact row matches at most one row per dim), and each dangling dim
+NULL-extends independently — exactly SQL's chained LEFT JOINs. Under
+that shape every fact row appears in the view exactly once and a dim
+change at key ``pk`` affects exactly the fact rows probing ``pk``, so
+the refresh stays O(changes): the fact term left-joins the signed fact
+delta against key-pruned dims, and each changed dim contributes a
+matched↔unmatched transition sweep over the (bounded) affected fact
+rows — dense dim re-keys decline to a rebuild, the 2-way
+``_DenseRefresh`` discipline. Non-star outer shapes stay on the 2-way
+rung (``how="left"/"right"/"full"``), chaining where needed.
 
 State layout mirrors the 2-way rung: ``view_path`` is a MOR state plus
 ``_join_meta.json`` with ``{"nway": true, "sources": [...], "seqs":
@@ -66,12 +79,16 @@ from presencia_etl_spark.sinks.mor import (
 from presencia_etl_spark.sinks.writers import _maybe_broadcast
 
 
-def _check_nway_spec(sources: list[dict]) -> list[dict]:
+def _check_nway_spec(sources: list[dict], how: str = "inner") -> list[dict]:
     """Validate + resolve the join graph. Returns the sources with each
     ``on`` pair resolved to ``edges: [(other_idx, other_col, own_col)]``.
     Requirements: ≥2 sources; pairwise-disjoint projections; keys inside
     projections; every ``other_col`` owned by exactly one other source;
-    the edge graph connected."""
+    the edge graph connected. ``how="left"`` additionally requires the
+    STAR shape that makes N-way left-outer canonical: every non-spine
+    source joins source 0 directly, on exactly its own key columns
+    (FK→PK — at most one match per fact row, so dangling dims
+    NULL-extend independently with no combination ambiguity)."""
     if len(sources) < 2:
         raise ValueError("an N-way view needs at least two sources")
     owner: dict[str, int] = {}
@@ -128,6 +145,23 @@ def _check_nway_spec(sources: list[dict]) -> list[dict]:
                 frontier.append(m)
     if len(seen) != len(sources):
         raise ValueError("the join graph is not connected")
+    if how == "left":
+        for i, s in enumerate(sources[1:], start=1):
+            if any(k != 0 for k, _oc, _own in s["edges"]):
+                raise ValueError(
+                    f"how='left' needs a STAR: source {i} must join "
+                    "source 0 directly (snowflake edges have no canonical "
+                    "N-way left semantics — chain 2-way views instead)"
+                )
+            own_on = {own for _k, _oc, own in s["edges"]}
+            if own_on != set(s["key_cols"]):
+                raise ValueError(
+                    f"how='left' needs FK→PK edges: source {i}'s join "
+                    f"columns {sorted(own_on)} must be exactly its "
+                    f"key_cols {sorted(s['key_cols'])}"
+                )
+    elif how != "inner":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     return sources
 
 
@@ -144,6 +178,7 @@ def _materialize_nway(
     spark: SparkSession, meta: dict, seqs: list[int]
 ) -> DataFrame:
     srcs = meta["sources"]
+    how = meta.get("how", "inner")
     frame = read_mor(spark, srcs[0]["path"], as_of_seq=seqs[0]).select(
         *srcs[0]["cols"]
     )
@@ -153,7 +188,9 @@ def _materialize_nway(
             *s["cols"]
         )
         pairs = [(oc, own) for _k, oc, own in s["edges"]]
-        frame = _join_frames(frame, right, pairs, have, s["cols"])
+        # left-star: every dim hangs off the spine, so chained LEFT
+        # joins are exactly SQL's semantics (each dangles independently)
+        frame = _join_frames(frame, right, pairs, have, s["cols"], how=how)
         have = list(dict.fromkeys(have + s["cols"]))
     view_cols = [c for s in srcs for c in s["cols"]]
     return frame.select(*view_cols)
@@ -167,22 +204,29 @@ def build_join_view_nway(
     num_buckets: int = 64,
     compact_every: int | None = 16,
     compact_keep_last: int = 0,
+    how: str = "inner",
 ) -> dict:
-    """Full materialization of the N-way inner join into a MOR view
-    state keyed by the concatenation of every source's key columns;
-    records each source's sequence as its refresh cursor.
+    """Full materialization of the N-way join into a MOR view state
+    keyed by the concatenation of every source's key columns; records
+    each source's sequence as its refresh cursor.
 
     ``sources``: ``[{path, key_cols, cols}, {path, key_cols, cols,
     on=[(other_col, own_col), ...]}, ...]`` — source 0 anchors the
     graph; every other source declares equi-join edges to columns owned
-    by other sources (star, chain, or any connected shape)."""
+    by other sources (star, chain, or any connected shape).
+    ``how="left"`` (star topology only — see module docstring) keeps
+    every source-0 row, NULL-extending each unmatched dimension; a
+    dangling row's view key renders the missing dim keys as ''
+    (normalize_key's NULL form), so matched↔unmatched transitions are
+    ordinary upsert+tombstone pairs in the view's change feed."""
     from presencia_etl_spark.session import corpus_section
 
-    sources = _check_nway_spec([dict(s) for s in sources])
+    sources = _check_nway_spec([dict(s) for s in sources], how=how)
     with corpus_section():
         seqs = [mor_history(s["path"])["seq"] for s in sources]
         meta = {
             "nway": True,
+            "how": how,
             "sources": [
                 {
                     "path": s["path"],
@@ -243,41 +287,50 @@ def refresh_join_view_nway(spark: SparkSession, view_path: str) -> dict:
             meta["num_buckets"],
             meta.get("compact_every", 16),
             meta.get("compact_keep_last", 0),
+            how=meta.get("how", "inner"),
         )
         return {**r, "mode": "rebuild"}
     pending = sum(
         delta_bytes_in_range(s["path"], o, n)
         for s, o, n in zip(srcs, old, new)
     )
-    from presencia_etl_spark.plans.incremental_join import (
-        DRIVER_DELTA_MAX_BYTES,
-        _driver_trickle_enabled,
+    from presencia_etl_spark.plans.incremental_join import DRIVER_DELTA_MAX_BYTES
+    from presencia_etl_spark.sinks import driver_mor as dm
+
+    def _compact() -> None:
+        from presencia_etl_spark.sinks.mor import compact_mor
+
+        compact_mor(spark, view_path, keep_last=meta.get("compact_keep_last", 0))
+
+    r = dm.try_trickle(
+        lambda: _refresh_driver_nway(view_path, meta, old, new, spark._jvm),
+        pending_bytes=pending,
+        max_bytes=min(DRIVER_DELTA_MAX_BYTES, TRICKLE_DELTA_MAX_BYTES),
+        on_compact=_compact,
     )
+    if r is not None:
+        return r
+    from presencia_etl_spark.plans.incremental_join import _DenseRefresh
 
-    if (
-        pending <= min(DRIVER_DELTA_MAX_BYTES, TRICKLE_DELTA_MAX_BYTES)
-        and _driver_trickle_enabled()
-    ):
-        from presencia_etl_spark.sinks.driver_mor import DriverDecline
-
-        try:
-            r = _refresh_driver_nway(view_path, meta, old, new, spark._jvm)
-            if r.pop("compaction_due", False):
-                from presencia_etl_spark.sinks.mor import compact_mor
-
-                compact_mor(
-                    spark,
-                    view_path,
-                    keep_last=meta.get("compact_keep_last", 0),
-                )
-            return r
-        except DriverDecline:
-            pass  # shape/type outside the exact driver path — Spark path
-    if pending <= TRICKLE_DELTA_MAX_BYTES:
-        with trickle_scope(spark):
+    try:
+        if pending <= TRICKLE_DELTA_MAX_BYTES:
+            with trickle_scope(spark):
+                return _refresh_nway_inner(spark, view_path, meta, old, new)
+        with corpus_section():
             return _refresh_nway_inner(spark, view_path, meta, old, new)
-    with corpus_section():
-        return _refresh_nway_inner(spark, view_path, meta, old, new)
+    except _DenseRefresh:
+        # a dense dim re-key on a LEFT star: unbounded affected-fact
+        # probes would not pay — one honest rebuild (outside any scope)
+        r = build_join_view_nway(
+            spark,
+            [dict(s) for s in srcs],
+            view_path,
+            meta["num_buckets"],
+            meta.get("compact_every", 16),
+            meta.get("compact_keep_last", 0),
+            how=meta.get("how", "inner"),
+        )
+        return {**r, "mode": "rebuild"}
 
 
 def _refresh_driver_nway(
@@ -306,7 +359,8 @@ def _refresh_driver_nway(
         if kinds[i][ci] != kinds[j][cj]:
             raise dm.DriverDecline(
                 f"edge ({ci}, {cj}) differs in type — Spark-side coercion "
-                "isn't reproduced here"
+                "isn't reproduced here",
+                reason="shape",
             )
     deltas: dict[int, list] = {}
     ns: dict[int, int] = {}
@@ -317,7 +371,19 @@ def _refresh_driver_nway(
                 deltas[idx] = signed
                 ns[idx] = n
     if sum(ns.values()) > min(KEY_PUSHDOWN_LIMIT, dm.DRIVER_BATCH_MAX_KEYS):
-        raise dm.DriverDecline("change set exceeds the pushdown bound")
+        raise dm.DriverDecline(
+            "change set exceeds the pushdown bound", reason="batch_too_big"
+        )
+    how = meta.get("how", "inner")
+    if how == "left" and (set(deltas) - {0}):
+        # a changed dim flips matched↔unmatched on fact rows the driver
+        # can't address by key (the probe is BY JOIN VALUE into the
+        # fact) — the Spark transition sweep covers it
+        raise dm.DriverDecline(
+            "left star view with dimension changes needs the transition "
+            "sweep",
+            reason="shape",
+        )
 
     view_cols = [c for s in srcs for c in s["cols"]]
     key_cols = [c for s in srcs for c in s["key_cols"]]
@@ -349,7 +415,8 @@ def _refresh_driver_nway(
             ]
             if set(p[1] for p in pairs) != set(srcs[j]["key_cols"]):
                 raise dm.DriverDecline(
-                    f"source {j} is not key-joined; honest scan needed"
+                    f"source {j} is not key-joined; honest scan needed",
+                    reason="shape",
                 )
             as_of = new[j] if j < i else old[j]
             on_cols = [p[1] for p in pairs]
@@ -369,12 +436,22 @@ def _refresh_driver_nway(
             nxt = []
             for row, w in assembled:
                 jv = tuple(row[fc] for fc, _jc in pairs)
-                if any(x is None for x in jv):
-                    continue  # inner join: NULL components never match
-                hit = jmap.get(_canon_row(jv))
+                # NULL components never match (SQL equality)
+                hit = (
+                    jmap.get(_canon_row(jv))
+                    if all(x is not None for x in jv)
+                    else None
+                )
                 if hit is not None:
                     merged = dict(row)
                     merged.update({c: hit[c] for c in srcs[j]["cols"]})
+                    nxt.append((merged, w))
+                elif how == "left":
+                    # star spine row with a dangling dim: NULL-extend
+                    # (this term is fact-only by the decline above, so
+                    # M@old == M@new — no transition sweep needed)
+                    merged = dict(row)
+                    merged.update({c: None for c in srcs[j]["cols"]})
                     nxt.append((merged, w))
             assembled = nxt
             joined_nodes.add(j)
@@ -420,9 +497,65 @@ def _refresh_driver_nway(
     return out
 
 
+def _land_nway_terms(
+    spark: SparkSession,
+    view_path: str,
+    meta: dict,
+    new: list,
+    terms: list,
+    changes: dict,
+) -> dict:
+    """Net the signed term union and land it as ONE atomic mixed merge
+    (upserts + tombstones, one sequence); cursors advance after the
+    commit — a crash between them replays the same signed delta, which
+    re-classifies as skips (idempotent)."""
+    srcs = meta["sources"]
+    view_cols = [c for s in srcs for c in s["cols"]]
+    key_cols = [c for s in srcs for c in s["key_cols"]]
+    if not terms:
+        _write_meta(view_path, {**meta, "seqs": new})
+        return {
+            "mode": "incremental", "seqs": new, "changes": changes,
+            "upserts": 0, "deletes": 0,
+        }
+    dv = terms[0]
+    for t in terms[1:]:
+        dv = dv.unionByName(t)
+    net = (
+        dv.groupBy(*view_cols)
+        .agg(F.sum(W_COL).alias(W_COL))
+        .filter(F.col(W_COL) != 0)
+        .localCheckpoint(eager=True)
+    )
+    n_up = n_del = 0
+    if net.count() > 0:
+        ups = net.filter(F.col(W_COL) > 0).drop(W_COL)
+        dels = net.filter(F.col(W_COL) < 0).select(*key_cols)
+        r = merge_upsert_mor(
+            spark,
+            ups,
+            view_path,
+            key_cols=key_cols,
+            num_buckets=meta["num_buckets"],
+            compact_every=meta.get("compact_every", 16),
+            compact_keep_last=meta.get("compact_keep_last", 0),
+            digest_prune=False,
+            delete_keys=dels,
+        )
+        n_up = int(r["insert"]) + int(r["update"])
+        n_del = int(r["delete"])
+    _write_meta(view_path, {**meta, "seqs": new})
+    return {
+        "mode": "incremental", "seqs": new, "changes": changes,
+        "upserts": n_up, "deletes": n_del,
+    }
+
+
 def _refresh_nway_inner(
     spark: SparkSession, view_path: str, meta: dict, old: list, new: list
 ) -> dict:
+    if meta.get("how", "inner") == "left":
+        return _refresh_nway_left(spark, view_path, meta, old, new)
     srcs = meta["sources"]
     view_cols = [c for s in srcs for c in s["cols"]]
     key_cols = [c for s in srcs for c in s["key_cols"]]
@@ -490,47 +623,138 @@ def _refresh_nway_inner(
                 remaining.discard(j)
             terms.append(frame.select(*view_cols, W_COL))
 
-        if not terms:
-            _write_meta(view_path, {**meta, "seqs": new})
-            return {
-                "mode": "incremental", "seqs": new,
-                "changes": {i: 0 for i in range(len(srcs))},
-                "upserts": 0, "deletes": 0,
-            }
-        dv = terms[0]
-        for t in terms[1:]:
-            dv = dv.unionByName(t)
-        net = (
-            dv.groupBy(*view_cols)
-            .agg(F.sum(W_COL).alias(W_COL))
-            .filter(F.col(W_COL) != 0)
-            .localCheckpoint(eager=True)
+        return _land_nway_terms(
+            spark, view_path, meta, new, terms,
+            {i: n for i, (_d, n) in deltas.items()},
         )
-        n_up = n_del = 0
-        if net.count() > 0:
-            ups = net.filter(F.col(W_COL) > 0).drop(W_COL)
-            dels = net.filter(F.col(W_COL) < 0).select(*key_cols)
-            r = merge_upsert_mor(
-                spark,
-                ups,
-                view_path,
-                key_cols=key_cols,
-                num_buckets=meta["num_buckets"],
-                compact_every=meta.get("compact_every", 16),
-                compact_keep_last=meta.get("compact_keep_last", 0),
-                digest_prune=False,
-                delete_keys=dels,
-            )
-            n_up = int(r["insert"]) + int(r["update"])
-            n_del = int(r["delete"])
-        _write_meta(view_path, {**meta, "seqs": new})
-        return {
-            "mode": "incremental",
-            "seqs": new,
-            "changes": {i: n for i, (_d, n) in deltas.items()},
-            "upserts": n_up,
-            "deletes": n_del,
-        }
     finally:
         for d, _n in deltas.values():
+            d.unpersist()
+
+
+def _refresh_nway_left(
+    spark: SparkSession, view_path: str, meta: dict, old: list, new: list
+) -> dict:
+    """Left-star refresh, O(changes) per telescoping term:
+
+    - fact term (source 0 changed): the signed fact delta LEFT-joined
+      against every dim at its OLD sequence, each dim read key-pruned by
+      the delta's FK values (FK→PK by the spec check) — dangling FKs and
+      NULL FKs NULL-extend exactly as a recompute would;
+    - dim term (dim i changed): the matched↔unmatched transition sweep.
+      The affected fact rows are F@new probed BY JOIN VALUE with dim i's
+      changed keys (bounded by the pushdown limit — a dense dim re-key
+      raises ``_DenseRefresh`` and the caller rebuilds); each affected
+      row emits −(row ⟕ dim_i@old) and +(row ⟕ dim_i@new), with the
+      other dims joined once at their telescoping sequences (j<i @new,
+      j>i @old).
+
+    All terms net into one frame and land atomically
+    (``_land_nway_terms``)."""
+    from presencia_etl_spark.plans.incremental_join import (
+        _DenseRefresh,
+        _big_side,
+        _join_frames,
+        _signed_delta,
+    )
+    from presencia_etl_spark.sinks.mor import KEY_PUSHDOWN_LIMIT
+
+    srcs = meta["sources"]
+    view_cols = [c for s in srcs for c in s["cols"]]
+    K = len(srcs)
+    cached = []
+    try:
+        deltas: dict[int, tuple] = {}
+        for i, s in enumerate(srcs):
+            if new[i] > old[i]:
+                d, n = _signed_delta(
+                    spark, s["path"], old[i], new[i], list(s["cols"])
+                )
+                if d is not None:
+                    deltas[i] = (d, n)
+                    cached.append(d)
+        terms = []
+        if 0 in deltas:
+            d, n = deltas[0]
+            frame = _maybe_broadcast(d, n)
+            have = list(srcs[0]["cols"]) + [W_COL]
+            for j in range(1, K):
+                pairs = [(oc, own) for _k, oc, own in srcs[j]["edges"]]
+                probe = frame.select(
+                    *[F.col(fc).alias(jc) for fc, jc in pairs]
+                )
+                big, _pr = _big_side(
+                    spark, srcs[j]["path"], old[j], srcs[j]["key_cols"],
+                    [own for _fc, own in pairs], probe, n,
+                )
+                frame = _join_frames(
+                    frame, big.select(*srcs[j]["cols"]), pairs, have,
+                    srcs[j]["cols"], how="left",
+                )
+                have = list(dict.fromkeys(have + srcs[j]["cols"]))
+            terms.append(frame.select(*view_cols, W_COL))
+        for i in range(1, K):
+            if i not in deltas:
+                continue
+            di, n_i = deltas[i]
+            pairs_i = [(oc, own) for _k, oc, own in srcs[i]["edges"]]
+            own_on_i = [own for _oc, own in pairs_i]
+            vals = di.select(*own_on_i).distinct()
+            # affected fact rows at F@new, probed by the changed dim
+            # keys — a VALUE probe into the spine (not key-addressable)
+            aff = _join_frames(
+                read_mor(spark, srcs[0]["path"], as_of_seq=new[0]).select(
+                    *srcs[0]["cols"]
+                ),
+                _maybe_broadcast(vals, n_i),
+                pairs_i,
+                srcs[0]["cols"],
+                [],
+                how="left_semi",
+            )
+            n_aff = aff.limit(KEY_PUSHDOWN_LIMIT + 1).count()
+            if n_aff > KEY_PUSHDOWN_LIMIT:
+                raise _DenseRefresh()
+            if n_aff == 0:
+                continue
+            base = _maybe_broadcast(aff.localCheckpoint(eager=True), n_aff)
+            have = list(srcs[0]["cols"])
+            for j in range(1, K):
+                if j == i:
+                    continue
+                pj = [(oc, own) for _k, oc, own in srcs[j]["edges"]]
+                as_of = new[j] if j < i else old[j]
+                probe_j = base.select(
+                    *[F.col(fc).alias(jc) for fc, jc in pj]
+                )
+                big, _pr = _big_side(
+                    spark, srcs[j]["path"], as_of, srcs[j]["key_cols"],
+                    [own for _fc, own in pj], probe_j, n_aff,
+                )
+                base = _join_frames(
+                    base, big.select(*srcs[j]["cols"]), pj, have,
+                    srcs[j]["cols"], how="left",
+                )
+                have = list(dict.fromkeys(have + srcs[j]["cols"]))
+            probe_i = base.select(
+                *[F.col(fc).alias(jc) for fc, jc in pairs_i]
+            )
+            for as_of, w in ((old[i], -1), (new[i], 1)):
+                big_i, _pr = _big_side(
+                    spark, srcs[i]["path"], as_of, srcs[i]["key_cols"],
+                    own_on_i, probe_i, n_aff,
+                )
+                t = _join_frames(
+                    base, big_i.select(*srcs[i]["cols"]), pairs_i, have,
+                    srcs[i]["cols"], how="left",
+                )
+                terms.append(
+                    t.withColumn(W_COL, F.lit(w)).select(*view_cols, W_COL)
+                )
+        return _land_nway_terms(
+            spark, view_path, meta, new, terms,
+            {i: n for i, (_d, n) in deltas.items()},
+        )
+    finally:
+        for d in cached:
             d.unpersist()

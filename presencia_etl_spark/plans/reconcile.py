@@ -68,16 +68,35 @@ def reconcile_from_snapshots(
     ``refresh_agg_snapshot`` loop; THIS read touches only the snapshots
     (O(groups) rows — dozens of months at any source scale), so the
     reference's per-run full-table reconcile (compare_historico_mensual
-    .py:95-143) becomes a metadata-priced report. Measure columns are
-    matched by name: every non-group snapshot column present on both
-    sides gets ``<col>_src / <col>_tgt / <col>_diff``; one-sided months
-    coalesce the missing side to 0."""
-    from presencia_etl_spark.plans.incremental_agg import read_agg_snapshot
+    .py:95-143) becomes a metadata-priced report. Diffed columns are the
+    NUMERIC measures each snapshot's meta declares — ``n_rows`` plus the
+    ``sum_``/``nn_`` pairs of the shared ``sum_cols`` — because only
+    those support the coalesce-to-0 subtraction; ``min_``/``max_``
+    columns (dates/timestamps) and ``hll_`` sketches (binary register
+    blobs) are skipped, not crashed on. One-sided months coalesce the
+    missing side to 0."""
+    from presencia_etl_spark.plans.incremental_agg import (
+        COUNT_COL,
+        _nn_name,
+        _read_meta,
+        _sum_name,
+        read_agg_snapshot,
+    )
 
     s = read_agg_snapshot(spark, agg_src_path)
     t = read_agg_snapshot(spark, agg_tgt_path)
+    shared_sums = [
+        c
+        for c in _read_meta(agg_src_path)["sum_cols"]
+        if c in set(_read_meta(agg_tgt_path)["sum_cols"])
+    ]
+    common = [COUNT_COL] + [
+        n
+        for c in shared_sums
+        for n in (_sum_name(c), _nn_name(c))
+    ]
     common = [
-        c for c in s.columns if c != group_col and c in set(t.columns)
+        c for c in common if c in set(s.columns) and c in set(t.columns)
     ]
     s = s.select(group_col, *[F.col(c).alias(f"{c}_src") for c in common])
     t = t.select(group_col, *[F.col(c).alias(f"{c}_tgt") for c in common])

@@ -309,58 +309,61 @@ def replicate_changes(
         return {**r, "mode": "snapshot", "src_seq": hist["seq"]}
 
     pending_bytes = delta_bytes_in_range(source_path, cursor, hist["seq"])
-    if (
-        pending_bytes <= (4 << 20)
-        and table_layout(target_path) == "mor"
-        and os.environ.get("SPARK_GRAFT_DRIVER_TRICKLE", "1") != "0"
-    ):
+    if table_layout(target_path) == "mor":
         # KB-sized feed: the whole catch-up runs driver-side — pyarrow
         # feed read, trusted stored hashes/keys (never recomputed over
         # typed values), one atomic mixed delta — with NO SparkSession
         # at all (``spark`` may stay None): the cron replication loop's
-        # steady state is a sub-second pure-Python process.
+        # steady state is a sub-second pure-Python process. Gate
+        # (bytes bound → kill switch → decline → compaction escalation)
+        # is the consolidated ``driver_mor.try_trickle``.
         from presencia_etl_spark.sinks import driver_mor as dm
 
-        try:
+        def _feed_driver() -> dict:
             feed_rows = dm.latest_per_key(
                 dm.read_delta_range_rows(source_path, cursor, hist["seq"])
             )
-            if len(feed_rows) <= dm.DRIVER_BATCH_MAX_KEYS:
-                from presencia_etl_spark.operators import cdc as _cdc
-                from presencia_etl_spark.sinks.mor import (
-                    DELETED_COL as _DEL,
-                    SEQ_COL as _SEQ,
+            if len(feed_rows) > dm.DRIVER_BATCH_MAX_KEYS:
+                raise dm.DriverDecline(
+                    "feed exceeds the driver key bound", reason="batch_too_big"
                 )
+            from presencia_etl_spark.operators import cdc as _cdc
+            from presencia_etl_spark.sinks.mor import (
+                DELETED_COL as _DEL,
+                SEQ_COL as _SEQ,
+            )
 
-                drop = {_SEQ, _DEL, "_kb", "id", "created_at", "updated_at"}
-                ups = [
-                    {c: v for c, v in r.items() if c not in drop}
-                    for r in feed_rows.values()
-                    if not r[_DEL]
-                ]
-                dels = [
-                    r[_cdc.KEY_COL]
-                    for r in feed_rows.values()
-                    if r[_DEL]
-                ]
-                r = dm.trickle_merge(
-                    target_path, ups, key_cols, delete_keys=dels
-                )
-                if r.get("compaction_due"):
-                    if spark is None:
-                        from presencia_etl_spark.session import get_spark
+            drop = {_SEQ, _DEL, "_kb", "id", "created_at", "updated_at"}
+            ups = [
+                {c: v for c, v in r.items() if c not in drop}
+                for r in feed_rows.values()
+                if not r[_DEL]
+            ]
+            dels = [
+                r[_cdc.KEY_COL] for r in feed_rows.values() if r[_DEL]
+            ]
+            return dm.trickle_merge(target_path, ups, key_cols, delete_keys=dels)
 
-                        spark = get_spark(app_name="replicate-changes")
-                        spark.sparkContext.setLogLevel("ERROR")
-                    from presencia_etl_spark.sinks.mor import compact_mor
+        def _compact() -> None:
+            nonlocal spark
+            if spark is None:
+                from presencia_etl_spark.session import get_spark
 
-                    compact_mor(spark, target_path)
-                    r["compacted"] = True
-                _write_replicate_cursor(target_path, hist["seq"])
-                r.pop("compaction_due", None)
-                return {**r, "mode": "feed", "src_seq": hist["seq"]}
-        except dm.DriverDecline:
-            pass  # outside the exact driver shape — the Spark feed apply
+                spark = get_spark(app_name="replicate-changes")
+                spark.sparkContext.setLogLevel("ERROR")
+            from presencia_etl_spark.sinks.mor import compact_mor
+
+            compact_mor(spark, target_path)
+
+        r = dm.try_trickle(
+            _feed_driver,
+            pending_bytes=pending_bytes,
+            max_bytes=(4 << 20),
+            on_compact=_compact,
+        )
+        if r is not None:
+            _write_replicate_cursor(target_path, hist["seq"])
+            return {**r, "mode": "feed", "src_seq": hist["seq"]}
 
     if spark is None:
         from presencia_etl_spark.session import get_spark

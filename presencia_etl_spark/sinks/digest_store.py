@@ -81,18 +81,21 @@ def _local_lister(base: str):
 
 def _content_token_lister(base: str):
     """Alternate listing provider: a CONTENT-derived change token
-    instead of mtime_ns — ``(relpath, size, sha256(head||tail||size))``
-    with head/tail = the file's first/last 64 KiB. Survives
-    mtime-scrambling copies (rsync without -t, container image
-    round-trips, backup restores) that spuriously invalidate the mtime
-    lister's fingerprint; still catches every real rewrite of a parquet
-    file, whose footer (row-group stats, created_by, offsets) lives in
-    the hashed tail. This is the LOCAL stand-in for an object store's
-    native token — a production port maps the triple to (key, size,
-    S3 ETag / GCS generation) and never reads data at all (docs/
-    SCALE.md); select with ``SPARK_GRAFT_DIGEST_LISTER=content`` or by
-    assigning ``default_lister``."""
-    chunk = 64 * 1024
+    instead of mtime_ns — ``(relpath, size, sha256(bytes||size))`` over
+    the FULL file, streamed in 1 MiB blocks. Survives mtime-scrambling
+    copies (rsync without -t, container image round-trips, backup
+    restores) that spuriously invalidate the mtime lister's fingerprint,
+    and upholds the same invariant the mtime lister does: ANY rewrite —
+    including a same-size mutation of only middle bytes that leaves the
+    parquet footer byte-identical — perturbs the token (an earlier
+    head+tail sampling variant missed exactly that case). The full read
+    is the honest local price of a content token; the production port
+    never pays it — it maps the triple to (key, size, S3 ETag / GCS
+    generation), the store's own whole-object change token, and reads no
+    data at all (docs/SCALE.md). Select with
+    ``SPARK_GRAFT_DIGEST_LISTER=content`` or by assigning
+    ``default_lister``."""
+    block = 1 << 20
     for root, _dirs, files in os.walk(base):
         for f in files:
             p = os.path.join(root, f)
@@ -100,10 +103,8 @@ def _content_token_lister(base: str):
                 size = os.path.getsize(p)
                 h = hashlib.sha256()
                 with open(p, "rb") as fh:
-                    h.update(fh.read(chunk))
-                    if size > chunk:
-                        fh.seek(max(chunk, size - chunk))
-                        h.update(fh.read(chunk))
+                    for blk in iter(lambda: fh.read(block), b""):
+                        h.update(blk)
                 h.update(str(size).encode())
             except OSError:
                 continue

@@ -74,14 +74,103 @@ from presencia_etl_spark.sinks.writers import (
 # A driver merge past this many affected keys would stop being the
 # trickle shape (point reads degrade toward a scan) — callers gate on it
 # and fall back to the Spark path, same constant family as
-# mor.KEY_PUSHDOWN_LIMIT.
+# mor.KEY_PUSHDOWN_LIMIT. This is THE one trickle row/key bound: the
+# streaming micro-batch fast path samples rows against it too (a row
+# carries at most one key, so rows ≤ bound ⇒ keys ≤ bound; the r11
+# 2048-row cap was an unjustified second constant).
 DRIVER_BATCH_MAX_KEYS = 4096
+
+
+def trickle_enabled() -> bool:
+    """The driver-plane kill switch — one env knob for every zero-job
+    trickle path (micro-batch merge, replication feed, view/agg
+    refresh). ``SPARK_GRAFT_DRIVER_TRICKLE=0`` forces the Spark paths."""
+    return os.environ.get("SPARK_GRAFT_DRIVER_TRICKLE", "1") != "0"
 
 
 class DriverDecline(Exception):
     """This batch/state can't be handled driver-side exactly — run the
     Spark path. Never raised for something the Spark path would also
-    reject."""
+    reject. ``reason`` is a short stable tag for the decline-telemetry
+    counters (``decline_counts``)."""
+
+    def __init__(self, msg: str, reason: str = "other"):
+        super().__init__(msg)
+        self.reason = reason
+
+
+# Decline telemetry: why the driver plane fell back to Spark-path costs,
+# counted per stable reason tag. A deployment whose steady state
+# silently stopped being zero-job sees it here (bench emits the dict).
+_DECLINES: dict[str, int] = {}
+
+
+def record_decline(reason: str) -> None:
+    _DECLINES[reason] = _DECLINES.get(reason, 0) + 1
+
+
+def decline_counts(reset: bool = False) -> dict[str, int]:
+    """Snapshot (optionally reset) of the per-reason decline counters
+    accumulated by ``try_trickle`` since process start / last reset."""
+    out = dict(_DECLINES)
+    if reset:
+        _DECLINES.clear()
+    return out
+
+
+def try_trickle(
+    driver_fn,
+    *,
+    pending_bytes: int | None = None,
+    max_bytes: int | None = None,
+    on_compact=None,
+):
+    """THE trickle gate — the one code path deciding driver-vs-Spark for
+    every zero-job fast path (micro-batch merge, replication feed
+    catch-up, maintained-view refresh). Owns, in order:
+
+    1. size bound — ``pending_bytes > max_bytes`` is the corpus shape,
+       not a decline (FS-metadata decision, per the CLAUDE.md rule);
+    2. the ``SPARK_GRAFT_DRIVER_TRICKLE=0`` kill switch;
+    3. running ``driver_fn`` (returns the result dict, raises
+       ``DriverDecline`` for shapes it can't reproduce exactly);
+    4. decline handling — ``DriverDecline`` AND unexpected pyarrow/OS
+       errors both return None (reason-counted) so the caller runs the
+       Spark path. Swallowing a post-publish error is safe because every
+       driver publish is a hash-classified upsert: the Spark re-apply
+       classifies the landed rows as SKIP (idempotent), and a stale
+       digest sidecar only costs a scan fallback, never wrong data;
+    5. ``compaction_due`` escalation — when the result asks for it and
+       ``on_compact`` is given, it runs (Spark-side) and the result
+       gains ``compacted=True``.
+
+    Returns the driver result dict, or None → caller takes the Spark
+    path."""
+    import pyarrow as pa
+
+    if pending_bytes is not None and max_bytes is not None:
+        if pending_bytes > max_bytes:
+            return None
+    if not trickle_enabled():
+        return None
+    try:
+        r = driver_fn()
+    except DriverDecline as e:
+        record_decline(e.reason)
+        return None
+    except (OSError, pa.lib.ArrowException) as e:
+        # unexpected environment/arrow failure on the fast path must
+        # never crash a pipeline the Spark path could finish
+        record_decline("error")
+        warnings.warn(f"driver trickle path failed unexpectedly: {e!r}")
+        return None
+    if r is not None and r.pop("compaction_due", False):
+        if on_compact is not None:
+            on_compact()
+            r["compacted"] = True
+        else:
+            r["compaction_due"] = True  # caller owns escalation
+    return r
 
 
 # --------------------------------------------------------------------------
@@ -111,7 +200,64 @@ def _kind_of(arrow_type) -> str:
         return "date"
     if pa.types.is_timestamp(t):
         return "timestamp"
-    raise DriverDecline(f"unsupported driver-side column type: {t}")
+    raise DriverDecline(
+        f"unsupported driver-side column type: {t}", reason="unsupported_type"
+    )
+
+
+_INT_KINDS = {"int8", "int16", "int32", "int64"}
+
+
+def _value_matches_kind(value, kind: str) -> bool:
+    """Is this Python value exactly the kind the target column holds?
+    The hash renderer would happily render a drifted value with the
+    TARGET's kind (float 2.0 into an int64 column → '2'), which silently
+    diverges row_hash from what the Spark merge (hashing the source's
+    own type: '2.0') would produce — so type drift must DECLINE before
+    any hashing. bool is an int subclass and datetime a date subclass in
+    Python; both are explicitly separated here."""
+    if value is None:
+        return True
+    if kind == "string":
+        return isinstance(value, str)
+    if kind in _INT_KINDS:
+        return isinstance(value, int) and not isinstance(value, bool)
+    if kind == "bool":
+        return isinstance(value, bool)
+    if kind == "double":
+        # int into a double column renders identically on both paths
+        # (Spark's long→double cast then double→string); accept it.
+        return isinstance(value, (int, float)) and not isinstance(value, bool)
+    if kind == "date":
+        return isinstance(value, datetime.date) and not isinstance(
+            value, datetime.datetime
+        )
+    if kind == "timestamp":
+        return isinstance(value, datetime.datetime)
+    return False
+
+
+def check_batch_kinds(rows: list[dict], kinds: dict[str, str]) -> None:
+    """Raise ``DriverDecline`` when any batch value's Python type doesn't
+    match the target column's kind (pre-computed row_hash/_cdc_key
+    strings are exempt — they're trusted verbatim)."""
+    for row in rows:
+        for c, v in row.items():
+            if c in ("row_hash", cdc.KEY_COL):
+                if v is not None and not isinstance(v, str):
+                    raise DriverDecline(
+                        f"pre-computed {c!r} must be a string, got "
+                        f"{type(v).__name__}",
+                        reason="type_drift",
+                    )
+                continue
+            k = kinds.get(c)
+            if k is not None and not _value_matches_kind(v, k):
+                raise DriverDecline(
+                    f"type drift: column {c!r} holds {type(v).__name__} "
+                    f"but the target column kind is {k!r}",
+                    reason="type_drift",
+                )
 
 
 def table_kinds(path: str) -> dict[str, str]:
@@ -124,7 +270,9 @@ def table_kinds(path: str) -> dict[str, str]:
         os.path.join(path, DELTA_DIR)
     )
     if f is None:
-        raise DriverDecline(f"{path!r}: no parquet footers to type from")
+        raise DriverDecline(
+            f"{path!r}: no parquet footers to type from", reason="no_footers"
+        )
     sch = pq.read_schema(f)
     return {name: _kind_of(sch.field(name).type) for name in sch.names}
 
@@ -153,7 +301,8 @@ def _to_rows(tbl) -> list[dict]:
                 col = col.cast(pa.timestamp("us", tz=t.tz), safe=True)
             except pa.ArrowInvalid as e:
                 raise DriverDecline(
-                    f"column {name!r} holds sub-microsecond timestamps"
+                    f"column {name!r} holds sub-microsecond timestamps",
+                    reason="sub_us_timestamp",
                 ) from e
         cols[name] = col.to_pylist()
     names = list(cols)
@@ -296,7 +445,9 @@ def _delta_schema(path: str):
     else:
         f = _any_parquet(os.path.join(path, BASE_DIR))
         if f is None:
-            raise DriverDecline(f"{path!r}: no parquet footers for a schema")
+            raise DriverDecline(
+            f"{path!r}: no parquet footers for a schema", reason="no_footers"
+        )
         sch = pq.read_schema(f)
         sch = sch.append(pa.field(BUCKET_COL, pa.int32()))
     if DELETED_COL not in sch.names:
@@ -359,17 +510,23 @@ def trickle_merge(
     compact."""
     delete_keys = list(delete_keys or [])
     if not os.path.exists(_meta_path(path)):
-        raise DriverDecline(f"{path!r} is not a MOR state")
+        raise DriverDecline(f"{path!r} is not a MOR state", reason="not_mor")
     if os.path.exists(os.path.join(path, BASE_DIR, MERGE_JOURNAL)):
-        raise DriverDecline("interrupted bucket swap needs Spark-side repair")
+        raise DriverDecline(
+            "interrupted bucket swap needs Spark-side repair", reason="journal"
+        )
     if len(upserts) + len(delete_keys) > DRIVER_BATCH_MAX_KEYS:
-        raise DriverDecline("batch exceeds the driver point-read bound")
+        raise DriverDecline(
+            "batch exceeds the driver point-read bound", reason="batch_too_big"
+        )
 
     with state_lock(path):
         _gc_orphan_staging(path)
         meta = _read_meta(path)
         if not _any_parquet(os.path.join(path, BASE_DIR)):
-            raise DriverDecline("fileless base needs Spark-side recovery")
+            raise DriverDecline(
+                "fileless base needs Spark-side recovery", reason="fileless_base"
+            )
         kinds = table_kinds(path)
         data_cols = [
             c
@@ -386,26 +543,34 @@ def trickle_merge(
             if batch_cols != set(data_cols):
                 raise DriverDecline(
                     f"schema drift: batch columns {sorted(batch_cols)} != "
-                    f"state data columns {sorted(data_cols)}"
+                    f"state data columns {sorted(data_cols)}",
+                    reason="schema_drift",
                 )
+            check_batch_kinds(upserts, kinds)
         hcols = hash_cols or data_cols
         key_kinds = [kinds[c] for c in key_cols]
 
         # hash + key + bucket, the Spark merge's `keyed` frame in Python
         staged = []
-        for row in upserts:
-            k = row.get(cdc.KEY_COL) or dp.composite_key(
-                [row[c] for c in key_cols], key_kinds, jvm
-            )
-            h = row.get("row_hash") or dp.row_hash_value(
-                row, hcols, kinds, "sha256", jvm
-            )
-            staged.append((k, h, row))
+        try:
+            for row in upserts:
+                k = row.get(cdc.KEY_COL) or dp.composite_key(
+                    [row[c] for c in key_cols], key_kinds, jvm
+                )
+                h = row.get("row_hash") or dp.row_hash_value(
+                    row, hcols, kinds, "sha256", jvm
+                )
+                staged.append((k, h, row))
+        except dp.UnsupportedValue as e:
+            # a value outside the proven rendering region with no JVM
+            # gateway — the Spark path renders it exactly
+            raise DriverDecline(str(e), reason="unrenderable") from e
         up_keys = {k for k, _h, _r in staged}
         if len(up_keys) < len(staged):
             raise DriverDecline(
                 "duplicate keys within the batch — the Spark merge's "
-                "arbitrary-winner semantics aren't reproduced here"
+                "arbitrary-winner semantics aren't reproduced here",
+                reason="duplicate_keys",
             )
         del_keys = [k for k in dict.fromkeys(delete_keys) if k not in up_keys]
 
@@ -470,7 +635,9 @@ def trickle_merge(
             max_id = _max_id_stat(os.path.join(path, BASE_DIR))
             d_max = _max_id_stat(os.path.join(path, DELTA_DIR))
             if max_id is None:
-                raise DriverDecline("base lacks id footer stats")
+                raise DriverDecline(
+                    "base lacks id footer stats", reason="no_id_stats"
+                )
             if d_max is not None:
                 max_id = max(max_id, d_max)
             nxt = int(max_id)

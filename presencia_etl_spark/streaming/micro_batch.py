@@ -15,57 +15,39 @@ from pyspark.sql import DataFrame, SparkSession
 from presencia_etl_spark.sinks.writers import merge_upsert_parquet
 
 
-# Per-trigger driver fast path: collect micro-batches at or below this
-# many rows (one bounded job) and merge them via sinks/driver_mor — the
-# rest of the merge then costs ZERO Spark jobs instead of the ~12-job
-# classify/fetch/commit cascade. High-frequency trickle streams are
-# exactly this shape; bigger batches keep the Spark merge.
-DRIVER_MICRO_BATCH_MAX_ROWS = 2048
-
-
-def _driver_micro_enabled() -> bool:
-    import os
-
-    return os.environ.get("SPARK_GRAFT_DRIVER_TRICKLE", "1") != "0"
-
-
 def _try_driver_micro_merge(
     spark: SparkSession,
     batch_df: DataFrame,
     target_path: str,
     key_cols: list[str],
 ) -> bool:
-    """Collect-and-merge a KB-sized micro-batch driver-side. Returns True
+    """Collect-and-merge a KB-sized micro-batch driver-side through the
+    consolidated trickle gate (``driver_mor.try_trickle``). Returns True
     when the batch was fully applied (including compaction-due
     follow-up); False → caller runs the Spark merge. Never wrong: any
-    shape the driver path can't reproduce exactly declines inside
-    ``trickle_merge`` and lands here as False."""
-    if not _driver_micro_enabled():
-        return False
-    from presencia_etl_spark.sinks.driver_mor import (
-        DriverDecline,
-        trickle_merge,
-    )
+    shape the driver path can't reproduce exactly (incl. in-batch
+    duplicate keys, where the Spark merge picks an arbitrary winner)
+    declines inside ``trickle_merge``."""
+    from presencia_etl_spark.sinks import driver_mor as dm
 
-    try:
-        sample = batch_df.limit(DRIVER_MICRO_BATCH_MAX_ROWS + 1).collect()
-        if len(sample) > DRIVER_MICRO_BATCH_MAX_ROWS:
-            return False
-        cols = batch_df.columns
-        rows = [{c: r[c] for c in cols} for r in sample]
-        # streaming replay can deliver the same key twice in one batch;
-        # the Spark merge picks an arbitrary winner — decline instead
-        # (trickle_merge raises on in-batch duplicates).
-        r = trickle_merge(
-            target_path, rows, key_cols, jvm=spark._jvm
-        )
-    except DriverDecline:
-        return False
-    if r.get("compaction_due"):
+    if not dm.trickle_enabled():
+        return False  # checked before spending the sampling job
+    sample = batch_df.limit(dm.DRIVER_BATCH_MAX_KEYS + 1).collect()
+    if len(sample) > dm.DRIVER_BATCH_MAX_KEYS:
+        return False  # corpus-shaped trigger, not a decline
+    cols = batch_df.columns
+    rows = [{c: r[c] for c in cols} for r in sample]
+
+    def _compact() -> None:
         from presencia_etl_spark.sinks.mor import compact_mor
 
         compact_mor(spark, target_path)
-    return True
+
+    r = dm.try_trickle(
+        lambda: dm.trickle_merge(target_path, rows, key_cols, jvm=spark._jvm),
+        on_compact=_compact,
+    )
+    return r is not None
 
 
 def incremental_upsert_stream(

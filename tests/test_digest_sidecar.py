@@ -206,6 +206,28 @@ class TestFingerprint:
         os.utime(t / "b.parquet", (11111, 22222))
         assert digest_store.load(str(t)) is None
 
+    def test_content_lister_sees_midfile_mutation(
+        self, tmp_path, monkeypatch
+    ):
+        """The full-stream invariant: a same-size rewrite that changes
+        ONLY middle bytes — head, tail (footer), and size all unchanged
+        — must still perturb the content token and invalidate the
+        sidecar. (A head+tail-sampling variant missed exactly this.)"""
+        t = tmp_path / "tbl"
+        t.mkdir()
+        body = bytearray(b"\xaa" * (512 * 1024))  # 512 KiB, > 2 sample chunks
+        (t / "a.parquet").write_bytes(bytes(body))
+        dig = {3: (1, 5, -7)}
+        monkeypatch.setenv("SPARK_GRAFT_DIGEST_LISTER", "content")
+        digest_store.save(str(t), dig)
+        assert digest_store.load(str(t)) == dig
+        body[256 * 1024] ^= 0xFF  # flip one middle byte; size/head/tail same
+        (t / "a.parquet").write_bytes(bytes(body))
+        os.utime(t / "a.parquet", (12345, 67890))  # and hide the mtime too
+        assert digest_store.load(str(t)) is None, (
+            "a mid-file mutation must invalidate the content fingerprint"
+        )
+
     def test_disabled_via_env(self, tmp_path, monkeypatch):
         t = tmp_path / "tbl"
         t.mkdir()

@@ -252,6 +252,74 @@ class TestPointReads:
         assert {k: v["row_hash"] for k, v in latest.items()} == exp
 
 
+class TestTrickleGate:
+    """The consolidated gate (``driver_mor.try_trickle``) — one code
+    path owning bytes bound → kill switch → decline (+ telemetry) →
+    compaction escalation for every zero-job fast path."""
+
+    def test_bytes_bound_is_not_a_decline(self):
+        dm.decline_counts(reset=True)
+        ran = []
+        r = dm.try_trickle(
+            lambda: ran.append(1) or {"x": 1},
+            pending_bytes=100, max_bytes=10,
+        )
+        assert r is None and not ran
+        assert dm.decline_counts() == {}  # corpus shape, not a decline
+
+    def test_kill_switch(self, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_DRIVER_TRICKLE", "0")
+        assert dm.try_trickle(lambda: {"x": 1}) is None
+        monkeypatch.setenv("SPARK_GRAFT_DRIVER_TRICKLE", "1")
+        assert dm.try_trickle(lambda: {"x": 1}) == {"x": 1}
+
+    def test_decline_counted_by_reason(self):
+        dm.decline_counts(reset=True)
+
+        def boom():
+            raise dm.DriverDecline("nope", reason="type_drift")
+
+        assert dm.try_trickle(boom) is None
+        assert dm.try_trickle(boom) is None
+        assert dm.decline_counts()["type_drift"] == 2
+
+    def test_unexpected_errors_fall_back_not_crash(self):
+        import pyarrow as pa
+
+        dm.decline_counts(reset=True)
+
+        def os_boom():
+            raise OSError("disk says no")
+
+        def arrow_boom():
+            raise pa.lib.ArrowInvalid("bad cast")
+
+        with pytest.warns(UserWarning, match="driver trickle path failed"):
+            assert dm.try_trickle(os_boom) is None
+        with pytest.warns(UserWarning, match="driver trickle path failed"):
+            assert dm.try_trickle(arrow_boom) is None
+        assert dm.decline_counts()["error"] == 2
+        with pytest.raises(KeyError):  # genuine bugs still surface
+            dm.try_trickle(lambda: {}[1])
+
+    def test_compaction_escalation(self):
+        hit = []
+        r = dm.try_trickle(
+            lambda: {"insert": 1, "compaction_due": True},
+            on_compact=lambda: hit.append(1),
+        )
+        assert r == {"insert": 1, "compacted": True} and hit == [1]
+        # without an escalation hook the flag is returned to the caller
+        r = dm.try_trickle(lambda: {"insert": 1, "compaction_due": True})
+        assert r == {"insert": 1, "compaction_due": True}
+        # and a merge that isn't due stays unflagged
+        r = dm.try_trickle(
+            lambda: {"insert": 1, "compaction_due": False},
+            on_compact=lambda: hit.append(2),
+        )
+        assert r == {"insert": 1} and hit == [1]
+
+
 class TestDeclines:
     def test_decline_paths(self, spark, tmp_path):
         rng = random.Random(67)
@@ -276,6 +344,61 @@ class TestDeclines:
         mor.merge_upsert_mor(spark, df, q, ["k"], num_buckets=4, compact_every=None)
         with pytest.raises(dm.DriverDecline):
             dm.trickle_merge(q, [{"k": 2, "v": None}], ["k"])
+
+    def test_type_drift_declines_before_hashing(self, spark, tmp_path):
+        """A batch value whose Python type doesn't match the target
+        column kind must DECLINE (reason type_drift) — never be hashed
+        with the target's kind (float 2.0 into an int column would
+        render '2' where the Spark merge hashes '2.0'), and never crash
+        in pyarrow at commit time (the pre-fix failure for non-integral
+        floats)."""
+        p = str(tmp_path / "drift")
+        _seed_state(spark, p, random.Random(5))
+        ok = _row(random.Random(5), 900)
+        drifted = [
+            {**ok, "k": 2.0},                         # float into int
+            {**ok, "k": 2.5},                         # used to crash ArrowInvalid
+            {**ok, "flag": 1},                        # int into bool
+            {**ok, "name": 5},                        # int into string
+            {**ok, "d": datetime.datetime(2024, 1, 2)},   # datetime into date
+            {**ok, "ts": datetime.date(2024, 1, 2)},      # date into timestamp
+            {**ok, "row_hash": 123},                  # non-string precomputed hash
+        ]
+        for bad in drifted:
+            with pytest.raises(dm.DriverDecline) as ei:
+                dm.trickle_merge(p, [bad], ["k"], jvm=spark._jvm)
+            assert ei.value.reason == "type_drift", bad
+        # int into a DOUBLE column is exact on both paths — accepted
+        seq = mor.mor_history(p)["seq"]
+        r = dm.trickle_merge(p, [{**ok, "amt": 3}], ["k"], jvm=spark._jvm)
+        assert r["insert"] == 1 and mor.mor_history(p)["seq"] == seq + 1
+        got = (
+            mor.read_mor(spark, p).filter(F.col("k") == 900).collect()[0]
+        )
+        assert got["amt"] == 3.0
+
+    def test_decline_reasons_tagged(self, spark, tmp_path):
+        p = str(tmp_path / "reasons")
+        _seed_state(spark, p, random.Random(8))
+        cases = [
+            (lambda: dm.trickle_merge(str(tmp_path / "nope"), [], ["k"]),
+             "not_mor"),
+            (lambda: dm.trickle_merge(
+                p, [], ["k"],
+                delete_keys=[str(i) for i in range(dm.DRIVER_BATCH_MAX_KEYS + 1)],
+            ), "batch_too_big"),
+            (lambda: dm.trickle_merge(p, [{"k": 1, "extra": 2}], ["k"]),
+             "schema_drift"),
+            (lambda: dm.trickle_merge(
+                p,
+                [_row(random.Random(1), 1), _row(random.Random(2), 1)],
+                ["k"],
+            ), "duplicate_keys"),
+        ]
+        for fn, reason in cases:
+            with pytest.raises(dm.DriverDecline) as ei:
+                fn()
+            assert ei.value.reason == reason
 
     def test_noop_writes_nothing(self, spark, tmp_path):
         p = str(tmp_path / "noop")

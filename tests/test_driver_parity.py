@@ -30,6 +30,15 @@ def _adversarial_strings(rng: random.Random) -> list[str]:
         "1e400", "-1e400", "0.1", "0.001", "0.0001", "00.100",
         " 42 ", "\t42", "42\n", "x", "Ünïcødé", "null", "NULL", "None",
         "12a", "a12", "1.2.3", "--5", "++5", "1e", "e5", ".", "-", "+",
+        # unicode whitespace/digit traps: Java Double.parseDouble trims
+        # only chars <= U+0020 and accepts ASCII digits only; Python's
+        # strip()/\d/float() are unicode-lenient and used to parse these
+        # (→ canonicalized key), diverging from Spark's raw-string key.
+        "1\u00a0", "\u00a01", "\u00a042\u00a0", "3\u00a05",
+        "\u0663", "\u0663\u0663", "\u0664\u0662", "1\u0663", "12\u06f3",
+        "\u0e52\u0e52", "\uff11\uff12\uff13", "1\u200b", "\u200b7",
+        "5\u3000", "\u20284\u2029", "\u16804",
+        "\x0142", "42\x1f", "\x1c7\x1d", "\x007", "7\x00",
     ]
     alpha = "0123456789.eE+-xXpPdDfF_ aZ|"
     rand = [

@@ -460,3 +460,291 @@ class TestNwayDriverPath:
                 mor.read_mor(spark, v2).select(cdc.KEY_COL, "row_hash")
             )
             assert d1 == d2
+
+
+class TestNwayLeftStar:
+    """``how="left"`` star views: SQL chained-LEFT-JOIN semantics kept
+    fresh — dangling and NULL FKs NULL-extend, dim changes run the
+    matched↔unmatched transition sweep, fact-only trickles stay on the
+    zero-job driver path, and the chained 2-way-outer workaround
+    produces identical content."""
+
+    def _seed_left(self, spark, tmp_path, rng, n_facts=150):
+        rows = [
+            (
+                k,
+                rng.choice(D_IDS + [None]),  # d5..d7 dangle (dim holds d0-d4)
+                rng.choice(S_IDS + [None, "zz"]),  # 'zz' dangles
+                round(rng.uniform(-20, 20), 2),
+            )
+            for k in range(n_facts)
+        ]
+        a, b, c = (str(tmp_path / x) for x in ("fact", "dim", "sup"))
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(rows, FACT_SCHEMA), a, ["f_id"],
+            num_buckets=8, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(_dims(rng, D_IDS[:5]), D_SCHEMA),
+            b, ["d_id"], num_buckets=4, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(_sups(rng, S_IDS), S_SCHEMA),
+            c, ["s_id"], num_buckets=4, compact_every=None,
+        )
+        return a, b, c
+
+    def _build_left(self, spark, tmp_path, a, b, c, name="lview"):
+        v = str(tmp_path / name)
+        r = nw.build_join_view_nway(
+            spark, _star_sources(a, b, c), v, num_buckets=8,
+            compact_every=None, how="left",
+        )
+        assert r["mode"] == "build"
+        return v
+
+    def _recompute_left(self, spark, a, b, c):
+        f = mor.read_mor(spark, a).select("f_id", "f_did", "f_sid", "f_amt")
+        d = mor.read_mor(spark, b).select("d_id", "d_name")
+        s = mor.read_mor(spark, c).select("s_id", "s_name")
+        return (
+            f.join(d, F.col("f_did") == F.col("d_id"), "left")
+            .join(s, F.col("f_sid") == F.col("s_id"), "left")
+            .select("f_id", "f_did", "f_sid", "f_amt",
+                    "d_id", "d_name", "s_id", "s_name")
+        )
+
+    def _assert_left_matches(self, spark, v, a, b, c):
+        want = self._recompute_left(spark, a, b, c)
+        got = ij.read_join_view(spark, v)
+        assert sorted(got.columns) == sorted(want.columns)
+        assert _canon(got.select(*want.columns)) == _canon(want)
+
+    def test_build_matches_sql_left_join(self, spark, tmp_path):
+        rng = random.Random(501)
+        a, b, c = self._seed_left(spark, tmp_path, rng)
+        v = self._build_left(spark, tmp_path, a, b, c)
+        self._assert_left_matches(spark, v, a, b, c)
+        got = ij.read_join_view(spark, v)
+        # the seed guarantees dangling rows exist — they NULL-extend
+        assert got.filter(F.col("d_id").isNull()).count() > 0
+        assert got.filter(F.col("s_id").isNull()).count() > 0
+        # every fact row appears exactly once (FK→PK: M ≤ 1 per dim)
+        assert got.count() == mor.read_mor(spark, a).count()
+
+    def test_fact_trickle_zero_jobs_with_dangles(self, spark, tmp_path):
+        """The steady state: a fact-only trickle — including a new
+        dangling FK and a NULL FK — folds on the driver with zero Spark
+        jobs and matches the SQL recompute."""
+        rng = random.Random(502)
+        a, b, c = self._seed_left(spark, tmp_path, rng)
+        v = self._build_left(spark, tmp_path, a, b, c, "lview_drv")
+        batch = [
+            (3, "d0", "s1", 1.5),        # matched both
+            (900, "d7", None, 2.5),      # dangling dim, NULL sup
+            (901, None, "zz", -3.5),     # NULL dim, dangling sup
+        ]
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(batch, FACT_SCHEMA), a, ["f_id"],
+            compact_every=None,
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup() or [])
+        r = ij.refresh_join_view(spark, v)
+        n_jobs = len(set(tracker.getJobIdsForGroup() or []) - before)
+        assert r["mode"] == "incremental" and r.get("path") == "driver"
+        assert n_jobs == 0, f"left-star driver refresh ran {n_jobs} jobs"
+        self._assert_left_matches(spark, v, a, b, c)
+
+    def test_dim_transition_sweep(self, spark, tmp_path):
+        """Matched↔unmatched transitions on every dim: a dim INSERT
+        flips its dangling facts to matched, a dim DELETE flips its
+        facts to NULL-extended, an in-place dim UPDATE rewrites the
+        joined columns — each refresh equals the SQL recompute."""
+        rng = random.Random(503)
+        a, b, c = self._seed_left(spark, tmp_path, rng)
+        v = self._build_left(spark, tmp_path, a, b, c, "lview_dim")
+        # unmatched → matched: d5 appears
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame([("d5", "late")], D_SCHEMA),
+            b, ["d_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental" and r.get("path") != "driver"
+        self._assert_left_matches(spark, v, a, b, c)
+        got = ij.read_join_view(spark, v)
+        assert got.filter(
+            (F.col("f_did") == "d5") & (F.col("d_name") == "late")
+        ).count() > 0
+        # matched → unmatched: d0 vanishes
+        mor.delete_keys_mor(
+            spark, b, spark.createDataFrame([("d0",)], "d_id string"),
+            ["d_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        self._assert_left_matches(spark, v, a, b, c)
+        got = ij.read_join_view(spark, v)
+        assert got.filter(
+            (F.col("f_did") == "d0") & F.col("d_id").isNotNull()
+        ).count() == 0
+        # matched → matched (value rewrite) on the OTHER dim
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame([("s1", "renamed", "d1")], S_SCHEMA),
+            c, ["s_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        self._assert_left_matches(spark, v, a, b, c)
+
+    def test_simultaneous_fact_and_dim_changes(self, spark, tmp_path):
+        """Fact and both dims move in one refresh window — the
+        telescoping terms (fact@new in dim terms, dims@old in the fact
+        term) must compose exactly."""
+        rng = random.Random(504)
+        a, b, c = self._seed_left(spark, tmp_path, rng)
+        v = self._build_left(spark, tmp_path, a, b, c, "lview_sim")
+        mor.merge_upsert_mor(
+            spark,
+            spark.createDataFrame(
+                [(5, "d6", "s0", 9.9), (902, "d2", None, 0.5)], FACT_SCHEMA
+            ),
+            a, ["f_id"], compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame([("d6", "x"), ("d2", "y")], D_SCHEMA),
+            b, ["d_id"], compact_every=None,
+        )
+        mor.delete_keys_mor(
+            spark, c, spark.createDataFrame([("s0",)], "s_id string"),
+            ["s_id"], compact_every=None,
+        )
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        assert set(r["changes"]) == {0, 1, 2}
+        self._assert_left_matches(spark, v, a, b, c)
+
+    def test_randomized_differential(self, spark, tmp_path):
+        rng = random.Random(505)
+        a, b, c = self._seed_left(spark, tmp_path, rng, n_facts=100)
+        v = self._build_left(spark, tmp_path, a, b, c, "lview_rand")
+        all_d = D_IDS + [None]
+        all_s = S_IDS + [None, "zz"]
+        for step in range(5):
+            facts = [
+                (k, rng.choice(all_d), rng.choice(all_s),
+                 round(rng.uniform(-20, 20), 2))
+                for k in rng.sample(range(140), 5)
+            ]
+            mor.merge_upsert_mor(
+                spark, spark.createDataFrame(facts, FACT_SCHEMA), a,
+                ["f_id"], compact_every=None,
+            )
+            roll = rng.random()
+            if roll < 0.3:
+                mor.merge_upsert_mor(
+                    spark,
+                    spark.createDataFrame(
+                        _dims(rng, [rng.choice(D_IDS)]), D_SCHEMA
+                    ),
+                    b, ["d_id"], compact_every=None,
+                )
+            elif roll < 0.5:
+                mor.delete_keys_mor(
+                    spark, b,
+                    spark.createDataFrame([(rng.choice(D_IDS),)], "d_id string"),
+                    ["d_id"], compact_every=None,
+                )
+            elif roll < 0.75:
+                mor.merge_upsert_mor(
+                    spark,
+                    spark.createDataFrame(
+                        _sups(rng, [rng.choice(S_IDS)]), S_SCHEMA
+                    ),
+                    c, ["s_id"], compact_every=None,
+                )
+            r = ij.refresh_join_view(spark, v)
+            assert r["mode"] == "incremental", f"step {step}: {r}"
+            self._assert_left_matches(spark, v, a, b, c)
+
+    def test_native_left_equals_chained_two_way(self, spark, tmp_path):
+        """The workaround users run today — chained 2-way left views —
+        must produce byte-for-byte the same rows as the native left
+        star, across fact and dim changes."""
+        rng = random.Random(506)
+        a, b, c = self._seed_left(spark, tmp_path, rng, n_facts=80)
+        v = self._build_left(spark, tmp_path, a, b, c, "lview_nat")
+        v1 = str(tmp_path / "chain1")
+        v2 = str(tmp_path / "chain2")
+        ij.build_join_view(
+            spark, a, b, v1, on=[("f_did", "d_id")],
+            a_key_cols=["f_id"], b_key_cols=["d_id"],
+            a_cols=["f_id", "f_did", "f_sid", "f_amt"],
+            b_cols=["d_id", "d_name"],
+            num_buckets=8, compact_every=None, how="left",
+        )
+        ij.build_join_view(
+            spark, v1, c, v2, on=[("f_sid", "s_id")],
+            a_key_cols=["f_id", "d_id"], b_key_cols=["s_id"],
+            a_cols=["f_id", "f_did", "f_sid", "f_amt", "d_id", "d_name"],
+            b_cols=["s_id", "s_name"],
+            num_buckets=8, compact_every=None, how="left",
+        )
+        def both_refresh():
+            ij.refresh_join_view(spark, v)
+            ij.refresh_join_view(spark, v1)
+            ij.refresh_join_view(spark, v2)
+            native = _canon(ij.read_join_view(spark, v))
+            chained = _canon(
+                ij.read_join_view(spark, v2).select(
+                    "f_id", "f_did", "f_sid", "f_amt",
+                    "d_id", "d_name", "s_id", "s_name",
+                )
+            )
+            assert native == chained
+
+        both_refresh()
+        mor.merge_upsert_mor(
+            spark,
+            spark.createDataFrame([(7, "d5", "zz", 4.4)], FACT_SCHEMA),
+            a, ["f_id"], compact_every=None,
+        )
+        both_refresh()
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame([("d5", "arrived")], D_SCHEMA),
+            b, ["d_id"], compact_every=None,
+        )
+        both_refresh()
+
+    def test_left_spec_validation(self, spark, tmp_path):
+        rng = random.Random(507)
+        a, b, c = self._seed_left(spark, tmp_path, rng, n_facts=20)
+        # snowflake edge (sup hangs off the DIM, not the spine)
+        snow = [
+            {"path": a, "key_cols": ["f_id"],
+             "cols": ["f_id", "f_did", "f_sid", "f_amt"]},
+            {"path": b, "key_cols": ["d_id"], "cols": ["d_id", "d_name"],
+             "on": [("f_did", "d_id")]},
+            {"path": c, "key_cols": ["s_id"], "cols": ["s_id", "s_name"],
+             "on": [("d_name", "s_name")]},
+        ]
+        with pytest.raises(ValueError, match="STAR"):
+            nw.build_join_view_nway(
+                spark, snow, str(tmp_path / "bad1"), how="left"
+            )
+        # non-FK→PK edge (dim joined on a non-key column)
+        nonpk = [
+            {"path": a, "key_cols": ["f_id"],
+             "cols": ["f_id", "f_did", "f_sid", "f_amt"]},
+            {"path": b, "key_cols": ["d_id"], "cols": ["d_id", "d_name"],
+             "on": [("f_did", "d_name")]},
+        ]
+        with pytest.raises(ValueError, match="FK"):
+            nw.build_join_view_nway(
+                spark, nonpk, str(tmp_path / "bad2"), how="left"
+            )
+        with pytest.raises(ValueError, match="how"):
+            nw.build_join_view_nway(
+                spark, _star_sources(a, b, c), str(tmp_path / "bad3"),
+                how="full",
+            )

@@ -304,6 +304,29 @@ class TestReconcileReport:
         # the sum measure rides along
         sums = reconcile_from_snapshots(spark, agg_s, agg_t).columns
         assert {"sum_amt_src", "sum_amt_tgt", "sum_amt_diff"} <= set(sums)
+        # snapshots carrying minmax/hll columns reconcile too: those
+        # columns aren't numeric measures (dates / binary sketches) and
+        # must be SKIPPED, not coalesce(c,0)-subtracted (pre-fix this
+        # raised AnalysisException on the hll binary column)
+        agg_s2, agg_t2 = str(tmp_path / "ras2"), str(tmp_path / "rat2")
+        ia.build_agg_snapshot(
+            spark, src_t, agg_s2, ["month"], ["amt"],
+            minmax_cols=["amt"], hll_cols=["k"],
+        )
+        ia.build_agg_snapshot(
+            spark, tgt_t, agg_t2, ["month"], ["amt"],
+            minmax_cols=["amt"], hll_cols=["k"],
+        )
+        rich = reconcile_from_snapshots(spark, agg_s2, agg_t2)
+        assert not [
+            c for c in rich.columns
+            if c.startswith(("min_", "max_", "hll_"))
+        ]
+        got2 = {
+            r["month"]: (r["n_rows_src"], r["n_rows_tgt"])
+            for r in rich.collect()
+        }
+        assert got2 == {m: (s, t) for m, (s, t, _d) in got.items()}
 
 
 class TestSociosDocsVariant:

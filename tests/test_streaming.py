@@ -463,7 +463,9 @@ class TestDriverMicroBatch:
         )
         assert not mb._try_driver_micro_merge(spark, dup, t1, ["event_id"])
         # oversized batch declines before collecting everything
-        big = spark.range(mb.DRIVER_MICRO_BATCH_MAX_ROWS + 10).select(
+        from presencia_etl_spark.sinks.driver_mor import DRIVER_BATCH_MAX_KEYS
+
+        big = spark.range(DRIVER_BATCH_MAX_KEYS + 10).select(
             F.col("id").alias("event_id"),
             F.lit("x").alias("event_type"),
             F.lit(0.5).alias("v"),
