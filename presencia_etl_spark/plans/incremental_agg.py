@@ -247,10 +247,12 @@ def read_agg_snapshot(
     spark: SparkSession, agg_path: str, estimate: bool = False
 ) -> DataFrame:
     """The maintained aggregate: one row per group, ``n_rows`` +
-    ``sum_<col>``/``min_``/``max_``/``hll_`` columns. ``estimate=True``
-    additionally renders each maintained HLL sketch as an
-    ``apx_distinct_<col>`` estimate column (the A6 distinct-count read
-    shape)."""
+    ``sum_<col>``/``min_``/``max_``/``hll_``/``kll_`` columns.
+    ``estimate=True`` additionally renders each maintained HLL sketch as
+    an ``apx_distinct_<col>`` estimate column (the A6 distinct-count
+    read shape) and each maintained KLL sketch as ``apx_p50_<col>`` /
+    ``apx_p90_<col>`` / ``apx_p99_<col>`` quantile estimates (q41's
+    percentile family, kept fresh)."""
     _recover_interrupted_refresh(agg_path)
     df = spark.read.parquet(_snap_path(agg_path))
     if estimate:
@@ -263,6 +265,23 @@ def read_agg_snapshot(
                     F.hll_sketch_estimate(F.col(_hll_name(c))),
                 ),
             )
+        for c in meta.get("kll_cols", []):
+            kn = _kll_name(c)
+            # an all-NULL group's sketch is EMPTY (not NULL) and the
+            # quantile getter throws on it — guard on the item count
+            has_items = F.col(kn).isNotNull() & (
+                F.kll_sketch_get_n_double(F.col(kn)) > 0
+            )
+            for q, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+                df = df.withColumn(
+                    f"apx_{tag}_{c}",
+                    F.when(
+                        has_items,
+                        F.kll_sketch_get_quantile_double(
+                            F.col(kn), F.lit(q)
+                        ),
+                    ),
+                )
     return df
 
 
@@ -281,6 +300,7 @@ def build_agg_snapshot(
     sum_cols: list[str] | None = None,
     minmax_cols: list[str] | None = None,
     hll_cols: list[str] | None = None,
+    kll_cols: list[str] | None = None,
 ) -> dict:
     """Full compute of the aggregate from the MOR state's current
     snapshot; records the state's sequence as the refresh cursor. A full
@@ -294,13 +314,14 @@ def build_agg_snapshot(
     sum_cols = list(sum_cols or [])
     minmax_cols = list(minmax_cols or [])
     hll_cols = list(hll_cols or [])
+    kll_cols = list(kll_cols or [])
     os.makedirs(agg_path, exist_ok=True)
     _recover_interrupted_refresh(agg_path)
     with corpus_section():
         hist = mor_history(mor_path)
         out = _full_aggregate(
             read_mor(spark, mor_path), group_cols, sum_cols, minmax_cols,
-            hll_cols,
+            hll_cols, kll_cols,
         )
         meta = {
             "as_of_seq": hist["seq"],
@@ -308,6 +329,7 @@ def build_agg_snapshot(
             "sum_cols": sum_cols,
             "minmax_cols": minmax_cols,
             "hll_cols": hll_cols,
+            "kll_cols": kll_cols,
         }
         _write_snapshot(out, agg_path, meta)
     return {"mode": "build", "as_of_seq": hist["seq"]}
@@ -341,6 +363,7 @@ def refresh_agg_snapshot(
     group_cols, sum_cols = meta["group_cols"], meta["sum_cols"]
     minmax_cols = meta.get("minmax_cols", [])
     hll_cols = meta.get("hll_cols", [])
+    kll_cols = meta.get("kll_cols", [])
     hist = mor_history(mor_path)
     cur = hist["seq"]
     if cur == since:
@@ -350,7 +373,7 @@ def refresh_agg_snapshot(
         # schema-drift COW fold) — they can no longer be separated out.
         r = build_agg_snapshot(
             spark, mor_path, agg_path, group_cols, sum_cols, minmax_cols,
-            hll_cols,
+            hll_cols, kll_cols,
         )
         return {**r, "mode": "rebuild"}
     pending = delta_bytes_in_range(mor_path, since, cur)
@@ -368,7 +391,7 @@ def refresh_agg_snapshot(
         with trickle_scope(spark):
             return _refresh_agg_snapshot_inner(
                 spark, mor_path, agg_path, meta, since, cur, group_cols,
-                sum_cols, minmax_cols, hll_cols,
+                sum_cols, minmax_cols, hll_cols, kll_cols,
             )
     # Corpus-sized fold: the shared conf-lock side guarantees SESSION
     # defaults for the whole multi-GB run, not just at entry — a trickle
@@ -377,7 +400,7 @@ def refresh_agg_snapshot(
     with corpus_section():
         return _refresh_agg_snapshot_inner(
             spark, mor_path, agg_path, meta, since, cur, group_cols,
-            sum_cols, minmax_cols, hll_cols,
+            sum_cols, minmax_cols, hll_cols, kll_cols,
         )
 
 
@@ -440,6 +463,8 @@ def _refresh_agg_driver(
     minmax_cols = meta.get("minmax_cols", [])
     if meta.get("hll_cols"):
         raise DriverDecline("HLL sketch folds need the JVM", reason="hll")
+    if meta.get("kll_cols"):
+        raise DriverDecline("KLL sketch folds need the JVM", reason="kll")
     if _snapshot_bytes(agg_path) > AGG_DRIVER_SNAPSHOT_MAX_BYTES:
         raise DriverDecline(
             "snapshot too large for a driver rewrite", reason="batch_too_big"
@@ -636,9 +661,11 @@ def _refresh_agg_snapshot_inner(
     sum_cols: list[str],
     minmax_cols: list[str] | None = None,
     hll_cols: list[str] | None = None,
+    kll_cols: list[str] | None = None,
 ) -> dict:
     minmax_cols = list(minmax_cols or [])
     hll_cols = list(hll_cols or [])
+    kll_cols = list(kll_cols or [])
     # Bounded at BOTH ends: as_of_seq pins the feed to the sequence we
     # record as the new cursor, so a merge landing mid-refresh is neither
     # half-applied now nor skipped by the next refresh.
@@ -701,6 +728,7 @@ def _refresh_agg_snapshot_inner(
         cols = list(
             dict.fromkeys(
                 list(group_cols) + list(sum_cols) + minmax_cols + hll_cols
+                + kll_cols
             )
         )
         # Tombstoned keys (row-level deletes) contribute NO +1 row — their
@@ -751,6 +779,19 @@ def _refresh_agg_snapshot_inner(
                     (F.col("_w") < 0) & F.col(c).isNotNull()
                 ).alias(f"_hd_{c}"),
             ]
+        for c in kll_cols:
+            # same displaced-recompute contract as HLL: insert-side
+            # values fold into a mergeable sketch, ANY retracted
+            # non-null value flags the group for recompute (KLL is not
+            # invertible)
+            delta_exprs += [
+                F.kll_sketch_agg_double(
+                    F.when(F.col("_w") > 0, F.col(c).cast("double"))
+                ).alias(_kll_name(c)),
+                F.max(
+                    (F.col("_w") < 0) & F.col(c).isNotNull()
+                ).alias(f"_qd_{c}"),
+            ]
         # The delta feeds THREE plan branches (the broadcast merge join,
         # the touched-groups semi probe, and the fresh-groups anti probe
         # side). The broadcast exchange is reused across the first two,
@@ -800,6 +841,15 @@ def _refresh_agg_snapshot_inner(
                 .alias(hn)
             )
             mm_dirty = mm_dirty | F.coalesce(d[f"_hd_{c}"], F.lit(False))
+        for c in kll_cols:
+            kn = _kll_name(c)
+            merged_cols.append(
+                F.when(d[kn].isNull(), prev[kn])
+                .when(prev[kn].isNull(), d[kn])
+                .otherwise(F.kll_sketch_merge_double(prev[kn], d[kn]))
+                .alias(kn)
+            )
+            mm_dirty = mm_dirty | F.coalesce(d[f"_qd_{c}"], F.lit(False))
         for c in minmax_cols:
             # inserts fold monotonically (least/greatest skip NULLs); a
             # retraction can only DISPLACE a stored extreme when it ties
@@ -824,7 +874,7 @@ def _refresh_agg_snapshot_inner(
                     & (prev[_max_name(c)].isNull() | (rmx >= prev[_max_name(c)]))
                 )
             )
-        if minmax_cols or hll_cols:
+        if minmax_cols or hll_cols or kll_cols:
             merged_cols.append(mm_dirty.alias("_mmd"))
         existing = prev.join(d, join_cond, "left_outer").select(*merged_cols)
         # Brand-new groups: in the delta, absent from the snapshot (their
@@ -844,6 +894,8 @@ def _refresh_agg_snapshot_inner(
         for c in hll_cols:
             # a brand-new group's sketch IS its insert-side sketch
             snap_cols += [_hll_name(c)]
+        for c in kll_cols:
+            snap_cols += [_kll_name(c)]
         touched = prev.join(d, join_cond, "left_semi").select(*group_cols)
         dd, t = delta.alias("dd"), touched.alias("t")
         anti_cond = None
@@ -854,10 +906,10 @@ def _refresh_agg_snapshot_inner(
             *group_cols, *snap_cols
         )
         n_mmd = 0
-        if minmax_cols or hll_cols:
+        if minmax_cols or hll_cols or kll_cols:
             fresh = fresh.withColumn("_mmd", F.lit(False))
         out = existing.unionByName(fresh).filter(F.col(COUNT_COL) > 0)
-        if minmax_cols or hll_cols:
+        if minmax_cols or hll_cols or kll_cols:
             # Displaced-extreme groups (bounded by the delta's groups):
             # recompute exactly those from the base — ONE narrow scan
             # restricted by a broadcast semi join, the documented honest
@@ -885,6 +937,12 @@ def _refresh_agg_snapshot_inner(
                 for c in hll_cols:
                     rc_exprs.append(
                         F.hll_sketch_agg(F.col(c)).alias(f"_rc_hll_{c}")
+                    )
+                for c in kll_cols:
+                    rc_exprs.append(
+                        F.kll_sketch_agg_double(
+                            F.col(c).cast("double")
+                        ).alias(f"_rc_kll_{c}")
                     )
                 rc = (
                     bb.join(F.broadcast(gg), sc, "left_semi")
@@ -920,6 +978,12 @@ def _refresh_agg_snapshot_inner(
                         F.when(
                             F.col("r._rc"), F.col(f"r._rc_hll_{c}")
                         ).otherwise(F.col(f"o.{_hll_name(c)}")).alias(_hll_name(c))
+                    )
+                for c in kll_cols:
+                    final_cols.append(
+                        F.when(
+                            F.col("r._rc"), F.col(f"r._rc_kll_{c}")
+                        ).otherwise(F.col(f"o.{_kll_name(c)}")).alias(_kll_name(c))
                     )
                 out = o.join(F.broadcast(r_), oc, "left_outer").select(
                     *final_cols

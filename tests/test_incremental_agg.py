@@ -779,3 +779,209 @@ class TestAggDriverPath:
         r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
         assert r["mode"] == "incremental" and r.get("path") != "driver"
         _assert_matches_recompute(spark, mor_t, agg_t)
+
+
+class TestKllMaintenance:
+    """Mergeable-sketch QUANTILES (kll_cols): inserts fold by pairwise
+    kll_sketch_merge_double; retractions trigger the same narrow
+    per-group recompute MIN/MAX and HLL displacement use. KLL compaction
+    is randomized (unlike HLL's deterministic registers), so the
+    invariant is ESTIMATE-level: below the sketch's k=200 items the
+    sketch stores every value and quantiles are exact — the maintained
+    estimate must equal the recomputed estimate exactly at these test
+    cardinalities, and must sit at the right rank of the exact value
+    multiset."""
+
+    QSCHEMA = StructType(
+        [
+            StructField("K", StringType()),
+            StructField("cat", StringType()),
+            StructField("qty", DoubleType()),
+        ]
+    )
+
+    def _qrows(self, rng, keys):
+        return [
+            (
+                str(k),
+                rng.choice(["a", "b", None]),
+                rng.choice([None, round(rng.uniform(0, 100), 2)]),
+            )
+            for k in keys
+        ]
+
+    def _qdf(self, spark, rows):
+        return spark.createDataFrame(rows, self.QSCHEMA)
+
+    def _assert_kll_matches(self, spark, mor_t, agg_t):
+        est_cols = ["apx_p50_qty", "apx_p90_qty", "apx_p99_qty"]
+        got = (
+            ia.read_agg_snapshot(spark, agg_t, estimate=True)
+            .select("cat", "n_rows", *est_cols)
+        )
+        meta = ia.agg_snapshot_info(agg_t)
+        want = ia._full_aggregate(
+            mor.read_mor(spark, mor_t), meta["group_cols"], [],
+            kll_cols=meta["kll_cols"],
+        )
+        has = F.col("kll_qty").isNotNull() & (
+            F.kll_sketch_get_n_double(F.col("kll_qty")) > 0
+        )
+        want = want.select(
+            "cat",
+            "n_rows",
+            *[
+                F.when(
+                    has,
+                    F.kll_sketch_get_quantile_double(
+                        F.col("kll_qty"), F.lit(q)
+                    ),
+                ).alias(f"apx_{t}_qty")
+                for q, t in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+            ],
+        )
+        assert _canon(got) == _canon(want)
+        # rank check against the exact value multiset (sub-k sketches
+        # are exact, so the quantile must be a stored value at ~q rank)
+        vals = {}
+        for r in mor.read_mor(spark, mor_t).select("cat", "qty").collect():
+            if r["qty"] is not None:
+                vals.setdefault(r["cat"], []).append(r["qty"])
+        for r in got.collect():
+            xs = sorted(vals.get(r["cat"], []))
+            for q, col in ((0.5, "apx_p50_qty"), (0.9, "apx_p90_qty")):
+                a = r[col]
+                if not xs:
+                    assert a is None, (r["cat"], col, a)
+                    continue
+                assert a in xs, (r["cat"], col, a)
+                lo = sum(1 for x in xs if x < a) / len(xs)
+                hi = sum(1 for x in xs if x <= a) / len(xs)
+                slack = 1.0 / len(xs) + 0.02
+                assert lo - slack <= q <= hi + slack, (
+                    r["cat"], col, a, lo, hi,
+                )
+
+    def test_build_and_insert_only_fold(self, spark, tmp_path):
+        rng = random.Random(211)
+        mor_t, agg_t = str(tmp_path / "km"), str(tmp_path / "ka")
+        mor.merge_upsert_mor(
+            spark, self._qdf(spark, self._qrows(rng, range(80))), mor_t,
+            ["K"], num_buckets=4, compact_every=None,
+        )
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], kll_cols=["qty"])
+        self._assert_kll_matches(spark, mor_t, agg_t)
+        # pure inserts: sketches merge pairwise, no recompute
+        mor.merge_upsert_mor(
+            spark, self._qdf(spark, self._qrows(rng, range(100, 120))),
+            mor_t, ["K"], compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        assert r["minmax_recomputed_groups"] == 0
+        self._assert_kll_matches(spark, mor_t, agg_t)
+
+    def test_retraction_recomputes_group(self, spark, tmp_path):
+        rng = random.Random(212)
+        mor_t, agg_t = str(tmp_path / "krm"), str(tmp_path / "kra")
+        mor.merge_upsert_mor(
+            spark, self._qdf(spark, self._qrows(rng, range(60))), mor_t,
+            ["K"], num_buckets=4, compact_every=None,
+        )
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], kll_cols=["qty"])
+        old = mor.read_mor(spark, mor_t).filter(
+            F.col("qty").isNotNull()
+        ).limit(1).collect()[0]
+        mor.merge_upsert_mor(
+            spark, self._qdf(spark, [(old["K"], old["cat"], 999.5)]),
+            mor_t, ["K"], compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        assert r["minmax_recomputed_groups"] >= 1
+        self._assert_kll_matches(spark, mor_t, agg_t)
+        mor.delete_keys_mor(
+            spark, mor_t, spark.createDataFrame([(old["K"],)], "K string"),
+            ["K"], compact_every=None,
+        )
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        self._assert_kll_matches(spark, mor_t, agg_t)
+
+    def test_randomized_kll_differential(self, spark, tmp_path):
+        rng = random.Random(213)
+        mor_t, agg_t = str(tmp_path / "kzm"), str(tmp_path / "kza")
+        mor.merge_upsert_mor(
+            spark, self._qdf(spark, self._qrows(rng, range(70))), mor_t,
+            ["K"], num_buckets=4, compact_every=None,
+        )
+        # all four column kinds in one snapshot
+        ia.build_agg_snapshot(
+            spark, mor_t, agg_t, ["cat"], sum_cols=["qty"],
+            minmax_cols=["qty"], hll_cols=["K"], kll_cols=["qty"],
+        )
+        for step in range(4):
+            ups = self._qrows(rng, rng.sample(range(90), 6))
+            mor.merge_upsert_mor(
+                spark, self._qdf(spark, ups), mor_t, ["K"],
+                compact_every=None,
+            )
+            if rng.random() < 0.5:
+                doomed = str(rng.randrange(70))
+                mor.delete_keys_mor(
+                    spark, mor_t,
+                    spark.createDataFrame([(doomed,)], "K string"),
+                    ["K"], compact_every=None,
+                )
+            r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+            assert r["mode"] == "incremental", f"step {step}"
+            self._assert_kll_matches(spark, mor_t, agg_t)
+            # sums and min/max stay correct alongside
+            got = ia.read_agg_snapshot(spark, agg_t)
+            want = ia._full_aggregate(
+                mor.read_mor(spark, mor_t), ["cat"], ["qty"], ["qty"]
+            )
+            keep = ["cat", "n_rows", "sum_qty", "nn_qty", "min_qty", "max_qty"]
+            assert _canon(got.select(*keep)) == _canon(want.select(*keep))
+
+    def test_all_null_group_renders_null_estimates(self, spark, tmp_path):
+        mor_t, agg_t = str(tmp_path / "knm"), str(tmp_path / "kna")
+        rows = [("k1", "only_null", None), ("k2", "only_null", None),
+                ("k3", "mixed", 5.0)]
+        mor.merge_upsert_mor(
+            spark, self._qdf(spark, rows), mor_t, ["K"], num_buckets=4,
+            compact_every=None,
+        )
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], kll_cols=["qty"])
+        got = {
+            r["cat"]: r["apx_p50_qty"]
+            for r in ia.read_agg_snapshot(spark, agg_t, estimate=True).collect()
+        }
+        assert got["only_null"] is None  # empty sketch must not throw
+        assert got["mixed"] == 5.0
+
+    def test_kll_snapshot_declines_driver_fold(self, spark, tmp_path):
+        from presencia_etl_spark.sinks.driver_mor import DriverDecline
+
+        rng = random.Random(214)
+        mor_t, agg_t = str(tmp_path / "kdm"), str(tmp_path / "kda")
+        mor.merge_upsert_mor(
+            spark, self._qdf(spark, self._qrows(rng, range(40))), mor_t,
+            ["K"], num_buckets=4, compact_every=None,
+        )
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], kll_cols=["qty"])
+        mor.merge_upsert_mor(
+            spark, self._qdf(spark, self._qrows(rng, [1])), mor_t, ["K"],
+            compact_every=None,
+        )
+        meta = ia.agg_snapshot_info(agg_t)
+        with pytest.raises(DriverDecline) as ei:
+            ia._refresh_agg_driver(
+                mor_t, agg_t, meta, meta["as_of_seq"],
+                mor.mor_history(mor_t)["seq"],
+            )
+        assert ei.value.reason == "kll"
+        # ...and the dispatching refresh still lands via the Spark path
+        r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        self._assert_kll_matches(spark, mor_t, agg_t)
