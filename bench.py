@@ -292,6 +292,7 @@ def main() -> None:
         "cdc_sparse_mor_sec", "agg_refresh_sec", "agg_recompute_sec",
         "ivm_join_refresh_sec", "ivm_join_rebuild_sec",
         "nway3_native_refresh_sec", "nway3_chained_refresh_sec",
+        "nway3_left_refresh_sec", "nway3_left_chained_refresh_sec",
         "delete_sparse_mor_sec", "delete_sparse_cow_sec",
         "admit_batch_marginal_sec", "pack_batch_marginal_sec",
         "admit_e2e_marginal_sec", "admit_marginal_docs_per_sec", "error",
@@ -821,6 +822,84 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         shutil.rmtree(nview, ignore_errors=True)
         shutil.rmtree(chain_t, ignore_errors=True)
         shutil.rmtree(cmor, ignore_errors=True)
+
+        # Left-outer STAR (round 12): fact with two optional dims hung
+        # directly off the spine (orders via l_orderkey, part via
+        # l_partkey) — the reference's 3-table LEFT JOIN shape —
+        # measured native (one view, how="left") against the chained
+        # 2-way-outer workaround users ran before (pair state + two
+        # refreshes per tick).
+        from presencia_etl_spark.plans.incremental_join_nway import (
+            build_join_view_nway as _bjvn,
+        )
+
+        pmor = f"{work}/part_mor"
+        merge_upsert_mor(
+            spark, read_table(spark, sf_dir, "part"), pmor,
+            ["p_partkey"], num_buckets=32,
+        )
+        lview = f"{work}/left_star_view"
+        t0 = time.perf_counter()
+        _bjvn(
+            spark,
+            [
+                {"path": mtarget, "key_cols": ["l_key"],
+                 "cols": ["l_key", "l_orderkey", "l_partkey", "l_quantity"]},
+                {"path": omor, "key_cols": ["o_orderkey"],
+                 "cols": ["o_orderkey", "o_totalprice"],
+                 "on": [("l_orderkey", "o_orderkey")]},
+                {"path": pmor, "key_cols": ["p_partkey"],
+                 "cols": ["p_partkey", "p_brand"],
+                 "on": [("l_partkey", "p_partkey")]},
+            ],
+            lview, num_buckets=64, compact_every=None, how="left",
+        )
+        out["nway3_left_build_sec"] = round(time.perf_counter() - t0, 3)
+        lchain1 = f"{work}/left_chain1"
+        lchain2 = f"{work}/left_chain2"
+        t0 = time.perf_counter()
+        build_join_view(
+            spark, mtarget, omor, lchain1,
+            on=[("l_orderkey", "o_orderkey")],
+            a_key_cols=["l_key"], b_key_cols=["o_orderkey"],
+            a_cols=["l_key", "l_orderkey", "l_partkey", "l_quantity"],
+            b_cols=["o_orderkey", "o_totalprice"],
+            num_buckets=64, compact_every=None, how="left",
+        )
+        build_join_view(
+            spark, lchain1, pmor, lchain2,
+            on=[("l_partkey", "p_partkey")],
+            a_key_cols=["l_key", "o_orderkey"], b_key_cols=["p_partkey"],
+            a_cols=["l_key", "l_orderkey", "l_partkey", "l_quantity",
+                    "o_orderkey", "o_totalprice"],
+            b_cols=["p_partkey", "p_brand"],
+            num_buckets=64, compact_every=None, how="left",
+        )
+        out["nway3_left_chained_build_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        lnat_secs, lchn_secs = [], []
+        for step in (7, 8, 9):
+            merge_upsert_mor(
+                spark, ivm_sparse_of(step), mtarget, ["l_key"],
+                num_buckets=256,
+            )
+            t0 = time.perf_counter()
+            rl = refresh_join_view(spark, lview)
+            lnat_secs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            refresh_join_view(spark, lchain1)
+            refresh_join_view(spark, lchain2)
+            lchn_secs.append(time.perf_counter() - t0)
+        out["nway3_left_refresh_sec"] = round(sorted(lnat_secs)[1], 3)
+        out["nway3_left_chained_refresh_sec"] = round(sorted(lchn_secs)[1], 3)
+        out["nway3_left_refresh_path"] = rl.get("path", "spark")
+        out["nway3_left_bytes"] = _du(lview)
+        out["nway3_left_chained_bytes"] = _du(lchain1) + _du(lchain2)
+        shutil.rmtree(lview, ignore_errors=True)
+        shutil.rmtree(lchain1, ignore_errors=True)
+        shutil.rmtree(lchain2, ignore_errors=True)
+        shutil.rmtree(pmor, ignore_errors=True)
 
         # Sparse row-level delete (the GDPR-erasure / TTL shape): key-set
         # tombstone delete through the MOR path — O(matches) write, zero
