@@ -400,6 +400,20 @@ class TestDeclines:
                 fn()
             assert ei.value.reason == reason
 
+    def test_unrenderable_double_declines_without_jvm(self, spark, tmp_path):
+        """A double outside the proven Python/Java rendering region with
+        no py4j gateway must DECLINE (reason unrenderable), not escape
+        as UnsupportedValue and crash the caller."""
+        p = str(tmp_path / "unrend")
+        _seed_state(spark, p, random.Random(11))
+        bad = {**_row(random.Random(11), 950), "amt": 1e300}
+        with pytest.raises(dm.DriverDecline) as ei:
+            dm.trickle_merge(p, [bad], ["k"], jvm=None)
+        assert ei.value.reason == "unrenderable"
+        # with the gateway the same batch renders exactly and lands
+        r = dm.trickle_merge(p, [bad], ["k"], jvm=spark._jvm)
+        assert r["insert"] == 1
+
     def test_noop_writes_nothing(self, spark, tmp_path):
         p = str(tmp_path / "noop")
         _seed_state(spark, p, random.Random(71))

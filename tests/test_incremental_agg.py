@@ -779,6 +779,20 @@ class TestAggDriverPath:
         r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
         assert r["mode"] == "incremental" and r.get("path") != "driver"
         _assert_matches_recompute(spark, mor_t, agg_t)
+        # ...and the decline was reason-tagged for the telemetry counter
+        from presencia_etl_spark.sinks.driver_mor import DriverDecline
+
+        meta = ia.agg_snapshot_info(agg_t)
+        mor.merge_upsert_mor(
+            spark, _df(spark, _rows(rng, [104])), mor_t, ["K"],
+            compact_every=None,
+        )
+        with pytest.raises(DriverDecline) as ei:
+            ia._refresh_agg_driver(
+                mor_t, agg_t, meta, meta["as_of_seq"],
+                mor.mor_history(mor_t)["seq"],
+            )
+        assert ei.value.reason == "hll"
 
 
 class TestKllMaintenance:
