@@ -292,3 +292,54 @@ class TestLockOverPutIfAbsent:
             pass
         assert not os.path.exists(lockf)
         assert shim.violations == []
+
+
+class TestCowSwapBoundary:
+    def test_bucket_swap_has_a_park_window_documented_boundary(
+        self, tmp_path, monkeypatch
+    ):
+        """The honest NEGATIVE finding: the COW bucket swap is a
+        local-FS protocol. Each bucket dir holds one object (single-PUT
+        fine), but the swap PARKS the live dir before landing the new
+        one — on an object store that is DELETE-then-PUT, a window where
+        a reader lists the bucket as missing. Local FS hides it (rename
+        is atomic and the window is between two metadata ops); an
+        object-store port therefore maps this path to a table-format /
+        committer snapshot commit, NOT to raw key moves — exactly what
+        SCALE.md documents. This test pins the primitive ORDER so the
+        boundary stays explicit instead of prose."""
+        from presencia_etl_spark.sinks.writers import (
+            BUCKET_COL,
+            swap_bucket_dirs,
+        )
+
+        target = str(tmp_path / "cow_state")
+        staged = str(tmp_path / "staged")
+        for root, tag in ((target, "old"), (staged, "new")):
+            for b in (0, 1):
+                d = os.path.join(root, f"{BUCKET_COL}={b}")
+                os.makedirs(d)
+                with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+                    fh.write(tag)
+        shim = ObjectStoreShim(monkeypatch)
+        swap_bucket_dirs(staged, target, [0, 1])
+        assert shim.violations == []  # one object per bucket dir
+        for b in (0, 1):
+            f = os.path.join(target, f"{BUCKET_COL}={b}", "part-0.parquet")
+            assert open(f).read() == "new"
+        # the park-then-land order IS the delete-before-put window
+        puts = [p for op, p in shim.ops if op == "put"]
+        for b in (0, 1):
+            parked_at = next(
+                i for i, p in enumerate(puts) if f"_old_{b}" in p
+            )
+            landed_at = next(
+                i for i, p in enumerate(puts)
+                if p.endswith(f"{BUCKET_COL}={b}/part-0.parquet")
+                and target in p
+            )
+            assert parked_at < landed_at, (
+                "live bucket is parked (reader-visible gap on an object "
+                "store) before the new version lands — table-format "
+                "commit territory, as documented"
+            )
