@@ -343,3 +343,45 @@ class TestCowSwapBoundary:
                 "store) before the new version lands — table-format "
                 "commit territory, as documented"
             )
+
+
+class TestSessionlessDeclineReasons:
+    """Reason tags for the state-shaped decline classes, pinned without
+    a SparkSession (the _seed_state helper builds the MOR state with
+    pyarrow) — completes the per-class telemetry coverage."""
+
+    def test_journal_fileless_and_footerless(self, tmp_path):
+        from presencia_etl_spark.sinks.writers import MERGE_JOURNAL
+
+        path = _seed_state(tmp_path)
+        # interrupted bucket swap journal
+        jpath = os.path.join(path, mor.BASE_DIR, MERGE_JOURNAL)
+        with open(jpath, "w") as fh:
+            fh.write("{}")
+        with pytest.raises(dm.DriverDecline) as ei:
+            dm.trickle_merge(path, [{"k": 1, "v": "x"}], ["k"])
+        assert ei.value.reason == "journal"
+        os.remove(jpath)
+        # fileless base (meta exists, no base parquet)
+        for b in os.listdir(os.path.join(path, mor.BASE_DIR)):
+            shutil.rmtree(os.path.join(path, mor.BASE_DIR, b))
+        with pytest.raises(dm.DriverDecline) as ei:
+            dm.trickle_merge(path, [{"k": 1, "v": "x"}], ["k"])
+        assert ei.value.reason == "fileless_base"
+        # no parquet footers anywhere → table_kinds declines
+        with pytest.raises(dm.DriverDecline) as ei:
+            dm.table_kinds(path)
+        assert ei.value.reason == "no_footers"
+
+    def test_batch_and_dup_reasons_without_spark(self, tmp_path):
+        path = _seed_state(tmp_path)
+        with pytest.raises(dm.DriverDecline) as ei:
+            dm.trickle_merge(
+                path,
+                [{"k": 1, "v": "a"}, {"k": 1, "v": "b"}],
+                ["k"],
+            )
+        assert ei.value.reason == "duplicate_keys"
+        with pytest.raises(dm.DriverDecline) as ei:
+            dm.trickle_merge(path, [{"k": 1}], ["k"])
+        assert ei.value.reason == "schema_drift"
