@@ -354,11 +354,25 @@ def main() -> None:
             "pack_batch_marginal_sec", "admit_e2e_marginal_sec",
             "scale10_agg_recompute_sec", "scale10_full_sec", "scale100_full_sec",
             "ivm_join_rebuild_sec", "scale10_ivm_build_sec",
+            # round 12: the per-QUERY map must survive the ladder (it is
+            # the round-over-round comparison surface) — these rows live
+            # in BENCH_DETAIL.json and yield their short-line slots first
+            "cdc_sparse_buckets_rewritten", "agg_recompute_sec",
+            "nway3_chained_refresh_sec", "nway3_left_chained_refresh_sec",
+            "presencia_full_rows_per_sec",
+            "scale10_admit10_batch_marginal_sec", "scale10_cpar_sec",
+            "scale100_cpar2_sec", "scale100_diff_dirty_sec",
+            "scale100_ivm_build_sec", "scale100_nochange_min_sec",
         }
         short["pipeline"] = {
             k: v for k, v in short_pipeline.items() if k not in SECONDARY
         }
         short.pop("norm_median_r7", None)
+        line = json.dumps(short, separators=(",", ":"))
+    if len(line) > 2000:
+        # stage 1.5: 1-dp per-query timings (full precision stays in the
+        # detail file) — ~100 chars, usually enough to keep the map
+        short["queries"] = {k: round(v, 1) for k, v in short_queries.items()}
         line = json.dumps(short, separators=(",", ":"))
     if len(line) > 2000:
         short.pop("queries", None)
