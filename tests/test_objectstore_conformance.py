@@ -385,3 +385,22 @@ class TestSessionlessDeclineReasons:
         with pytest.raises(dm.DriverDecline) as ei:
             dm.trickle_merge(path, [{"k": 1}], ["k"])
         assert ei.value.reason == "schema_drift"
+
+
+class TestOrderingDeclineReasons:
+    """Reason tags for the JVM-ordering decline classes in the agg
+    driver fold — pure unit calls, no Spark."""
+
+    def test_nan_and_nonbmp_ordering(self):
+        import math
+
+        from presencia_etl_spark.plans import incremental_agg as ia
+
+        with pytest.raises(dm.DriverDecline) as ei:
+            ia._cmp_lt(math.nan, 1.0)
+        assert ei.value.reason == "nan_order"
+        with pytest.raises(dm.DriverDecline) as ei:
+            ia._cmp_lt("a", "b\U0001F600")
+        assert ei.value.reason == "nonbmp_order"
+        assert ia._cmp_lt(1.0, 2.0) is True
+        assert ia._cmp_lt("b", "a") is False
