@@ -387,6 +387,16 @@ def refresh_agg_snapshot(
     )
     if r is not None:
         return r
+    # The gate may have swallowed an unexpected error AFTER the driver
+    # fold published (e.g. an OSError on the journal cleanup). Unlike
+    # every other trickle consumer, the aggregate fold is an ARITHMETIC
+    # snapshot rewrite, not a hash-classified idempotent upsert —
+    # re-folding the same window would add the delta twice. Re-read the
+    # on-disk cursor (after crash recovery): if it already advanced to
+    # ``cur``, the driver publish landed — report it, don't re-fold.
+    _recover_interrupted_refresh(agg_path)
+    if _read_meta(agg_path)["as_of_seq"] == cur:
+        return {"mode": "incremental", "as_of_seq": cur, "path": "driver"}
     if pending <= TRICKLE_DELTA_MAX_BYTES:
         with trickle_scope(spark):
             return _refresh_agg_snapshot_inner(

@@ -780,7 +780,8 @@ def _refresh_driver(
         if a_kinds[a_c] != b_kinds[b_c]:
             raise dm.DriverDecline(
                 f"join pair ({a_c}, {b_c}) differs in type — Spark-side "
-                "coercion isn't reproduced here"
+                "coercion isn't reproduced here",
+                reason="shape",
             )
 
     da = db = None
@@ -806,7 +807,8 @@ def _refresh_driver(
         )
     if how == "left" and db:
         raise dm.DriverDecline(
-            "left view with dimension changes needs the transition sweep"
+            "left view with dimension changes needs the transition sweep",
+            reason="shape",
         )
 
     a_cols, b_cols = list(meta["a_cols"]), list(meta["b_cols"])

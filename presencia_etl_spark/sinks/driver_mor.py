@@ -44,6 +44,7 @@ from __future__ import annotations
 import datetime
 import glob
 import os
+import threading
 import warnings
 
 from presencia_etl_spark.functions import driver_parity as dp
@@ -102,19 +103,24 @@ class DriverDecline(Exception):
 # Decline telemetry: why the driver plane fell back to Spark-path costs,
 # counted per stable reason tag. A deployment whose steady state
 # silently stopped being zero-job sees it here (bench emits the dict).
+# Trickle paths run on several threads (streaming foreachBatch vs
+# main-thread refreshes) — the counter mutates under a lock.
 _DECLINES: dict[str, int] = {}
+_DECLINES_MU = threading.Lock()
 
 
 def record_decline(reason: str) -> None:
-    _DECLINES[reason] = _DECLINES.get(reason, 0) + 1
+    with _DECLINES_MU:
+        _DECLINES[reason] = _DECLINES.get(reason, 0) + 1
 
 
 def decline_counts(reset: bool = False) -> dict[str, int]:
     """Snapshot (optionally reset) of the per-reason decline counters
     accumulated by ``try_trickle`` since process start / last reset."""
-    out = dict(_DECLINES)
-    if reset:
-        _DECLINES.clear()
+    with _DECLINES_MU:
+        out = dict(_DECLINES)
+        if reset:
+            _DECLINES.clear()
     return out
 
 

@@ -999,3 +999,41 @@ class TestKllMaintenance:
         r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
         assert r["mode"] == "incremental"
         self._assert_kll_matches(spark, mor_t, agg_t)
+
+
+class TestPostPublishErrorGuard:
+    def test_swallowed_error_after_driver_publish_does_not_double_fold(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The agg fold is an ARITHMETIC rewrite, not an idempotent
+        upsert: if the trickle gate swallows an error raised AFTER the
+        driver fold published (journal cleanup OSError, say), the Spark
+        fallback must NOT re-fold the same window — the cursor re-read
+        in refresh_agg_snapshot catches the landed publish."""
+        rng = random.Random(303)
+        mor_t, agg_t = str(tmp_path / "ppm"), str(tmp_path / "ppa")
+        mor.merge_upsert_mor(
+            spark, _df(spark, _rows(rng, range(50))), mor_t, ["K"],
+            num_buckets=4, compact_every=None,
+        )
+        ia.build_agg_snapshot(spark, mor_t, agg_t, ["cat"], ["amount"])
+        mor.merge_upsert_mor(
+            spark, _df(spark, _rows(rng, range(100, 105))), mor_t, ["K"],
+            compact_every=None,
+        )
+        real = ia._refresh_agg_driver
+
+        def publish_then_crash(*a, **k):
+            real(*a, **k)  # the fold PUBLISHES (snapshot + cursor)...
+            raise OSError("journal cleanup hiccup")  # ...then the error
+
+        monkeypatch.setattr(ia, "_refresh_agg_driver", publish_then_crash)
+        with pytest.warns(UserWarning, match="driver trickle path failed"):
+            r = ia.refresh_agg_snapshot(spark, mor_t, agg_t)
+        assert r["mode"] == "incremental"
+        assert r["as_of_seq"] == mor.mor_history(mor_t)["seq"]
+        # the delta was folded ONCE: snapshot equals the recompute
+        _assert_matches_recompute(spark, mor_t, agg_t)
+        # and the next refresh is a clean noop
+        monkeypatch.setattr(ia, "_refresh_agg_driver", real)
+        assert ia.refresh_agg_snapshot(spark, mor_t, agg_t)["mode"] == "noop"
