@@ -155,7 +155,12 @@ def main() -> None:
             spread[name] = round(runs[-1] - runs[0], 3)
         if qi % 10 == 9:
             _ambient_probe()
-    sc.setJobGroup("bench:done", "bench sweep done")
+    # Clear the group (PySpark has no clearJobGroup; drop the two local
+    # properties setJobGroup sets) — a lingering group would mis-attribute
+    # every post-sweep job to the last query's rep in any future
+    # getJobIdsForGroup reuse.
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    sc.setLocalProperty("spark.job.description", None)
     _ambient_probe()
     wall = round(time.perf_counter() - t_all, 3)
     # Parallel anchor AFTER the sweep too: pre/post bracket multi-core

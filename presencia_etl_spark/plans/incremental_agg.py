@@ -380,23 +380,31 @@ def refresh_agg_snapshot(
     from presencia_etl_spark.plans.incremental_join import DRIVER_DELTA_MAX_BYTES
     from presencia_etl_spark.sinks import driver_mor as dm
 
+    def _recover_after_failed_fold():
+        # The gate may have swallowed an unexpected error AFTER the
+        # driver fold published (e.g. an OSError on the journal
+        # cleanup). Unlike every other trickle consumer, the aggregate
+        # fold is an ARITHMETIC snapshot rewrite, not a hash-classified
+        # idempotent upsert — re-folding the same window would add the
+        # delta twice. Re-read the on-disk cursor (after crash
+        # recovery): if it already advanced to ``cur``, the driver
+        # publish landed — report it, don't re-fold. Runs only when
+        # ``driver_fn`` was actually invoked and failed; pre-invoke
+        # skips (bytes bound / kill switch) go straight to Spark.
+        _recover_interrupted_refresh(agg_path)
+        if _read_meta(agg_path)["as_of_seq"] == cur:
+            return {"mode": "incremental", "as_of_seq": cur, "path": "driver"}
+        return None
+
     r = dm.try_trickle(
         lambda: _refresh_agg_driver(mor_path, agg_path, meta, since, cur),
         pending_bytes=pending,
         max_bytes=min(DRIVER_DELTA_MAX_BYTES, TRICKLE_DELTA_MAX_BYTES),
+        idempotent=False,
+        on_failure=_recover_after_failed_fold,
     )
     if r is not None:
         return r
-    # The gate may have swallowed an unexpected error AFTER the driver
-    # fold published (e.g. an OSError on the journal cleanup). Unlike
-    # every other trickle consumer, the aggregate fold is an ARITHMETIC
-    # snapshot rewrite, not a hash-classified idempotent upsert —
-    # re-folding the same window would add the delta twice. Re-read the
-    # on-disk cursor (after crash recovery): if it already advanced to
-    # ``cur``, the driver publish landed — report it, don't re-fold.
-    _recover_interrupted_refresh(agg_path)
-    if _read_meta(agg_path)["as_of_seq"] == cur:
-        return {"mode": "incremental", "as_of_seq": cur, "path": "driver"}
     if pending <= TRICKLE_DELTA_MAX_BYTES:
         with trickle_scope(spark):
             return _refresh_agg_snapshot_inner(
@@ -442,8 +450,9 @@ def _cmp_lt(a, b):
             raise DriverDecline("NaN ordering differs from the JVM", reason="nan_order")
         if isinstance(v, str) and any(ord(ch) > 0xFFFF for ch in v):
             raise DriverDecline(
-            "non-BMP string ordering differs from JVM", reason="nonbmp_order"
-        )
+                "non-BMP string ordering differs from JVM",
+                reason="nonbmp_order",
+            )
     return a < b
 
 

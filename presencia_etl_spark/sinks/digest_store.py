@@ -79,6 +79,13 @@ def _local_lister(base: str):
             )
 
 
+# (size, mtime_ns)-keyed memo of content tokens, per absolute path.
+# Cleared wholesale at the cap — simpler than LRU and the cap is far
+# above any real table's file count.
+_CONTENT_TOKENS: dict[str, tuple[tuple[int, int], str]] = {}
+_CONTENT_TOKENS_CAP = 1 << 18
+
+
 def _content_token_lister(base: str):
     """Alternate listing provider: a CONTENT-derived change token
     instead of mtime_ns — ``(relpath, size, sha256(bytes||size))`` over
@@ -94,13 +101,35 @@ def _content_token_lister(base: str):
     generation), the store's own whole-object change token, and reads no
     data at all (docs/SCALE.md). Select with
     ``SPARK_GRAFT_DIGEST_LISTER=content`` or by assigning
-    ``default_lister``."""
+    ``default_lister``.
+
+    Re-hashing is skipped for files whose ``(size, mtime_ns)`` pair is
+    unchanged since this process last hashed them (in-memory cache) —
+    digest validation would otherwise be O(table bytes) per listing.
+    The cache does NOT weaken the provider contract the conformance
+    suite pins: an mtime scramble is a cache MISS (re-hash → same
+    content token → fingerprint stable), and any rewrite perturbs
+    mtime_ns so the mutated bytes are re-hashed; only a rewrite that
+    deliberately restores both size and nanosecond mtime (os.utime
+    round-trip) could reuse a stale token WITHIN one process lifetime —
+    the adversarial corner this cache knowingly trades for O(changed
+    bytes) listings; every fresh process still re-hashes everything
+    once. Races between threads at worst hash the same file twice."""
     block = 1 << 20
     for root, _dirs, files in os.walk(base):
         for f in files:
             p = os.path.join(root, f)
             try:
-                size = os.path.getsize(p)
+                st = os.stat(p)
+                size = st.st_size
+                cached = _CONTENT_TOKENS.get(p)
+                if cached is not None and cached[0] == (size, st.st_mtime_ns):
+                    yield (
+                        os.path.relpath(p, base).replace(os.sep, "/"),
+                        size,
+                        cached[1],
+                    )
+                    continue
                 h = hashlib.sha256()
                 with open(p, "rb") as fh:
                     for blk in iter(lambda: fh.read(block), b""):
@@ -108,10 +137,14 @@ def _content_token_lister(base: str):
                 h.update(str(size).encode())
             except OSError:
                 continue
+            token = h.hexdigest()
+            if len(_CONTENT_TOKENS) >= _CONTENT_TOKENS_CAP:
+                _CONTENT_TOKENS.clear()
+            _CONTENT_TOKENS[p] = ((size, st.st_mtime_ns), token)
             yield (
                 os.path.relpath(p, base).replace(os.sep, "/"),
                 size,
-                h.hexdigest(),
+                token,
             )
 
 

@@ -130,6 +130,8 @@ def try_trickle(
     pending_bytes: int | None = None,
     max_bytes: int | None = None,
     on_compact=None,
+    idempotent: bool = True,
+    on_failure=None,
 ):
     """THE trickle gate — the one code path deciding driver-vs-Spark for
     every zero-job fast path (micro-batch merge, replication feed
@@ -142,10 +144,19 @@ def try_trickle(
        ``DriverDecline`` for shapes it can't reproduce exactly);
     4. decline handling — ``DriverDecline`` AND unexpected pyarrow/OS
        errors both return None (reason-counted) so the caller runs the
-       Spark path. Swallowing a post-publish error is safe because every
-       driver publish is a hash-classified upsert: the Spark re-apply
-       classifies the landed rows as SKIP (idempotent), and a stale
-       digest sidecar only costs a scan fallback, never wrong data;
+       Spark path. Swallowing a post-publish error is safe ONLY for an
+       idempotent consumer: a hash-classified upsert re-applied by the
+       Spark path classifies the landed rows as SKIP, and a stale digest
+       sidecar only costs a scan fallback, never wrong data. A consumer
+       whose publish is an ARITHMETIC rewrite (the agg fold) must pass
+       ``idempotent=False`` with an ``on_failure`` recovery callback —
+       the gate then runs ``on_failure()`` after any post-invoke failure
+       (decline or error) and returns its result when it reports the
+       publish already landed (non-None), so no call site can forget the
+       double-apply guard; ``idempotent=False`` without ``on_failure``
+       raises at call time. ``on_failure`` never runs for pre-invoke
+       skips (size bound / kill switch) — ``driver_fn`` never executed,
+       so there is nothing to recover;
     5. ``compaction_due`` escalation — when the result asks for it and
        ``on_compact`` is given, it runs (Spark-side) and the result
        gains ``compacted=True``.
@@ -154,6 +165,11 @@ def try_trickle(
     path."""
     import pyarrow as pa
 
+    if not idempotent and on_failure is None:
+        raise ValueError(
+            "a non-idempotent trickle consumer must supply on_failure — "
+            "the swallowed-post-publish-error recovery is not optional"
+        )
     if pending_bytes is not None and max_bytes is not None:
         if pending_bytes > max_bytes:
             return None
@@ -163,12 +179,16 @@ def try_trickle(
         r = driver_fn()
     except DriverDecline as e:
         record_decline(e.reason)
+        if on_failure is not None:
+            return on_failure()
         return None
     except (OSError, pa.lib.ArrowException) as e:
         # unexpected environment/arrow failure on the fast path must
         # never crash a pipeline the Spark path could finish
         record_decline("error")
         warnings.warn(f"driver trickle path failed unexpectedly: {e!r}")
+        if on_failure is not None:
+            return on_failure()
         return None
     if r is not None and r.pop("compaction_due", False):
         if on_compact is not None:
@@ -452,8 +472,9 @@ def _delta_schema(path: str):
         f = _any_parquet(os.path.join(path, BASE_DIR))
         if f is None:
             raise DriverDecline(
-            f"{path!r}: no parquet footers for a schema", reason="no_footers"
-        )
+                f"{path!r}: no parquet footers for a schema",
+                reason="no_footers",
+            )
         sch = pq.read_schema(f)
         sch = sch.append(pa.field(BUCKET_COL, pa.int32()))
     if DELETED_COL not in sch.names:

@@ -228,6 +228,31 @@ class TestFingerprint:
             "a mid-file mutation must invalidate the content fingerprint"
         )
 
+    def test_content_lister_token_cache(self, tmp_path):
+        """Listing is O(changed bytes), not O(table bytes): a file whose
+        (size, mtime_ns) stat pair is unchanged since this process last
+        hashed it reuses the memoized token; any stat change re-hashes."""
+        t = tmp_path / "tbl"
+        t.mkdir()
+        p = t / "a.parquet"
+        p.write_bytes(b"Z" * 4096)
+        tok1 = list(digest_store._content_token_lister(str(t)))[0][2]
+        abs_p = str(p)
+        assert abs_p in digest_store._CONTENT_TOKENS
+        # poison the cached token: an unchanged stat must reuse it
+        # verbatim (proving no re-hash happened) ...
+        key, _ = digest_store._CONTENT_TOKENS[abs_p]
+        digest_store._CONTENT_TOKENS[abs_p] = (key, "poisoned")
+        assert (
+            list(digest_store._content_token_lister(str(t)))[0][2]
+            == "poisoned"
+        )
+        # ... and any stat change (even a pure mtime scramble) re-hashes,
+        # repairing the token to the true content hash.
+        os.utime(p, (12345, 67890))
+        assert list(digest_store._content_token_lister(str(t)))[0][2] == tok1
+        digest_store._CONTENT_TOKENS.pop(abs_p, None)
+
     def test_disabled_via_env(self, tmp_path, monkeypatch):
         t = tmp_path / "tbl"
         t.mkdir()

@@ -319,6 +319,67 @@ class TestTrickleGate:
         )
         assert r == {"insert": 1} and hit == [1]
 
+    def test_non_idempotent_requires_recovery_callback(self):
+        # Forgetting the double-apply guard must fail loudly at call
+        # time, not silently re-fold later.
+        with pytest.raises(ValueError, match="on_failure"):
+            dm.try_trickle(lambda: {"x": 1}, idempotent=False)
+
+    def test_recovery_runs_only_after_driver_fn_was_invoked(
+        self, monkeypatch
+    ):
+        calls = []
+
+        def rec():
+            calls.append("rec")
+            return None
+
+        # Pre-invoke skips never run recovery — driver_fn never
+        # executed, so nothing could have published.
+        r = dm.try_trickle(
+            lambda: {"x": 1}, pending_bytes=9, max_bytes=1,
+            idempotent=False, on_failure=rec,
+        )
+        assert r is None and calls == []
+        monkeypatch.setenv("SPARK_GRAFT_DRIVER_TRICKLE", "0")
+        r = dm.try_trickle(
+            lambda: {"x": 1}, idempotent=False, on_failure=rec
+        )
+        assert r is None and calls == []
+        monkeypatch.delenv("SPARK_GRAFT_DRIVER_TRICKLE")
+
+        # A post-invoke failure does run it (and its None → Spark path).
+        def os_boom():
+            raise OSError("post-publish cleanup hiccup")
+
+        with pytest.warns(UserWarning, match="driver trickle path failed"):
+            assert (
+                dm.try_trickle(os_boom, idempotent=False, on_failure=rec)
+                is None
+            )
+        assert calls == ["rec"]
+
+    def test_recovery_result_short_circuits_spark_fallback(self):
+        landed = {"mode": "incremental", "path": "driver"}
+
+        def os_boom():
+            raise OSError("after publish")
+
+        with pytest.warns(UserWarning, match="driver trickle path failed"):
+            r = dm.try_trickle(
+                os_boom, idempotent=False, on_failure=lambda: landed
+            )
+        assert r == landed
+        # declines route through recovery too — driver_fn ran, so a
+        # non-idempotent consumer still gets its landed-publish check
+        dm.decline_counts(reset=True)
+
+        def dec():
+            raise dm.DriverDecline("nope", reason="hll")
+
+        r = dm.try_trickle(dec, idempotent=False, on_failure=lambda: landed)
+        assert r == landed and dm.decline_counts()["hll"] == 1
+
 
 class TestDeclines:
     def test_decline_paths(self, spark, tmp_path):
