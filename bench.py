@@ -295,6 +295,7 @@ def main() -> None:
         "cdc_nochange_sec", "cdc_nochange_rows_per_sec",
         "cdc_mutated_sec", "cdc_sparse_sec", "cdc_sparse_buckets_rewritten",
         "cdc_sparse_mor_sec", "agg_refresh_sec", "agg_recompute_sec",
+        "topk_refresh_sec",
         "ivm_join_refresh_sec", "ivm_join_rebuild_sec",
         "nway3_native_refresh_sec", "nway3_chained_refresh_sec",
         "nway3_left_refresh_sec", "nway3_left_chained_refresh_sec",
@@ -695,6 +696,40 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
             F.count(F.lit(1)), F.sum("l_quantity")
         ).collect()
         out["agg_recompute_sec"] = round(time.perf_counter() - t0, 3)
+
+        # Maintained top-K head over a HIGH-cardinality rollup (one row
+        # per order): the A7 ranking kept fresh in O(changes) — feed →
+        # affected groups → arrow probe → buffer fold, zero jobs on the
+        # driver path — vs re-ranking the whole group space per read.
+        from presencia_etl_spark.plans.incremental_topk import (
+            build_topk_head,
+            refresh_topk_head,
+        )
+
+        agg_ord = f"{work}/lineitem_agg_ord"
+        build_agg_snapshot(
+            spark, mtarget, agg_ord, ["l_orderkey"], ["l_quantity"]
+        )
+        head_t = f"{work}/lineitem_topk"
+        t0 = time.perf_counter()
+        build_topk_head(
+            spark, mtarget, agg_ord, head_t, k=10, measure="sum_l_quantity"
+        )
+        out["topk_build_sec"] = round(time.perf_counter() - t0, 3)
+        # based on mutated2 so this merge's update set is EXACTLY the
+        # [60,80) slice (nothing reverts the agg stage's rows; the ivm
+        # stage below reverts everything on its first rep as before)
+        mutated3 = mutated2.withColumn(
+            "l_quantity",
+            F.when(
+                (F.col("l_orderkey") >= 60) & (F.col("l_orderkey") < 80),
+                F.col("l_quantity") + 11,
+            ).otherwise(F.col("l_quantity")),
+        )
+        merge_upsert_mor(spark, mutated3, mtarget, ["l_key"], num_buckets=256)
+        t0 = time.perf_counter()
+        refresh_topk_head(spark, mtarget, agg_ord, head_t)
+        out["topk_refresh_sec"] = round(time.perf_counter() - t0, 3)
 
         # Incremental JOIN-view maintenance (plans/incremental_join): the
         # materialized star view lineitem |><| orders refreshed from the
