@@ -16,6 +16,8 @@ the data columns.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from presencia_etl_spark.plans.full_sync import prepare_table
@@ -89,24 +91,81 @@ def incremental_sync(
     target_root: str,
     record_gen: bool = True,
     max_parallel: int = 4,
+    atomic: bool = False,
 ) -> dict[str, dict[str, int]]:
     """EP2 over the whole registry, syncing up to ``max_parallel`` tables
     concurrently (``full_sync.run_per_table`` — distinct targets, each
     under its own writer lock). Each completed run records a warehouse
     GENERATION (``plans.generations``) pinning every MOR table's sequence,
-    so consumers can read the run's cross-table consistent snapshot."""
+    so consumers can read the run's cross-table consistent snapshot.
+
+    ``atomic=True`` runs the whole registry as ONE all-or-nothing commit
+    (``sinks.txn.MultiTableTxn``): a crash leaves every table at the old
+    run or every table at the new run, never a mix. Requires every table
+    to be ``merge_mode="mor"`` and not ``full_refresh`` (COW overwrites
+    have no staged form), and already-seeded states (the initial load is
+    transaction-refused). Tables sync sequentially on the calling thread
+    — the writer-lock registry is thread-affine — trading the ≤4× table
+    fan-out for the atomicity guarantee."""
     from presencia_etl_spark.operators.filters import apply_filters
     from presencia_etl_spark.plans.full_sync import run_per_table
 
+    def _semi_src(cfg: TableConfig):
+        if cfg.semi_join is None:
+            return None
+        other, _ = cfg.semi_join
+        other_cfg = configs.get(other)
+        if other_cfg is not None and other in tables:
+            return apply_filters(tables[other], other_cfg.filters)
+        return None
+
+    if atomic:
+        bad = [
+            n
+            for n, c in configs.items()
+            if c.full_refresh or c.merge_mode != "mor"
+        ]
+        if bad:
+            raise ValueError(
+                f"atomic sync requires merge_mode='mor' without "
+                f"full_refresh for every table; offending: {sorted(bad)}"
+            )
+        from presencia_etl_spark.sinks.txn import (
+            MultiTableTxn,
+            recover_transactions,
+        )
+
+        txn_root = os.path.join(target_root, "_txn")
+        recover_transactions(
+            txn_root, tables=[f"{target_root}/{n}" for n in configs]
+        )
+        results = {}
+        with MultiTableTxn(txn_root) as txn:
+            for name, cfg in configs.items():
+                prepared = prepare_table(
+                    tables[name], cfg, semi_source=_semi_src(cfg), typed=True
+                )
+                r = txn.merge(
+                    spark, prepared, f"{target_root}/{cfg.name}",
+                    cfg.key_cols or [tables[name].columns[0]],
+                    num_buckets=cfg.num_buckets or 256,
+                    delete_missing=cfg.sync_deletes,
+                )
+                results[name] = {**r, "mode": "incremental_mor_txn"}
+            txn.commit()
+        if record_gen and results:
+            from presencia_etl_spark.plans.generations import (
+                prune_generations,
+                record_generation,
+            )
+
+            record_generation(spark, target_root)
+            prune_generations(target_root)
+        return results
+
     def sync_one(name: str, cfg: TableConfig) -> dict[str, int]:
-        semi_src = None
-        if cfg.semi_join is not None:
-            other, _ = cfg.semi_join
-            other_cfg = configs.get(other)
-            if other_cfg is not None and other in tables:
-                semi_src = apply_filters(tables[other], other_cfg.filters)
         return incremental_sync_table(
-            spark, tables[name], cfg, target_root, semi_source=semi_src
+            spark, tables[name], cfg, target_root, semi_source=_semi_src(cfg)
         )
 
     results = run_per_table(configs, tables, sync_one, max_parallel)

@@ -61,6 +61,15 @@ def _owner_alive(info: dict, stale_after: float) -> bool:
         return False
 
 
+def held_in_process(target_path: str) -> bool:
+    """Is this state's writer lock held by ANY thread of this process —
+    including the caller's own? Probes that must not piggyback on
+    same-thread reentrancy (e.g. txn recovery deciding whether staged
+    dirs belong to a live transaction) check this before acquiring."""
+    with _held_mu:
+        return os.path.abspath(target_path) in _held
+
+
 @contextlib.contextmanager
 def state_lock(target_path: str, stale_after: float = 3600.0):
     """Hold the single-writer lock for ``target_path`` for the block."""

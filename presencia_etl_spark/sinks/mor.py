@@ -311,8 +311,17 @@ def merge_upsert_mor(
     src_digest: dict[int, tuple[int, int, int]] | None = None,
     tgt_digest: dict[int, tuple[int, int, int]] | None = None,
     delete_keys: DataFrame | None = None,
+    txn=None,
 ) -> dict[str, int]:
     """Upsert ``src`` writing ONLY the changed rows (a new delta dir).
+
+    ``txn``: a ``sinks.txn.MultiTableTxn`` — the delta is STAGED instead
+    of committed (invisible until ``txn.commit()``, no cursor bump, no
+    auto-compaction, digest sidecar saves deferred to after publish).
+    Shapes with no staged form raise ``TxnUnsupported``: the initial
+    load (COW write, no rename seam) and a schema-drift merge (COW
+    bucket rewrite). Call through ``txn.merge(...)``, which also holds
+    this table's writer lock for the transaction's lifetime.
 
     ``delete_keys``: an EXPLICIT tombstone key set committed atomically
     with the upserts — the mixed change-batch shape (a CDC feed apply, an
@@ -372,6 +381,14 @@ def merge_upsert_mor(
         # dirty set IS the batch); maintenance still runs below.
         digest_prune = False
     if writers_state_absent(target_path):
+        if txn is not None:
+            from presencia_etl_spark.sinks.txn import TxnUnsupported
+
+            raise TxnUnsupported(
+                f"{target_path!r} has no MOR state yet — the initial load "
+                "is a COW bucketed write with no single-rename commit "
+                "point; seed the table outside the transaction"
+            )
         os.makedirs(target_path, exist_ok=True)
         r = merge_upsert_partitioned(
             spark,
@@ -418,6 +435,14 @@ def merge_upsert_mor(
     src_data = {c for c in hashed.columns if c not in infra and c != "row_hash"}
     base_data = {c for c in base.columns if c not in infra}
     if src_data != base_data:
+        if txn is not None:
+            from presencia_etl_spark.sinks.txn import TxnUnsupported
+
+            raise TxnUnsupported(
+                f"{target_path!r}: schema drift — the drift fold rewrites "
+                "base buckets COW-style with no single-rename commit "
+                "point; run this merge outside the transaction"
+            )
         # Schema drift: delta files with a different column set would make
         # the read view's union ill-typed. Fold outstanding deltas, then
         # route THIS merge through the COW bucketed writer, whose
@@ -566,7 +591,10 @@ def merge_upsert_mor(
     if dirty_mb is not None and not dirty_mb:
         s_narrow.unpersist()
         if not side_loaded:
-            digest_store.save(target_path, tgt_dig)
+            if txn is not None:
+                txn._defer_digest(target_path, tgt_dig)
+            else:
+                digest_store.save(target_path, tgt_dig)
         return {
             "insert": 0, "update": 0, "skip": clean_skip, "delete": 0,
             "delta_files": 0, "compacted": False,
@@ -711,7 +739,10 @@ def merge_upsert_mor(
             # Idempotent replay / no-op: NOTHING is written — not even an
             # empty delta dir (which would still cost a file open per scan).
             if tgt_dig is not None and not side_loaded:
-                digest_store.save(target_path, tgt_dig)
+                if txn is not None:
+                    txn._defer_digest(target_path, tgt_dig)
+                else:
+                    digest_store.save(target_path, tgt_dig)
             return {
                 "insert": 0,
                 "update": 0,
@@ -863,7 +894,11 @@ def merge_upsert_mor(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        n_files = _commit_delta(target_path, meta, out, n_dirty + n_delete)
+        n_files = (
+            txn._stage_delta(target_path, meta, out, n_dirty + n_delete)
+            if txn is not None
+            else _commit_delta(target_path, meta, out, n_dirty + n_delete)
+        )
     finally:
         # Caches release on failure too — a failed merge must not leak
         # persisted frames for the session lifetime.
@@ -883,13 +918,21 @@ def merge_upsert_mor(
             keyed_del_cache.unpersist()
 
     compacted = False
-    if compact_every is not None and len(_delta_seqs(target_path)) >= compact_every:
+    if (
+        txn is None
+        and compact_every is not None
+        and len(_delta_seqs(target_path)) >= compact_every
+    ):
         compact_mor(spark, target_path, keep_last=compact_keep_last)
         compacted = True
     # After the delta (and any auto-compaction — which preserves live
     # content) is on disk: the fingerprint binds the maintained digest
-    # to exactly this listing.
-    digest_store.save(target_path, new_dig)
+    # to exactly this listing. A transactional merge defers the save to
+    # commit() — the final listing doesn't exist until the renames land.
+    if txn is not None:
+        txn._defer_digest(target_path, new_dig)
+    else:
+        digest_store.save(target_path, new_dig)
     return {
         "insert": n_insert,
         "update": n_update,
