@@ -305,7 +305,8 @@ def main() -> None:
     )
     SUB_KEYS = {
         "presencia": ("full_sec", "full_rows_per_sec", "incr_nochange_sec",
-                      "incr_sparse_sec", "error"),
+                      "incr_sparse_sec", "incr_mor_sec",
+                      "incr_mor_atomic_sec", "error"),
         "scale10": ("full_sec", "full_rows_per_sec", "linear_ratio",
                     "sparse_mor_sec", "agg_refresh_sec", "agg_recompute_sec",
                     "ivm_build_sec", "ivm_refresh_sec",
@@ -365,7 +366,7 @@ def main() -> None:
             # in BENCH_DETAIL.json and yield their short-line slots first
             "cdc_sparse_buckets_rewritten", "agg_recompute_sec",
             "nway3_chained_refresh_sec", "nway3_left_chained_refresh_sec",
-            "presencia_full_rows_per_sec",
+            "presencia_full_rows_per_sec", "presencia_incr_mor_sec",
             "scale10_admit10_batch_marginal_sec", "scale10_cpar_sec",
             "scale100_cpar2_sec", "scale100_diff_dirty_sec",
             "scale100_ivm_build_sec", "scale100_nochange_min_sec",
@@ -1147,6 +1148,38 @@ def bench_presencia(spark) -> dict:
         out["incr_sparse_secs"] = [round(s, 3) for s in sp_secs]
         out["incr_sparse_min_sec"] = round(min(sp_secs), 3)
         out["incr_sparse_updates"] = int(r["Liquidaciones"]["update"])
+
+        # Atomic multi-table commit overhead (sinks/txn): the same
+        # registry in MOR mode, synced as ONE transaction vs plain
+        # per-table merges. The delta is the cost of atomicity — staged
+        # writes + one journal + 10 renames — and should be O(tables)
+        # milliseconds, not data-scaled.
+        import dataclasses
+
+        mor_cfgs = {
+            n: dataclasses.replace(
+                c, merge_mode="mor", full_refresh=False, sync_deletes=False,
+                num_buckets=c.num_buckets or 16,
+            )
+            for n, c in PRESENCIA_REGISTRY.items()
+        }
+        wh_m = f"{work}/warehouse_mor"
+        incremental_sync(spark, tables, mor_cfgs, wh_m)  # seed, untimed
+        plain_secs, atomic_secs = [], []
+        for step in range(reps):
+            mutated = dict(tables)
+            mutated["Liquidaciones"] = sparse_of(100 + step)
+            t0 = time.perf_counter()
+            incremental_sync(spark, mutated, mor_cfgs, wh_m, max_parallel=1)
+            plain_secs.append(time.perf_counter() - t0)
+            mutated["Liquidaciones"] = sparse_of(200 + step)
+            t0 = time.perf_counter()
+            incremental_sync(spark, mutated, mor_cfgs, wh_m, atomic=True)
+            atomic_secs.append(time.perf_counter() - t0)
+        out["incr_mor_sec"] = round(sorted(plain_secs)[len(plain_secs) // 2], 3)
+        out["incr_mor_atomic_sec"] = round(
+            sorted(atomic_secs)[len(atomic_secs) // 2], 3
+        )
 
         state = spark.read.parquet(f"{wh}/Liquidaciones")
         t0 = time.perf_counter()

@@ -69,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
             "the source snapshot no longer contains — only for sources "
             "that export FULL snapshots per run",
         )
+        p.add_argument(
+            "--atomic",
+            action="store_true",
+            help="(incremental + --mor only) commit the WHOLE registry as "
+            "one transaction (sinks.txn): a crash leaves every table at "
+            "the old run or the new run, never a mix",
+        )
 
     p = sub.add_parser("serve", help="HTTP control plane (reference server.py analog)")
     p.add_argument("--host", default="127.0.0.1")
@@ -359,7 +366,10 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from presencia_etl_spark.plans.incremental_sync import incremental_sync
 
-            out = incremental_sync(spark, tables, configs, args.target)
+            out = incremental_sync(
+                spark, tables, configs, args.target,
+                atomic=getattr(args, "atomic", False),
+            )
         print(json.dumps({"cmd": args.cmd, "result": out}))
         return 0
 

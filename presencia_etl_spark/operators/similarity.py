@@ -288,21 +288,7 @@ def ivf_fit_centroids(
         .collect()
     )
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    n = len(X)
-    k = min(n_clusters, n)
-    C = X[rng.choice(n, k, replace=False)]
-    for _ in range(max_iter):
-        d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
-        a = d.argmin(1)
-        newC = C.copy()
-        for j in range(k):
-            members = X[a == j]
-            if len(members):
-                newC[j] = members.mean(0)
-        if np.allclose(newC, C):
-            break
-        C = newC
+    C = _lloyd(X, n_clusters, seed, max_iter)
     return [[float(x) for x in row] for row in C]
 
 
@@ -733,4 +719,359 @@ def query_lsh_index(
     )
     return ranked.filter(F.col("rk") <= k).select(
         "query_id", "neighbor_id", "cosine", "rk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN memory tier
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the embedding column itself is the cost: 64-dim float32 is
+# 256 B/row; PQ with m=8 subspaces × 256 codes stores 8 B/row (32×) and
+# scans candidates without touching the vectors at all (ADC: per-query
+# lookup tables over code bytes — one numpy gather per Arrow batch).
+# This is the faiss IVF-PQ discipline re-expressed Spark-first: codebooks
+# fit driver-side on the same deterministic sample as the IVF centroids,
+# encoding is one vectorized pandas UDF, the ADC scan is mapInPandas with
+# PER-BATCH partial top-k (the shuffle carries batches×Q×k candidate
+# rows, never the corpus), and an optional exact re-rank joins true
+# vectors back for only the top rerank_factor·k candidates per query.
+
+
+def _lloyd(X, k: int, seed: int, max_iter: int = 20):
+    """Lloyd's k-means on a driver-side sample (numpy); the kernel behind
+    both the IVF centroid fit and the per-subspace PQ codebook fit."""
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    k = min(k, n)
+    C = X[rng.choice(n, k, replace=False)]
+    for _ in range(max_iter):
+        d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        a = d.argmin(1)
+        newC = C.copy()
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                newC[j] = members.mean(0)
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    sample_rows: int = 4096,
+    max_iter: int = 20,
+) -> "list[list[list[float]]]":
+    """Fit per-subspace codebooks on a deterministic sample: the vector
+    is split into ``m`` contiguous subvectors and each subspace gets its
+    own ``n_codes``-entry k-means codebook (independent quantizers — the
+    product in "product quantization"). ``n_codes`` ≤ 256 so a code is
+    one byte per subspace. Returns m × n_codes × (d/m) floats —
+    JSON-serializable, persist beside the encoded corpus."""
+    if n_codes > 256:
+        raise ValueError("n_codes must be ≤ 256 (one byte per subspace)")
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h")
+        )
+        .orderBy("h")
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} is not divisible by m={m} subspaces")
+    sub = d // m
+    books = []
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        books.append(_lloyd(Xj, n_codes, seed + j, max_iter).tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to ``m`` one-byte codes (a ``binary`` column): per
+    Arrow batch, one matmul per subspace picks the nearest codebook
+    entry. The encoded corpus drops the float vectors entirely for the
+    candidate scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    m = len(books)
+
+    @pandas_udf("binary")
+    def enc(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        codes = np.empty((len(M), m), dtype=np.uint8)
+        for j, C in enumerate(books):
+            Xj = M[:, j * sub : (j + 1) * sub]
+            dist = (
+                (Xj * Xj).sum(1)[:, None]
+                - 2.0 * (Xj @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            codes[:, j] = dist.argmin(1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return df.withColumn(out, enc(F.col(vec_col)))
+
+
+def pq_decode(
+    df: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    code_col: str = "pq_code",
+    out: str = "embedding_approx",
+) -> DataFrame:
+    """Reconstruct the quantized approximation (codebook entry per
+    subspace, concatenated) — the decode leg of the round-trip tests and
+    of any consumer that can live with quantization error."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @pandas_udf("array<double>")
+    def dec(c: pd.Series) -> pd.Series:
+        outv = []
+        for raw in c:
+            codes = np.frombuffer(raw, dtype=np.uint8)
+            outv.append(
+                np.concatenate(
+                    [books[j][codes[j]] for j in range(len(books))]
+                ).tolist()
+            )
+        return pd.Series(outv)
+
+    return df.withColumn(out, dec(F.col(code_col)))
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    k: int = 3,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): each query builds
+    an m × n_codes lookup table of squared subvector distances once, and
+    a corpus row's distance is m byte-indexed gathers + a sum — the scan
+    never touches a float vector. Queries are bounded and broadcast (the
+    ``cosine_topk`` contract); the corpus codes stream through
+    ``mapInPandas`` emitting a PER-BATCH top-k per query, so the shuffle
+    carries candidates, not the corpus.
+
+    Without ``rerank``: returns (query_id, neighbor_id, adc_dist, rk)
+    ranked by quantized L2 distance. With ``rerank`` = a (id, vector)
+    frame: the top ``rerank_factor·k`` ADC candidates per query join
+    their TRUE vectors back for an exact cosine re-rank and the output
+    matches ``cosine_topk``'s shape — the standard two-stage IVF-PQ read
+    path (coarse bytes → exact on a few)."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    n_codes = books[0].shape[0]
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("pq_topk needs at least one query vector")
+    qids = [r["query_id"] for r in qrows]
+    Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    # LUT[q, j, c] = ||q_sub_j - codebook_j[c]||^2
+    lut = np.empty((len(qids), m, n_codes), dtype=np.float64)
+    for j, C in enumerate(books):
+        Qj = Q[:, j * sub : (j + 1) * sub]
+        lut[:, j, :] = (
+            (Qj * Qj).sum(1)[:, None]
+            - 2.0 * (Qj @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+
+    take = max(k * (rerank_factor if rerank is not None else 1), k)
+    id_type = dict(codes.dtypes)[id_col]
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, adc_dist double"
+    )
+    qid_arr = np.asarray(qids)
+
+    def scan(batches):
+        j_idx = np.arange(m)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            raw = pdf[code_col].to_numpy()
+            Cm = np.frombuffer(b"".join(raw), dtype=np.uint8).reshape(
+                len(raw), m
+            )
+            # dists[q, row] = Σ_j lut[q, j, code[row, j]] — fancy-index
+            # axes (1, 2) with (1, m) and (B, m) broadcast → (Q, B, m)
+            dists = lut[:, j_idx, Cm].sum(2)
+            top = min(take, len(ids))
+            part = np.argpartition(dists, top - 1, axis=1)[:, :top]
+            res = {"query_id": [], "neighbor_id": [], "adc_dist": []}
+            for qi in range(len(qid_arr)):
+                sel = part[qi]
+                res["query_id"].extend([qid_arr[qi]] * len(sel))
+                res["neighbor_id"].extend(ids[sel])
+                res["adc_dist"].extend(dists[qi, sel])
+            yield pd.DataFrame(res)
+
+    cands = (
+        codes.select(id_col, code_col)
+        .mapInPandas(scan, schema=out_schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("adc_dist"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= take)
+    )
+    if rerank is None:
+        return cands.filter(F.col("rk") <= k).withColumn(
+            "adc_dist", F.round(F.col("adc_dist"), 6)
+        )
+
+    true_vecs = rerank.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", _norm("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", _norm("qv"))
+    joined = (
+        cands.select("query_id", "neighbor_id")
+        .join(true_vecs, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
+    ranked = joined.withColumn("cosine", F.round(cos, 6)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cosine"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= k).select(
+        "query_id", "neighbor_id", "cosine", "rk"
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    sample_rows: int = 4096,
+) -> dict:
+    """The composed memory-tier index: IVF posting lists (``cluster=``
+    partition dirs — a probe reads only its directories) holding PQ BYTE
+    CODES instead of vectors. Self-describing: centroids + codebooks
+    persist in ``_ivf_pq_meta.json``, so new sessions query without any
+    refit and without the original corpus. The stored rows are
+    (neighbor_id, pq_code, cluster) — for a 64-dim float corpus that is
+    ~8 B of payload per vector where the plain IVF index stores 512 B."""
+    import json as _json
+    import os as _os
+
+    centroids = ivf_fit_centroids(
+        corpus, id_col, vec_col, n_clusters, seed, sample_rows
+    )
+    codebooks = pq_fit_codebooks(
+        corpus, id_col, vec_col, m=m, n_codes=n_codes, seed=seed,
+        sample_rows=sample_rows,
+    )
+    assigned = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        centroids,
+        "cv",
+        out="cluster",
+    )
+    coded = pq_encode(assigned, codebooks, vec_col="cv").select(
+        "neighbor_id", "pq_code", "cluster"
+    )
+    coded.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    with open(_os.path.join(path, "_ivf_pq_meta.json"), "w") as fh:
+        _json.dump({"centroids": centroids, "codebooks": codebooks}, fh)
+    return {"clusters": len(centroids), "m": m, "n_codes": n_codes}
+
+
+def query_ivf_pq_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Two-stage read over a persisted IVF-PQ index: the query batch's
+    probed clusters prune the scan to their ``cluster=`` partitions
+    (union over the batch — a query may thus see another query's probed
+    cluster, a candidate SUPERSET, never fewer), then the ADC byte scan
+    (``pq_topk``) ranks within them; pass ``rerank`` = the original
+    (id, vector) frame for the exact-cosine final stage."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_ivf_pq_meta.json")) as fh:
+        meta = _json.load(fh)
+    centroids, codebooks = meta["centroids"], meta["codebooks"]
+    q = ivf_assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        centroids,
+        "qv",
+        out="probe_list",
+        n_probe=n_probe,
+    )
+    probed = sorted(
+        {c for r in q.select("probe_list").collect() for c in r["probe_list"]}
+    )
+    codes = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(probed))
+        .select(F.col("neighbor_id").alias(id_col), "pq_code")
+    )
+    return pq_topk(
+        codes,
+        queries,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        code_col="pq_code",
+        vec_col=vec_col,
+        rerank=rerank,
+        rerank_factor=rerank_factor,
     )

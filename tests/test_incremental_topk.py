@@ -290,6 +290,120 @@ class TestDriverPath:
         _assert_head_matches(spark, m1, h1)
 
 
+class TestRungChain:
+    def test_fact_to_view_to_agg_to_topk_o_changes(self, spark, tmp_path):
+        """The full maintained-rung chain: fact merge -> join-view
+        refresh -> agg refresh -> top-K head refresh, every link
+        O(changes), and the served top-k matches a from-scratch
+        join+group+rank recompute after every round."""
+        from presencia_etl_spark.plans import incremental_join as ij
+
+        FACT = StructType(
+            [
+                StructField("f_id", LongType()),
+                StructField("f_did", StringType()),
+                StructField("f_amt", DoubleType()),
+            ]
+        )
+        DIM = StructType(
+            [
+                StructField("d_id", StringType()),
+                StructField("d_name", StringType()),
+            ]
+        )
+        dim_ids = [f"d{i}" for i in range(9)]
+        rng = random.Random(441)
+
+        def facts(keys):
+            return [
+                (int(k), rng.choice(dim_ids), round(rng.uniform(1, 50), 2))
+                for k in keys
+            ]
+
+        a, b = str(tmp_path / "fact"), str(tmp_path / "dim")
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(facts(range(250)), FACT), a,
+            ["f_id"], num_buckets=8, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark,
+            spark.createDataFrame(
+                [(d, f"name-{d}") for d in dim_ids], DIM
+            ),
+            b, ["d_id"], num_buckets=4, compact_every=None,
+        )
+        v = str(tmp_path / "view")
+        ij.build_join_view(
+            spark, a, b, v,
+            on=[("f_did", "d_id")],
+            a_key_cols=["f_id"], b_key_cols=["d_id"],
+            a_cols=["f_id", "f_did", "f_amt"],
+            b_cols=["d_id", "d_name"],
+            num_buckets=8, compact_every=None,
+        )
+        agg_t, head_t = str(tmp_path / "agg"), str(tmp_path / "head")
+        ia.build_agg_snapshot(spark, v, agg_t, ["d_name"], ["f_amt"])
+        it.build_topk_head(
+            spark, v, agg_t, head_t, k=3, measure="sum_f_amt", buffer=5
+        )
+        for _round in range(3):
+            mor.merge_upsert_mor(
+                spark,
+                spark.createDataFrame(
+                    facts(rng.sample(range(400), 10)), FACT
+                ),
+                a, ["f_id"], compact_every=None,
+            )
+            assert ij.refresh_join_view(spark, v)["mode"] == "incremental"
+            r = it.refresh_topk_head(spark, v, agg_t, head_t)
+            assert r["mode"] in ("incremental", "rebuild")
+            meta = ij.join_view_info(v)
+            want = [
+                (row["d_name"], row["s"])
+                for row in ij._materialize(
+                    spark, meta,
+                    mor.mor_history(a)["seq"], mor.mor_history(b)["seq"],
+                )
+                .groupBy("d_name")
+                .agg(F.sum(F.col("f_amt").cast("double")).alias("s"))
+                .where(F.col("s").isNotNull())
+                .orderBy(F.col("s").desc(), F.col("d_name").asc())
+                .limit(3)
+                .collect()
+            ]
+            got = [
+                (row["d_name"], row["sum_f_amt"])
+                for row in it.read_topk_rows(head_t)
+            ]
+            assert [g for g, _ in got] == [g for g, _ in want]
+            for (_, x), (_, y) in zip(got, want):
+                assert x == pytest.approx(y, abs=1e-6)
+
+
+class TestPlanShape:
+    def test_rebuild_compiles_to_take_ordered(self, spark, tmp_path):
+        """The rebuild's ranking over the agg snapshot must be
+        TakeOrderedAndProject (per-partition heaps, no global sort, no
+        shuffle of the snapshot) — the property that keeps a rebuild
+        O(groups)-scan-cheap at 100 TB group cardinalities."""
+        import io
+        from contextlib import redirect_stdout
+
+        rng = random.Random(431)
+        _m, agg_t, _h = _seed(spark, tmp_path, rng)
+        snap = ia.read_agg_snapshot(spark, agg_t).select("cat", "n_rows")
+        df = (
+            snap.where(F.col("n_rows").isNotNull())
+            .orderBy(F.col("n_rows").desc(), F.col("cat").asc())
+            .limit(70)
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "TakeOrderedAndProject" in p and "Sort " not in p
+
+
 class TestOrderingParity:
     def test_rank_key_matches_spark_ordering(self, spark):
         """The driver-side ranking (utf-16-be string keys, NULL first)

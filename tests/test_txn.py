@@ -404,6 +404,39 @@ class TestAtomicSync:
             )
 
 
+class TestCliAtomic:
+    def test_cli_incremental_atomic(self, spark, tmp_path, capsys):
+        """`incremental --mor --atomic` from the CLI: seed run, then an
+        atomic run whose tables all report the transactional mode."""
+        from presencia_etl_spark.__main__ import main
+
+        src = tmp_path / "src"
+        src.mkdir()
+        wh = str(tmp_path / "wh")
+        spark.createDataFrame(
+            [(str(i), f"v{i}") for i in range(20)], ["K", "V"]
+        ).write.mode("overwrite").parquet(str(src / "ta.parquet"))
+        base_args = [
+            "incremental", "--source", str(src), "--target", wh,
+            "--key", "K", "--mor", "--buckets", "4",
+        ]
+        assert main(base_args) == 0  # seed (initial load)
+        capsys.readouterr()
+        spark.createDataFrame(
+            [("1", "CHANGED"), ("99", "new")], ["K", "V"]
+        ).write.mode("overwrite").parquet(str(src / "ta.parquet"))
+        assert main([*base_args, "--atomic"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        r = out["result"]["ta"]
+        assert r["mode"] == "incremental_mor_txn"
+        assert r["insert"] == 1 and r["update"] == 1
+        vals = {
+            row["K"]: row["V"]
+            for row in mor.read_mor(spark, f"{wh}/ta").collect()
+        }
+        assert vals["1"] == "CHANGED" and vals["99"] == "new"
+
+
 class TestEquivalence:
     def test_randomized_txn_equals_plain(self, spark, tmp_path):
         """The same random merge/delete batches applied through
