@@ -243,7 +243,17 @@ def _publish(entries: list[dict]) -> None:
     is RE-NUMBERED to the next free sequence instead of being dropped —
     equivalent to the transaction serializing after the interloper
     (latest-wins reads converge either way). Caller must hold every
-    table's writer lock."""
+    table's writer lock.
+
+    The collision branch distinguishes "interloper took the seq" from
+    "my own publish half-landed" by LOCAL rename atomicity (final
+    existing ⇒ a complete committed delta). On an object store a dir
+    move is PUT-then-DELETE, so a seam crash leaves BOTH complete —
+    the renumber then lands the same rows at a second sequence, which
+    latest-wins reads absorb (identical content), pinned by the
+    conformance suite; a production object-store port routes delta
+    publishes through a table-format commit anyway (the suite's
+    documented scope for Spark-side writers)."""
     from presencia_etl_spark.sinks.mor import (
         SEQ_COL,
         _next_seq,

@@ -404,3 +404,90 @@ class TestOrderingDeclineReasons:
         assert ei.value.reason == "nonbmp_order"
         assert ia._cmp_lt(1.0, 2.0) is True
         assert ia._cmp_lt("b", "a") is False
+
+
+class TestTxnCommitBoundary:
+    """sinks/txn on the object-store primitive map: the COMMIT POINT is
+    one journal PUT; publish renames are per-object PUT+DELETE whose
+    seam crash CONVERGES under recovery (the renumber branch lands the
+    same rows at a second sequence — latest-wins reads are unchanged).
+    Spark-side staged writes stay out of scope (table-format commit);
+    these legs drive the pure-python protocol over driver-plane deltas."""
+
+    def _stage(self, tmp_path, name, txn_id):
+        """A real staged single-object delta: publish one trickle merge,
+        then un-publish it into the txn staging name + rewound cursor."""
+        path = _seed_state(tmp_path / name)
+        dm.trickle_merge(
+            path, [{"k": 3, "v": f"mut-{name}"}], ["k"], compact_every=None
+        )
+        droot = os.path.join(path, mor.DELTA_DIR)
+        final = os.path.join(droot, f"{mor.SEQ_COL}=1")
+        staged = os.path.join(droot, f".txn_{txn_id}_1")
+        os.rename(final, staged)
+        with open(os.path.join(path, "_mor_meta.json"), "w") as fh:
+            json.dump(
+                {"seq": 0, "compacted_through": 0, "num_buckets": 4}, fh
+            )
+        return path, {
+            "table": path, "seq": 1, "staged": staged, "final": final,
+        }
+
+    def test_commit_point_is_one_journal_put(self, tmp_path, monkeypatch):
+        from presencia_etl_spark.sinks.txn import MultiTableTxn
+
+        t1, e1 = self._stage(tmp_path, "a", "tx1")
+        t2, e2 = self._stage(tmp_path, "b", "tx1")
+        txn = MultiTableTxn(str(tmp_path / "root"), txn_id="tx1")
+        txn._entries = [e1, e2]
+        shim = ObjectStoreShim(monkeypatch)
+        r = txn.commit()
+        assert r["tables"] == 2
+        assert shim.violations == [], shim.violations
+        journal_puts = [
+            p for op, p in shim.ops if op == "put" and "_txn_tx1.json" in p
+        ]
+        assert len(journal_puts) == 1  # THE commit point: one object PUT
+        for t, name in ((t1, "a"), (t2, "b")):
+            live = dm.read_live_rows_for_keys(
+                t, [dp.composite_key([3], ["int64"])]
+            )
+            assert live[dp.composite_key([3], ["int64"])]["v"] == f"mut-{name}"
+
+    def test_publish_seam_crash_converges(self, tmp_path, monkeypatch):
+        from presencia_etl_spark.sinks.txn import (
+            _journal_path,
+            recover_transactions,
+        )
+
+        t1, e1 = self._stage(tmp_path, "c", "tx2")
+        root = str(tmp_path / "root")
+        os.makedirs(root, exist_ok=True)
+        jp = _journal_path(root, "tx2")
+        with open(jp, "w") as fh:
+            json.dump({"txn_id": "tx2", "entries": [e1]}, fh)
+        # crash between the final-key PUTs and the staged-key DELETEs
+        shim = ObjectStoreShim(monkeypatch, crash_before_delete=True)
+        with pytest.raises(SimulatedCrash):
+            recover_transactions(root, tables=[t1])
+        monkeypatch.undo()
+        assert os.path.isdir(e1["staged"]) and os.path.isdir(e1["final"])
+        # recovery converges: the leftover staged copy renumbers to the
+        # next sequence — SAME rows, so the latest-wins read view is
+        # unchanged — and the journal clears
+        r = recover_transactions(root, tables=[t1])
+        assert r["rolled_forward"] == 1
+        assert not os.path.exists(jp)
+        live = dm.read_live_rows_for_keys(
+            t1, [dp.composite_key([3], ["int64"])]
+        )
+        assert live[dp.composite_key([3], ["int64"])]["v"] == "mut-c"
+        seqs = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(os.path.join(t1, mor.DELTA_DIR))
+            if d.startswith(f"{mor.SEQ_COL}=")
+        )
+        assert seqs == [1, 2]  # duplicate-content delta, not lost data
+        # replay is a no-op
+        r2 = recover_transactions(root, tables=[t1])
+        assert r2 == {"rolled_forward": 0, "swept_staged": 0, "deferred": 0}
