@@ -925,7 +925,11 @@ def pq_topk(
             # dists[q, row] = Σ_j lut[q, j, code[row, j]] — fancy-index
             # axes (1, 2) with (1, m) and (B, m) broadcast → (Q, B, m)
             dists = lut[:, j_idx, Cm].sum(2)
-            top = min(take, len(ids))
+            # take+1: a query that is ITSELF a corpus row sits at ADC
+            # distance ~0 in exactly one batch and is filtered out after
+            # the scan — without the spare slot it would evict the true
+            # take-th neighbor of that batch
+            top = min(take + 1, len(ids))
             part = np.argpartition(dists, top - 1, axis=1)[:, :top]
             res = {"query_id": [], "neighbor_id": [], "adc_dist": []}
             for qi in range(len(qid_arr)):
@@ -1059,9 +1063,11 @@ def query_ivf_pq_index(
     probed = sorted(
         {c for r in q.select("probe_list").collect() for c in r["probe_list"]}
     )
+    from presencia_etl_spark.functions.pushdown import in_list
+
     codes = (
         spark.read.parquet(path)
-        .filter(F.col("cluster").isin(probed))
+        .filter(in_list("cluster", probed))
         .select(F.col("neighbor_id").alias(id_col), "pq_code")
     )
     return pq_topk(

@@ -137,7 +137,8 @@ def incremental_sync(
 
         txn_root = os.path.join(target_root, "_txn")
         recover_transactions(
-            txn_root, tables=[f"{target_root}/{n}" for n in configs]
+            txn_root,
+            tables=[f"{target_root}/{c.name}" for c in configs.values()],
         )
         results = {}
         with MultiTableTxn(txn_root) as txn:

@@ -269,6 +269,20 @@ def _delta_latest(deltas: DataFrame) -> DataFrame:
     )
 
 
+def _write_delta_files(out: DataFrame, staged: str, n_rows: int) -> int:
+    """The ONE staged-delta write recipe — shared by the plain commit
+    (`_commit_delta`) and transactional staging (`txn._stage_delta`) so
+    the two can never diverge in layout. Few files (read amplification
+    stays ~O(#outstanding merges)), key-sorted like the bucket files so
+    delta scans under an In(key) pushdown (the identity fetch, key
+    deletes) row-group-skip too."""
+    n_files = max(1, min(4, n_rows // 100_000 + 1))
+    out.repartition(n_files).sortWithinPartitions(cdc.KEY_COL).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    return n_files
+
+
 def _commit_delta(
     target_path: str, meta: dict, out: DataFrame, n_rows: int
 ) -> int:
@@ -284,12 +298,7 @@ def _commit_delta(
     seq = _next_seq(target_path, meta)
     ddir = os.path.join(target_path, DELTA_DIR, f"{SEQ_COL}={seq}")
     staged = os.path.join(target_path, DELTA_DIR, f"{STAGING_PREFIX}{seq}")
-    n_files = max(1, min(4, n_rows // 100_000 + 1))
-    # Key-sorted like the bucket files: delta scans under an In(key)
-    # pushdown (the identity fetch, key deletes) row-group-skip too.
-    out.repartition(n_files).sortWithinPartitions(cdc.KEY_COL).write.mode(
-        "overwrite"
-    ).parquet(staged)
+    n_files = _write_delta_files(out, staged, n_rows)
     os.rename(staged, ddir)
     meta["seq"] = seq
     _write_meta(target_path, meta)

@@ -30,7 +30,9 @@ and live dirs are authoritative over the meta cursor (mor._next_seq):
 
 Crash anywhere: ``recover_transactions(txn_root, tables)`` — run it
 before trusting a warehouse after a restart (entering a transaction
-context runs it for its tables) — completes journaled publishes
+context rolls this txn_root's journals forward; the ``tables=`` sweep
+of torn prepares still needs the explicit list, as in the atomic
+sync) — completes journaled publishes
 idempotently (rename already done → skip; meta already bumped → skip)
 and sweeps unjournaled ``.txn_*`` staged dirs of UNLOCKED tables
 (a held lock means a live transaction is still preparing).
@@ -120,6 +122,13 @@ class MultiTableTxn:
     # -- context manager ---------------------------------------------------
 
     def __enter__(self):
+        # Entering a transaction converges this txn_root first: any
+        # CRASHED-BUT-COMMITTED transaction's journal rolls forward NOW,
+        # so this transaction never classifies blind to rows whose
+        # commit point was already reached (and never collides with
+        # their staged sequence numbers). Sweeps need a table list and
+        # run in recover_transactions(tables=...) / the atomic sync.
+        recover_transactions(self.txn_root)
         return self
 
     def __exit__(self, exc_type, _exc, _tb):
@@ -164,6 +173,13 @@ class MultiTableTxn:
         self._done = True
         try:
             if not self._entries:
+                # nothing staged, nothing to journal — but noop merges
+                # may have rebuilt digests from a scan (deferred because
+                # deferral is uniform); their listings are unchanged, so
+                # persisting them now is safe and saves the next sync
+                # the same scan
+                for path, dig in self._digests.items():
+                    digest_store.save(path, dig)
                 return {"tables": 0, "txn_id": self.txn_id}
             journal = _journal_path(self.txn_root, self.txn_id)
             with open(journal + ".tmp", "w") as fh:
@@ -193,11 +209,11 @@ class MultiTableTxn:
         """The transactional twin of ``mor._commit_delta``: same staged
         parquet write, but the publishing rename is deferred to
         ``commit()`` and no cursor moves."""
-        from presencia_etl_spark.operators import cdc
         from presencia_etl_spark.sinks.mor import (
             DELTA_DIR,
             SEQ_COL,
             _next_seq,
+            _write_delta_files,
         )
 
         norm = os.path.abspath(target_path)
@@ -206,10 +222,7 @@ class MultiTableTxn:
         staged = os.path.join(
             norm, DELTA_DIR, f"{TXN_PREFIX}{self.txn_id}_{seq}"
         )
-        n_files = max(1, min(4, n_rows // 100_000 + 1))
-        out.repartition(n_files).sortWithinPartitions(cdc.KEY_COL).write.mode(
-            "overwrite"
-        ).parquet(staged)
+        n_files = _write_delta_files(out, staged, n_rows)
         self._entries.append(
             {"table": norm, "seq": seq, "staged": staged, "final": final}
         )

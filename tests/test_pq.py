@@ -125,6 +125,21 @@ class TestAdcScan:
         )
         assert hits >= 18  # ≥90% top-1 recall
 
+    def test_self_queries_keep_full_k(self, spark, corpus):
+        """Queries that ARE corpus rows: the post-scan self-filter must
+        not cost a candidate slot (the scan keeps take+1 per batch), so
+        every query still gets exactly k non-self neighbors."""
+        X, df, books = corpus
+        q = _vec_df(spark, X[:5])  # ids 0..4 are corpus ids
+        enc = sim.pq_encode(df, books).select("vec_id", "pq_code")
+        got = sim.pq_topk(enc, q, books, k=3).collect()
+        per_q: dict = {}
+        for r in got:
+            assert r["neighbor_id"] != r["query_id"]
+            per_q.setdefault(r["query_id"], set()).add(r["rk"])
+        assert len(per_q) == 5
+        assert all(v == {1, 2, 3} for v in per_q.values())
+
     def test_rerank_collapses_to_exact_cosine(self, spark, corpus):
         """With rerank_factor covering the whole corpus, the two-stage
         read path must equal brute-force cosine_topk exactly."""

@@ -313,6 +313,32 @@ class TestCrashRecovery:
         assert _state(spark, t1)["1"] == 999
 
 
+class TestEnterRecovery:
+    def test_entering_a_context_rolls_forward_crashed_commits(
+        self, spark, tmp_path
+    ):
+        """A transaction that reached its commit point and died must be
+        published BEFORE a new transaction on the same root classifies
+        anything — otherwise the newcomer is blind to committed rows and
+        collides with their staged sequence numbers."""
+        (t1,) = _seed(spark, tmp_path, names=("t1",))
+        root = str(tmp_path / "txn")
+        dead = MultiTableTxn(root)
+        dead.merge(spark, _df(spark, [(1, 999)]), t1, ["K"])
+        jp = txn_mod._journal_path(root, dead.txn_id)
+        with open(jp, "w") as fh:
+            json.dump({"txn_id": dead.txn_id, "entries": dead._entries}, fh)
+        dead._locks.close()  # crash right after the commit point
+        with MultiTableTxn(root) as txn2:
+            # __enter__ already converged the root: the dead commit is
+            # visible before txn2 stages anything
+            assert _state(spark, t1)["1"] == 999
+            assert not os.path.exists(jp)
+            txn2.merge(spark, _df(spark, [(1, 1000)]), t1, ["K"])
+            txn2.commit()
+        assert _state(spark, t1)["1"] == 1000
+
+
 class TestDigestDeferral:
     def test_sidecar_saved_after_publish_and_valid(self, spark, tmp_path):
         """A transactional merge must not bind a sidecar fingerprint to
@@ -338,6 +364,21 @@ class TestDigestDeferral:
             spark, _df(spark, [(1, 999)]), t1, ["K"], compact_every=None
         )
         assert r["insert"] == r["update"] == 0
+
+    def test_empty_commit_still_flushes_scan_built_digests(
+        self, spark, tmp_path
+    ):
+        """An all-noop atomic sync rebuilt its digests from a scan (no
+        sidecar existed); the zero-entry commit must persist them — the
+        listings are unchanged, and dropping them re-pays the scan on
+        every future merge."""
+        (t1,) = _seed(spark, tmp_path, names=("t1",))
+        assert digest_store.load(t1) is None  # no sidecar yet
+        with MultiTableTxn(str(tmp_path / "txn")) as txn:
+            r = txn.merge(spark, _df(spark, [(1, 10)]), t1, ["K"])
+            assert r["insert"] == r["update"] == 0  # noop
+            assert txn.commit()["tables"] == 0
+        assert digest_store.load(t1) is not None
 
 
 class TestAtomicSync:
