@@ -198,7 +198,20 @@ def q10_tfidf(spark, sf):
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # Document frequency = rows per token over per-doc DISTINCT tokens:
+    # one explode + one partial-aggregated groupBy. Equivalent to
+    # countDistinct(doc_id) over tf (doc_id is unique per doc, so distinct
+    # (doc, tok) pairs == docs containing tok) but skips the full-corpus
+    # (doc_id, tok) pre-aggregation AND the countDistinct expand+double
+    # shuffle; the tf subtree then runs only for the doc_id<10 slice with
+    # the filter pushed to the scan.
+    df_ = (
+        docs.select(
+            F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     scored = (
         tf.filter(F.col("doc_id") < 10)
         .join(df_, "tok")
@@ -221,10 +234,14 @@ def q11_profile(spark, sf):
     parity; the operator defaults to HLL at scale)."""
     from presencia_etl_spark.operators.profile import profile
 
+    # include_min_max=False: this query projects min/max away, and the
+    # stack() Generate blocks Catalyst from pruning their aggregates —
+    # the flag is the manual column pruning (same 5 output columns).
     return profile(
         _t(spark, sf, "orders"),
         ["o_orderkey", "o_orderstatus", "o_totalprice"],
         exact_distinct=True,
+        include_min_max=False,
     ).select("column_name", "n_rows", "n_null", "null_rate", "n_distinct")
 
 
@@ -771,7 +788,12 @@ def _ann_recall_query(spark, sf, approx_fn, min_recall):
     — at 5 queries the ±1-hit noise straddled any honest bound."""
     emb = _t(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    exact = similarity.cosine_topk(emb, queries_df, k=3)
+    # The exact top-k subtree is referenced three times below (hit join,
+    # total count, output rows); without a materialization point Spark
+    # re-runs the whole brute-force cosine pass per reference (8 corpus
+    # scans in the r13 before-plan). Its result is ~60 rows — checkpoint
+    # once, read three times.
+    exact = similarity.cosine_topk(emb, queries_df, k=3).localCheckpoint(eager=True)
     approx = approx_fn(emb, queries_df)
     hits = exact.join(
         approx.select("query_id", "neighbor_id").distinct(),

@@ -197,6 +197,20 @@ def main() -> None:
     floor_vs_r11 = (
         round(floor_corr_total / R11_TOTAL_MEDIAN_SEC, 3) if sf == 0.1 else None
     )
+    # Name which ambient anchor moved most vs its calm pin (r12 verdict
+    # #2): "probe" = single-thread python, "floor" = per-job scheduling,
+    # "par" = multi-core SHA; "calm" when every anchor is within 15%.
+    # Makes a swing on a zero-job row classifiable from this artifact
+    # alone instead of via a SCALE.md narrative.
+    anchor_ratios = {
+        "probe": amb_med / R7_CALIBRATION_SEC,
+        "floor": calib_action / R11_CALIB_ACTION_SEC,
+        "par": max(calib_par, calib_par_post) / CALM_CALIB_PAR_SEC,
+    }
+    worst_anchor = max(anchor_ratios, key=lambda k: anchor_ratios[k])
+    ambient_class = (
+        "calm" if anchor_ratios[worst_anchor] < 1.15 else worst_anchor
+    )
 
     try:
         pipeline = bench_pipelines(spark, sf_dir)
@@ -269,6 +283,8 @@ def main() -> None:
         "jobs_total": jobs_total,
         "floor_corr_total_sec": floor_corr_total,
         "floor_vs_r11_total": floor_vs_r11,
+        "ambient_class": ambient_class,
+        "anchor_ratios": {k: round(v, 3) for k, v in anchor_ratios.items()},
         "queries": timings,
         "queries_min": timings_min,
         "jobs_per_query": jobs_per_query,
@@ -303,22 +319,23 @@ def main() -> None:
         "admit_batch_marginal_sec", "pack_batch_marginal_sec",
         "admit_e2e_marginal_sec", "admit_marginal_docs_per_sec", "error",
     )
+    # r12 verdict #5 (stdout diet): the short line was 30 chars from the
+    # 2 KB parse cap — the scale10/scale100 sections now carry only the
+    # HEADLINE medians; every other decade row stays in BENCH_DETAIL.json
+    # (nothing is dropped from the artifact, only from stdout).
     SUB_KEYS = {
         "presencia": ("full_sec", "full_rows_per_sec", "incr_nochange_sec",
                       "incr_sparse_sec", "incr_mor_sec",
                       "incr_mor_atomic_sec", "error"),
-        "scale10": ("full_sec", "full_rows_per_sec", "linear_ratio",
-                    "sparse_mor_sec", "agg_refresh_sec", "agg_recompute_sec",
-                    "ivm_build_sec", "ivm_refresh_sec",
-                    "admit10_batch_marginal_sec",
-                    "admit_corpus_docs_per_sec", "cpar_sec", "error"),
-        "scale100": ("full_sec", "full_rows_per_sec", "linear_ratio",
-                     "sparse_mor_sec", "nochange_sec", "nochange_min_sec",
+        "scale10": ("full_rows_per_sec", "linear_ratio",
+                    "sparse_mor_sec", "agg_refresh_sec",
+                    "ivm_refresh_sec",
+                    "admit_corpus_docs_per_sec", "error"),
+        "scale100": ("full_rows_per_sec", "linear_ratio",
+                     "sparse_mor_sec", "nochange_sec",
                      "compact_sec",
-                     "cpar_sec", "cpar2_sec", "nochange_managed_sec",
-                     "diff_green_sec", "diff_dirty_sec",
                      "sparse_managed_sec", "replicate_feed_sec",
-                     "ivm_build_sec", "ivm_refresh_sec", "error"),
+                     "ivm_refresh_sec", "error"),
     }
     short_pipeline = {k: pipeline[k] for k in TOP_KEYS if k in pipeline}
     for prefix, keys in SUB_KEYS.items():
@@ -348,6 +365,7 @@ def main() -> None:
         "floor_vs_r11_total": floor_vs_r11,
         "jobs_total": jobs_total,
         "total_min_sec": total_min,
+        "ambient_class": ambient_class,
         "queries": short_queries,
         "errors": errors,
         "declines": declines,
@@ -401,6 +419,10 @@ R7_CALIBRATION_SEC = 0.249
 # r11 is floor drift, not code.
 R11_CALIB_ACTION_SEC = 0.1049
 R11_TOTAL_MEDIAN_SEC = 32.199
+# Calm-run pin for the parallel SHA anchor (docs/SCALE.md: uncontended
+# runs of _calibration_par_sec sit at ~0.5 s on this VM; r12's visibly
+# contended run read 0.661/0.529).
+CALM_CALIB_PAR_SEC = 0.5
 R7_QUERY_MEDIANS = {
     "q01": 0.75, "q02": 0.47, "q03": 0.46, "q04": 0.36, "q05": 0.57,
     "q06": 0.39, "q07": 0.93, "q08": 0.27, "q09": 0.21, "q10": 0.75,
@@ -682,16 +704,26 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         build_agg_snapshot(
             spark, mtarget, agg_t, ["l_returnflag"], ["l_quantity"]
         )
-        mutated2 = li.withColumn(
-            "l_quantity",
-            F.when(F.col("l_orderkey") < 40, F.col("l_quantity") + 7).otherwise(
-                F.col("l_quantity")
-            ),
-        )
-        merge_upsert_mor(spark, mutated2, mtarget, ["l_key"], num_buckets=256)
-        t0 = time.perf_counter()
-        refresh_agg_snapshot(spark, mtarget, agg_t)
-        out["agg_refresh_sec"] = round(time.perf_counter() - t0, 3)
+        # Median-of-3 with CONSTANT work per rep (r12 verdict #2: this
+        # row was single-sample and swung 0.34->0.54 s with no in-
+        # artifact defense): the SAME <40 selector per rep with a fresh
+        # bump, so every rep updates exactly the selector's keys.
+        agg_secs = []
+        for step in (7, 8, 9):
+            mutated2 = li.withColumn(
+                "l_quantity",
+                F.when(
+                    F.col("l_orderkey") < 40, F.col("l_quantity") + step
+                ).otherwise(F.col("l_quantity")),
+            )
+            merge_upsert_mor(
+                spark, mutated2, mtarget, ["l_key"], num_buckets=256
+            )
+            t0 = time.perf_counter()
+            refresh_agg_snapshot(spark, mtarget, agg_t)
+            agg_secs.append(time.perf_counter() - t0)
+        out["agg_refresh_sec"] = round(sorted(agg_secs)[1], 3)
+        out["agg_refresh_secs"] = [round(s, 3) for s in agg_secs]
         t0 = time.perf_counter()
         read_mor(spark, mtarget).groupBy("l_returnflag").agg(
             F.count(F.lit(1)), F.sum("l_quantity")
@@ -783,6 +815,10 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
             n_jobs = len(set(tracker.getJobIdsForGroup() or []) - before_jobs)
             n_pairs += int(rv.get("upserts", 0))
         out["ivm_join_refresh_sec"] = round(sorted(ivm_secs)[1], 3)
+        # Raw reps in-artifact (r12 verdict #2): zero-job driver rows
+        # swing 2-4x under multi-core ambient; the rep array is the
+        # defense the full/compact rows already carry.
+        out["ivm_join_refresh_secs"] = [round(s, 3) for s in ivm_secs]
         out["ivm_join_refresh_pairs"] = n_pairs
         # the zero-job driver path is the steady state being measured —
         # record which path ran and its Spark-job count (0 = driver)
@@ -860,6 +896,7 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
             chn_secs.append(time.perf_counter() - t0)
         out["nway3_native_refresh_sec"] = round(sorted(nat_secs)[1], 3)
         out["nway3_chained_refresh_sec"] = round(sorted(chn_secs)[1], 3)
+        out["nway3_native_refresh_secs"] = [round(s, 3) for s in nat_secs]
         out["nway3_native_refresh_path"] = rn.get("path", "spark")
 
         def _du(p: str) -> int:
@@ -948,6 +985,7 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
             lchn_secs.append(time.perf_counter() - t0)
         out["nway3_left_refresh_sec"] = round(sorted(lnat_secs)[1], 3)
         out["nway3_left_chained_refresh_sec"] = round(sorted(lchn_secs)[1], 3)
+        out["nway3_left_refresh_secs"] = [round(s, 3) for s in lnat_secs]
         out["nway3_left_refresh_path"] = rl.get("path", "spark")
         out["nway3_left_bytes"] = _du(lview)
         out["nway3_left_chained_bytes"] = _du(lchain1) + _du(lchain2)

@@ -320,20 +320,42 @@ def minhash_lsh_candidates(
 
 
 def ngram_jaccard(
-    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, n: int = 3
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, n: int = 3,
+    eager: bool = False,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for candidate pairs (verification stage).
 
     ``pairs``: (id_a, id_b); ``docs``: the corpus. Two narrow joins bring in
     the n-gram sets; the set math is JVM-side array ops.
+
+    ``eager=True`` computes the gram arrays ONCE, for only the docs that
+    appear in ``pairs`` (semi-join BEFORE the expensive gram transform),
+    and materializes them with ``localCheckpoint``. That is the 100 TB
+    verification shape — candidates are a sliver of the corpus, so
+    pre-pruning turns O(corpus) gram work into O(candidates)
+    (``dedup_corpus`` passes it). It is NOT the default because when the
+    pair set covers most of the corpus (dense candidate sets, the q25
+    consecutive-id sweep) the checkpoint materializes nearly all gram
+    arrays for no pruning benefit — measured 3× slower than the lazy
+    double evaluation at sf0.1. Pick by candidate density.
     """
-    grams = parallelize_scan(docs).select(
+    base = docs
+    if eager:
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        base = docs.join(ids, id_col, "left_semi")
+    grams = parallelize_scan(base).select(
         F.col(id_col).alias("doc_id"),
         F.expr(
             f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {n} + 1, 1)),"
             f" i -> array_join(slice(split({text_col}, '\\\\s+'), i, {n}), ' ')))"
         ).alias("grams"),
     )
+    if eager:
+        grams = grams.localCheckpoint(eager=True)
     out = (
         pairs.join(grams.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
         .join(grams.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
@@ -442,7 +464,7 @@ def dedup_corpus(
         docs, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands
     ).filter(F.col("est_jaccard") >= est_threshold)
     verified = ngram_jaccard(
-        cands.select("id_a", "id_b"), docs, id_col, text_col
+        cands.select("id_a", "id_b"), docs, id_col, text_col, eager=True
     ).filter(F.col("jaccard") >= jaccard_threshold)
     comp = connected_components(verified)
     # Survivor per component = min id == the component label itself.
@@ -517,9 +539,18 @@ def _simhash_from_hashes(hashes_col: str, bits: int = 64) -> F.Column:
 
 
 def simhash_near_pairs(
-    sigs: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+    sigs: DataFrame, max_hamming: int = 3, n_blocks: int = 4,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-pairs by hamming distance with FULL-RECALL rotated blocking.
+
+    ``eager=True`` (default) materializes the (doc_id, simhash) input with
+    ``localCheckpoint`` before the self-join: both join sides re-evaluate
+    ``sigs``'s lineage otherwise, and the usual producer
+    (``with_simhash``'s Arrow bit-vote over the whole corpus) is exactly
+    the subtree you least want to run twice (q29 before-plan: two
+    mapInPandas passes). The frame is 16 bytes/doc — cheap to pin at any
+    scale. ``eager=False`` keeps the lazy plan.
 
     The 64 signature bits are split into ``n_blocks`` contiguous blocks;
     every signature is exploded to (block_idx, block_key) rows and the
@@ -535,6 +566,8 @@ def simhash_near_pairs(
     ``max_hamming`` needs more blocks for the guarantee → smaller keys →
     denser buckets; that trade-off is inherent to Hamming LSH.
     """
+    if eager:
+        sigs = sigs.localCheckpoint(eager=True)
     base, rem = divmod(64, n_blocks)
     key_structs, off = [], 0
     for i in range(n_blocks):

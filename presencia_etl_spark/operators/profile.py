@@ -13,44 +13,77 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile(df: DataFrame, columns: list[str] | None = None, exact_distinct: bool = False) -> DataFrame:
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+    include_min_max: bool = True,
+) -> DataFrame:
     """Long-format profile: (column, n_rows, n_null, null_rate,
-    n_distinct, min_value, max_value).
+    n_distinct[, min_value, max_value]).
 
     ``exact_distinct=False`` uses HLL (approx_count_distinct) — the scale
     default; exact costs one distinct-aggregate per column.
+
+    ``include_min_max=False`` drops the min/max leg entirely. Callers
+    that project the min/max columns away cannot rely on Catalyst to
+    prune them — the ``stack()`` Generate consumes every aggregate, so
+    the optimizer keeps computing string min/max it then discards
+    (measured as a whole extra aggregate pass on q11). Manual pruning
+    via this flag is the only way the scan stays counts-only.
     """
     cols = columns or df.columns
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    # Counting aggregates and the string-rendered min/max run as two
+    # SEPARATE one-row aggregates, cross-joined back. Fused, the string
+    # min/max buffers (variable-length) disqualify HashAggregate, so the
+    # countDistinct rewrite's Expand(×cols) output went through
+    # SortAggregate — a full sort of the expanded table on BOTH sides of
+    # the exchange (q11 before-plan: 2 sorts over 4×|orders| rows,
+    # dominated by the unused-but-unpruned min/max columns). Split, the
+    # counts stay in HashAggregate and the keyless min/max aggregate
+    # needs no sort at all; the second scan is narrow and columnar.
+    cnt_aggs = [F.count(F.lit(1)).alias("_n")]
+    mm_aggs = []
     for c in cols:
         col = F.col(c)
-        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"_null_{c}"))
+        cnt_aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"_null_{c}"))
         if exact_distinct:
-            aggs.append(F.countDistinct(col).alias(f"_dist_{c}"))
+            cnt_aggs.append(F.countDistinct(col).alias(f"_dist_{c}"))
         else:
-            aggs.append(F.approx_count_distinct(col, 0.02).alias(f"_dist_{c}"))
-        aggs.append(F.min(col).cast("string").alias(f"_min_{c}"))
-        aggs.append(F.max(col).cast("string").alias(f"_max_{c}"))
-    wide = df.agg(*aggs)
+            cnt_aggs.append(F.approx_count_distinct(col, 0.02).alias(f"_dist_{c}"))
+        if include_min_max:
+            mm_aggs.append(F.min(col).cast("string").alias(f"_min_{c}"))
+            mm_aggs.append(F.max(col).cast("string").alias(f"_max_{c}"))
+    wide = df.agg(*cnt_aggs)
+    if include_min_max:
+        wide = wide.crossJoin(df.agg(*mm_aggs))
 
+    value_cols = (
+        ["n_null", "n_distinct", "min_value", "max_value"]
+        if include_min_max
+        else ["n_null", "n_distinct"]
+    )
     stack_args = []
     for c in cols:
         stack_args.append(f"'{c}'")
-        stack_args.extend([f"_null_{c}", f"_dist_{c}", f"_min_{c}", f"_max_{c}"])
+        stack_args.extend([f"_null_{c}", f"_dist_{c}"])
+        if include_min_max:
+            stack_args.extend([f"_min_{c}", f"_max_{c}"])
     stacked = wide.selectExpr(
         "_n",
         f"stack({len(cols)}, {', '.join(stack_args)}) as "
-        "(column_name, n_null, n_distinct, min_value, max_value)",
+        f"(column_name, {', '.join(value_cols)})",
     )
-    return stacked.select(
+    out_cols = [
         "column_name",
         F.col("_n").alias("n_rows"),
         "n_null",
         F.round(F.col("n_null") / F.col("_n"), 4).alias("null_rate"),
         "n_distinct",
-        "min_value",
-        "max_value",
-    )
+    ]
+    if include_min_max:
+        out_cols += ["min_value", "max_value"]
+    return stacked.select(*out_cols)
 
 
 def stratified_sample(

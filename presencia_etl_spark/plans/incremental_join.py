@@ -298,16 +298,57 @@ def _big_side(
     """Read one product's big side, pruned when its join columns are its
     primary key: the probe's join values ARE target keys, so the read is
     bucket-pruned at the listing and In()-pushed into the key-sorted
-    files — the star FK->PK fast path. Otherwise an honest full (narrow,
-    never shuffled) scan of the ``as_of`` snapshot. Returns (frame,
-    pruned_bool)."""
+    files — the star FK->PK fast path.
+
+    When the join columns are NOT the key (a dim delta probing the fact
+    by join VALUE — the shape with no key index), the scan is still
+    In()-VALUE-pushed: every caller consumes this frame exclusively
+    equi-joined against ``probe`` on ``own_on``, so restricting each
+    join column to the probe's bounded non-NULL value set is a
+    correctness-preserving superset filter (NULL join components never
+    equi-match, so dropping them loses nothing). The filter reaches the
+    parquet row-group stats, so a fact CLUSTERED by its FK columns
+    (``sinks/zorder.py`` at write time) skips all but the probed rows'
+    row groups instead of decoding the whole snapshot — at 100 TB this
+    is the difference between a KB dim tick costing a full fact scan
+    and costing a few row groups. Only int/str/bool join values render
+    into the one-round-trip ``in_list`` predicate; other types (or an
+    unbounded value set) fall back to the honest full (narrow, never
+    shuffled) scan.
+
+    Returns (frame, pruned) with pruned ∈ {True (key+listing pruned),
+    "values" (In()-value-pushed scan), False (full scan)}."""
     prunable = (
         probe is not None
         and 0 < n_probe <= KEY_PUSHDOWN_LIMIT
         and set(own_on) == set(key_cols)
     )
     if not prunable:
-        return read_mor(spark, path, as_of_seq=as_of), False
+        big = read_mor(spark, path, as_of_seq=as_of)
+        if probe is not None and 0 < n_probe <= KEY_PUSHDOWN_LIMIT:
+            vals = (
+                probe.select(*own_on)
+                .distinct()
+                .limit(KEY_PUSHDOWN_LIMIT + 1)
+                .collect()
+            )
+            per_col = {
+                c: sorted(
+                    {r[c] for r in vals if r[c] is not None},
+                    key=lambda v: (str(type(v)), v),
+                )
+                for c in own_on
+            }
+            ok = len(vals) <= KEY_PUSHDOWN_LIMIT and all(
+                isinstance(v, (int, str, bool))
+                for vs in per_col.values()
+                for v in vs
+            )
+            if ok:
+                for c in own_on:
+                    big = big.filter(in_list(c, per_col[c]))
+                return big, "values"
+        return big, False
     nb = mor_history(path)["num_buckets"]
     keyed = (
         cdc.with_cdc_key(probe.distinct(), key_cols)

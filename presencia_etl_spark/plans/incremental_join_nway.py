@@ -701,11 +701,19 @@ def _refresh_nway_left(
             own_on_i = [own for _oc, own in pairs_i]
             vals = di.select(*own_on_i).distinct()
             # affected fact rows at F@new, probed by the changed dim
-            # keys — a VALUE probe into the spine (not key-addressable)
+            # keys — a VALUE probe into the spine (not key-addressable).
+            # _big_side In()-pushes the bounded FK value set into the
+            # fact scan (row-group stats skip on an FK-clustered fact)
+            # instead of decoding the full snapshot for a KB dim tick.
+            probe_f = vals.select(
+                *[F.col(own).alias(fc) for fc, own in pairs_i]
+            )
+            fact_at_new, _pr = _big_side(
+                spark, srcs[0]["path"], new[0], srcs[0]["key_cols"],
+                [fc for fc, _own in pairs_i], probe_f, n_i,
+            )
             aff = _join_frames(
-                read_mor(spark, srcs[0]["path"], as_of_seq=new[0]).select(
-                    *srcs[0]["cols"]
-                ),
+                fact_at_new.select(*srcs[0]["cols"]),
                 _maybe_broadcast(vals, n_i),
                 pairs_i,
                 srcs[0]["cols"],

@@ -201,8 +201,9 @@ class TestIncrementalRefresh:
         r = ij.refresh_join_view(spark, v)
         assert r["mode"] == "incremental"
         assert r["b_changes"] == 1 and r["a_changes"] == 0
-        # the fact side's join col is NOT its key -> honest narrow scan
-        assert r["pruned_big_side"] == {"a": False}
+        # the fact side's join col is NOT its key -> no listing prune,
+        # but the bounded FK value set In()-pushes into the scan (r13)
+        assert r["pruned_big_side"] == {"a": "values"}
         _assert_matches_recompute(spark, v)
         got = ij.read_join_view(spark, v).filter(F.col("d_id") == DIM_IDS[0])
         assert {r2["d_name"] for r2 in got.collect()} == {"renamed"}
@@ -344,8 +345,9 @@ class TestIncrementalRefresh:
         )
         r = ij.refresh_join_view(spark, v)
         assert r["mode"] == "incremental"
-        # neither big side is keyed by its join cols -> no pruning
-        assert r["pruned_big_side"] == {"a": False, "b": False}
+        # neither big side is keyed by its join cols -> no listing
+        # prune; both scans still take the In() value pushdown (r13)
+        assert r["pruned_big_side"] == {"a": "values", "b": "values"}
         _assert_matches_recompute(spark, v)
 
 
@@ -768,6 +770,44 @@ class TestPlanShape:
         with redirect_stdout(buf):
             big.explain("formatted")
         assert "In(_cdc_key" in buf.getvalue()
+
+    def test_value_probe_big_side_in_pushed_and_matches_full_scan(
+        self, spark, tmp_path
+    ):
+        """r13: a VALUE probe (join cols != key cols — the dim-tick
+        sweep into the fact) In()-pushes the bounded FK value set into
+        the scan instead of decoding the full snapshot; the filtered
+        frame must agree with the honest full scan on every probed
+        value (superset-filter correctness differential)."""
+        import io
+        from contextlib import redirect_stdout
+
+        rng = random.Random(53)
+        a, b = _seed(spark, tmp_path, rng)
+        ha = mor.mor_history(a)
+        probe = spark.createDataFrame(
+            [(DIM_IDS[0],), (DIM_IDS[1],), (None,)], "f_did string"
+        )
+        big, pruned = ij._big_side(
+            spark, a, ha["seq"], ["f_id"], ["f_did"], probe, 3
+        )
+        assert pruned == "values"
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            big.explain("formatted")
+        assert "In(f_did" in buf.getvalue()
+        full, pruned_full = ij._big_side(
+            spark, a, ha["seq"], ["f_id"], ["f_did"], None, 0
+        )
+        assert pruned_full is False
+        want = sorted(
+            tuple(r)
+            for r in full.filter(
+                F.col("f_did").isin(DIM_IDS[0], DIM_IDS[1])
+            ).collect()
+        )
+        got = sorted(tuple(r) for r in big.collect())
+        assert got == want and want, "value-pushed scan diverged"
 
     def test_products_broadcast_the_delta_never_shuffle_the_big_side(
         self, spark, tmp_path
