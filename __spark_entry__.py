@@ -696,31 +696,32 @@ def q46_winnow_fingerprints(spark, sf):
     # The winnowing fold is the most expensive per-row expression in the
     # suite — never let a single-file corpus run it on one task.
     docs = parallelize_scan(_t(spark, sf, "documents"))
-    corpus = _plant_copies(docs, 79)
-    fps = corpus.select(
-        "doc_id", F.explode(text.winnowed_fingerprints("text", k=8, window=4)).alias("fp")
+    # r13 restructure: the former explode-then-join form referenced the
+    # corpus-wide exploded fingerprint subtree THREE times (n_orig agg +
+    # both legs of a (doc_id, fp) sort-merge join) — the before-plan ran
+    # 6 parquet scans and the winnow Generate 3×, un-pruned. Equivalent
+    # per-doc set algebra: countDistinct(fp) ≡ size(array_distinct(fps));
+    # shared-distinct count ≡ size(array_intersect(fps_o, fps_c)); the
+    # inner join on doc_id reaches exactly the planted pairs (every
+    # %79 doc has a copy by construction, so LEFT OUTER ≡ INNER). The
+    # %-filters now sit BELOW the winnow fold, so it runs on 2/79ths of
+    # the corpus — and each leg still computes its fingerprints from its
+    # own text column (the copy leg via _plant_copies, as before).
+    wf = text.winnowed_fingerprints("text", k=8, window=4)
+    orig = docs.filter(F.col("doc_id") % 79 == 0).select(
+        "doc_id", F.array_distinct(wf).alias("fps_o")
     )
-    orig = fps.filter(
-        (F.col("doc_id") % 79 == 0) & (F.col("doc_id") < _PLANT_OFFSET)
+    copy = _plant_copies(docs, 79).filter(
+        F.col("doc_id") >= _PLANT_OFFSET
+    ).select(
+        (F.col("doc_id") - _PLANT_OFFSET).alias("doc_id"),
+        F.array_distinct(wf).alias("fps_c"),
     )
-    copy = fps.filter(F.col("doc_id") >= _PLANT_OFFSET).select(
-        (F.col("doc_id") - _PLANT_OFFSET).alias("doc_id"), "fp"
-    )
-    shared = (
-        orig.join(copy, ["doc_id", "fp"])
-        .groupBy("doc_id")
-        .agg(F.countDistinct("fp").alias("n_shared"))
-    )
-    per_pair = (
-        orig.groupBy("doc_id")
-        .agg(F.countDistinct("fp").alias("n_orig"))
-        .join(shared, "doc_id", "left_outer")
-        .select(
-            "doc_id",
-            (F.coalesce(F.col("n_shared"), F.lit(0)) == F.col("n_orig")).alias(
-                "full_overlap"
-            ),
-        )
+    per_pair = orig.join(copy, "doc_id").select(
+        "doc_id",
+        (
+            F.size(F.array_intersect("fps_o", "fps_c")) == F.size("fps_o")
+        ).alias("full_overlap"),
     )
     return per_pair.agg(
         F.count(F.lit(1)).alias("n_planted"),
@@ -795,14 +796,21 @@ def _ann_recall_query(spark, sf, approx_fn, min_recall):
     # once, read three times.
     exact = similarity.cosine_topk(emb, queries_df, k=3).localCheckpoint(eager=True)
     approx = approx_fn(emb, queries_df)
-    hits = exact.join(
-        approx.select("query_id", "neighbor_id").distinct(),
+    # r13: hits and totals fold in ONE aggregate over a left join (match
+    # flag summed) instead of two separate 1-row aggregates cross-joined
+    # — same recall boolean, two fewer AQE stages per ANN query.
+    flagged = exact.join(
+        approx.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1)),
         ["query_id", "neighbor_id"],
-        "left_semi",
-    ).agg(F.count(F.lit(1)).alias("_n_hits"))
-    total = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
-    recall = hits.crossJoin(total).select(
-        (F.col("_n_hits") / F.col("_n_exact") >= min_recall).alias("recall_ok")
+        "left_outer",
+    )
+    recall = flagged.agg(
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))
+            >= min_recall
+        ).alias("recall_ok")
     )
     return exact.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk"
@@ -827,8 +835,14 @@ def q42_hll_distinct(spark, sf):
     estimate inside its 5% envelope — DuckDB computes the exact count and
     literal TRUE, so an HLL regression breaks the row hash."""
     ev = _t(spark, sf, "events")
-    return ev.agg(
-        F.countDistinct("user_id").alias("exact_users"),
+    # r13: pre-distinct the key, then count + HLL over the distinct set.
+    # HLL registers are a pure function of the distinct hashed values, so
+    # the estimate is IDENTICAL over set vs multiset — but the former
+    # fused (exact, approx) aggregate planned an Expand (2× the rows
+    # through a double shuffle); this is one hash-dedup pass + a 1-row
+    # agg. count("user_id") over the distinct set ≡ countDistinct.
+    return ev.select("user_id").distinct().agg(
+        F.count("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("_approx"),
     ).select(
         "exact_users",

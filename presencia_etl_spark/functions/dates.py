@@ -42,13 +42,47 @@ DATE_NAME_ALLOWLIST: frozenset[str] = frozenset(
 )
 
 
+# r13: NECESSARY-condition shape guards per known format. A failed
+# ``try_to_timestamp`` is expensive (java.time raises and Spark swallows,
+# ~µs per attempt), and in a first-match cascade most rows fail 1-2
+# formats before hitting theirs. Each guard is a cheap regex that every
+# string PARSEABLE by its format must match (strict java.time widths:
+# ``yy`` = exactly 2 digits, ``yyyy`` = 4+ digits with optional sign
+# beyond 4, ``M``/``d``/``H`` = 1-2 digits, literal separators) — so
+# wrapping the leg in ``when(guard, parse)`` never changes the cascade's
+# result, it only skips attempts that were guaranteed to fail.
+# Unlisted formats parse unguarded (same as before).
+_FORMAT_GUARDS: dict[str, str] = {
+    "M/d/yy H:mm:ss": r"^\d{1,2}/\d{1,2}/\d{2} ",
+    "M/d/yyyy H:mm:ss": r"^\d{1,2}/\d{1,2}/[+-]?\d{4}",
+    "yyyy-M-d H:mm:ss": r"^[+-]?\d{4,}-",
+    "M/d/yy": r"^\d{1,2}/\d{1,2}/\d{2}$",
+    "M/d/yyyy": r"^\d{1,2}/\d{1,2}/[+-]?\d{4,}$",
+}
+
+
 def parse_access_datetime(
     col: Column | str, formats: tuple[str, ...] = ACCESS_DATE_FORMATS
 ) -> Column:
-    """First-match-wins multi-format parse; empty/unparseable → NULL."""
+    """First-match-wins multi-format parse; empty/unparseable → NULL.
+
+    The input string is bound once via the ``transform(array(.))[0]``
+    idiom (each format leg references it; inlined it would re-cast and
+    re-nullif per leg)."""
     c = F.col(col) if isinstance(col, str) else col
-    s = F.nullif(c.cast("string"), F.lit(""))
-    return F.coalesce(*[F.try_to_timestamp(s, F.lit(fmt)) for fmt in formats])
+    s_expr = F.nullif(c.cast("string"), F.lit(""))
+
+    def cascade(s: Column) -> Column:
+        legs = []
+        for fmt in formats:
+            leg = F.try_to_timestamp(s, F.lit(fmt))
+            guard = _FORMAT_GUARDS.get(fmt)
+            if guard is not None:
+                leg = F.when(s.rlike(guard), leg)
+            legs.append(leg)
+        return F.coalesce(*legs)
+
+    return F.transform(F.array(s_expr), cascade)[0]
 
 
 def is_date_column(name: str) -> bool:

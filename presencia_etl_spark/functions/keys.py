@@ -20,8 +20,27 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def normalize_key(col: Column | str) -> Column:
+_SMALL_INT_TYPES = frozenset({"tinyint", "smallint", "int", "boolean"})
+# Doubles are exact integers up to 2^53; inside that range the full
+# trim/parse/canonicalize chain provably renders a bigint as its plain
+# decimal string, so the cast IS the normalization.
+_DOUBLE_EXACT = 9007199254740992  # 2**53
+
+
+def normalize_key(col: Column | str, dtype: str | None = None) -> Column:
     """Canonical string form of a join/CDC key value.
+
+    ``dtype`` (the column's Spark simpleString type, when the caller has a
+    schema) enables a type-directed fast path — r13: for integral and
+    boolean columns the full chain (trim → try_cast(double) → isnan/inf →
+    floor/integrality checks → re-render) is a per-row no-op by
+    construction: the cast string has no spaces, parses back exactly, and
+    re-renders to itself. int/smallint/tinyint/boolean always qualify;
+    bigint qualifies when |v| ≤ 2^53 (above that the double parse is
+    lossy and the canonical form is the ROUNDED long — reference parity:
+    ``int(float(s))`` — so a runtime range guard keeps the full chain for
+    the huge tail). Same output, byte for byte, at a fraction of the
+    per-row cost on every CDC classify/merge scan.
 
     The trimmed string and its double-parse are bound ONCE per row via the
     ``transform(array(<expr>), x -> ...)[0]`` idiom — inlining them into
@@ -29,6 +48,16 @@ def normalize_key(col: Column | str) -> Column:
     slower measured on the 600 K-row bench scan; this expression sits on
     every CDC classify/merge path, so per-scan cost compounds)."""
     c = F.col(col) if isinstance(col, str) else col
+    if dtype in _SMALL_INT_TYPES:
+        return F.coalesce(c.cast("string"), F.lit(""))
+    if dtype == "bigint":
+        return (
+            F.when(c.isNull(), F.lit(""))
+            .when(
+                (c >= -_DOUBLE_EXACT) & (c <= _DOUBLE_EXACT), c.cast("string")
+            )
+            .otherwise(normalize_key(c))
+        )
     s_expr = F.coalesce(F.trim(c.cast("string")), F.lit(""))
 
     def with_parsed(s: Column) -> Column:
@@ -47,10 +76,18 @@ def normalize_key(col: Column | str) -> Column:
     return F.transform(F.array(s_expr), with_parsed)[0]
 
 
-def composite_key(cols: Iterable[str]) -> Column:
+def composite_key(
+    cols: Iterable[str], dtypes: dict[str, str] | None = None
+) -> Column:
     """Multi-column logical key: normalized parts joined by '|'.
+
+    ``dtypes`` (column → Spark type simpleString, e.g. ``dict(df.dtypes)``)
+    lets each part take the type-directed normalize fast path.
 
     Parity: ``sync_INCREMENTAL.py:414-417`` (e.g. Socios keyed on
     NUMSOCIO+NOMSOCIO because NUMSOCIO alone has duplicates).
     """
-    return F.concat_ws("|", *[normalize_key(c) for c in cols])
+    dtypes = dtypes or {}
+    return F.concat_ws(
+        "|", *[normalize_key(c, dtypes.get(c)) for c in cols]
+    )

@@ -346,8 +346,11 @@ def collect_digest_delta(
 
 
 def with_cdc_key(df: DataFrame, key_cols: Iterable[str], out: str = KEY_COL) -> DataFrame:
-    """Attach the normalized (possibly composite) CDC key (F7+F8)."""
-    return df.withColumn(out, composite_key(list(key_cols)))
+    """Attach the normalized (possibly composite) CDC key (F7+F8).
+
+    The frame's schema is passed down so integral key columns take the
+    type-directed normalize fast path (same bytes, no parse chain)."""
+    return df.withColumn(out, composite_key(list(key_cols), dict(df.dtypes)))
 
 
 def ensure_cdc_key(df: DataFrame, key_cols: Iterable[str]) -> DataFrame:

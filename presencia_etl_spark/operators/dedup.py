@@ -265,41 +265,54 @@ def minhash_lsh_candidates(
     are candidates. ``max_bucket`` drops degenerate buckets (e.g. empty
     docs) that would explode quadratically.
 
-    ``eager=True`` (default) materializes the (narrow) pair list with
-    ``localCheckpoint`` and unpersists the signature cache before returning,
-    so repeated calls don't accumulate cached frames for the session
-    lifetime. Pass ``eager=False`` to keep the fully lazy plan — the
-    signature frame stays persisted and the CALLER owns releasing it
-    (``spark.catalog.clearCache()`` or session teardown).
+    ``eager=True`` (default) materializes the (tiny) signature frame with
+    ``localCheckpoint`` before fan-out — every downstream stage then reads
+    the materialized partitions instead of racing to fill a lazy cache
+    (r13: under AQE the window/join/broadcast stages of this pipeline
+    materialize CONCURRENTLY, and each cache-missed and recomputed the
+    full shingle+MinHash pass — 4 overlapping 0.6 s signature jobs for
+    one corpus at sf0.1) — and snapshots the (narrow) pair list so no
+    lineage survives the call. Pass ``eager=False`` to keep the fully
+    lazy plan — the signature frame stays persisted and the CALLER owns
+    releasing it (``spark.catalog.clearCache()`` or session teardown).
     """
-    from pyspark.sql import Window
-
-    # Signatures are computed ONCE and persisted; everything that moves
-    # through the LSH shuffles is NARROW (band_id, band_hash, doc_id)
-    # triples — the 32-long sig arrays rejoin only for the few surviving
-    # candidate pairs (Catalyst/AQE broadcasts the sig side when small; at
-    # petabyte scale that final join is a sorted id join and the persist
-    # becomes a checkpoint to storage).
+    # Signatures are computed ONCE; everything that moves through the LSH
+    # shuffles is NARROW (band_id, band_hash, doc_id) triples — the
+    # 32-long sig arrays rejoin only for the few surviving candidate
+    # pairs (Catalyst/AQE broadcasts the sig side when small; at
+    # petabyte scale that final join is a sorted id join and the
+    # checkpoint goes to storage).
     # Shingling + signatures are the CPU-heavy stage; make sure a
     # single-file corpus doesn't run them on one task (parallelize_scan
     # inside minhash_signatures).
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes, use_arrow).persist()
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes, use_arrow)
+    sig = sig.localCheckpoint(eager=True) if eager else sig.persist()
     banded = band_rows(sig, n_hashes, bands)
 
-    # Prune degenerate buckets with ONE window pass (no sizes join).
-    w = Window.partitionBy("band_id", "band_hash")
-    pruned = (
-        banded.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("bsz") <= max_bucket)
-        .drop("bsz")
+    # ONE shuffle of the narrow triples: group each (band_id, band_hash)
+    # bucket, drop degenerate buckets (> max_bucket) and singletons (no
+    # pairs), and expand the id_a < id_b combinations with an in-array
+    # HOF — r13, replacing a window count pass (full extra exchange +
+    # sort of the triples) followed by a self-join (two more reads of the
+    # shuffled triples). Bucket contents are identical to the window
+    # formulation, so the produced pair set is identical; max_bucket
+    # bounds the per-bucket quadratic exactly as before.
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("doc_id").alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
     )
-
-    a = pruned.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
-    b = pruned.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
+    # array_sort bound ONCE via the transform(array(...))[0] idiom — an
+    # inline array_sort inside the pair lambda would re-sort per element.
+    combos = F.expr(
+        "transform(array(array_sort(_ids)), a -> "
+        "flatten(transform(a, (x, i) -> "
+        "transform(slice(a, i + 2, size(a) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b)))))[0]"
+    )
     pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = pairs.join(
@@ -313,9 +326,9 @@ def minhash_lsh_candidates(
     out = pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
     if eager:
         # Surviving pairs are tiny next to the corpus; snapshotting them
-        # truncates the lineage so the signature cache can be released NOW.
+        # truncates the lineage (the checkpointed signature partitions
+        # are released with the session's RDD GC once out is snapshot).
         out = out.localCheckpoint(eager=True)
-        sig.unpersist()
     return out
 
 
