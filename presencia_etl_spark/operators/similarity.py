@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from presencia_etl_spark.functions.partitioning import parallelize_scan
+
 
 def _dot(a: str, b: str) -> F.Column:
     return F.expr(
@@ -583,9 +585,15 @@ def ivf_topk(
         centroids = ivf_fit_centroids(corpus, id_col, vec_col, n_clusters, seed)
         # no cn column: the vectorized re-rank kernel computes norms
         # in-batch (the persisted-index layout keeps cn for back-compat,
-        # but ranking no longer reads it)
+        # but ranking no longer reads it).
+        # parallelize_scan AFTER the fit (the sample that seeds the
+        # centroids is partition-order dependent, so the fit input must
+        # stay on the raw scan) — a single-file corpus otherwise runs
+        # the whole assign matmul on one task (r13: 0.13 s off at sf0.1).
         assigned = ivf_assign(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            parallelize_scan(corpus).select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
             centroids,
             "cv",
             out="cluster",
@@ -693,7 +701,12 @@ def lsh_topk(
     L·b literal-array ``aggregate``/``zip_with`` folds per row — was
     interpreter-bound and ~4× slower at sf0.1.
     """
-    c_base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # A single-file corpus would run the L-table hyperplane matmul +
+    # posexplode on ONE task — spread it first (no-op when the scan is
+    # already parallel; r13: 1.54 -> 1.23 s at sf0.1).
+    c_base = parallelize_scan(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
 
     c = _lsh_bucketed(c_base, "cv", n_planes, n_tables, dim, seed, probe=False)
