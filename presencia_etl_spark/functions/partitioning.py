@@ -22,6 +22,7 @@ import math
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _SIZE_SUFFIXES = (
     ("kb", 1 << 10),
@@ -94,4 +95,17 @@ def parallelize_scan(
             return df
     if _estimate_scan_partitions(df, files, target) * factor > target:
         return df
-    return df.repartition(target)
+    # Deterministic hash spread, NOT round-robin: a keyless
+    # ``repartition(n)`` first pays a full LOCAL SORT of its input
+    # (sortBeforeRepartition, on by default since SPARK-23207 so retried
+    # tasks reproduce their row→partition assignment) — and on the
+    # single-task scans this helper exists to fix, that sort runs on one
+    # core over the whole table (r13: the bench merge's source spread was
+    # a 2.9 s one-task sort+shuffle job). Hashing a position-derived key
+    # is retry-deterministic for free (same input split → same ids), so
+    # no sort; 64× more key values than partitions keep the spread even
+    # (guide-recommended headroom for hash collisions).
+    return df.repartition(
+        target,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(target * 64)),
+    )

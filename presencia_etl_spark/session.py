@@ -107,6 +107,18 @@ def get_spark(
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Partition discovery: below this many paths the driver lists
+        # directories itself instead of launching a distributed listing
+        # job. The default (32) makes EVERY read of a bucketed state
+        # (256 _kb= dirs) pay a full job — 256 tasks each statting one
+        # local dir, ~0.7-2 s of pure scheduling per merge/scan (r13
+        # profile). Listing ≤1k dirs driver-side is milliseconds on any
+        # FS; tables wider than the threshold still use the parallel
+        # path, and manifest-backed formats bypass listing entirely.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "1024"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
