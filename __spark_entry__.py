@@ -886,12 +886,24 @@ def q36_lsh_topk(spark, sf):
 # Multi-join analytics in plain ANSI SQL — the SAME text runs on Spark
 # (via temp views) and DuckDB. Exercises Catalyst's join reordering +
 # broadcast selection over a 3-way and a 6-way star join.
+#
+# r13 join-order fix (guide §3.1 "check the build side"): the former
+# dims-first FROM order made Catalyst's left-deep tree put LINEITEM — the
+# fact — on the BUILD side of its join (its pruned-column estimate sits
+# under the 10 MB auto-broadcast threshold at sf0.1, and the dim-join
+# subtree's post-join estimate is inflated past it), so the plan collected
+# and broadcast 600K fact rows while streaming ~1K dim rows through the
+# probe. Fact-first order keeps lineitem as the streamed side of every
+# join with all dims on the build side — the only shape that survives at
+# 100 TB, where the fact can never be the hash relation. Inner joins
+# commute, so the result (and the DuckDB oracle, which reorders joins
+# itself) is unchanged; plans/r13/q49*/q50* pin the before/after shape.
 _Q49_SQL = (
     "SELECT o_orderkey, "
     "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
     "COUNT(*) AS n_lines "
-    "FROM customer JOIN orders ON c_custkey = o_custkey "
-    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
     "WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' "
     "GROUP BY o_orderkey HAVING COUNT(*) >= 4"
 )
@@ -899,9 +911,9 @@ _Q50_SQL = (
     "SELECT r_name, n_name, "
     "CAST(COUNT(*) AS BIGINT) AS n_lines, "
     "ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue "
-    "FROM region JOIN nation ON n_regionkey = r_regionkey "
-    "JOIN supplier ON s_nationkey = n_nationkey "
-    "JOIN lineitem ON l_suppkey = s_suppkey "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON n_nationkey = s_nationkey "
+    "JOIN region ON r_regionkey = n_regionkey "
     "JOIN orders ON o_orderkey = l_orderkey "
     "JOIN customer ON c_custkey = o_custkey "
     "WHERE o_orderstatus = 'F' "
