@@ -518,11 +518,16 @@ def q30_streaming_dedup(spark, sf):
     docs = docs.withColumn("shard", F.substring("row_hash", 1, 1))
     work = tempfile.mkdtemp(prefix="q30_stream_")
     # The state store commits one file per shuffle partition per batch —
-    # with 16 shard keys, 4 state partitions cut commit overhead 4× while
-    # keeping the stateful stage parallel. Restore the session conf after.
+    # with 16 shard keys, narrowing state partitions cuts the per-batch
+    # commit count (state delta + snapshot per partition per batch)
+    # while the stateful stage stays parallel. r13 interleaved A/B at
+    # sf0.1 (5 reps): 4 parts med 3.76 / 2 parts 3.45 / 1 part 3.17 —
+    # width 2 keeps >1-way state parallelism for 9% less fixed cost
+    # (width 1 would single-task the stateful stage: wrong shape).
+    # Restore the session conf after.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
         src, sink, chk = f"{work}/src", f"{work}/sink", f"{work}/chk"
         docs.repartition(2).write.mode("overwrite").parquet(src)
         stream = (
