@@ -315,6 +315,7 @@ def main() -> None:
         "ivm_join_refresh_sec", "ivm_join_rebuild_sec",
         "nway3_native_refresh_sec", "nway3_chained_refresh_sec",
         "nway3_left_refresh_sec", "nway3_left_chained_refresh_sec",
+        "nway3_left_dim_refresh_sec",
         "delete_sparse_mor_sec", "delete_sparse_cow_sec",
         "admit_batch_marginal_sec", "pack_batch_marginal_sec",
         "admit_e2e_marginal_sec", "admit_marginal_docs_per_sec", "error",
@@ -989,6 +990,49 @@ def bench_pipelines(spark, sf_dir: str) -> dict:
         out["nway3_left_refresh_path"] = rl.get("path", "spark")
         out["nway3_left_bytes"] = _du(lview)
         out["nway3_left_chained_bytes"] = _du(lchain1) + _du(lchain2)
+
+        # DIM tick on the left-star view (r12 verdict #1's unmeasured
+        # half: the fact ticks above ride the zero-job driver path; a
+        # changed DIM row runs the matched↔unmatched transition sweep).
+        # Since r13 the KB-sized tick rides the HYBRID driver sweep:
+        # one In()-pushed Spark scan finds the affected fact rows, the
+        # dims point-read and the net lands via trickle_merge
+        # (plans/incremental_join_nway._driver_left_dim_term); past the
+        # driver bound it falls back to the full Spark sweep, and a
+        # dense dim re-key rebuilds. Median-of-3 over DISJOINT key
+        # slices: repeating one mutation would hash-skip into an empty
+        # delta and time a no-op refresh. Any dim-tick declines are
+        # parked into their own key so the headline `declines` map keeps
+        # meaning UNEXPECTED fallbacks.
+        from presencia_etl_spark.sinks import driver_mor as _dm_bench
+
+        parked_declines = _dm_bench.decline_counts(reset=True)
+        part_src = read_table(spark, sf_dir, "part")
+        dim_secs = []
+        rdim: dict = {}
+        # slices stay inside sf0.001's 200-row part table so every rep
+        # mutates real rows at every SF (50 keys ≈ 1.5K affected fact
+        # rows at sf0.1 — inside the 4096 pushdown bound, so the sweep
+        # runs, not a dense rebuild)
+        for lo in (1, 51, 101):
+            mutated = part_src.filter(
+                (F.col("p_partkey") >= lo) & (F.col("p_partkey") < lo + 50)
+            ).withColumn(
+                "p_brand", F.concat(F.lit(f"Brand#D{lo}+"), F.col("p_brand"))
+            )
+            merge_upsert_mor(
+                spark, mutated, pmor, ["p_partkey"], num_buckets=32
+            )
+            t0 = time.perf_counter()
+            rdim = refresh_join_view(spark, lview)
+            dim_secs.append(time.perf_counter() - t0)
+        out["nway3_left_dim_refresh_sec"] = round(sorted(dim_secs)[1], 3)
+        out["nway3_left_dim_refresh_secs"] = [round(s, 3) for s in dim_secs]
+        out["nway3_left_dim_refresh_path"] = rdim.get("path", "spark")
+        out["nway3_left_dim_declines"] = _dm_bench.decline_counts(reset=True)
+        for _reason, _n in parked_declines.items():
+            for _ in range(_n):
+                _dm_bench.record_decline(_reason)
         shutil.rmtree(lview, ignore_errors=True)
         shutil.rmtree(lchain1, ignore_errors=True)
         shutil.rmtree(lchain2, ignore_errors=True)

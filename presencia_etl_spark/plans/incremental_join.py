@@ -286,6 +286,23 @@ def _signed_delta(
         feed.unpersist()
 
 
+def _collect_keyed_probe(probe: DataFrame, key_cols: list[str], nb: int):
+    """The key-pruned big-side read's one probe collect: the probe's
+    distinct join values rendered as (normalized key, bucket) rows.
+    Factored out so a caller probing the SAME values at two snapshots
+    (the dim transition sweep's @old/@new reads) collects once."""
+    return (
+        cdc.with_cdc_key(probe.distinct(), key_cols)
+        .withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(cdc.KEY_COL)), F.lit(nb)).cast("int"),
+        )
+        .select(cdc.KEY_COL, BUCKET_COL)
+        .distinct()
+        .collect()
+    )
+
+
 def _big_side(
     spark: SparkSession,
     path: str,
@@ -294,6 +311,7 @@ def _big_side(
     own_on: list[str],
     probe: DataFrame | None,
     n_probe: int,
+    keyed=None,
 ):
     """Read one product's big side, pruned when its join columns are its
     primary key: the probe's join values ARE target keys, so the read is
@@ -349,17 +367,9 @@ def _big_side(
                     big = big.filter(in_list(c, per_col[c]))
                 return big, "values"
         return big, False
-    nb = mor_history(path)["num_buckets"]
-    keyed = (
-        cdc.with_cdc_key(probe.distinct(), key_cols)
-        .withColumn(
-            BUCKET_COL,
-            F.pmod(F.xxhash64(F.col(cdc.KEY_COL)), F.lit(nb)).cast("int"),
-        )
-        .select(cdc.KEY_COL, BUCKET_COL)
-        .distinct()
-        .collect()
-    )
+    if keyed is None:
+        nb = mor_history(path)["num_buckets"]
+        keyed = _collect_keyed_probe(probe, key_cols, nb)
     if not keyed:
         return read_mor(spark, path, as_of_seq=as_of, buckets=[]), True
     buckets = sorted({r[BUCKET_COL] for r in keyed})
@@ -1079,7 +1089,18 @@ def _refresh_inner(
             .localCheckpoint(eager=True)
         )
         n_up = n_del = 0
-        if net.count() > 0:
+        # One collect off the checkpointed net yields the row count AND
+        # the sign split: a refresh with no net retractions (the common
+        # upsert-only tick) then skips the merge's whole delete_keys
+        # machinery (tombstone probe collect + live fetch + anti-join).
+        sign_rows = (
+            net.groupBy((F.col(W_COL) > 0).alias("_pos"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        n_pos = sum(r["_n"] for r in sign_rows if r["_pos"])
+        n_neg = sum(r["_n"] for r in sign_rows if not r["_pos"])
+        if n_pos or n_neg:
             ups = net.filter(F.col(W_COL) > 0).drop(W_COL)
             # Net -rows are retractions; a pair BOTH retracted (old
             # version) and re-asserted (new version) is an update — the
@@ -1088,7 +1109,11 @@ def _refresh_inner(
             # the negative pairs pass through unfiltered. Upserts and
             # tombstones land in ONE delta — one sequence, no torn
             # refresh.
-            dels = net.filter(F.col(W_COL) < 0).select(*key_cols)
+            dels = (
+                net.filter(F.col(W_COL) < 0).select(*key_cols)
+                if n_neg
+                else None
+            )
             r = merge_upsert_mor(
                 spark,
                 ups,

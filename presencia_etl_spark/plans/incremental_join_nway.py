@@ -303,7 +303,9 @@ def refresh_join_view_nway(spark: SparkSession, view_path: str) -> dict:
         compact_mor(spark, view_path, keep_last=meta.get("compact_keep_last", 0))
 
     r = dm.try_trickle(
-        lambda: _refresh_driver_nway(view_path, meta, old, new, spark._jvm),
+        lambda: _refresh_driver_nway(
+            view_path, meta, old, new, spark._jvm, spark=spark
+        ),
         pending_bytes=pending,
         max_bytes=min(DRIVER_DELTA_MAX_BYTES, TRICKLE_DELTA_MAX_BYTES),
         on_compact=_compact,
@@ -334,14 +336,23 @@ def refresh_join_view_nway(spark: SparkSession, view_path: str) -> dict:
 
 
 def _refresh_driver_nway(
-    view_path: str, meta: dict, old: list, new: list, jvm=None
+    view_path: str, meta: dict, old: list, new: list, jvm=None, spark=None
 ) -> dict:
     """The N-way zero-job steady state: every term assembled on the
     driver — signed deltas via pyarrow, each graph neighbor point-read
     by its primary key (required: every crossing edge's far-side columns
     ARE that source's key — the star/chain FK→PK shape), net landed as
     one atomic mixed merge. Raises ``DriverDecline`` outside that shape
-    (the Spark term assembly below covers it)."""
+    (the Spark term assembly below covers it).
+
+    Left-star DIM changes (the matched↔unmatched transition sweep) stay
+    on this path too when ``spark`` is given: the ONE thing the driver
+    can't do — find the affected fact rows by join VALUE — runs as a
+    single In()-pushed Spark scan of the fact (bounded collect), and
+    everything else (the other dims' point reads, the changed dim's
+    @old/@new probes, the net, the landing) remains driver work. The
+    full Spark sweep previously paid ~50 fixed-cost jobs per KB-sized
+    dim tick for the same result (see ``_driver_left_dim_term``)."""
     from presencia_etl_spark.functions import driver_parity as dp
     from presencia_etl_spark.plans.incremental_join import (
         _canon_row,
@@ -375,10 +386,12 @@ def _refresh_driver_nway(
             "change set exceeds the pushdown bound", reason="batch_too_big"
         )
     how = meta.get("how", "inner")
-    if how == "left" and (set(deltas) - {0}):
+    dim_changed = sorted(set(deltas) - {0}) if how == "left" else []
+    if dim_changed and spark is None:
         # a changed dim flips matched↔unmatched on fact rows the driver
         # can't address by key (the probe is BY JOIN VALUE into the
-        # fact) — the Spark transition sweep covers it
+        # fact) — without a session for the one In()-pushed fact scan,
+        # the Spark transition sweep covers it
         raise dm.DriverDecline(
             "left star view with dimension changes needs the transition "
             "sweep",
@@ -389,7 +402,20 @@ def _refresh_driver_nway(
     key_cols = [c for s in srcs for c in s["key_cols"]]
     net: dict[tuple, int] = {}
     reps: dict[tuple, tuple] = {}
+
+    def _fold(vals: tuple, w: int) -> None:
+        ck = _canon_row(vals)
+        net[ck] = net.get(ck, 0) + w
+        if ck not in reps:
+            reps[ck] = _repr_row(vals)
+
+    for i in dim_changed:
+        _driver_left_dim_term(
+            spark, meta, old, new, i, deltas[i], kinds, jvm, _fold
+        )
     for i, signed in deltas.items():
+        if i in dim_changed:
+            continue
         assembled = [
             ({c: r[c] for c in srcs[i]["cols"]}, w) for r, w in signed
         ]
@@ -448,8 +474,9 @@ def _refresh_driver_nway(
                     nxt.append((merged, w))
                 elif how == "left":
                     # star spine row with a dangling dim: NULL-extend
-                    # (this term is fact-only by the decline above, so
-                    # M@old == M@new — no transition sweep needed)
+                    # (this loop sees only the FACT term for left stars —
+                    # dims are read @old, and a dim that also changed
+                    # transitions these rows in its own sweep term)
                     merged = dict(row)
                     merged.update({c: None for c in srcs[j]["cols"]})
                     nxt.append((merged, w))
@@ -457,11 +484,7 @@ def _refresh_driver_nway(
             joined_nodes.add(j)
             remaining.discard(j)
         for row, w in assembled:
-            vals = tuple(row[c] for c in view_cols)
-            ck = _canon_row(vals)
-            net[ck] = net.get(ck, 0) + w
-            if ck not in reps:
-                reps[ck] = _repr_row(vals)
+            _fold(tuple(row[c] for c in view_cols), w)
 
     ups = [dict(zip(view_cols, reps[ck])) for ck, w in net.items() if w > 0]
     vkinds = dm.table_kinds(view_path)
@@ -497,6 +520,148 @@ def _refresh_driver_nway(
     return out
 
 
+def _driver_left_dim_term(
+    spark, meta: dict, old: list, new: list, i: int, signed: list,
+    kinds: list, jvm, fold,
+) -> None:
+    """One changed dim's matched↔unmatched transition sweep, assembled
+    on the driver: the affected fact rows (F@new probed by the dim's
+    changed key VALUES — the one non-key-addressable read) come from a
+    single In()-pushed, bounded Spark collect; the other dims join by
+    point read at their telescoping sequences (j<i @new, j>i @old); the
+    changed dim's @old row retracts (−1) and its @new row asserts (+1)
+    each affected view row — exactly ``_refresh_nway_left``'s dim term,
+    minus ~15 fixed-cost Spark jobs per KB-sized tick. Declines past the
+    driver bound (the Spark sweep handles up to the pushdown limit; a
+    dense re-key rebuilds there)."""
+    from presencia_etl_spark.functions.pushdown import in_list
+    from presencia_etl_spark.plans.incremental_join import (
+        _canon_row,
+        _probe_map,
+    )
+    from presencia_etl_spark.session import trickle_allowed, trickle_scope
+    from presencia_etl_spark.sinks import driver_mor as dm
+    from presencia_etl_spark.sinks.mor import KEY_PUSHDOWN_LIMIT
+
+    srcs = meta["sources"]
+    pairs_i = [(oc, own) for _k, oc, own in srcs[i]["edges"]]
+    fact_cols = list(srcs[0]["cols"])
+    fcs = [fc for fc, _own in pairs_i]
+    # changed key tuples from BOTH signs of the dim's signed delta;
+    # NULL components never equi-match, so they probe nothing
+    vals = {
+        _canon_row(tuple(r[own] for _fc, own in pairs_i))
+        for r, _w in signed
+    }
+    vals = {v for v in vals if all(x is not None for x in v)}
+    if not vals:
+        return
+    per_col: dict[str, list] = {}
+    for ci, (fc, _own) in enumerate(pairs_i):
+        cvs = {v[ci] for v in vals}
+        if not all(isinstance(x, (int, str, bool)) for x in cvs):
+            raise dm.DriverDecline(
+                "dim key values outside the In-pushable kinds — the "
+                "Spark sweep's semi-join probe covers them",
+                reason="shape",
+            )
+        per_col[fc] = sorted(cvs, key=lambda v: (str(type(v)), v))
+    # ups + suppressed delete keys land as ONE trickle batch of ≤
+    # 2 × n_aff rows — bound the collect so the landing can't overflow
+    # the driver merge after the probes already ran
+    bound = min(KEY_PUSHDOWN_LIMIT, dm.DRIVER_BATCH_MAX_KEYS // 2)
+    probe = read_mor(spark, srcs[0]["path"], as_of_seq=new[0])
+    for fc, cvs in per_col.items():
+        probe = probe.filter(in_list(fc, cvs))
+    probe = probe.select(*fact_cols).limit(bound + 1)
+    if trickle_allowed():
+        with trickle_scope(spark):
+            rows = probe.collect()
+    else:
+        rows = probe.collect()
+    if len(rows) > bound:
+        raise dm.DriverDecline(
+            "affected fact rows exceed the driver bound",
+            reason="batch_too_big",
+        )
+    # per-column In() is a superset for composite keys — exact-match here
+    aff = [
+        r.asDict()
+        for r in rows
+        if _canon_row(tuple(r[fc] for fc in fcs)) in vals
+    ]
+    if not aff:
+        return
+    # a fact state seeded with duplicate merge keys (the Spark merge's
+    # documented arbitrary-winner territory) can't land driver-side —
+    # trickle_merge would decline at the very end anyway; decline NOW,
+    # before the dims' point reads run for nothing
+    fact_keys = [
+        tuple(row[k] for k in srcs[0]["key_cols"]) for row in aff
+    ]
+    if len(set(fact_keys)) < len(fact_keys):
+        raise dm.DriverDecline(
+            "duplicate fact keys among the affected rows — the Spark "
+            "sweep's merge owns arbitrary-winner semantics",
+            reason="duplicate_keys",
+        )
+    for j in range(1, len(srcs)):
+        if j == i:
+            continue
+        pj = [(oc, own) for _k, oc, own in srcs[j]["edges"]]
+        as_of = new[j] if j < i else old[j]
+        pvals = {
+            tuple(row[fc] for fc, _own in pj)
+            for row in aff
+            if all(row[fc] is not None for fc, _own in pj)
+        }
+        jmap = _probe_map(
+            srcs[j]["path"],
+            [own for _fc, own in pj],
+            pvals,
+            kinds[j],
+            as_of,
+            jvm,
+            srcs[j]["key_cols"],
+        )
+        for row in aff:
+            jv = tuple(row[fc] for fc, _own in pj)
+            hit = (
+                jmap.get(_canon_row(jv))
+                if all(x is not None for x in jv)
+                else None
+            )
+            row.update(
+                {
+                    c: (hit[c] if hit is not None else None)
+                    for c in srcs[j]["cols"]
+                }
+            )
+    pvals = {tuple(row[fc] for fc in fcs) for row in aff}
+    view_srcs = [(s_idx, s["cols"]) for s_idx, s in enumerate(srcs)]
+    for as_of, w in ((old[i], -1), (new[i], 1)):
+        imap = _probe_map(
+            srcs[i]["path"],
+            [own for _fc, own in pairs_i],
+            pvals,
+            kinds[i],
+            as_of,
+            jvm,
+            srcs[i]["key_cols"],
+        )
+        for row in aff:
+            hit = imap.get(_canon_row(tuple(row[fc] for fc in fcs)))
+            out: list = []
+            for s_idx, cols in view_srcs:
+                if s_idx == i:
+                    out += [
+                        hit[c] if hit is not None else None for c in cols
+                    ]
+                else:
+                    out += [row[c] for c in cols]
+            fold(tuple(out), w)
+
+
 def _land_nway_terms(
     spark: SparkSession,
     view_path: str,
@@ -528,9 +693,23 @@ def _land_nway_terms(
         .localCheckpoint(eager=True)
     )
     n_up = n_del = 0
-    if net.count() > 0:
+    # One collect = row count + sign split (the 2-way _refresh_inner
+    # discipline): an upsert-only net skips the merge's delete_keys
+    # machinery entirely.
+    sign_rows = (
+        net.groupBy((F.col(W_COL) > 0).alias("_pos"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    n_pos = sum(r["_n"] for r in sign_rows if r["_pos"])
+    n_neg = sum(r["_n"] for r in sign_rows if not r["_pos"])
+    if n_pos or n_neg:
         ups = net.filter(F.col(W_COL) > 0).drop(W_COL)
-        dels = net.filter(F.col(W_COL) < 0).select(*key_cols)
+        dels = (
+            net.filter(F.col(W_COL) < 0).select(*key_cols)
+            if n_neg
+            else None
+        )
         r = merge_upsert_mor(
             spark,
             ups,
@@ -654,6 +833,7 @@ def _refresh_nway_left(
     from presencia_etl_spark.plans.incremental_join import (
         _DenseRefresh,
         _big_side,
+        _collect_keyed_probe,
         _join_frames,
         _signed_delta,
     )
@@ -712,27 +892,41 @@ def _refresh_nway_left(
                 spark, srcs[0]["path"], new[0], srcs[0]["key_cols"],
                 [fc for fc, _own in pairs_i], probe_f, n_i,
             )
-            aff = _join_frames(
-                fact_at_new.select(*srcs[0]["cols"]),
-                _maybe_broadcast(vals, n_i),
-                pairs_i,
-                srcs[0]["cols"],
-                [],
-                how="left_semi",
+            # ONE In-pushed fact scan: materialize the (limit-bounded)
+            # affected set eagerly, then count the checkpointed rows —
+            # count-then-checkpoint scanned the fact twice. The limit
+            # keeps a dense sweep's materialization bounded before the
+            # _DenseRefresh check fires.
+            aff = (
+                _join_frames(
+                    fact_at_new.select(*srcs[0]["cols"]),
+                    _maybe_broadcast(vals, n_i),
+                    pairs_i,
+                    srcs[0]["cols"],
+                    [],
+                    how="left_semi",
+                )
+                .limit(KEY_PUSHDOWN_LIMIT + 1)
+                .localCheckpoint(eager=True)
             )
-            n_aff = aff.limit(KEY_PUSHDOWN_LIMIT + 1).count()
+            n_aff = aff.count()
             if n_aff > KEY_PUSHDOWN_LIMIT:
                 raise _DenseRefresh()
             if n_aff == 0:
                 continue
-            base = _maybe_broadcast(aff.localCheckpoint(eager=True), n_aff)
+            base = _maybe_broadcast(aff, n_aff)
+            # every probe below needs only the fact's FK columns, and the
+            # FK→PK dim joins preserve the fact rows 1:1 — probing off
+            # the pre-join checkpoint is exactly equivalent and keeps the
+            # already-joined dims out of every probe collect's plan
+            fact_probe = base
             have = list(srcs[0]["cols"])
             for j in range(1, K):
                 if j == i:
                     continue
                 pj = [(oc, own) for _k, oc, own in srcs[j]["edges"]]
                 as_of = new[j] if j < i else old[j]
-                probe_j = base.select(
+                probe_j = fact_probe.select(
                     *[F.col(fc).alias(jc) for fc, jc in pj]
                 )
                 big, _pr = _big_side(
@@ -744,13 +938,20 @@ def _refresh_nway_left(
                     srcs[j]["cols"], how="left",
                 )
                 have = list(dict.fromkeys(have + srcs[j]["cols"]))
-            probe_i = base.select(
+            probe_i = fact_probe.select(
                 *[F.col(fc).alias(jc) for fc, jc in pairs_i]
+            )
+            # the @old and @new reads probe the SAME values — collect the
+            # keyed probe once
+            keyed_i = _collect_keyed_probe(
+                probe_i,
+                srcs[i]["key_cols"],
+                mor_history(srcs[i]["path"])["num_buckets"],
             )
             for as_of, w in ((old[i], -1), (new[i], 1)):
                 big_i, _pr = _big_side(
                     spark, srcs[i]["path"], as_of, srcs[i]["key_cols"],
-                    own_on_i, probe_i, n_aff,
+                    own_on_i, probe_i, n_aff, keyed=keyed_i,
                 )
                 t = _join_frames(
                     base, big_i.select(*srcs[i]["cols"]), pairs_i, have,

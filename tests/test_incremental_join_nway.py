@@ -556,21 +556,92 @@ class TestNwayLeftStar:
         assert n_jobs == 0, f"left-star driver refresh ran {n_jobs} jobs"
         self._assert_left_matches(spark, v, a, b, c)
 
-    def test_dim_transition_sweep(self, spark, tmp_path):
+    def test_dim_tick_hybrid_driver_sweep(self, spark, tmp_path):
+        """A KB-sized dim tick rides the hybrid driver sweep: the ONE
+        Spark read is the In()-pushed affected-fact probe (a bounded
+        collect — a handful of jobs at most, vs ~50 on the full Spark
+        sweep), the landing is a driver trickle_merge, and the content
+        equals the SQL recompute."""
+        rng = random.Random(507)
+        a, b, c = self._seed_left(spark, tmp_path, rng)
+        v = self._build_left(spark, tmp_path, a, b, c, "lview_hyb")
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame([("d0", "renamed")], D_SCHEMA),
+            b, ["d_id"], compact_every=None,
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup() or [])
+        r = ij.refresh_join_view(spark, v)
+        n_jobs = len(set(tracker.getJobIdsForGroup() or []) - before)
+        assert r["mode"] == "incremental" and r.get("path") == "driver"
+        assert r["changes"] == {1: 1}
+        assert n_jobs <= 6, f"hybrid dim sweep ran {n_jobs} jobs"
+        self._assert_left_matches(spark, v, a, b, c)
+
+    def test_dim_tick_duplicate_fact_keys_decline_early(
+        self, spark, tmp_path
+    ):
+        """A fact state seeded with duplicate merge keys is the Spark
+        merge's arbitrary-winner territory — the hybrid driver sweep
+        must decline (reason=duplicate_keys) BEFORE the dims' point
+        reads and leave the refresh to the Spark sweep."""
+        from presencia_etl_spark.sinks import driver_mor as dm
+
+        rng = random.Random(508)
+        rows = [
+            (k, rng.choice(D_IDS[:5]), rng.choice(S_IDS),
+             round(rng.uniform(-20, 20), 2))
+            for k in range(40)
+        ]
+        # two rows with the SAME f_id, both referencing d1 — only the
+        # INITIAL COW load keeps duplicate keys (later merges dedupe at
+        # the delta-latest read), so they go in with the seed
+        rows += [(990, "d1", "s0", 1.0), (990, "d1", "s1", 2.0)]
+        a, b, c = (str(tmp_path / x) for x in ("fact", "dim", "sup"))
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(rows, FACT_SCHEMA), a, ["f_id"],
+            num_buckets=8, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(_dims(rng, D_IDS[:5]), D_SCHEMA),
+            b, ["d_id"], num_buckets=4, compact_every=None,
+        )
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame(_sups(rng, S_IDS), S_SCHEMA),
+            c, ["s_id"], num_buckets=4, compact_every=None,
+        )
+        v = self._build_left(spark, tmp_path, a, b, c, "lview_dup")
+        mor.merge_upsert_mor(
+            spark, spark.createDataFrame([("d1", "renamed")], D_SCHEMA),
+            b, ["d_id"], compact_every=None,
+        )
+        dm.decline_counts(reset=True)
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental" and r.get("path") != "driver"
+        assert dm.decline_counts().get("duplicate_keys", 0) >= 1
+
+    @pytest.mark.parametrize("path", ["driver", "spark"])
+    def test_dim_transition_sweep(self, spark, tmp_path, monkeypatch, path):
         """Matched↔unmatched transitions on every dim: a dim INSERT
         flips its dangling facts to matched, a dim DELETE flips its
         facts to NULL-extended, an in-place dim UPDATE rewrites the
-        joined columns — each refresh equals the SQL recompute."""
+        joined columns — each refresh equals the SQL recompute. Runs
+        once on the default hybrid-driver sweep (one In()-pushed fact
+        scan, dims point-read) and once with the kill switch forcing
+        the full Spark sweep — identical content either way."""
+        if path == "spark":
+            monkeypatch.setenv("SPARK_GRAFT_DRIVER_TRICKLE", "0")
         rng = random.Random(503)
         a, b, c = self._seed_left(spark, tmp_path, rng)
-        v = self._build_left(spark, tmp_path, a, b, c, "lview_dim")
+        v = self._build_left(spark, tmp_path, a, b, c, f"lview_dim_{path}")
         # unmatched → matched: d5 appears
         mor.merge_upsert_mor(
             spark, spark.createDataFrame([("d5", "late")], D_SCHEMA),
             b, ["d_id"], compact_every=None,
         )
         r = ij.refresh_join_view(spark, v)
-        assert r["mode"] == "incremental" and r.get("path") != "driver"
+        assert r["mode"] == "incremental"
+        assert (r.get("path") == "driver") == (path == "driver")
         self._assert_left_matches(spark, v, a, b, c)
         got = ij.read_join_view(spark, v)
         assert got.filter(
@@ -597,13 +668,19 @@ class TestNwayLeftStar:
         assert r["mode"] == "incremental"
         self._assert_left_matches(spark, v, a, b, c)
 
-    def test_simultaneous_fact_and_dim_changes(self, spark, tmp_path):
+    @pytest.mark.parametrize("path", ["driver", "spark"])
+    def test_simultaneous_fact_and_dim_changes(
+        self, spark, tmp_path, monkeypatch, path
+    ):
         """Fact and both dims move in one refresh window — the
         telescoping terms (fact@new in dim terms, dims@old in the fact
-        term) must compose exactly."""
+        term) must compose exactly, on both the hybrid-driver and the
+        forced-Spark sweep."""
+        if path == "spark":
+            monkeypatch.setenv("SPARK_GRAFT_DRIVER_TRICKLE", "0")
         rng = random.Random(504)
         a, b, c = self._seed_left(spark, tmp_path, rng)
-        v = self._build_left(spark, tmp_path, a, b, c, "lview_sim")
+        v = self._build_left(spark, tmp_path, a, b, c, f"lview_sim_{path}")
         mor.merge_upsert_mor(
             spark,
             spark.createDataFrame(
@@ -624,10 +701,13 @@ class TestNwayLeftStar:
         assert set(r["changes"]) == {0, 1, 2}
         self._assert_left_matches(spark, v, a, b, c)
 
-    def test_randomized_differential(self, spark, tmp_path):
+    @pytest.mark.parametrize("path", ["driver", "spark"])
+    def test_randomized_differential(self, spark, tmp_path, monkeypatch, path):
+        if path == "spark":
+            monkeypatch.setenv("SPARK_GRAFT_DRIVER_TRICKLE", "0")
         rng = random.Random(505)
         a, b, c = self._seed_left(spark, tmp_path, rng, n_facts=100)
-        v = self._build_left(spark, tmp_path, a, b, c, "lview_rand")
+        v = self._build_left(spark, tmp_path, a, b, c, f"lview_rand_{path}")
         all_d = D_IDS + [None]
         all_s = S_IDS + [None, "zz"]
         for step in range(5):
