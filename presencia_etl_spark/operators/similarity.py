@@ -579,26 +579,98 @@ def ivf_topk(
     assignment instead of re-labeling the corpus per call; with a saved
     index the cluster join prunes to the probed ``cluster=`` partitions.
     """
-    if index is not None:
-        assigned, centroids = index
-    else:
+    if index is None:
+        # Inline-fit path (r13 fused): the whole approx leg — corpus
+        # cluster assignment, probe-set membership, and the cosine
+        # re-rank — runs as ONE Arrow stage over ONE corpus scan. The
+        # old shape ran THREE Python-UDF stages (corpus assign, query
+        # assign, pair re-rank) plus a broadcast join for the same
+        # result; on a KB-sized corpus the per-stage worker round trips
+        # dominated the query (q43 bench medians carried their tails).
+        # Queries are collected driver-side (the cosine_topk
+        # batched-query contract) and their probe lists computed with
+        # exactly ivf_assign's float math; per-pair cosines use exactly
+        # _pair_cosine_udf's row-wise einsum ops, so the emitted values
+        # are bit-identical to the index path's and the persisted-index
+        # roundtrip (direct ≡ via-index rows) keeps holding. Every
+        # candidate pair is emitted (no partial cut) — the window below
+        # sees exactly the rows the posting-list join used to ship.
         centroids = ivf_fit_centroids(corpus, id_col, vec_col, n_clusters, seed)
-        # no cn column: the vectorized re-rank kernel computes norms
-        # in-batch (the persisted-index layout keeps cn for back-compat,
-        # but ranking no longer reads it).
-        # parallelize_scan AFTER the fit (the sample that seeds the
-        # centroids is partition-order dependent, so the fit input must
-        # stay on the raw scan) — a single-file corpus otherwise runs
-        # the whole assign matmul on one task (r13: 0.13 s off at sf0.1).
-        assigned = ivf_assign(
-            parallelize_scan(corpus).select(
+        C = np.asarray(centroids, dtype=np.float64)
+        c_sq = (C * C).sum(1)[None, :]
+        qrows = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).collect()
+        id_type = dict(corpus.dtypes)[id_col]
+        out_schema = (
+            f"query_id {id_type}, neighbor_id {id_type}, _rawcos double"
+        )
+        if not qrows:
+            empty = corpus.sparkSession.createDataFrame([], out_schema)
+            return empty.select(
+                "query_id",
+                "neighbor_id",
+                F.col("_rawcos").alias("cosine"),
+                F.lit(1).alias("rk"),
+            ).limit(0)
+        qids = [r["query_id"] for r in qrows]
+        Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+        d_q = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + c_sq
+        p = min(n_probe, len(C))
+        probe_sets = [
+            row.astype(np.int64)
+            for row in np.argsort(d_q, axis=1, kind="stable")[:, :p]
+        ]
+
+        def scan(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["neighbor_id"].to_numpy()
+                M = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+                d = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + c_sq
+                cl = d.argmin(1)
+                res = {"query_id": [], "neighbor_id": [], "_rawcos": []}
+                for qi in range(len(qids)):
+                    sel = np.isin(cl, probe_sets[qi])
+                    if not sel.any():
+                        continue
+                    B = M[sel]
+                    A = np.broadcast_to(Q[qi], B.shape)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.einsum("ij,ij->i", A, B) / (
+                            np.linalg.norm(A, axis=1)
+                            * np.linalg.norm(B, axis=1)
+                        )
+                    res["query_id"].extend([qids[qi]] * len(cos))
+                    res["neighbor_id"].extend(ids[sel])
+                    res["_rawcos"].extend(cos)
+                yield pd.DataFrame(res)
+
+        # parallelize_scan: a single-file corpus otherwise runs the whole
+        # fused kernel on one task (the batch-3 spread discipline).
+        cands = (
+            parallelize_scan(corpus)
+            .select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-            ),
-            centroids,
-            "cv",
-            out="cluster",
+            )
+            .mapInPandas(scan, schema=out_schema)
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine", F.round(F.col("_rawcos"), 6))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("cosine"), F.asc("neighbor_id")
+                    )
+                ),
+            )
+        )
+        return cands.filter(F.col("rk") <= k).select(
+            "query_id", "neighbor_id", "cosine", "rk"
         )
 
+    assigned, centroids = index
     q = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         centroids,
@@ -701,37 +773,101 @@ def lsh_topk(
     L·b literal-array ``aggregate``/``zip_with`` folds per row — was
     interpreter-bound and ~4× slower at sf0.1.
     """
-    # A single-file corpus would run the L-table hyperplane matmul +
-    # posexplode on ONE task — spread it first (no-op when the scan is
-    # already parallel; r13: 1.54 -> 1.23 s at sf0.1).
-    c_base = parallelize_scan(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    # r13 fused one-shot path: bucketing BOTH sides, the (tbl, bucket)
+    # join, the dropDuplicates exchange, and the pair re-rank collapse
+    # into ONE Arrow stage over ONE corpus scan. Queries are collected
+    # driver-side (the cosine_topk batched-query contract) and their
+    # per-table (multiprobe) bucket sets computed with exactly
+    # _lsh_bucketed's plane matmul + XOR math; a corpus row is a
+    # candidate for a query iff ANY table's bucket lands in that query's
+    # probe set — the same pair set the join+dropDuplicates produced,
+    # each pair scored once with exactly _pair_cosine_udf's row-wise
+    # einsum ops, so the persisted-index path (save_lsh_index /
+    # query_lsh_index, which keeps the join shape) reproduces these rows
+    # bit-for-bit. The old shape ran 2 Python-UDF stages + a broadcast
+    # join + a dedup exchange for the same result.
+    P = np.asarray(
+        [
+            plane
+            for t in range(n_tables)
+            for plane in hyperplanes(dim, n_planes, seed + 1000 * t)
+        ],
+        dtype=np.float64,
     )
-    q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    bit_w = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, _rawcos double"
+    if not qrows:
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.select(
+            "query_id",
+            "neighbor_id",
+            F.col("_rawcos").alias("cosine"),
+            F.lit(1).alias("rk"),
+        ).limit(0)
+    qids = [r["query_id"] for r in qrows]
+    Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    q_bits = (Q @ P.T >= 0).reshape(len(Q), n_tables, n_planes)
+    q_vals = (q_bits * bit_w).sum(axis=2)  # (nq, L) int64
+    if multiprobe:
+        flips = (1 << np.arange(n_planes, dtype=np.int64))
+        # (nq, L, 1+b): the bucket itself plus every 1-bit probe
+        q_probes = np.concatenate(
+            [q_vals[:, :, None], q_vals[:, :, None] ^ flips[None, None, :]],
+            axis=2,
+        )
+    else:
+        q_probes = q_vals[:, :, None]
 
-    c = _lsh_bucketed(c_base, "cv", n_planes, n_tables, dim, seed, probe=False)
-    q = _lsh_bucketed(
-        q_base, "qv", n_planes, n_tables, dim, seed, probe=multiprobe
-    )
-    joined = c.join(F.broadcast(q), ["tbl", "bucket"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    # dropDuplicates BEFORE the exact kernel so each surviving pair is
-    # scored once; per-row norms fold into the vectorized kernel (the
-    # separate cn/qn HOF passes are gone).
-    cos = _pair_cosine_udf()(F.col("cv"), F.col("qv"))
-    ranked = (
-        joined.select("query_id", "neighbor_id", "cv", "qv")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", F.round(cos, 6))
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            M = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+            bits = (M @ P.T >= 0).reshape(len(M), n_tables, n_planes)
+            c_vals = (bits * bit_w).sum(axis=2)  # (n, L)
+            res = {"query_id": [], "neighbor_id": [], "_rawcos": []}
+            for qi in range(len(qids)):
+                mask = np.zeros(len(M), dtype=bool)
+                for t in range(n_tables):
+                    mask |= np.isin(c_vals[:, t], q_probes[qi, t])
+                if not mask.any():
+                    continue
+                B = M[mask]
+                A = np.broadcast_to(Q[qi], B.shape)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.einsum("ij,ij->i", A, B) / (
+                        np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                    )
+                res["query_id"].extend([qids[qi]] * len(cos))
+                res["neighbor_id"].extend(ids[mask])
+                res["_rawcos"].extend(cos)
+            yield pd.DataFrame(res)
+
+    # A single-file corpus would run the fused kernel on ONE task —
+    # spread it first (no-op when the scan is already parallel).
+    cands = (
+        parallelize_scan(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .mapInPandas(scan, schema=out_schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(F.col("_rawcos"), 6))
         .withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("neighbor_id")
+                )
             ),
         )
     )
-    return ranked.filter(F.col("rk") <= k).select("query_id", "neighbor_id", "cosine", "rk")
+    return cands.filter(F.col("rk") <= k).select(
+        "query_id", "neighbor_id", "cosine", "rk"
+    )
 
 
 def save_lsh_index(

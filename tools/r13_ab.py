@@ -170,6 +170,120 @@ def q43_v(spark, sf):
     )
 
 
+def _ivf_topk_nospread(emb, q, k=3, n_clusters=8, n_probe=4):
+    """ivf_topk minus the batch-3 corpus spread (assign on the raw scan)."""
+    from pyspark.sql import Window
+
+    C = similarity.ivf_fit_centroids(emb, "vec_id", "embedding", n_clusters, 42)
+    assigned = similarity.ivf_assign(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("cv")),
+        C, "cv", out="cluster",
+    )
+    qa = similarity.ivf_assign(
+        q.select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv")),
+        C, "qv", out="probe_list", n_probe=n_probe,
+    )
+    qa = qa.withColumn("cluster", F.explode("probe_list")).drop("probe_list")
+    joined = assigned.join(F.broadcast(qa), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = similarity._pair_cosine_udf()(F.col("cv"), F.col("qv"))
+    ranked = joined.withColumn("cosine", F.round(cos, 6)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rk") <= k).select(
+        "query_id", "neighbor_id", "cosine", "rk"
+    )
+
+
+def _ann_recall_like_entry(spark, sf, approx_fn, min_recall, use_arrow=True):
+    """Entry's _ann_recall_query with a switchable exact-leg kernel."""
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(
+        emb, queries_df, k=3, use_arrow=use_arrow
+    ).localCheckpoint(eager=True)
+    approx = approx_fn(emb, queries_df)
+    flagged = exact.join(
+        approx.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left_outer",
+    )
+    recall = flagged.agg(
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))
+            >= min_recall
+        ).alias("recall_ok")
+    )
+    return exact.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rk"
+    ).crossJoin(recall)
+
+
+def _lsh_topk_oldshape(emb, q, k=3, dim=64, n_tables=16):
+    """Pre-fusion lsh_topk: bucket both sides, join, dedup, pair re-rank."""
+    from pyspark.sql import Window
+
+    n_planes, seed = 8, 42
+    c_base = parallelize_scan(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    q_base = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = similarity._lsh_bucketed(c_base, "cv", n_planes, n_tables, dim, seed, probe=False)
+    qb = similarity._lsh_bucketed(q_base, "qv", n_planes, n_tables, dim, seed, probe=True)
+    joined = c.join(F.broadcast(qb), ["tbl", "bucket"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = similarity._pair_cosine_udf()(F.col("cv"), F.col("qv"))
+    ranked = (
+        joined.select("query_id", "neighbor_id", "cv", "qv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("neighbor_id"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= k).select(
+        "query_id", "neighbor_id", "cosine", "rk"
+    )
+
+
+def q36_oldshape_v(spark, sf):
+    return _ann_recall_like_entry(
+        spark, sf,
+        lambda emb, q: _lsh_topk_oldshape(emb, q, k=3, dim=64, n_tables=16),
+        min_recall=0.6,
+    )
+
+
+def q43_nospread_v(spark, sf):
+    return _ann_recall_like_entry(
+        spark, sf, lambda emb, q: _ivf_topk_nospread(emb, q), min_recall=0.6
+    )
+
+
+def q43_foldexact_v(spark, sf):
+    return _ann_recall_like_entry(
+        spark, sf,
+        lambda emb, q: similarity.ivf_topk(emb, q, k=3, n_clusters=8, n_probe=4),
+        min_recall=0.6, use_arrow=False,
+    )
+
+
 PAIRS = {
     "q17_cdc_classify": q17_v,
     "q34_cdc_pipeline_counts": q34_v,
@@ -179,6 +293,9 @@ PAIRS = {
     "q35_multimodal_features": q35_v,
     "q36_lsh_topk": q36_v,
     "q43_ivf_topk": q43_v,
+    "q43_nospread": q43_nospread_v,
+    "q36_oldshape": q36_oldshape_v,
+    "q43_foldexact": q43_foldexact_v,
 }
 
 
@@ -201,11 +318,17 @@ def main():
         df = read_table(spark, sf_dir, t)
         df.write.format("noop").mode("overwrite").save()
     # shakedown both arms of the first query (Python worker warm-up)
-    queries[names[0]](spark, sf_dir).collect()
+    first_base = names[0] if names[0] in queries else (
+        "q36_lsh_topk" if names[0].startswith("q36") else "q43_ivf_topk"
+    )
+    queries[first_base](spark, sf_dir).collect()
     PAIRS[names[0]](spark, sf_dir).collect()
 
     for name in names:
-        base_fn, var_fn = queries[name], PAIRS[name]
+        base_name = name if name in queries else (
+            "q36_lsh_topk" if name.startswith("q36") else "q43_ivf_topk"
+        )
+        base_fn, var_fn = queries[base_name], PAIRS[name]
         rows_base = rows_var = None
         runs = {"base": [], "var": []}
         jobs = {}
