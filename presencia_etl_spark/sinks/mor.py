@@ -314,7 +314,7 @@ def merge_upsert_mor(
     hash_cols: list[str] | None = None,
     num_buckets: int = 256,
     compact_every: int | None = 16,
-    compact_keep_last: int = 0,
+    compact_keep_last: int | None = None,
     delete_missing: bool = False,
     digest_prune: bool = True,
     src_digest: dict[int, tuple[int, int, int]] | None = None,
@@ -368,6 +368,16 @@ def merge_upsert_mor(
     nothing at all. Auto-compacts after ``compact_every`` outstanding
     deltas (None = caller-managed); ``compact_keep_last`` is passed
     through so auto-compaction can retain recent snapshot history.
+    Its default (None) resolves to ``compact_every // 4``: an
+    auto-compaction that erased the WHOLE delta window (the old
+    keep_last=0 default) forced every maintained view/agg/top-k whose
+    cursor lagged even ONE merge behind the compaction into a full
+    rebuild — at scale, a full view rewrite triggered by routine
+    upstream compaction. Retaining cadence/4 deltas keeps any consumer
+    lagging ≤ compact_every//4 merges on its O(changes) incremental
+    path while the read-amplification bound stays O(compact_every)
+    small files. Tiny explicit cadences (≤ 4) keep the old fold-all
+    behavior; pass an explicit ``compact_keep_last`` to override.
 
     ``delete_missing=True`` is snapshot-diff sync — ``MERGE ... WHEN NOT
     MATCHED BY SOURCE THEN DELETE``: live target keys absent from ``src``
@@ -932,7 +942,11 @@ def merge_upsert_mor(
         and compact_every is not None
         and len(_delta_seqs(target_path)) >= compact_every
     ):
-        compact_mor(spark, target_path, keep_last=compact_keep_last)
+        compact_mor(
+            spark,
+            target_path,
+            keep_last=_auto_keep_last(compact_every, compact_keep_last),
+        )
         compacted = True
     # After the delta (and any auto-compaction — which preserves live
     # content) is on disk: the fingerprint binds the maintained digest
@@ -952,12 +966,23 @@ def merge_upsert_mor(
     }
 
 
+def _auto_keep_last(compact_every: int, compact_keep_last: int | None) -> int:
+    """Effective ``keep_last`` for an AUTO-compaction: the caller's
+    explicit value, else cadence/4 (see merge_upsert_mor's docstring).
+    Resolved at the trigger site so explicit ``compact_mor`` calls keep
+    their own ``keep_last=0`` default (a maintenance pass that MEANS
+    fold-everything)."""
+    if compact_keep_last is not None:
+        return compact_keep_last
+    return compact_every // 4
+
+
 def _tombstone_commit(
     spark: SparkSession,
     target_path: str,
     victims: DataFrame,
     compact_every: int | None,
-    compact_keep_last: int,
+    compact_keep_last: int | None,
 ) -> dict[str, int]:
     """Shared tail of the delete operations: count the victims, land one
     tombstone delta carrying their full last row image + ``_deleted``,
@@ -998,7 +1023,11 @@ def _tombstone_commit(
         victims.unpersist()
     compacted = False
     if compact_every is not None and len(_delta_seqs(target_path)) >= compact_every:
-        compact_mor(spark, target_path, keep_last=compact_keep_last)
+        compact_mor(
+            spark,
+            target_path,
+            keep_last=_auto_keep_last(compact_every, compact_keep_last),
+        )
         compacted = True
     digest_store.save(target_path, new_dig)
     return {"delete": n, "delta_files": n_files, "compacted": compacted}
@@ -1010,7 +1039,7 @@ def delete_where_mor(
     target_path: str,
     predicate,
     compact_every: int | None = 16,
-    compact_keep_last: int = 0,
+    compact_keep_last: int | None = None,
 ) -> dict[str, int]:
     """Row-level DELETE by predicate — a tombstone delta, O(matches).
 
@@ -1052,7 +1081,7 @@ def delete_keys_mor(
     keys: DataFrame,
     key_cols: list[str],
     compact_every: int | None = 16,
-    compact_keep_last: int = 0,
+    compact_keep_last: int | None = None,
 ) -> dict[str, int]:
     """Row-level DELETE by key set (the GDPR 'erase these subjects' shape).
 

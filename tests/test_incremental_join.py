@@ -680,6 +680,37 @@ class TestRebuildAndCrash:
         assert r["mode"] == "rebuild"
         _assert_matches_recompute(spark, v)
 
+    def test_auto_compaction_retention_keeps_refresh_incremental(
+        self, spark, tmp_path
+    ):
+        """AUTO-compaction's default retention (compact_every // 4 kept
+        deltas) must keep a view whose cursor lags one merge behind on
+        its O(changes) incremental path — the old keep_last=0 default
+        forced a full rebuild on every 16th upstream merge (r14)."""
+        rng = random.Random(33)
+        a, b = _seed(spark, tmp_path, rng)
+        v = _build(spark, tmp_path, a, b)
+        compacted = False
+        for i in range(10):
+            r = mor.merge_upsert_mor(
+                spark,
+                _fdf(spark, _facts(rng, range(400 + 5 * i, 405 + 5 * i))),
+                a,
+                ["f_id"],
+                compact_every=8,
+            )
+            if r["compacted"]:
+                compacted = True
+                break
+            # the view keeps pace: cursor lags ≤ 1 merge at all times
+            ij.refresh_join_view(spark, v)
+        assert compacted, "auto-compaction never triggered"
+        # retained window (8 // 4 = 2 deltas) covers the 1-merge lag
+        assert mor._delta_seqs(a) != []
+        r = ij.refresh_join_view(spark, v)
+        assert r["mode"] == "incremental"
+        _assert_matches_recompute(spark, v)
+
     def test_rebuild_keeps_view_feed_continuous(self, spark, tmp_path):
         """The rebuild is a delete_missing merge INTO the view state: a
         downstream consumer's cursor on the VIEW survives an upstream
