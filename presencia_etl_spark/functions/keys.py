@@ -51,12 +51,25 @@ def normalize_key(col: Column | str, dtype: str | None = None) -> Column:
     if dtype in _SMALL_INT_TYPES:
         return F.coalesce(c.cast("string"), F.lit(""))
     if dtype == "bigint":
+        # Huge tail (|v| > 2^53, where the double parse is lossy): the
+        # generic chain's work reduces to pure scalar arithmetic for a
+        # bigint input — str(v) has no whitespace, parses back to exactly
+        # cast(v as double) (both are round-to-nearest), is always
+        # integral at this magnitude, and is never NaN/Inf — so render
+        # the rounded long below 2^62 and the double's string form above,
+        # with no higher-order-function branch at all. The r13 fast path
+        # kept the full HOF chain in the ELSE branch; its mere presence
+        # in the projection pushed the generated code past JIT-friendly
+        # size and cost ~1.5-2x on EVERY row of every CDC classify/merge
+        # scan even though the branch never executed (r14 measured).
+        d = c.cast("double")
         return (
             F.when(c.isNull(), F.lit(""))
             .when(
                 (c >= -_DOUBLE_EXACT) & (c <= _DOUBLE_EXACT), c.cast("string")
             )
-            .otherwise(normalize_key(c))
+            .when(F.abs(d) < F.lit(2.0**62), d.cast("long").cast("string"))
+            .otherwise(d.cast("string"))
         )
     s_expr = F.coalesce(F.trim(c.cast("string")), F.lit(""))
 

@@ -116,6 +116,29 @@ class TestNormalizeKey:
         got = df.select(composite_key(["a", "b"]).alias("k")).collect()[0]["k"]
         assert got == "30|X"
 
+    def test_bigint_fast_path_matches_generic(self, spark):
+        """The type-directed bigint path (r13 fast branch + r14 scalar
+        huge-tail rendering) must be byte-identical to the generic
+        trim/parse/canonicalize chain across the 2^53 lossy boundary,
+        the 2^62 integral-render cutoff, and the int64 extremes."""
+        import random as _random
+
+        rng = _random.Random(41)
+        vals = [
+            None, 0, 1, -1, 2**53 - 1, 2**53, -(2**53), 2**53 + 1,
+            -(2**53) - 1, 2**62 - 1, 2**62, 2**62 + 1, -(2**62) - 1,
+            2**63 - 1, -(2**63),
+        ]
+        vals += [rng.randrange(-(2**63), 2**63) for _ in range(300)]
+        vals += [rng.randrange(-(2**54), 2**54) for _ in range(300)]
+        df = spark.createDataFrame([(v,) for v in vals], "k bigint")
+        rows = df.select(
+            normalize_key("k", "bigint").alias("fast"),
+            normalize_key("k").alias("generic"),
+        ).collect()
+        bad = [(r["fast"], r["generic"]) for r in rows if r["fast"] != r["generic"]]
+        assert not bad, bad[:10]
+
 
 class TestParseAccessDatetime:
     def test_formats_and_failures(self, spark):
