@@ -237,8 +237,12 @@ def q11_profile(spark, sf):
     # include_min_max=False: this query projects min/max away, and the
     # stack() Generate blocks Catalyst from pruning their aggregates —
     # the flag is the manual column pruning (same 5 output columns).
+    # parallelize_scan (r14): the 4-way Expand + partial hash-agg over
+    # 600K expanded rows otherwise runs on the single scan task
+    # (one-row-group file); spreading the input halves the query
+    # (0.86 -> 0.55 s A/B) and no-ops on already-parallel scans.
     return profile(
-        _t(spark, sf, "orders"),
+        parallelize_scan(_t(spark, sf, "orders")),
         ["o_orderkey", "o_orderstatus", "o_totalprice"],
         exact_distinct=True,
         include_min_max=False,
@@ -623,7 +627,14 @@ def q38_range_join(spark, sf):
     """Range join: same-user event pairs within 60 seconds."""
     from presencia_etl_spark.operators.joins import range_join
 
-    ev = _t(spark, sf, "events").select("user_id", "ts", "event_id")
+    # parallelize_scan (r14): the band join explodes each row into 3
+    # bucket replicas before its shuffle — per-row work heavy enough
+    # that the one-task scan dominated (0.80 -> 0.58 s A/B; no-op on
+    # already-parallel scans). q32's window reuses its shuffle and
+    # measured SLOWER spread — left alone.
+    ev = parallelize_scan(_t(spark, sf, "events")).select(
+        "user_id", "ts", "event_id"
+    )
     pairs = range_join(
         ev, ev, "user_id", "ts", "ts", 60, left_carry=["event_id"], right_carry=["event_id"]
     ).filter(F.col("l_event_id") < F.col("r_event_id"))

@@ -567,8 +567,20 @@ def _refresh_agg_driver(
             if mn[1] is None or _cmp_lt(mn[1], x):
                 mn[1] = x
 
-    # snapshot rewrite: pyarrow read, python fold, journaled swap
+    # snapshot rewrite: pyarrow read, python fold, journaled swap.
+    # r14: only rows whose group key MIGHT be in the delta cross the
+    # arrow→Python boundary. The old fold to_pylist'ed the WHOLE
+    # snapshot into per-row dicts and rebuilt it from Python lists —
+    # O(snapshot) interpreted work per KB-sized tick (2-4 s on a
+    # 150K-group snapshot; the maintained-top-K bench row spent most of
+    # its time here). Untouched rows now stay as arrow columns end to
+    # end: a per-column is_in superset mask (exact tuple match still
+    # happens in the Python loop — superset rows not in the delta pass
+    # through unchanged, same as before) selects the ≤2×|delta| touched
+    # rows for the fold, and the rewrite concatenates the untouched
+    # arrow slice with the folded rows.
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
@@ -583,9 +595,45 @@ def _refresh_agg_driver(
     tbl = pads.dataset(snap_files, format="parquet").to_table()
     sch = pq.read_schema(snap_files[0]).remove_metadata()
     names = list(tbl.schema.names)
+
+    mask = None
+    for i, g in enumerate(group_cols):
+        parts = {k[i] for k in delta}
+        has_null = None in parts
+        has_nan = "\x00__nan__" in parts
+        vals = [v for v in parts if v is not None and v != "\x00__nan__"]
+        if 0.0 in parts:
+            # the fold keys -0.0 and 0.0 together (_nz); match both
+            vals.append(-0.0)
+        col = tbl.column(g) if tbl.num_rows else None
+        if col is None:
+            m = pa.array([], type=pa.bool_())
+        else:
+            if vals:
+                try:
+                    vset = pa.array(vals, type=col.type)
+                except (pa.lib.ArrowException, OverflowError, TypeError):
+                    raise DriverDecline(
+                        f"group key values for {g!r} don't fit the "
+                        "snapshot column type", reason="shape",
+                    )
+                m = pc.fill_null(pc.is_in(col, value_set=vset), False)
+            else:
+                m = pc.equal(pc.is_valid(col), pa.scalar(False))  # all-false
+            if has_null:
+                m = pc.or_(m, pc.is_null(col))
+            if has_nan and pa.types.is_floating(col.type):
+                m = pc.or_(m, pc.fill_null(pc.is_nan(col), False))
+        mask = m if mask is None else pc.and_(mask, m)
+    if tbl.num_rows and mask is not None:
+        touched_tbl = tbl.filter(mask)
+        untouched_tbl = tbl.filter(pc.invert(mask))
+    else:
+        touched_tbl = tbl
+        untouched_tbl = tbl.slice(0, 0)
     rows = [dict(zip(names, vals)) for vals in zip(*[
-        tbl.column(n).to_pylist() for n in names
-    ])] if tbl.num_rows else []
+        touched_tbl.column(n).to_pylist() for n in names
+    ])] if touched_tbl.num_rows else []
 
     out_rows = []
     seen: set[tuple] = set()
@@ -644,8 +692,12 @@ def _refresh_agg_driver(
     def write_staged(staged: str) -> None:
         os.makedirs(staged, exist_ok=True)
         data = {n: [r.get(n) for r in out_rows] for n in sch.names}
+        folded = pa.Table.from_pydict(data, schema=sch)
+        out_tbl = pa.concat_tables(
+            [untouched_tbl.select(sch.names).cast(sch), folded]
+        )
         pq.write_table(
-            pa.Table.from_pydict(data, schema=sch),
+            out_tbl,
             os.path.join(staged, "part-00000.parquet"),
             use_deprecated_int96_timestamps=True,
             compression="snappy",

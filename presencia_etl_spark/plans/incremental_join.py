@@ -568,7 +568,7 @@ def build_join_view(
     b_cols: list[str] | None = None,
     num_buckets: int = 64,
     compact_every: int | None = 16,
-    compact_keep_last: int = 0,
+    compact_keep_last: int | None = None,
     how: str = "inner",
 ) -> dict:
     """Full materialization of ``A inner-join B`` (``how`` in
@@ -671,7 +671,7 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> dict:
             meta["b_cols"],
             meta["num_buckets"],
             meta.get("compact_every", 16),
-            meta.get("compact_keep_last", 0),
+            meta.get("compact_keep_last"),
             how=meta.get("how", "inner"),
         )
         return {**r, "mode": "rebuild"}
@@ -684,9 +684,16 @@ def refresh_join_view(spark: SparkSession, view_path: str) -> dict:
     from presencia_etl_spark.sinks import driver_mor as dm
 
     def _compact() -> None:
-        from presencia_etl_spark.sinks.mor import compact_mor
+        from presencia_etl_spark.sinks.mor import _auto_keep_last, compact_mor
 
-        compact_mor(spark, view_path, keep_last=meta.get("compact_keep_last", 0))
+        compact_mor(
+            spark,
+            view_path,
+            keep_last=_auto_keep_last(
+                meta.get("compact_every") or 16,
+                meta.get("compact_keep_last"),
+            ),
+        )
 
     r = dm.try_trickle(
         lambda: _refresh_driver(view_path, meta, ha, hb, jvm=spark._jvm),
@@ -1121,7 +1128,7 @@ def _refresh_inner(
                 key_cols=key_cols,
                 num_buckets=meta["num_buckets"],
                 compact_every=meta.get("compact_every", 16),
-                compact_keep_last=meta.get("compact_keep_last", 0),
+                compact_keep_last=meta.get("compact_keep_last"),
                 # known-subset batch: digest pruning would learn nothing
                 # (the micro-batch discipline); sidecar MAINTENANCE still
                 # happens when a valid sidecar is present.

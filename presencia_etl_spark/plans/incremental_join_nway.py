@@ -203,7 +203,7 @@ def build_join_view_nway(
     view_path: str,
     num_buckets: int = 64,
     compact_every: int | None = 16,
-    compact_keep_last: int = 0,
+    compact_keep_last: int | None = None,
     how: str = "inner",
 ) -> dict:
     """Full materialization of the N-way join into a MOR view state
@@ -286,7 +286,7 @@ def refresh_join_view_nway(spark: SparkSession, view_path: str) -> dict:
             view_path,
             meta["num_buckets"],
             meta.get("compact_every", 16),
-            meta.get("compact_keep_last", 0),
+            meta.get("compact_keep_last"),
             how=meta.get("how", "inner"),
         )
         return {**r, "mode": "rebuild"}
@@ -298,9 +298,16 @@ def refresh_join_view_nway(spark: SparkSession, view_path: str) -> dict:
     from presencia_etl_spark.sinks import driver_mor as dm
 
     def _compact() -> None:
-        from presencia_etl_spark.sinks.mor import compact_mor
+        from presencia_etl_spark.sinks.mor import _auto_keep_last, compact_mor
 
-        compact_mor(spark, view_path, keep_last=meta.get("compact_keep_last", 0))
+        compact_mor(
+            spark,
+            view_path,
+            keep_last=_auto_keep_last(
+                meta.get("compact_every") or 16,
+                meta.get("compact_keep_last"),
+            ),
+        )
 
     r = dm.try_trickle(
         lambda: _refresh_driver_nway(
@@ -329,7 +336,7 @@ def refresh_join_view_nway(spark: SparkSession, view_path: str) -> dict:
             view_path,
             meta["num_buckets"],
             meta.get("compact_every", 16),
-            meta.get("compact_keep_last", 0),
+            meta.get("compact_keep_last"),
             how=meta.get("how", "inner"),
         )
         return {**r, "mode": "rebuild"}
@@ -717,7 +724,7 @@ def _land_nway_terms(
             key_cols=key_cols,
             num_buckets=meta["num_buckets"],
             compact_every=meta.get("compact_every", 16),
-            compact_keep_last=meta.get("compact_keep_last", 0),
+            compact_keep_last=meta.get("compact_keep_last"),
             digest_prune=False,
             delete_keys=dels,
         )

@@ -432,22 +432,29 @@ def read_live_rows_for_keys(
     base_keys = [k for k in keyset if k not in decided]
     if base_keys:
         meta_nb = meta["num_buckets"]
-        by_bucket: dict[int, list[str]] = {}
-        for k in base_keys:
-            by_bucket.setdefault(dp.pmod_bucket(k, meta_nb), []).append(k)
-        for b, ks in sorted(by_bucket.items()):
+        # ONE dataset read over the union of the keys' bucket files
+        # (r14): the per-bucket loop issued one pads.dataset+to_table
+        # per dirty bucket (~6-9 ms each, serial — 0.6 s of a KB tick
+        # touching 67 buckets); a single scan over the same pruned file
+        # list applies the one In(keys) filter with arrow's internal
+        # fragment parallelism and identical row-group skipping. Rows
+        # only ever live in their own pmod bucket, so the global key
+        # filter matches exactly what the per-bucket subsets did, and
+        # the bucket column is recomputed from the key (the layout
+        # invariant the dirs encode).
+        files = []
+        for b in sorted({dp.pmod_bucket(k, meta_nb) for k in base_keys}):
             bdir = os.path.join(path, BASE_DIR, f"{BUCKET_COL}={b}")
             if not os.path.isdir(bdir):
                 continue
-            files = [
+            files += [
                 f
                 for f in glob.glob(os.path.join(bdir, "*.parquet"))
                 if not is_spark_hidden(os.path.basename(f))
             ]
-            if not files:
-                continue
-            for r in _to_rows(_read_filtered(files, ks)):
-                r[BUCKET_COL] = b
+        if files:
+            for r in _to_rows(_read_filtered(files, base_keys)):
+                r[BUCKET_COL] = dp.pmod_bucket(r[cdc.KEY_COL], meta_nb)
                 out[r[cdc.KEY_COL]] = r
     return out
 
